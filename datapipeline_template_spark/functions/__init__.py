@@ -1,0 +1,120 @@
+"""Engine column-expression library.
+
+Pure ``pyspark.sql.functions`` compositions — everything here stays
+JVM-side inside whole-stage codegen (no Python UDFs). Two conventions
+make results *bit-deterministic* across engines (required because the
+driver hash-compares our results against a DuckDB oracle):
+
+1. **Integer-cents arithmetic** for money aggregates: doubles carry
+   float noise and their sums depend on reduction order, so we round
+   each value to an exact int64 at a fixed scale (`cents`, `bp`) and
+   sum integers — associative, order-independent, identical in any
+   engine. Divide back to a double only once at the end.
+2. **Polynomial rolling hash** for text hashing: expressible in plain
+   SQL in both Spark and DuckDB, unlike engine-specific hash functions
+   (xxhash64 etc. don't line up across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cents",
+    "scaled_long",
+    "unscale",
+    "poly_hash",
+    "token_poly_hash",
+    "quantized_dot",
+    "quantized_norm_sq",
+    "cosine_quantized",
+]
+
+# Modulus for polynomial hashes: large prime < 2^31 so that
+# acc*BASE + term stays well inside int64 ((1e9+7)*131 + 2^31 ~ 1.3e11).
+POLY_P = 1_000_000_007
+POLY_BASE = 131
+
+
+def cents(col: Column | str, scale: int = 100) -> Column:
+    """Exact integer representation of a ~2-decimal double: round(x*scale)::long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(scale)).cast("long")
+
+
+# Alias with explicit scale for basis-point columns (discount/tax).
+def scaled_long(col: Column | str, scale: int) -> Column:
+    return cents(col, scale)
+
+
+def unscale(col: Column, scale: int) -> Column:
+    """Back to double after exact integer aggregation."""
+    return (col.cast("double") / F.lit(float(scale)))
+
+
+def poly_hash(str_col: Column | str, p: int = POLY_P, base: int = POLY_BASE) -> Column:
+    """Polynomial rolling hash of a string's UTF-8-ish char codes, mod p.
+
+    h = fold(chars, acc -> (acc*base + ascii(ch)) % p). Deterministic,
+    order-sensitive, and expressible in DuckDB SQL with list_reduce for
+    oracle parity. Used as the document fingerprint and as the shingle
+    hash underlying MinHash / SimHash.
+    """
+    c = F.col(str_col) if isinstance(str_col, str) else str_col
+    chars = F.split(c, "")  # array of single chars; Spark drops no chars
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(base) + F.ascii(ch)) % F.lit(p),
+    )
+
+
+def token_poly_hash(tokens_col: Column, p: int = POLY_P, base: int = POLY_BASE) -> Column:
+    """Map array<string> -> array<long> of per-token polynomial hashes."""
+    return F.transform(
+        tokens_col,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(base) + F.ascii(ch)) % F.lit(p),
+        ),
+    )
+
+
+def _quantize(vec: Column, scale: int) -> Column:
+    """array<float> -> array<long> with round(x*scale) per element."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"))
+
+
+def quantized_dot(a: Column, b: Column, scale: int = 10_000) -> Column:
+    """Exact int64 dot product of two quantized vectors.
+
+    64-dim float vectors in [-1,1] quantized at 1e4: per-term max 1e8,
+    sum max ~6.4e9 — far inside int64. Being integer math, the result
+    is identical regardless of summation order or engine.
+    """
+    qa, qb = _quantize(a, scale), _quantize(b, scale)
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_norm_sq(a: Column, scale: int = 10_000) -> Column:
+    qa = _quantize(a, scale)
+    return F.aggregate(
+        F.transform(qa, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_quantized(a: Column, b: Column, scale: int = 10_000) -> Column:
+    """Cosine similarity over quantized vectors: exact-int dot & norms,
+    one final double division → deterministic across engines."""
+    dot = quantized_dot(a, b, scale).cast("double")
+    na = F.sqrt(quantized_norm_sq(a, scale).cast("double"))
+    nb = F.sqrt(quantized_norm_sq(b, scale).cast("double"))
+    return dot / (na * nb)

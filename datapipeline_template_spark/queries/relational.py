@@ -1,0 +1,547 @@
+"""Relational query surface (SURVEY.md §2.2 X1–X7).
+
+The reference is an ingestion template with no query layer
+(`/root/reference/src/sdp_etl/transformations/*` contain no joins or
+aggregations — SURVEY.md §2 scope note); this module provides the
+general relational surface over the same tables: projection/filter,
+equi/semi/anti/outer joins, hash aggregation, distinct aggregation,
+rollup, set ops, scalar string/date/JSON functions, range (theta)
+join, having.
+
+Scale notes (100 TB): every join below either broadcasts its small
+side explicitly (`F.broadcast`) or is an equi-join on the natural key
+so Catalyst/AQE picks sort-merge with skew splitting; aggregates are
+expressed as single `groupBy.agg` so partial (map-side) aggregation
+applies. Filters are plain column predicates → pushed to the parquet
+scan (check `PushedFilters` in explain).
+
+Determinism: money aggregates use integer-cents (see functions module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import cents
+from . import register
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1-style pricing summary (filter → hash agg)
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)                         AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0          AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0      AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+        * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0         AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)/COUNT(*)                AS avg_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_price,
+  CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0      AS avg_disc,
+  COUNT(*)                                                                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q01_pricing_summary", oracle=_Q01_ORACLE)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: single-pass hash aggregation with partial
+    (map-side) combine; the shipdate predicate pushes to the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = cents("l_extendedprice")
+    disc_bp = cents("l_discount")
+    tax_bp = cents("l_tax")
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(price_c * (F.lit(100) - disc_bp)).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(price_c * (F.lit(100) - disc_bp) * (F.lit(100) + tax_bp)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / n / F.lit(100.0)).alias("avg_price"),
+            (F.sum(disc_bp).cast("double") / n / F.lit(100.0)).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — TPC-H Q3-style: 3-way join + agg + deterministic top-k
+# ---------------------------------------------------------------------------
+
+_Q02_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q02_top_revenue_orders", oracle=_Q02_ORACLE)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue: broadcast the filtered customer dim,
+    shuffle join orders↔lineitem on the order key, top-10 with a total
+    order (revenue is exact-int-derived → deterministic ties)."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — TPC-H Q5-style: 6-way join with broadcast dims
+# ---------------------------------------------------------------------------
+
+_Q03_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q03_regional_volume", oracle=_Q03_ORACLE)
+def q03_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume: the three dims (supplier, nation, region)
+    broadcast; the fact-fact join (orders↔lineitem) is the only shuffle."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 / q05 — anti & semi joins
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("q04_customers_without_orders", oracle=_Q04_ORACLE)
+def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — Spark's dedicated anti-join avoids materializing
+    the non-matching side (vs. outer-join-then-null-filter)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_Q05_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+)
+"""
+
+
+@register("q05_big_spenders_semi", oracle=_Q05_ORACLE)
+def q05_big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join with the predicate pushed into the probe side scan."""
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — left outer join + aggregation (zero-preserving)
+# ---------------------------------------------------------------------------
+
+_Q06_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  COUNT(o_orderkey) AS order_cnt,
+  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100.0 AS total_spent
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@register("q06_customer_order_stats", oracle=_Q06_ORACLE)
+def q06_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (COUNT(col) skips
+    nulls; SUM over no rows coalesced to 0)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            (
+                F.coalesce(F.sum(cents("o_totalprice")), F.lit(0).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — distinct aggregation
+# ---------------------------------------------------------------------------
+
+_Q07_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS order_cnt,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q07_priority_stats", oracle=_Q07_ORACLE)
+def q07_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate
+    (partial distinct per partition, then merge) automatically."""
+    orders = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("order_cnt"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (F.sum(cents("o_totalprice")).cast("double") / n / F.lit(100.0)).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — ROLLUP with grouping bitmask
+# ---------------------------------------------------------------------------
+
+_Q08_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("q08_rollup_returns", oracle=_Q08_ORACLE)
+def q08_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP; grouping_id distinguishes the
+    subtotal levels (same bitmask semantics as DuckDB GROUPING)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("grp_id"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — CASE expression buckets
+# ---------------------------------------------------------------------------
+
+_Q09_ORACLE = """
+SELECT
+  CASE WHEN c_acctbal < 0 THEN 'negative'
+       WHEN c_acctbal < 5000 THEN 'mid'
+       ELSE 'high' END AS bal_bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_bal
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("q09_acctbal_buckets", oracle=_Q09_ORACLE)
+def q09_acctbal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression evaluation (X1) feeding an aggregation."""
+    cust = table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket")
+    )
+    n = F.count(F.lit(1))
+    return cust.groupBy(bucket).agg(
+        n.alias("n"),
+        (F.sum(cents("c_acctbal")).cast("double") / n / F.lit(100.0)).alias("avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — scalar string functions
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+  p_brand,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(LENGTH(p_name) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_name_len,
+  COUNT(DISTINCT UPPER(p_type)) AS n_types,
+  MIN(SUBSTRING(p_name, 1, 5)) AS first_prefix
+FROM part
+GROUP BY p_brand
+"""
+
+
+@register("q10_brand_name_stats", oracle=_Q10_ORACLE)
+def q10_brand_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library: length / upper / substring (X7)."""
+    part = table(spark, sf_dir, "part")
+    n = F.count(F.lit(1))
+    return part.groupBy("p_brand").agg(
+        n.alias("n"),
+        (F.sum(F.length("p_name").cast("long")).cast("double") / n).alias("avg_name_len"),
+        F.countDistinct(F.upper("p_type")).alias("n_types"),
+        F.min(F.substring("p_name", 1, 5)).alias("first_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — date functions
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT
+  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+GROUP BY 1
+"""
+
+
+@register("q11_orders_by_month", oracle=_Q11_ORACLE)
+def q11_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function library: date_trunc / extract (X7)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.year("o_orderdate") == 1997)
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("o_totalprice")).cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — JSON payload extraction (events.props)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q12_event_props", oracle=_Q12_ORACLE)
+def q12_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: extract the numeric field from the JSON
+    props string (get_json_object in production; regexp here so the
+    oracle matches without DuckDB's JSON extension)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(cents("value")).cast("double") / n / F.lit(100.0)).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13/q14/q15 — set operations
+# ---------------------------------------------------------------------------
+
+_BUYERS_Y = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '{y}-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{y1}-01-01 00:00:00'
+"""
+
+
+def _buyers(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+_Q13_ORACLE = (
+    _BUYERS_Y.format(y=1995, y1=1996) + " INTERSECT " + _BUYERS_Y.format(y=1996, y1=1997)
+)
+
+
+@register("q13_repeat_buyers_intersect", oracle=_Q13_ORACLE)
+def q13_repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of 1995 and 1996 buyer sets (X6)."""
+    return _buyers(spark, sf_dir, 1995).intersect(_buyers(spark, sf_dir, 1996))
+
+
+_Q14_ORACLE = _BUYERS_Y.format(y=1995, y1=1996) + " EXCEPT " + _BUYERS_Y.format(y=1996, y1=1997)
+
+
+@register("q14_lapsed_buyers_except", oracle=_Q14_ORACLE)
+def q14_lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who bought in 1995 but not 1996."""
+    return _buyers(spark, sf_dir, 1995).exceptAll(_buyers(spark, sf_dir, 1996))
+
+
+_Q15_ORACLE = _BUYERS_Y.format(y=1995, y1=1996) + " UNION " + _BUYERS_Y.format(y=1996, y1=1997)
+
+
+@register("q15_buyers_union", oracle=_Q15_ORACLE)
+def q15_buyers_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two buyer sets."""
+    return _buyers(spark, sf_dir, 1995).union(_buyers(spark, sf_dir, 1996)).distinct()
+
+
+# ---------------------------------------------------------------------------
+# q16 — HAVING
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_bal
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 5
+"""
+
+
+@register("q16_nations_big_customer_base", oracle=_Q16_ORACLE)
+def q16_nations_big_customer_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    cust = table(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            n.alias("n_customers"),
+            (F.sum(cents("c_acctbal")).cast("double") / n / F.lit(100.0)).alias("avg_bal"),
+        )
+        .where(F.col("n_customers") > 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — range (theta) self-join on event time
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+GROUP BY e1.user_id
+"""
+
+
+@register("q17_event_pairs_within_hour", oracle=_Q17_ORACLE)
+def q17_event_pairs_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi-join on user_id plus a time-band theta condition.
+    The equi component keys the shuffle, so the theta part evaluates
+    within co-located partitions (no cartesian explosion)."""
+    ev = table(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,84 @@
+"""Oracle-parity harness: mimics the driver's correctness gate locally.
+
+For every registered query with an oracle, run the Spark DataFrame and
+the DuckDB SQL on the same parquet (sf0.001 for speed; the driver uses
+sf0.01) and require identical row count, column names, and
+order-insensitive values. Values must match EXACTLY — the engine's
+determinism contract (integer-scaled aggregates, total orders on
+top-k) is what makes this possible across engines.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from datapipeline_template_spark.catalog import TABLES
+from datapipeline_template_spark.queries import load_all
+
+REGISTRY = load_all()
+WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return value
+    if isinstance(value, dt.datetime):
+        return value.replace(tzinfo=None).isoformat()
+    if isinstance(value, dt.date):
+        return value.isoformat()
+    if isinstance(value, list):
+        return tuple(_canon(v) for v in value)
+    return value
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(repr(tuple(_canon(r[i]) for i in order)) for r in rows)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.sql(q.oracle)
+    duck_cols = [c.lower() for c in res.columns]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sset = _rowset(spark_cols, spark_rows)
+    dset = _rowset(duck_cols, duck_rows)
+    if sset != dset:
+        diff_s = [r for r in sset if r not in dset][:5]
+        diff_d = [r for r in dset if r not in sset][:5]
+        raise AssertionError(f"{name}: value mismatch\n spark-only: {diff_s}\n duck-only: {diff_d}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
