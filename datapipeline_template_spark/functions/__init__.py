@@ -62,7 +62,8 @@ def poly_hash(str_col: Column | str, p: int = POLY_P, base: int = POLY_BASE) -> 
     hash underlying MinHash / SimHash.
     """
     c = F.col(str_col) if isinstance(str_col, str) else str_col
-    chars = F.split(c, "")  # array of single chars; Spark drops no chars
+    # Filter empties: regex-split engines disagree on trailing ''.
+    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
@@ -75,7 +76,7 @@ def token_poly_hash(tokens_col: Column, p: int = POLY_P, base: int = POLY_BASE) 
     return F.transform(
         tokens_col,
         lambda t: F.aggregate(
-            F.split(t, ""),
+            F.filter(F.split(t, ""), lambda ch: ch != F.lit("")),
             F.lit(0).cast("long"),
             lambda acc, ch: (acc * F.lit(base) + F.ascii(ch)) % F.lit(p),
         ),

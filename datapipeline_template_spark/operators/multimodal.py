@@ -1,0 +1,149 @@
+"""Multimodal column plumbing (X12): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+Design for 100 TB: media bytes ride in the DataFrame as ``binary``
+columns next to their metadata struct. Decode / feature-extraction are
+per-row CPU work with no cross-row dependency → ``mapInPandas``
+(Arrow-batched; zero shuffle; batch size bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of large
+blobs can't OOM an executor). Heavy decode libraries (PIL, ffmpeg,
+torchcodec) are NOT in this container, so the actual decode is stubbed
+behind ``MediaDecodeNotAvailable`` or the deterministic fake decoder;
+everything Spark-side — schemas, batch iteration, partitioning, UDF
+signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "MediaDecodeNotAvailable",
+    "attach_media_meta",
+    "decode_media",
+    "sample_frames",
+    "media_byte_stats",
+]
+
+# Typed metadata carried beside every media blob.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+class MediaDecodeNotAvailable(NotImplementedError):
+    """Raised when a real decoder backend is required but absent.
+
+    This container ships no image/audio libs; production deployments
+    plug a decoder into ``decode_media(backend=...)``.
+    """
+
+
+def attach_media_meta(
+    df: DataFrame, binary_col: str, media_type: str, fmt: str
+) -> DataFrame:
+    """Stamp the typed metadata struct for an opaque binary column
+    (sizes from the bytes themselves; dims unknown until decode)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.octet_length(F.col(binary_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_decode(blob: bytes) -> list[float]:
+    """Deterministic fake feature vector (8 dims) from raw bytes —
+    stands in for a real decode+embed so the distributed plumbing is
+    testable without media libraries."""
+    acc = [0] * 8
+    for i, byte in enumerate(blob[:4096]):
+        acc[i % 8] = (acc[i % 8] * 31 + byte) % 1_000_003
+    return [a / 1_000_003.0 for a in acc]
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_media(
+    df: DataFrame, id_col: str, binary_col: str, backend: str = "fake"
+) -> DataFrame:
+    """Decode + feature-extract media blobs via Arrow-batched
+    ``mapInPandas``. ``backend='fake'`` uses the deterministic stub;
+    any other backend raises ``MediaDecodeNotAvailable`` here (the
+    deployment injects a real decoder with the same signature)."""
+    if backend != "fake":
+        raise MediaDecodeNotAvailable(
+            f"decoder backend {backend!r} not available in this environment"
+        )
+    src = df.select(F.col(id_col).alias("media_id"), F.col(binary_col).alias("_blob"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "features": [_fake_decode(b) for b in pdf["_blob"]],
+                    "n_bytes": [len(b) for b in pdf["_blob"]],
+                }
+            )
+
+    return src.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, binary_col: str, every_n_bytes: int = 1024
+) -> DataFrame:
+    """'Frame sampling' stub: emits one row per sampled offset of the
+    blob (stand-in for video frame extraction). Real shape: explode on
+    the executor, no driver involvement — a posexplode over a computed
+    offsets array."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.octet_length(F.col(binary_col)).cast("int") - 1, F.lit(0)),
+        F.lit(every_n_bytes),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )
+
+
+def media_byte_stats(df: DataFrame, binary_col: str, group_col: str) -> DataFrame:
+    """Byte-level stats per group — pure JVM octet arithmetic."""
+    n = F.count(F.lit(1))
+    return df.groupBy(group_col).agg(
+        n.alias("n"),
+        F.sum(F.octet_length(binary_col).cast("long")).alias("total_bytes"),
+        (F.sum(F.octet_length(binary_col).cast("long")).cast("double") / n).alias("avg_bytes"),
+    )

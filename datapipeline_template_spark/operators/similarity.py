@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (X10/X12).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline. Cross-join
+  of queries × corpus; correct at any scale when the query set is
+  small (broadcast it), O(|Q|·|N|) otherwise.
+- ``lsh_bucket``: sign-random-projection bucketing — the scale path.
+  Deterministic pseudo-random hyperplanes (no RNG: weights derived
+  from a fixed integer formula) map each vector to a small bucket id;
+  ANN search joins only within buckets, turning the quadratic
+  cross-join into an equi-join that hash-partitions across the
+  cluster. Recall/cost is tuned by n_planes (and multi-probe by
+  re-running with plane offsets).
+
+Vectors are quantized to exact int64 at scale 1e4 before any
+arithmetic (functions.quantized_dot) so scores are bit-identical
+across engines — required for the DuckDB oracle, and also makes the
+math immune to summation-order nondeterminism under AQE re-partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions import cosine_quantized
+
+__all__ = ["cosine_topk", "lsh_bucket", "near_dup_pairs"]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    Returns (query_id, neighbor_id, score), k rows per query, with a
+    total deterministic ordering (score desc, neighbor id asc). The
+    query side is broadcast — the corpus never shuffles.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine_quantized(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random weight in [-504, 504]: a fixed
+    integer mixing formula — reproducible in any engine, no RNG."""
+    return ((plane * 7919 + dim * 104729 + 12345) % 1009) - 504
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-LSH bucket id: bit i = [dot(plane_i, vec) >= 0].
+
+    Each plane's dot product is an exact int64 sum over the quantized
+    vector — fully deterministic. Bucket ids land in [0, 2^n_planes).
+    """
+    qvec = F.transform(vec, lambda x: F.round(x.cast("double") * F.lit(10000.0)).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        weights = F.array(*[F.lit(_plane_weight(i, j)).cast("long") for j in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(qvec, weights, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold, blocked by
+    ``block_col`` (or LSH bucket) so the self-join is an equi-join."""
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    sim = cosine_quantized(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

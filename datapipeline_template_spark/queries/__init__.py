@@ -42,6 +42,8 @@ _MODULES = (
     "text",
     "similarity",
     "pipeline",
+    "streaming",
+    "multimodal",
 )
 
 

@@ -1,0 +1,193 @@
+"""Deduplication queries over `documents` (X9/X10): exact,
+MinHash-LSH, SimHash, exact n-gram Jaccard.
+
+The fuzzy pipelines use NO randomness — polynomial shingle hashes and
+fixed hash schedules (operators.dedup) — so even MinHash-LSH candidate
+generation is bit-reproducible and validated against a full DuckDB
+replay of the same algorithm (lambdas over lists).
+
+Scale story (100 TB corpus):
+- exact: hash-aggregate on content hash — one shuffle of (hash, id).
+- MinHash-LSH: per-doc signature is a narrow map; banding explodes
+  ×bands; the candidate join is an equi-join on (band, bucket) that
+  hash-partitions across the cluster. No quadratic stage anywhere.
+- SimHash: 62 aggregate bits per doc, then pairs within blocking keys.
+- Jaccard verify runs only on candidate pairs, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_tokens,
+    simhash64,
+)
+from ..operators.text import tokenize
+from ..functions import token_poly_hash
+from . import register
+
+# ---------------------------------------------------------------------------
+# dd01 — exact dedup by content (keep lowest doc_id per distinct text)
+# ---------------------------------------------------------------------------
+
+_DD01_ORACLE = """
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+@register("dd01_exact_dedup_documents", oracle=_DD01_ORACLE)
+def dd01_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content, keeping
+    the smallest doc_id. At scale, group on fingerprint(text) instead
+    of raw text to shuffle 8 bytes per row, not the document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# dd02 — exact n-gram Jaccard near-dup pairs (blocked by lang)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+    i -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               string_split(array_to_string(list_slice(string_split(text,' '), i, i+2), ' '), ''),
+               ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007)
+  ))
+"""
+
+_DD02_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES_SQL} AS shingles FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+       / CAST(len(a.shingles) + len(b.shingles)
+              - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+         AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+      / CAST(len(a.shingles) + len(b.shingles)
+             - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+      >= 0.5
+"""
+
+
+@register("dd02_ngram_jaccard_pairs", oracle=_DD02_ORACLE)
+def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ 0.5, blocked by lang (blocking
+    is part of the operator contract; swap in LSH buckets at scale)."""
+    docs = table(spark, sf_dir, "documents")
+    with_shingles = docs.select(
+        "doc_id", "lang", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    )
+    return ngram_jaccard_pairs(
+        with_shingles, "doc_id", "shingles", threshold=0.5, block_cols=["lang"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd03 — MinHash-LSH candidate pairs (full deterministic replay)
+# ---------------------------------------------------------------------------
+
+_DD03_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles,
+                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS band,
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS bucket
+  FROM sig, unnest(range(0, 8)) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register("dd03_minhash_lsh_candidates", oracle=_DD03_ORACLE)
+def dd03_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH banding (8 bands × 4 rows): candidate
+    near-duplicate pairs. Deterministic hash schedule → the oracle
+    replays the identical algorithm in SQL."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id",
+        minhash_signature(shingle_tokens(tokenize("text"), k=3), num_hashes=32).alias("sig"),
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd04 — SimHash near-dup pairs (62-bit, hamming ≤ 8, blocked by lang)
+# ---------------------------------------------------------------------------
+
+_TOKHASH_SQL = """
+  list_transform(string_split(text,' '),
+    t -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007))
+"""
+
+_SIMHASH_SQL = f"""
+  list_sum(list_transform(range(0, 62),
+    j -> CASE WHEN 2 * list_sum(list_transform({_TOKHASH_SQL},
+                     h -> (h >> CAST(j AS BIGINT)) & 1)) > len(string_split(text,' '))
+              THEN (CAST(1 AS BIGINT) << CAST(j AS BIGINT)) ELSE CAST(0 AS BIGINT) END))
+"""
+
+_DD04_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id, lang, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@register("dd04_simhash_pairs", oracle=_DD04_ORACLE)
+def dd04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (62 usable bits; bit j set iff the majority of token
+    hashes have bit j) — near-dups are pairs with hamming ≤ 8 within
+    a lang block. popcount(XOR) stays in codegen (F.bit_count)."""
+    docs = table(spark, sf_dir, "documents")
+    hs = docs.select(
+        "doc_id", "lang", simhash64(token_poly_hash(tokenize("text"))).alias("simhash")
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 8)
+    )

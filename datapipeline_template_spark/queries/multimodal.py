@@ -1,0 +1,61 @@
+"""Multimodal-column queries (X12): binary media columns with typed
+metadata. The testdata has no media blobs, so the query materializes
+binary columns from document text (UTF-8 encode) — the Spark-side
+plumbing (binary type, octet arithmetic, metadata struct, Arrow-batched
+decode) is identical to real media; only the bytes are textual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.multimodal import attach_media_meta, media_byte_stats
+from . import register
+
+# ---------------------------------------------------------------------------
+# mm01 — binary byte stats per group
+# ---------------------------------------------------------------------------
+
+_MM01_ORACLE = """
+SELECT source AS grp,
+       COUNT(*) AS n,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS DOUBLE)/COUNT(*) AS avg_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+@register("mm01_media_byte_stats", oracle=_MM01_ORACLE)
+def mm01_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary byte statistics per source — octet_length over a
+    binary column, grouped; the same aggregation shape used for real
+    media partitioning decisions (skew by blob size)."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    stats = media_byte_stats(docs, "blob", "source")
+    return stats.select(F.col("source").alias("grp"), "n", "total_bytes", "avg_bytes")
+
+
+# ---------------------------------------------------------------------------
+# mm02 — metadata struct projection — rows-only (struct output)
+# ---------------------------------------------------------------------------
+
+
+@register("mm02_media_meta", oracle=None)
+def mm02_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media-metadata struct beside the blob; rows-only check
+    (struct columns don't flatten into the oracle hash)."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    with_meta = attach_media_meta(docs, "blob", media_type="image", fmt="png")
+    return with_meta.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )

@@ -1,0 +1,181 @@
+"""CDC/medallion semantics as driver-checked queries (reference
+R12/R15/R17/R18/R19 over the driver's tables).
+
+The `events` table stands in for a CDC feed: key (user_id,
+event_type), ordering (ts, event_id), a derived `op` column (including
+NULLs, to pin the null-rejecting `op != 'D'` semantics —
+`/root/reference/src/sdp_etl/transformations/02_silver_processing.py:134-135`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.dedup import keep_latest
+from ..operators.expectations import expect_all_or_drop
+from ..operators.projection import apply_renames, upcast_int_to_bigint
+from . import register
+
+# ---------------------------------------------------------------------------
+# pipe01 — keep-latest CDC dedup (R19) via max_by aggregate
+# ---------------------------------------------------------------------------
+
+_PIPE01_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("pipe01_cdc_keep_latest", oracle=_PIPE01_ORACLE)
+def pipe01_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver keep-latest dedup. The engine's max_by aggregate form —
+    map-side partial aggregation collapses duplicates before the
+    shuffle (vs the reference's full-sort row_number window); the
+    oracle states the same semantics as ROW_NUMBER...=1."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return keep_latest(ev, ["user_id", "event_type"], ["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# pipe02 — soft-delete filter with null-rejecting op != 'D' (R17)
+# ---------------------------------------------------------------------------
+
+_PIPE02_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, event_id,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN value < 1.0 THEN NULL
+              ELSE 'U' END AS op
+  FROM (
+    SELECT user_id, event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  )
+  WHERE rn = 1
+)
+SELECT user_id, event_type, event_id, op
+FROM latest
+WHERE op != 'D'
+"""
+
+
+@register("pipe02_cdc_soft_delete", oracle=_PIPE02_ORACLE)
+def pipe02_cdc_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delete semantics: latest row per key, then `op != 'D'` —
+    which also drops op-IS-NULL rows (three-valued logic; the NULL op
+    branch here exists precisely to pin that behavior)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    latest = keep_latest(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    with_op = latest.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("value") < 1.0, F.lit(None).cast("string"))
+        .otherwise("U")
+        .alias("op"),
+    )
+    return with_op.where(F.col("op") != "D")
+
+
+# ---------------------------------------------------------------------------
+# pipe03 — data-quality expectations (R18)
+# ---------------------------------------------------------------------------
+
+_PIPE03_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars > 0 AND lang IS NOT NULL AND n_chars >= 30
+"""
+
+
+@register("pipe03_expectations", oracle=_PIPE03_ORACLE)
+def pipe03_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expect_all_or_drop: keep rows passing EVERY rule (SQL exprs
+    evaluated by Catalyst; NULL counts as failure — DLT semantics)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return expect_all_or_drop(
+        docs,
+        {
+            "nonempty": "n_chars > 0",
+            "has_lang": "lang IS NOT NULL",
+            "min_len": "n_chars >= 30",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe04 — int→bigint widening projection (R12)
+# ---------------------------------------------------------------------------
+
+_PIPE04_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
+@register("pipe04_upcast_widening", oracle=_PIPE04_ORACLE)
+def pipe04_upcast_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's overflow-avoidance rewrite: every 32/16-bit int
+    column widened to bigint in a single Project
+    (`00_config_loader.py:46-55`). The driver's schema comparison is
+    the assertion here."""
+    return upcast_int_to_bigint(table(spark, sf_dir, "nation"))
+
+
+# ---------------------------------------------------------------------------
+# pipe05 — renamed_columns support (R15 — declared, unimplemented in ref)
+# ---------------------------------------------------------------------------
+
+_PIPE05_ORACLE = """
+SELECT r_regionkey AS region_key, r_name AS region_name FROM region
+"""
+
+
+@register("pipe05_renamed_columns", oracle=_PIPE05_ORACLE)
+def pipe05_renamed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven column renames — the reference reserves the
+    `renamed_columns` key but never implements it (README.md:100); we
+    do."""
+    return apply_renames(
+        table(spark, sf_dir, "region"),
+        {"r_regionkey": "region_key", "r_name": "region_name"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe06 — bronze audit projection (R13) — rows-only (wall-clock col)
+# ---------------------------------------------------------------------------
+
+
+@register("pipe06_bronze_audit", oracle=None)
+def pipe06_bronze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze ingestion projection on a raw file scan: `_ingested_at`
+    (current_timestamp), `_source_file` and `_file_modification_time`
+    from the `_metadata` struct (`01_bronze_ingestion.py:113-121`).
+    Rows-only check: `_ingested_at` is wall-clock."""
+    from ..operators.projection import add_audit_columns
+
+    raw = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df = add_audit_columns(upcast_int_to_bigint(raw))
+    return df.select(
+        "r_regionkey",
+        "_ingested_at",
+        F.substring_index("_source_file", "/", -1).alias("source_file_name"),
+        "_file_modification_time",
+    )

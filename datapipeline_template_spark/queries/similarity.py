@@ -1,0 +1,149 @@
+"""Similarity-search queries over `embeddings` (X10/X12).
+
+Vectors are quantized to exact int64 (scale 1e4) before any math, so
+cosine scores are bit-identical across engines (functions module);
+ordering ties broken by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.similarity import cosine_topk, lsh_bucket, near_dup_pairs
+from . import register
+
+# Exact-int dot/norm over quantized vectors, as DuckDB SQL.
+_QDOT = """
+  list_sum(list_transform(list_zip({a}, {b}),
+    s -> CAST(ROUND(CAST(s[1] AS DOUBLE) * 10000) AS BIGINT)
+       * CAST(ROUND(CAST(s[2] AS DOUBLE) * 10000) AS BIGINT)))
+"""
+_QNORM = """
+  list_sum(list_transform({a},
+    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+       * CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _QDOT.format(a=a, b=b)
+    na = _QNORM.format(a=a)
+    nb = _QNORM.format(a=b)
+    return (
+        f"CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss01 — brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_SS01_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cosine_sql('q.qv', 'e.embedding')} AS score
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score
+FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register("ss01_cosine_topk", oracle=_SS01_ORACLE)
+def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 5):
+    the ANN baseline. Queries broadcast; corpus never shuffles until
+    the per-query top-k window."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# ss02 — embedding-cosine near-duplicate pairs (blocked by label)
+# ---------------------------------------------------------------------------
+
+_SS02_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.9
+"""
+
+
+@register("ss02_embedding_near_dup", oracle=_SS02_ORACLE)
+def ss02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.9) within label blocks —
+    the dedup-by-embedding operator; blocking keeps the self-join
+    linear per block."""
+    emb = table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.9, block_col="label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss03 — LSH-bucketed ANN (scale path; deterministic hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _plane_weight_sql(i: int) -> str:
+    """Matches operators.similarity._plane_weight: fixed integer mix."""
+    return f"(({i} * 7919 + CAST(j AS BIGINT) * 104729 + 12345) % 1009) - 504"
+
+
+def _bucket_sql(vec: str, n_planes: int = 8) -> str:
+    terms = []
+    for i in range(n_planes):
+        dot = f"""
+          list_sum(list_transform(range(0, 64),
+            j -> CAST(ROUND(CAST({vec}[CAST(j AS BIGINT) + 1] AS DOUBLE) * 10000) AS BIGINT)
+                 * ({_plane_weight_sql(i)})))
+        """
+        terms.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return " + ".join(terms)
+
+
+_SS03_ORACLE = f"""
+WITH bk AS (
+  SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+"""
+
+
+@register("ss03_lsh_ann_pairs", oracle=_SS03_ORACLE)
+def ss03_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: 8 deterministic hyperplanes → 256
+    buckets; candidate pairs share a bucket, verified by exact cosine
+    ≥ 0.8. The equi-join on bucket is the 100 TB-safe plan (the
+    oracle replays the identical plane arithmetic)."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), n_planes=8, dim=64).alias("bucket")
+    )
+    pairs = near_dup_pairs(
+        bucketed, id_col="vec_id", vec_col="embedding", threshold=0.8, block_col="bucket"
+    )
+    # near_dup_pairs keeps the block key internal; re-expose bucket for
+    # the oracle comparison (join back on id_a).
+    return (
+        pairs.join(
+            bucketed.select(F.col("vec_id").alias("id_a"), "bucket"), on="id_a", how="inner"
+        ).select("id_a", "id_b", "bucket", "cosine")
+    )

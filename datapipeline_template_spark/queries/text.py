@@ -1,0 +1,183 @@
+"""Text-analysis queries over `documents` (X11): token stats, quality
+scoring, language-ID, fingerprinting, n-gram frequency.
+
+Everything is exact integer / rational arithmetic replayable in DuckDB
+(polynomial hashes, counts, single divisions) — full value-hash parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.text import fingerprint, language_id, quality_score, token_count, tokenize
+from . import register
+
+# ---------------------------------------------------------------------------
+# tx01 — token statistics per language
+# ---------------------------------------------------------------------------
+
+_TX01_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("tx01_token_stats", oracle=_TX01_ORACLE)
+def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace+BPE-ish token counting rolled up per language."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    toks = token_count("text")
+    return docs.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        (F.sum(toks).cast("double") / n).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx02 — per-document quality score
+# ---------------------------------------------------------------------------
+
+_TX02_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN
+             (least(CAST(len(string_split(text,' ')) AS DOUBLE), 200.0)/200.0)
+             * greatest(0.0, 1.0 - abs(CAST(n_chars AS DOUBLE)/CAST(len(string_split(text,' ')) AS DOUBLE) - 5.0)/10.0)
+             >= 0.5 THEN 1 ELSE 0 END) AS n_high_quality
+FROM documents
+GROUP BY source
+"""
+
+
+@register("tx02_quality_by_source", oracle=_TX02_ORACLE)
+def tx02_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/word-shape quality heuristic; per-source count of docs
+    clearing the 0.5 bar. Threshold comparison avoids summing floats —
+    the score itself is identical per-row in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    score = quality_score("text", "n_chars")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(score >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_high_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx03 — language identification vs labeled lang
+# ---------------------------------------------------------------------------
+
+_LANGID_SQL_EXPR = """
+  CASE
+    WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','is'))) >= 1
+     AND len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','is'))) >=
+         greatest(len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','que','de'))),
+                  len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))),
+                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))))
+    THEN 'en'
+    WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','que','de'))) >= 1
+     AND len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','que','de'))) >=
+         greatest(len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))),
+                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))))
+    THEN 'es'
+    WHEN len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) >= 1
+     AND len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) >=
+         len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une')))
+    THEN 'de'
+    WHEN len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))) >= 1
+    THEN 'fr'
+    ELSE 'und'
+  END
+"""
+
+_TX03_ORACLE = f"""
+SELECT pred_lang, lang, COUNT(*) AS n
+FROM (SELECT lang, {_LANGID_SQL_EXPR} AS pred_lang FROM documents)
+GROUP BY pred_lang, lang
+"""
+
+
+@register("tx03_language_id", oracle=_TX03_ORACLE)
+def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (priority en>es>de>fr on ties),
+    confusion-matrix style rollup against the labeled lang column."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id("text").alias("pred_lang"))
+        .groupBy("pred_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx04 — document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+_TX04_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+@register("tx04_fingerprint", oracle=_TX04_ORACLE)
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint per document — the
+    engine-portable content hash under exact dedup and MinHash."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# tx05 — n-gram (bigram) frequency, deterministic top-20
+# ---------------------------------------------------------------------------
+
+_TX05_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT concat(t[i], ' ', t[i+1]) AS bigram
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+)
+SELECT bigram, COUNT(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+@register("tx05_top_bigrams", oracle=_TX05_ORACLE)
+def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency: per-row n-gram explode (narrow), one
+    count shuffle, deterministic top-20."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    # sequence(1, 0) would generate a DESCENDING range — guard the
+    # single-token case with an explicit empty array instead.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )

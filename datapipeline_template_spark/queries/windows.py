@@ -1,0 +1,277 @@
+"""Window-function query surface (SURVEY.md §2.2 X4, X5).
+
+Ranking (row_number / dense_rank / ntile / percent_rank), analytic
+(lag / first / last), and frame-based (moving aggregate, running
+total) windows — the same Spark ``Window`` primitive the reference
+uses for its keep-latest dedup
+(`/root/reference/src/sdp_etl/transformations/02_silver_processing.py:120-126`),
+generalized to a query surface.
+
+Determinism: every ORDER BY inside a window carries a unique
+tie-breaker column so ranks and frames agree bit-for-bit with the
+DuckDB oracle; money frames aggregate integer cents.
+
+Scale: a window's ``partitionBy`` is one hash shuffle; partitions are
+per-key independent so AQE skew splitting applies. Avoid global
+(unpartitioned) windows at 100 TB — none are used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import cents
+from . import register
+
+# ---------------------------------------------------------------------------
+# w01 — top-k per group via ranking window
+# ---------------------------------------------------------------------------
+
+_W01_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register("w01_top_orders_per_customer", oracle=_W01_ORACLE)
+def w01_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the reference's dedup pattern
+    (rank-then-filter) generalized to top-k."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w02 — running total (cumulative frame)
+# ---------------------------------------------------------------------------
+
+_W02_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+         AS running_value
+FROM events
+"""
+
+
+@register("w02_running_user_value", oracle=_W02_ORACLE)
+def w02_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user spend: integer-cents prefix sums are
+    order-exact, so the running values match any engine."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(cents("value")).over(w).cast("double") / F.lit(100.0)).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w03 — lag: inter-event gaps
+# ---------------------------------------------------------------------------
+
+_W03_ORACLE = """
+SELECT user_id, event_id,
+       CAST(date_diff('second',
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+            ts) AS BIGINT) AS gap_sec
+FROM events
+"""
+
+
+@register("w03_event_gaps_lag", oracle=_W03_ORACLE)
+def w03_event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic window: seconds since the user's previous event
+    (NULL for the first event — null semantics preserved)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("long")
+    return ev.select("user_id", "event_id", gap.alias("gap_sec"))
+
+
+# ---------------------------------------------------------------------------
+# w04 — ntile quartiles + dense_rank
+# ---------------------------------------------------------------------------
+
+_W04_ORACLE = """
+SELECT c_custkey,
+       CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bal_quartile,
+       CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS BIGINT) AS seg_rank
+FROM customer
+"""
+
+
+@register("w04_customer_quartiles", oracle=_W04_ORACLE)
+def w04_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE and DENSE_RANK. Note: global (unpartitioned) windows force
+    a single-partition sort — fine for a dimension table, never for a
+    fact table at scale (documented anti-pattern)."""
+    cust = table(spark, sf_dir, "customer")
+    w_bal = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    w_seg = Window.orderBy("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w_bal).cast("long").alias("bal_quartile"),
+        F.dense_rank().over(w_seg).cast("long").alias("seg_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w05 — moving aggregate with a bounded row frame
+# ---------------------------------------------------------------------------
+
+_W05_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         / 100.0 AS moving_avg_value
+FROM events
+"""
+
+
+@register("w05_moving_avg_value", oracle=_W05_ORACLE)
+def w05_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per user (bounded ROWS frame); exact-int
+    numerator over frame count keeps it engine-independent."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    avg = F.sum(cents("value")).over(w).cast("double") / F.count(F.lit(1)).over(w) / F.lit(100.0)
+    return ev.select("user_id", "event_id", avg.alias("moving_avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# w06 — first/last value over full partition frame
+# ---------------------------------------------------------------------------
+
+_W06_ORACLE = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+       LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+FROM events
+"""
+
+
+@register("w06_first_last_event", oracle=_W06_ORACLE)
+def w06_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST value with an explicit full-partition frame (the
+    default frame would make LAST_VALUE see only up to current row)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# w07 — percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+_W07_ORACLE = """
+SELECT s_suppkey,
+       PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS bal_pct_rank,
+       CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS bal_cume_dist
+FROM supplier
+"""
+
+
+@register("w07_supplier_percentiles", oracle=_W07_ORACLE)
+def w07_supplier_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST: rank-derived ratios — exact rational
+    numbers of row positions, so doubles agree across engines."""
+    supp = table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal"), F.col("s_suppkey"))
+    return supp.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w08 — sessionization via window gaps (batch analog of streaming
+#        session windows; see streaming module for the readStream form)
+# ---------------------------------------------------------------------------
+
+_W08_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts > COALESCE(
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts - INTERVAL 100 HOUR) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("w08_sessionize_events", oracle=_W08_ORACLE)
+def w08_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): LAG flags session
+    starts, a running SUM assigns session ids, then aggregate. One
+    shuffle on user_id serves both windows and the final groupBy."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wcum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

@@ -16,7 +16,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+    spark = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_confs={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
 
 

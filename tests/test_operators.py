@@ -1,0 +1,178 @@
+"""Operator unit tests (SURVEY.md §5 item 3) on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_template_spark.operators.cdc import drop_soft_deleted
+from datapipeline_template_spark.operators.dedup import (
+    exact_dedup,
+    keep_latest,
+    keep_latest_window,
+    minhash_signature,
+    shingle_tokens,
+    simhash64,
+)
+from datapipeline_template_spark.operators.expectations import expect_all_or_drop
+from datapipeline_template_spark.operators.multimodal import (
+    MediaDecodeNotAvailable,
+    attach_media_meta,
+    decode_media,
+    sample_frames,
+)
+from datapipeline_template_spark.operators.projection import (
+    apply_renames,
+    upcast_int_to_bigint,
+)
+from datapipeline_template_spark.functions import token_poly_hash
+from datapipeline_template_spark.plans.dag import Dag, Dataset
+
+
+def test_upcast_covers_all_narrow_ints(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4.0, "x")],
+        T.StructType(
+            [
+                T.StructField("a", T.IntegerType()),
+                T.StructField("b", T.ShortType()),
+                T.StructField("c", T.LongType()),
+                T.StructField("d", T.DoubleType()),
+                T.StructField("e", T.StringType()),
+            ]
+        ),
+    )
+    out = dict(upcast_int_to_bigint(df).dtypes)
+    assert out == {"a": "bigint", "b": "bigint", "c": "bigint", "d": "double", "e": "string"}
+
+
+def test_apply_renames_missing_column_fails_fast(spark):
+    df = spark.range(1).select(F.col("id").alias("a"))
+    with pytest.raises(ValueError, match="missing columns"):
+        apply_renames(df, {"nope": "b"})
+
+
+def test_keep_latest_forms_agree(spark):
+    rows = [
+        Row(k=1, v="old", o=1),
+        Row(k=1, v="new", o=2),
+        Row(k=2, v="only", o=1),
+        Row(k=1, v="tie_hi", o=2),  # tie on o → needs tiebreaker
+    ]
+    df = spark.createDataFrame(rows).withColumn("tb", F.monotonically_increasing_id())
+    a = keep_latest(df, ["k"], ["o", "tb"]).drop("tb")
+    b = keep_latest_window(df, ["k"], ["o", "tb"]).drop("tb")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 2
+
+
+def test_soft_delete_drops_null_op(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, op="U"), Row(id=2, op="D"), Row(id=3, op=None)]
+    )
+    kept = {r["id"] for r in drop_soft_deleted(df).collect()}
+    assert kept == {1}  # 'D' AND NULL both dropped (R17 3VL semantics)
+
+
+def test_soft_delete_noop_without_op_column(spark):
+    df = spark.range(3)
+    assert drop_soft_deleted(df).count() == 3
+
+
+def test_expectations_metrics(spark):
+    df = spark.createDataFrame(
+        [Row(x=1, y="a"), Row(x=None, y="b"), Row(x=3, y=None), Row(x=None, y=None)]
+    )
+    out, obs = expect_all_or_drop(
+        df, {"has_x": "x IS NOT NULL", "has_y": "y IS NOT NULL"}, with_metrics=True
+    )
+    assert out.count() == 1
+    assert obs.get == {"has_x": 2, "has_y": 2}
+
+
+def test_exact_dedup_subset(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=1, b="y"), Row(a=2, b="x")])
+    assert exact_dedup(df, ["a"]).count() == 2
+    assert exact_dedup(df).count() == 3
+
+
+def test_shingles_and_minhash_similarity_ordering(spark):
+    # Near-identical docs share most shingles → identical/close minhash;
+    # a different doc does not.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=3, text="completely different words in this one here now"),
+        ]
+    )
+    toks = F.split("text", " ")
+    sigs = df.select(
+        "doc_id", minhash_signature(shingle_tokens(toks, k=3), num_hashes=32).alias("sig")
+    ).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    agree_12 = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    agree_13 = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert agree_12 > agree_13
+    assert agree_13 == 0
+
+
+def test_simhash_near_for_near_texts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta iota"),
+            Row(doc_id=3, text="one two three four five six seven eight"),
+        ]
+    )
+    hs = df.select(
+        "doc_id", simhash64(token_poly_hash(F.split("text", " "))).alias("h")
+    ).collect()
+    by_id = {r["doc_id"]: r["h"] for r in hs}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(by_id[1], by_id[2]) < ham(by_id[1], by_id[3])
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=b"aaaabbbbcccc"), Row(media_id=2, payload=b"\x00\x01\x02")]
+    )
+    decoded = decode_media(df, "media_id", "payload").collect()
+    by_id = {r["media_id"]: r for r in decoded}
+    assert len(by_id[1]["features"]) == 8
+    assert by_id[2]["n_bytes"] == 3
+    # Deterministic: same bytes → same features.
+    again = {r["media_id"]: r for r in decode_media(df, "media_id", "payload").collect()}
+    assert again[1]["features"] == by_id[1]["features"]
+
+
+def test_multimodal_real_backend_raises(spark):
+    df = spark.createDataFrame([Row(media_id=1, payload=b"x")])
+    with pytest.raises(MediaDecodeNotAvailable):
+        decode_media(df, "media_id", "payload", backend="pillow")
+
+
+def test_multimodal_meta_and_frames(spark):
+    df = spark.createDataFrame([Row(media_id=1, payload=b"x" * 5000)])
+    meta = attach_media_meta(df, "payload", "video", "mp4").select("media_meta.*").collect()[0]
+    assert meta["n_bytes"] == 5000 and meta["media_type"] == "video"
+    frames = sample_frames(df, "media_id", "payload", every_n_bytes=1024)
+    assert frames.count() == 5  # offsets 0,1024,...,4096
+
+
+def test_dag_topo_and_cycle(spark):
+    order = []
+    dag = Dag()
+    dag.add(Dataset("b", lambda: order.append("b"), deps=("a",)))
+    dag.add(Dataset("a", lambda: order.append("a")))
+    dag.add(Dataset("c", lambda: order.append("c"), deps=("a", "b")))
+    dag.run()
+    assert order == ["a", "b", "c"]
+
+    bad = Dag()
+    bad.add(Dataset("x", lambda: None, deps=("y",)))
+    bad.add(Dataset("y", lambda: None, deps=("x",)))
+    with pytest.raises(ValueError, match="cycle"):
+        bad.topo_order()

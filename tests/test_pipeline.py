@@ -1,0 +1,201 @@
+"""End-to-end medallion pipeline tests (SURVEY.md §5 items 2 & 5).
+
+Synthetic CDC fixture mirrors FIXTURES.md A.1 (app_downloads): dup pks
+with distinct ingest order (latest wins), a pk whose latest op='D', a
+null-op row, an expectation-violating row, an int column to widen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_template_spark.config import EntityConfig, PipelineParams, load_config
+from datapipeline_template_spark.plans.pipeline import Pipeline
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("business_id", T.LongType()),
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("platform", T.StringType()),
+        T.StructField("downloads", T.IntegerType()),  # exercises widening
+    ]
+)
+
+
+def _write_batch(spark, path: str, rows: list[Row]) -> None:
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _fixture_rows_v1():
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    return [
+        Row(id=1, op="I", business_id=10, created_at=t, platform="ios", downloads=5),
+        Row(id=2, op="I", business_id=10, created_at=t, platform="android", downloads=7),
+        Row(id=3, op="I", business_id=11, created_at=t, platform="ios", downloads=1),
+        Row(id=4, op="I", business_id=11, created_at=None, platform="web", downloads=2),  # violates expectation
+        Row(id=5, op=None, business_id=12, created_at=t, platform="ios", downloads=3),  # null op → dropped
+    ]
+
+
+def _fixture_rows_v2():
+    import datetime as dt
+
+    t = dt.datetime(2024, 2, 1)
+    return [
+        Row(id=1, op="U", business_id=10, created_at=t, platform="ios16", downloads=50),  # update wins
+        Row(id=2, op="D", business_id=10, created_at=t, platform="android", downloads=7),  # delete
+        Row(id=6, op="I", business_id=13, created_at=t, platform="web", downloads=9),
+    ]
+
+
+@pytest.fixture()
+def pipeline_env(spark, tmp_path):
+    src = tmp_path / "raw"
+    entity_dir = src / "app_downloads"
+    entity_dir.mkdir(parents=True)
+    warehouse = tmp_path / "wh"
+    spark.sql(f"DROP DATABASE IF EXISTS t_bronze CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS t_silver CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS t_silver_active CASCADE")
+    params = PipelineParams(
+        source_location=str(src),
+        catalog="t",
+        bronze_database="bronze",
+        silver_database="silver",
+    )
+    entity = EntityConfig(
+        name="app_downloads",
+        unique_primary_key=["id"],
+        clustering_cols=["id", "op"],
+        skipping_indexes=["id", "op", "business_id"],
+        renamed_columns={"platform": "client_platform"},
+        expect_all_or_drop={"has_timestamp": "created_at IS NOT NULL"},
+    )
+    return params, entity, str(entity_dir), warehouse
+
+
+def test_batch_pipeline_semantics(spark, pipeline_env):
+    params, entity, entity_dir, _ = pipeline_env
+    _write_batch(spark, entity_dir, _fixture_rows_v1())
+    _write_batch(spark, entity_dir, _fixture_rows_v2())
+
+    pipe = Pipeline(spark, params, [entity], streaming=False)
+    pipe.run()
+
+    bronze = spark.read.table("t_bronze.bronze_app_downloads")
+    # int → bigint widening
+    assert dict(bronze.dtypes)["downloads"] == "bigint"
+    # audit columns
+    for c in ("_ingested_at", "_source_file", "_file_modification_time"):
+        assert c in bronze.columns
+    assert bronze.count() == 8
+
+    silver = spark.read.table("t_silver.silver_app_downloads")
+    rows = {r["id"]: r for r in silver.collect()}
+    # id=1: latest (v2) version wins
+    assert rows[1]["downloads"] == 50 and rows[1]["client_platform"] == "ios16"
+    # id=2: latest op='D' → dropped (soft_deletes=N)
+    assert 2 not in rows
+    # id=4: expectation violation dropped
+    assert 4 not in rows
+    # id=5: null op dropped by op != 'D' (null-rejecting — R17 semantics)
+    assert 5 not in rows
+    assert set(rows) == {1, 3, 6}
+    # rename applied
+    assert "client_platform" in silver.columns and "platform" not in silver.columns
+
+
+def test_batch_pipeline_soft_deletes_view(spark, pipeline_env):
+    params, entity, entity_dir, _ = pipeline_env
+    params.soft_deletes = "Y"
+    _write_batch(spark, entity_dir, _fixture_rows_v1())
+    _write_batch(spark, entity_dir, _fixture_rows_v2())
+
+    pipe = Pipeline(spark, params, [entity], streaming=False)
+    pipe.run()
+
+    silver = spark.read.table("t_silver.silver_app_downloads")
+    ids = {r["id"] for r in silver.collect()}
+    assert 2 in ids  # deleted row retained in silver
+    active = spark.read.table("t_silver_active.silver_app_downloads_active")
+    active_ids = {r["id"] for r in active.collect()}
+    assert 2 not in active_ids  # filtered by the _active view
+    assert active_ids == {1, 3, 6}
+
+
+def test_streaming_incremental_and_evolution(spark, pipeline_env, tmp_path):
+    params, entity, entity_dir, _ = pipeline_env
+    ckpt_root = str(tmp_path / "ckpt")
+    pipe = Pipeline(spark, params, [entity], checkpoint_root=ckpt_root, streaming=True)
+
+    _write_batch(spark, entity_dir, _fixture_rows_v1())
+    pipe.run()
+    bronze = spark.read.table("t_bronze.bronze_app_downloads")
+    assert bronze.count() == 5
+
+    # Incremental: new files only (no reprocess of the first batch).
+    _write_batch(spark, entity_dir, _fixture_rows_v2())
+    pipe.run()
+    bronze = spark.read.table("t_bronze.bronze_app_downloads")
+    assert bronze.count() == 8  # 5 + 3, not 5 + 8
+
+    silver = spark.read.table("t_silver.silver_app_downloads")
+    assert {r["id"] for r in silver.collect()} == {1, 3, 6}
+
+    # Schema evolution: a brand-new column appears in the source.
+    import datetime as dt
+
+    evolved = spark.createDataFrame(
+        [Row(id=7, op="I", business_id=14, created_at=dt.datetime(2024, 3, 1),
+             platform="web", downloads=1, country="US")],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("country", T.StringType())]),
+    )
+    evolved.coalesce(1).write.mode("append").parquet(entity_dir)
+    pipe.run()
+    bronze = spark.read.table("t_bronze.bronze_app_downloads")
+    assert "country" in bronze.columns
+    assert bronze.count() == 9
+    new_row = bronze.where(F.col("id") == 7).collect()[0]
+    assert new_row["country"] == "US"
+
+
+def test_full_refresh_reprocesses(spark, pipeline_env, tmp_path):
+    params, entity, entity_dir, _ = pipeline_env
+    ckpt_root = str(tmp_path / "ckpt")
+    pipe = Pipeline(spark, params, [entity], checkpoint_root=ckpt_root, streaming=True)
+    _write_batch(spark, entity_dir, _fixture_rows_v1())
+    pipe.run()
+    pipe.run(full_refresh=True)  # drop + rebuild, same result
+    bronze = spark.read.table("t_bronze.bronze_app_downloads")
+    assert bronze.count() == 5
+
+
+def test_config_loading_via_spark(spark, tmp_path):
+    cfg = {
+        "app_downloads": {
+            "raw_file_format": "parquet",
+            "clustering_cols": ["id", "op"],
+            "skipping_indexes": ["id", "op", "business_id"],
+            "unique_primary_key": ["id"],
+            "renamed_columns": {},
+            "expect_all_or_drop": {"has_timestamp": "created_at IS NOT NULL"},
+        },
+        "users": {"raw_file_format": "json"},
+    }
+    path = tmp_path / "dp_config_template.json"
+    path.write_text(json.dumps(cfg, indent=2))
+    entities = load_config(spark, str(path))
+    by_name = {e.name: e for e in entities}
+    assert by_name["app_downloads"].clustering_cols == ["id", "op"]
+    assert by_name["users"].raw_file_format == "json"
+    assert by_name["users"].unique_primary_key == ["id"]  # default
