@@ -1,0 +1,70 @@
+"""CLI entrypoint: run a config-driven pipeline update.
+
+Usage (mirrors the reference's `databricks bundle run` + parameters,
+`/root/reference/resources/sdp_pipeline.pipeline.yml:22-29`):
+
+    python -m datapipeline_template_spark run \\
+        --source-location /data/raw \\
+        [--config /data/raw/dp_config_template.json] \\
+        [--catalog engine] [--bronze-db bronze] [--silver-db silver] \\
+        [--soft-deletes N] [--external-location ...] \\
+        [--batch] [--full-refresh]
+
+Every flag is also readable from spark.conf (the reference's parameter
+transport) — CLI flags win.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .config import PipelineParams, load_config
+from .plans.pipeline import Pipeline
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="datapipeline_template_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="execute a pipeline update")
+    run.add_argument("--source-location", required=True)
+    run.add_argument("--config", default=None, help="defaults to {source}/dp_config_template.json")
+    run.add_argument("--catalog", default="engine")
+    run.add_argument("--bronze-db", default="bronze")
+    run.add_argument("--silver-db", default="silver")
+    run.add_argument("--soft-deletes", default="N", choices=["Y", "N", "y", "n"])
+    run.add_argument("--external-location", default="")
+    run.add_argument("--checkpoint-root", default=None)
+    run.add_argument("--batch", action="store_true", help="batch reads instead of streaming")
+    run.add_argument("--full-refresh", action="store_true")
+    args = parser.parse_args(argv)
+
+    spark = get_spark(app_name="datapipeline_template_spark", hive_metastore=True)
+    params = PipelineParams(
+        source_location=args.source_location,
+        catalog=args.catalog,
+        bronze_database=args.bronze_db,
+        silver_database=args.silver_db,
+        soft_deletes=args.soft_deletes.upper(),
+        external_location=args.external_location,
+    )
+    cfg_path = args.config or os.path.join(args.source_location, params.config_file_name)
+    entities = load_config(spark, cfg_path)
+    pipe = Pipeline(
+        spark,
+        params,
+        entities,
+        checkpoint_root=args.checkpoint_root,
+        streaming=not args.batch,
+    )
+    pipe.run(full_refresh=args.full_refresh)
+    for e in entities:
+        n = spark.read.table(pipe.silver_table(e.name)).count()
+        print(f"silver_{e.name}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.dedup import (
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signatures,
     ngram_jaccard_pairs,
     shingle_tokens,
     simhash64,
@@ -59,21 +59,29 @@ def dd01_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd02 — exact n-gram Jaccard near-dup pairs (blocked by lang)
 # ---------------------------------------------------------------------------
 
-_SHINGLES_SQL = """
-  list_distinct(list_transform(
-    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-    i -> list_reduce(
+_TOKHASH_CTE_SQL = """
+  list_transform(string_split(text,' '),
+    t -> list_reduce(
            list_prepend(CAST(0 AS BIGINT),
-             list_transform(
-               string_split(array_to_string(list_slice(string_split(text,' '), i, i+2), ' '), ''),
-               ch -> CAST(ascii(ch) AS BIGINT))),
-           (acc, x) -> (acc * 131 + x) % 1000000007)
+             list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007))
+"""
+
+# Two-level shingle hash over a precomputed token-hash list column th
+# (matches operators.dedup.shingle_tokens coefficients).
+_SHINGLES_FROM_TH_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(th) - 2, 1) + 1),
+    i -> (COALESCE(th[i], 0) * 17161 + COALESCE(th[i+1], 0) * 131 + COALESCE(th[i+2], 0))
+         % 1000000007
   ))
 """
 
 _DD02_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, lang, {_SHINGLES_SQL} AS shingles FROM documents
+WITH tk AS (
+  SELECT doc_id, lang, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, lang, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
@@ -107,8 +115,10 @@ def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DD03_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
 ), sig AS (
   SELECT doc_id,
          list_transform(range(0, 32),
@@ -132,10 +142,8 @@ def dd03_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate pairs. Deterministic hash schedule → the oracle
     replays the identical algorithm in SQL."""
     docs = table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id",
-        minhash_signature(shingle_tokens(tokenize("text"), k=3), num_hashes=32).alias("sig"),
-    )
+    shingled = docs.select("doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles"))
+    sigs = minhash_signatures(shingled, "doc_id", "shingles", num_hashes=32)
     return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4).select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
     )

@@ -46,6 +46,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
+    hive_metastore: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -63,6 +64,12 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if hive_metastore:
+        # Persist table registrations across processes (derby metastore
+        # in cwd; a real deployment points this at its metastore/Unity
+        # equivalent). The default in-memory catalog loses tables when
+        # the process exits — fine for tests, wrong for the CLI.
+        confs["spark.sql.catalogImplementation"] = "hive"
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

@@ -1,0 +1,96 @@
+"""Property-based tests (SURVEY.md §5 item 4): hypothesis-generated
+CDC event sequences → engine invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_template_spark.operators.cdc import drop_soft_deleted
+from datapipeline_template_spark.operators.dedup import keep_latest, keep_latest_window
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("payload", T.LongType()),
+    ]
+)
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # id (few keys → collisions)
+        st.sampled_from(["I", "U", "D", None]),  # op incl. NULL
+        st.integers(min_value=0, max_value=10_000),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, seq):
+    rows = [
+        Row(id=i, op=op, seq=n, payload=p) for n, (i, op, p) in enumerate(seq)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@given(seq=events)
+@settings(**_SETTINGS)
+def test_silver_pk_uniqueness_and_latest_wins(spark, seq):
+    df = _df(spark, seq)
+    silver = keep_latest(df, ["id"], ["seq"])
+    got = {r["id"]: r for r in silver.collect()}
+    # invariant 1: exactly one row per key
+    assert len(got) == len({i for i, _, _ in seq})
+    # invariant 2: the surviving row is the highest-seq version
+    last = {}
+    for n, (i, op, p) in enumerate(seq):
+        last[i] = (n, op, p)
+    for i, (n, op, p) in last.items():
+        assert got[i]["seq"] == n and got[i]["payload"] == p
+
+
+@given(seq=events)
+@settings(**_SETTINGS)
+def test_window_and_aggregate_dedup_agree(spark, seq):
+    df = _df(spark, seq)
+    a = sorted(map(tuple, keep_latest(df, ["id"], ["seq"]).collect()))
+    b = sorted(map(tuple, keep_latest_window(df, ["id"], ["seq"]).collect()))
+    assert a == b
+
+
+@given(seq=events)
+@settings(**_SETTINGS)
+def test_soft_delete_partition(spark, seq):
+    """deleted ∪ active == silver and deleted ∩ active == ∅ (the
+    reference's _active-view contract, with NULL op counting deleted)."""
+    df = _df(spark, seq)
+    silver = keep_latest(df, ["id"], ["seq"])
+    active = drop_soft_deleted(silver)
+    deleted = silver.where(~(F.col("op") != F.lit("D")) | F.col("op").isNull())
+    n_silver = silver.count()
+    assert active.count() + deleted.count() == n_silver
+    both = active.select("id").intersect(deleted.select("id"))
+    assert both.count() == 0
+
+
+@given(seq=events)
+@settings(**_SETTINGS)
+def test_dedup_idempotent(spark, seq):
+    df = _df(spark, seq)
+    once = keep_latest(df, ["id"], ["seq"])
+    twice = keep_latest(once, ["id"], ["seq"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
