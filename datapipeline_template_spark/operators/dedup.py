@@ -57,6 +57,12 @@ def keep_latest(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFr
     shuffle; with heavy CDC duplication this is the scalable plan
     (the window form shuffles every row). Include a unique column at
     the end of ``order_cols`` for deterministic ties.
+
+    Skew note: hot keys need NO salting here — the map-side combine
+    caps what reaches any reducer at one row per (key, map partition),
+    so a key with 10^9 duplicates arrives as ≤ num_map_partitions
+    rows. Salting is only ever needed for the window variant (which
+    sorts the full row set per key) — prefer this form instead.
     """
     payload = F.struct(*[F.col(c) for c in df.columns])
     order_key = F.struct(*[F.col(c) for c in order_cols])

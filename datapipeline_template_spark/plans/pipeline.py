@@ -77,6 +77,15 @@ class Pipeline:
     def _checkpoint(self, entity: EntityConfig) -> str:
         return os.path.join(self.checkpoint_root, entity.name)
 
+    def _external_path(self, layer: str, entity: str) -> str | None:
+        """R9: external-table placement — data at
+        `{external_location}/{bronze|silver}/{entity}/` when the
+        parameter is set, managed otherwise
+        (`01_bronze_ingestion.py:85-90`, `02_silver_processing.py:104-108`)."""
+        if not self.params.external_location:
+            return None
+        return os.path.join(self.params.external_location, layer, entity)
+
     # -- bronze -----------------------------------------------------------
     def bronze_transform(self, df: DataFrame, has_file_metadata: bool = True) -> DataFrame:
         """Widening + audit columns — the reference's whole bronze
@@ -101,7 +110,11 @@ class Pipeline:
         else:
             raw = read_batch(self.spark, entity.raw_file_format, src)
             df = self.bronze_transform(raw)
-            df.write.mode("overwrite").format("parquet").saveAsTable(fqn)
+            writer = df.write.mode("overwrite").format("parquet")
+            ext = self._external_path("bronze", entity.name)
+            if ext:
+                writer = writer.option("path", ext)
+            writer.saveAsTable(fqn)
 
     def _evolve_table_schema(self, fqn: str, stream_schema) -> None:
         """addNewColumns evolution on the SINK (R4): a parquet table's
@@ -142,12 +155,13 @@ class Pipeline:
         df = self.silver_transform(bronze, entity)
         df = cluster_for_layout(df, entity.clustering_cols)
         fqn = self.silver_table(entity.name)
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .option("overwriteSchema", "true")
-            .saveAsTable(fqn)
+        writer = (
+            df.write.mode("overwrite").format("parquet").option("overwriteSchema", "true")
         )
+        ext = self._external_path("silver", entity.name)
+        if ext:
+            writer = writer.option("path", ext)
+        writer.saveAsTable(fqn)
         # Parity with the reference's table properties (retention,
         # skipping columns) — recorded as TBLPROPERTIES for engines
         # that act on them; parquet footers already carry min/max.

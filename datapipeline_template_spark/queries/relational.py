@@ -312,6 +312,57 @@ def q08_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q08b — CUBE (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q18_cube_returns", oracle=_Q18_ORACLE)
+def q18_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass (X3)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("grp_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — approximate distinct (HLL) — rows-only (sketch values are
+# engine-specific; the exact-distinct twin q07 is the oracle-checked one)
+# ---------------------------------------------------------------------------
+
+
+@register("q19_approx_distinct", oracle=None)
+def q19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory
+    distinct-count for 100 TB cardinality estimation. HLL sketches are
+    engine-specific → rows-only check; accuracy is asserted against
+    exact counts in the result itself (rel_err column)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02).cast("double")
+                - F.countDistinct("o_custkey").cast("double")
+            )
+            / F.countDistinct("o_custkey").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q09 — CASE expression buckets
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,69 @@
+"""Physical-layout and placement tests (R9, R23/R24)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_template_spark.config import EntityConfig, PipelineParams
+from datapipeline_template_spark.operators.layout import cluster_for_layout
+from datapipeline_template_spark.plans.pipeline import Pipeline
+
+
+def test_layout_clusters_files(spark, sf_dir):
+    """Range clustering yields disjoint per-partition key ranges — the
+    property that makes parquet footer min/max stats prune files."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    clustered = cluster_for_layout(orders, ["o_custkey"], num_files=4)
+    ranges = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, nxt in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= nxt["lo"]  # disjoint (boundary overlap allowed)
+
+
+def test_layout_noop_without_cols(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert cluster_for_layout(orders, []) is orders
+    assert cluster_for_layout(orders, ["not_a_col"]) is orders
+
+
+def test_external_location_tables(spark, tmp_path):
+    """R9: with external_location set, table data lives under
+    {ext}/{bronze|silver}/{entity}/ instead of the warehouse."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    spark.sql("DROP DATABASE IF EXISTS ext_bronze CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS ext_silver CASCADE")
+    src = tmp_path / "raw" / "things"
+    src.mkdir(parents=True)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    spark.createDataFrame(
+        [Row(id=1, op="I", ts=dt.datetime(2024, 1, 1))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    ext = tmp_path / "external"
+    params = PipelineParams(
+        source_location=str(tmp_path / "raw"),
+        catalog="ext",
+        external_location=str(ext),
+    )
+    pipe = Pipeline(spark, params, [EntityConfig(name="things")], streaming=False)
+    pipe.run()
+
+    assert (ext / "bronze" / "things").exists()
+    assert (ext / "silver" / "things").exists()
+    assert spark.read.table("ext_silver.silver_things").count() == 1
