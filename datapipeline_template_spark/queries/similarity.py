@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.similarity import cosine_topk, lsh_bucket, near_dup_pairs
+from ..operators.similarity import cosine_topk, cosine_topk_blas, lsh_bucket, near_dup_pairs
 from . import register
 
 # Exact-int dot/norm over quantized vectors, as DuckDB SQL.
@@ -67,6 +67,22 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# ss04 — same semantics via the Arrow/numpy BLAS path (same oracle!)
+# ---------------------------------------------------------------------------
+
+
+@register("ss04_cosine_topk_blas", oracle=_SS01_ORACLE)
+def ss04_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The throughput variant of ss01: batch int64 matmul in numpy via
+    mapInPandas + distributed local-top-k. Registered against the SAME
+    DuckDB oracle — the two implementations are value-identical, which
+    the hash gate proves."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk_blas(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
 
 
 # ---------------------------------------------------------------------------
