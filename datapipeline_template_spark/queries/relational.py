@@ -186,17 +186,24 @@ def q03_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q04_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
 
-@register("q04_customers_without_orders", oracle=_Q04_ORACLE)
-def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q04_customers_without_urgent_orders", oracle=_Q04_ORACLE)
+def q04_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — Spark's dedicated anti-join avoids materializing
-    the non-matching side (vs. outer-join-then-null-filter)."""
+    the non-matching side (vs. outer-join-then-null-filter). The
+    URGENT predicate keeps the result non-empty at every SF so the
+    value-hash gate actually exercises the operator."""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -560,6 +567,40 @@ def q16_nations_big_customer_base(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.sum(cents("c_acctbal")).cast("double") / n / F.lit(100.0)).alias("avg_bal"),
         )
         .where(F.col("n_customers") > 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — scalar math function library (X7)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT p_partkey,
+       sqrt(p_retailprice) AS price_sqrt,
+       abs(p_retailprice - 950.0) AS price_dev,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(p_size % 7 AS BIGINT) AS size_mod,
+       CAST(greatest(p_size, 25) AS BIGINT) AS size_hi,
+       CAST(least(p_size, 25) AS BIGINT) AS size_lo
+FROM part
+"""
+
+
+@register("q20_scalar_math", oracle=_Q20_ORACLE)
+def q20_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function library: sqrt/abs/ceil/floor/mod/greatest/least
+    (all IEEE-correctly-rounded or integral → engine-exact)."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        F.abs(F.col("p_retailprice") - F.lit(950.0)).alias("price_dev"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+        F.greatest(F.col("p_size"), F.lit(25)).cast("long").alias("size_hi"),
+        F.least(F.col("p_size"), F.lit(25)).cast("long").alias("size_lo"),
     )
 
 

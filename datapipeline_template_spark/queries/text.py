@@ -7,12 +7,43 @@ Everything is exact integer / rational arithmetic replayable in DuckDB
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed at module scope so pandas_udf
+# can evaluate stringified type hints (from __future__ import annotations)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.text import fingerprint, language_id, quality_score, token_count, tokenize
 from . import register
+
+# ---------------------------------------------------------------------------
+# tx07 — vectorized scalar pandas_udf (X12 UDF surface) — rows-only
+# ---------------------------------------------------------------------------
+
+
+@register("tx07_token_entropy_pandas", oracle=None)
+def tx07_token_entropy_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution via an
+    Arrow-vectorized ``@pandas_udf`` — the sanctioned shape for Python
+    logic Spark functions can't express cheaply (a row-at-a-time
+    ``F.udf`` would be 10–100× slower). Rows-only check: float
+    summation order differs across engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def token_entropy(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def ent(t: str) -> float:
+            counts = pd.Series(t.split(" ")).value_counts().to_numpy(dtype=np.float64)
+            p = counts / counts.sum()
+            return float(-(p * np.log(p)).sum())
+
+        return texts.map(ent)
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_entropy(F.col("text")).alias("entropy"))
 
 # ---------------------------------------------------------------------------
 # tx01 — token statistics per language
@@ -139,6 +170,51 @@ def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable content hash under exact dedup and MinHash."""
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# tx06 — TF-IDF (classic ln(N/df)), deterministic top terms
+# ---------------------------------------------------------------------------
+
+_TX06_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       ROUND(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4)
+         AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id, term
+LIMIT 100
+"""
+
+
+@register("tx06_tfidf", oracle=_TX06_ORACLE)
+def tx06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf(term,doc) × ln(N/df). df is broadcast back onto the
+    exploded terms (small distinct-term dim), so the only big shuffle
+    is the tf groupBy. ln() is rounded to 4 decimals for cross-engine
+    hash parity (libm vs JVM log differ ≤1 ulp — far inside 1e-4)."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        4,
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", tfidf.alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id"), F.col("term"))
+        .limit(100)
+    )
 
 
 # ---------------------------------------------------------------------------
