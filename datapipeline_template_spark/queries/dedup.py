@@ -141,7 +141,12 @@ def dd03_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH banding (8 bands × 4 rows): candidate
     near-duplicate pairs. Deterministic hash schedule → the oracle
     replays the identical algorithm in SQL."""
-    docs = table(spark, sf_dir, "documents")
+    # Small single-file corpora arrive as ONE scan partition; the
+    # per-row hashing is CPU-bound, so spread it across the cluster
+    # first (a 5000-row shuffle is free, 32× parallelism is not).
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     shingled = docs.select("doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles"))
     sigs = minhash_signatures(shingled, "doc_id", "shingles", num_hashes=32)
     return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4).select(
@@ -184,7 +189,9 @@ def dd04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (62 usable bits; bit j set iff the majority of token
     hashes have bit j) — near-dups are pairs with hamming ≤ 8 within
     a lang block. popcount(XOR) stays in codegen (F.bit_count)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     hs = docs.select(
         "doc_id", "lang", simhash64(token_poly_hash(tokenize("text"))).alias("simhash")
     )

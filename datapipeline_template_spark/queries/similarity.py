@@ -11,7 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.similarity import cosine_topk, cosine_topk_blas, lsh_bucket, near_dup_pairs
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_blas,
+    ivf_topk,
+    lsh_bucket,
+    near_dup_pairs,
+)
 from . import register
 
 # Exact-int dot/norm over quantized vectors, as DuckDB SQL.
@@ -83,6 +89,24 @@ def ss04_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return cosine_topk_blas(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# ss05 — IVF ANN (k-means cells, n_probe search) — rows-only
+# ---------------------------------------------------------------------------
+
+
+@register("ss05_ivf_ann", oracle=None)
+def ss05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means cells + 2-probe exact scoring.
+    Trained + approximate → rows-only here; recall vs the exact
+    brute-force twin is asserted in tests (≥ 0.6 at these params,
+    typically much higher)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, n_cells=16, n_probe=2
+    )
 
 
 # ---------------------------------------------------------------------------
