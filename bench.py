@@ -37,11 +37,15 @@ HEADLINE = [
     "q06_customer_order_stats",
     "q07_priority_stats",
     "q17_event_pairs_within_hour",
+    "q18_cube_returns",
     "w01_top_orders_per_customer",
     "w02_running_user_value",
+    "w08_sessionize_events",
+    "st01_tumbling_counts",
     "dd01_exact_dedup_documents",
     "dd03_minhash_lsh_candidates",
     "tx01_token_stats",
+    "tx06_tfidf",
     "ss04_cosine_topk_blas",
     "pipe01_cdc_keep_latest",
 ]
