@@ -39,6 +39,14 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--checkpoint-root", default=None)
     run.add_argument("--batch", action="store_true", help="batch reads instead of streaming")
     run.add_argument("--full-refresh", action="store_true")
+    run.add_argument(
+        "--silver-mode",
+        default="full",
+        choices=["full", "incremental"],
+        help="'full' recomputes silver each run (reference semantics); "
+        "'incremental' rewrites only pk-hash buckets containing changed keys",
+    )
+    run.add_argument("--n-buckets", type=int, default=64)
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="datapipeline_template_spark", hive_metastore=True)
@@ -58,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         entities,
         checkpoint_root=args.checkpoint_root,
         streaming=not args.batch,
+        silver_mode=args.silver_mode,
+        n_buckets=args.n_buckets,
     )
     pipe.run(full_refresh=args.full_refresh)
     for e in entities:

@@ -105,6 +105,30 @@ class IncrementalSilver:
             out = drop_soft_deleted(out)
         return expect_all_or_drop(out, self.entity.expect_all_or_drop)
 
+    def _drop_buckets(self, buckets: list[int]) -> None:
+        """Remove now-empty bucket partitions: catalog-level DROP
+        PARTITION where supported, plus the partition directory itself
+        (parquet tables discover partitions from files)."""
+        import shutil
+
+        for b in buckets:
+            try:
+                self.spark.sql(
+                    f"ALTER TABLE {self.silver_fqn} DROP IF EXISTS "
+                    f"PARTITION ({BUCKET_COL}={b})"
+                )
+            except Exception:
+                pass
+        try:
+            desc = self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.silver_fqn}")
+            loc = desc.where("col_name = 'Location'").collect()[0]["data_type"]
+            base = loc.removeprefix("file:")
+            for b in buckets:
+                shutil.rmtree(os.path.join(base, f"{BUCKET_COL}={b}"), ignore_errors=True)
+        except Exception:
+            pass
+        self.spark.sql(f"REFRESH TABLE {self.silver_fqn}")
+
     # -- update ------------------------------------------------------------
     def run(self, watermark_col: str = "_ingested_at") -> dict:
         """One incremental update. Returns stats:
@@ -156,11 +180,18 @@ class IncrementalSilver:
             # table, untouched buckets included. insertInto is
             # positional — align to the table's column order.
             table_cols = spark.read.table(self.silver_fqn).columns
+            present = {r[0] for r in rebuilt.select(BUCKET_COL).distinct().collect()}
             (
                 rebuilt.select(*table_cols)
                 .write.mode("overwrite")
                 .insertInto(self.silver_fqn)
             )
+            # Dynamic overwrite only touches partitions PRESENT in the
+            # written data — a delete that empties a bucket leaves the
+            # stale partition behind. Clear emptied buckets explicitly.
+            emptied = [b for b in buckets if b not in present]
+            if emptied:
+                self._drop_buckets(emptied)
             stats = {"new_rows": n_new, "buckets_rewritten": len(buckets),
                      "mode": "incremental"}
 

@@ -55,11 +55,20 @@ class Pipeline:
         entities: list[EntityConfig],
         checkpoint_root: str | None = None,
         streaming: bool = True,
+        silver_mode: str = "full",
+        n_buckets: int = 64,
     ) -> None:
+        if silver_mode not in ("full", "incremental"):
+            raise ValueError(f"silver_mode must be 'full' or 'incremental', got {silver_mode!r}")
         self.spark = spark
         self.params = params
         self.entities = entities
         self.streaming = streaming
+        # "full" = the reference's materialized-view recompute (R8);
+        # "incremental" = bucketed delta maintenance (plans/incremental,
+        # the 100 TB path). Same observable silver contents.
+        self.silver_mode = silver_mode
+        self.n_buckets = n_buckets
         self.checkpoint_root = checkpoint_root or os.path.join(
             params.source_location, "_checkpoints"
         )
@@ -151,6 +160,17 @@ class Pipeline:
         return df
 
     def build_silver(self, entity: EntityConfig) -> None:
+        if self.silver_mode == "incremental":
+            from .incremental import IncrementalSilver
+
+            IncrementalSilver(
+                self.spark,
+                self.params,
+                entity,
+                n_buckets=self.n_buckets,
+                state_dir=os.path.join(self.checkpoint_root, entity.name, "_incremental"),
+            ).run()
+            return
         bronze = self.spark.read.table(self.bronze_table(entity.name))
         df = self.silver_transform(bronze, entity)
         df = cluster_for_layout(df, entity.clustering_cols)
@@ -218,13 +238,23 @@ class Pipeline:
         self.dag().run()
 
     def _full_refresh(self) -> None:
-        """R22: drop checkpoints + tables, reprocess from scratch."""
+        """R22: drop checkpoints + tables, reprocess from scratch.
+
+        External tables keep their data dir after DROP TABLE — delete
+        it too, or the rebuilt streaming sink would append next to the
+        stale files (duplicates)."""
         for e in self.entities:
             ckpt = self._checkpoint(e)
             if os.path.isdir(ckpt):
                 shutil.rmtree(ckpt)
-            for fqn in (self.bronze_table(e.name), self.silver_table(e.name)):
+            for layer, fqn in (
+                ("bronze", self.bronze_table(e.name)),
+                ("silver", self.silver_table(e.name)),
+            ):
                 self.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
+                ext = self._external_path(layer, e.name)
+                if ext and os.path.isdir(ext):
+                    shutil.rmtree(ext)
 
 
 def derive_op_column(df: DataFrame, op_col: str = "op") -> DataFrame:

@@ -38,6 +38,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # Sources in this engine re-list directories between micro-batches.
     "spark.sql.streaming.schemaInference": "true",
     "spark.sql.parquet.compression.codec": "snappy",
+    # Hive/derby can't evaluate partition-pruning filters on integer
+    # partition columns (our _pk_bucket); fall back to client-side
+    # pruning instead of failing the query.
+    "spark.sql.hive.metastorePartitionPruningFallbackOnException": "true",
+    "spark.sql.hive.metastorePartitionPruningFastFallback": "true",
 }
 
 

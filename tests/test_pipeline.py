@@ -180,6 +180,56 @@ def test_full_refresh_reprocesses(spark, pipeline_env, tmp_path):
     assert bronze.count() == 5
 
 
+def test_pipeline_incremental_silver_mode(spark, pipeline_env, tmp_path):
+    """silver_mode='incremental' through the Pipeline front door must
+    produce the same silver contents as the full recompute."""
+    params, entity, entity_dir, _ = pipeline_env
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, entity_dir, _fixture_rows_v1())
+    pipe = Pipeline(
+        spark, params, [entity], checkpoint_root=ckpt, streaming=True,
+        silver_mode="incremental", n_buckets=4,
+    )
+    pipe.run()
+    _write_batch(spark, entity_dir, _fixture_rows_v2())
+    pipe.run()
+    silver = spark.read.table("t_silver.silver_app_downloads")
+    rows = {r["id"]: r for r in silver.collect()}
+    assert set(rows) == {1, 3, 6}
+    assert rows[1]["downloads"] == 50 and rows[1]["client_platform"] == "ios16"
+    assert "_pk_bucket" in silver.columns  # bucket partitioning visible
+
+
+def test_full_refresh_cleans_external_location(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    spark.sql("DROP DATABASE IF EXISTS xr_bronze CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS xr_silver CASCADE")
+    src = tmp_path / "raw" / "things"
+    src.mkdir(parents=True)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("op", T.StringType())]
+    )
+    spark.createDataFrame([Row(id=1, op="I")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    ext = tmp_path / "ext"
+    params = PipelineParams(
+        source_location=str(tmp_path / "raw"), catalog="xr", external_location=str(ext)
+    )
+    pipe = Pipeline(
+        spark, params, [EntityConfig(name="things")],
+        checkpoint_root=str(tmp_path / "ckpt"), streaming=True,
+    )
+    pipe.run()
+    assert spark.read.table("xr_bronze.bronze_things").count() == 1
+    # Full refresh must not double-count rows left in the external dir.
+    pipe.run(full_refresh=True)
+    assert spark.read.table("xr_bronze.bronze_things").count() == 1
+
+
 def test_config_loading_via_spark(spark, tmp_path):
     cfg = {
         "app_downloads": {
