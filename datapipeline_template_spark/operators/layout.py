@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["cluster_for_layout"]
+__all__ = ["cluster_for_layout", "write_bucketed"]
 
 
 def cluster_for_layout(
@@ -40,3 +40,27 @@ def cluster_for_layout(
     else:
         out = df.repartitionByRange(*cols)
     return out.sortWithinPartitions(*cols)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its
+    join key — the co-located-join layout for repeated big joins.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT any Exchange: every bucket pair is already
+    co-partitioned, so a 100 TB fact-fact join skips its dominant
+    shuffle entirely (verified by plan inspection in tests). This is
+    the OSS equivalent of pre-clustering both sides of a recurring
+    join — pay one shuffle at write time, amortized over every
+    subsequent join.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -32,6 +32,37 @@ def test_layout_noop_without_cols(spark, sf_dir):
     assert cluster_for_layout(orders, ["not_a_col"]) is orders
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Tables bucketed on the join key join with ZERO shuffles — the
+    co-located-join layout (write-once shuffle, amortized forever)."""
+    from datapipeline_template_spark.operators.layout import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], n_buckets=8)
+
+    # At toy scale the planner prefers broadcasting the small side;
+    # force the sort-merge strategy the layout exists for (at 100 TB
+    # neither side broadcasts).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+        # And it computes the right thing.
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_external_location_tables(spark, tmp_path):
     """R9: with external_location set, table data lives under
     {ext}/{bronze|silver}/{entity}/ instead of the warehouse."""
