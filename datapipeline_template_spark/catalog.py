@@ -45,6 +45,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive: queries may run in a caller-owned SparkSession (the
+    # round driver builds its own); pin the confs correctness depends
+    # on. Session timezone decides the wall-clock of collected
+    # timestamps — anything but UTC breaks oracle comparison.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
