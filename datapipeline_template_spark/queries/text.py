@@ -81,10 +81,10 @@ def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TX02_ORACLE = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN
+       CAST(SUM(CASE WHEN
              (least(CAST(len(string_split(text,' ')) AS DOUBLE), 200.0)/200.0)
              * greatest(0.0, 1.0 - abs(CAST(n_chars AS DOUBLE)/CAST(len(string_split(text,' ')) AS DOUBLE) - 5.0)/10.0)
-             >= 0.5 THEN 1 ELSE 0 END) AS n_high_quality
+             >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
 FROM documents
 GROUP BY source
 """
