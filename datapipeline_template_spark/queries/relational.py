@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import register_views, table
 from ..functions import cents
 from . import register
 
@@ -601,6 +601,62 @@ def q20_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") % 7).cast("long").alias("size_mod"),
         F.greatest(F.col("p_size"), F.lit(25)).cast("long").alias("size_hi"),
         F.least(F.col("p_size"), F.lit(25)).cast("long").alias("size_lo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — GROUPING SETS through the spark.sql entry point
+# ---------------------------------------------------------------------------
+
+# NB: single-column GROUPING() only — Spark's SQL grouping() takes one
+# column (DuckDB's multi-arg bitmask form doesn't parse in Spark).
+_Q21_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("q21_grouping_sets", oracle=_Q21_SQL)
+def q21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS, run through ``spark.sql`` over the
+    registered views — the engine's SQL entry point (every other query
+    uses the DataFrame API; both front ends share Catalyst). The
+    oracle is the IDENTICAL SQL string, which DuckDB also accepts."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q22 — array aggregation / array functions
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT l_orderkey,
+       COUNT(*) AS n_items,
+       list_sort(list_distinct(list(l_returnflag))) AS flags,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+GROUP BY l_orderkey
+"""
+
+
+@register("q22_array_agg", oracle=_Q22_ORACLE)
+def q22_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: collect_set sorted for deterministic
+    hashing (X7 array functions on the output of X3 aggregation)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
     )
 
 
