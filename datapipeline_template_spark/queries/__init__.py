@@ -37,6 +37,7 @@ REGISTRY: dict[str, Query] = {}
 
 _MODULES = (
     "relational",
+    "subqueries",
     "windows",
     "dedup",
     "text",
