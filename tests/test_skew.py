@@ -1,0 +1,68 @@
+"""Skew-mitigation operators: salted join and two-phase distinct must
+be bit-identical to their unsalted forms (they are pure physical
+rewrites), including on pathologically skewed inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_template_spark.operators.skew import salted_join, two_phase_distinct
+
+
+def _skewed_facts(spark, n_hot=5000, n_tail=500):
+    # One key owns 90% of rows, tail keys one row each.
+    hot = spark.range(n_hot).select(
+        F.lit(7).alias("k"), (F.col("id") * 3).alias("v"), F.col("id").alias("rowid")
+    )
+    tail = spark.range(n_tail).select(
+        (F.col("id") + 100).alias("k"),
+        (F.col("id") * 5).alias("v"),
+        (F.col("id") + n_hot).alias("rowid"),
+    )
+    return hot.unionByName(tail)
+
+
+def test_salted_join_matches_plain_inner(spark):
+    facts = _skewed_facts(spark)
+    dim = spark.range(200).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    plain = facts.join(dim, ["k"], "inner")
+    salted = salted_join(facts, dim, ["k"], "inner", salt=8, spread_col="rowid")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert salted.columns == plain.columns  # salt column dropped
+
+
+def test_salted_join_matches_plain_left(spark):
+    facts = _skewed_facts(spark, n_hot=1000, n_tail=100)
+    dim = spark.range(50).select(F.col("id").alias("k"), F.lit("x").alias("label"))
+    plain = facts.join(dim, ["k"], "left")
+    salted = salted_join(facts, dim, ["k"], "left", salt=4, spread_col="rowid")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    facts = _skewed_facts(spark)
+    # The salt column takes several distinct values within the hot key,
+    # i.e. the hot key's rows really do land in multiple buckets.
+    salted = facts.withColumn("_s", F.pmod(F.hash(F.col("rowid")), F.lit(8)))
+    n_buckets = salted.where(F.col("k") == 7).select("_s").distinct().count()
+    assert n_buckets == 8
+
+
+def test_salted_join_rejects_replicating_outer(spark):
+    facts = _skewed_facts(spark, n_hot=10, n_tail=5)
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    try:
+        salted_join(facts, dim, ["k"], "full", salt=4)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("full outer join must be rejected")
+
+
+def test_two_phase_distinct_matches_count_distinct(spark):
+    facts = _skewed_facts(spark).withColumn("v", F.pmod(F.col("v"), F.lit(97)))
+    plain = facts.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
+    two = two_phase_distinct(facts, ["k"], "v")
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, plain.collect()))
