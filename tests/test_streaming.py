@@ -123,3 +123,92 @@ def test_stateful_running_totals(spark, tmp_path):
     run_once()
     got2 = dict(collected)
     assert got2["a"] == 18.0  # state carried: 8 + 10
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from datapipeline_template_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], ["key", "label"])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        stream_static_enrich(stream, dim, ["key"])
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM enrich_test").collect()
+    assert len(rows) == 6
+    assert {r["label"] for r in rows} == {"alpha", "beta"}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams: clicks join impressions on key within a
+     10-minute band after the impression; watermarks on both sides."""
+    import datetime as dt
+
+    from datapipeline_template_spark.streaming.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    imps = [
+        Row(ts=base + dt.timedelta(minutes=m), key=k, value=1.0)
+        for m, k in [(0, "a"), (0, "b"), (30, "a")]
+    ]
+    clks = [
+        Row(ts=base + dt.timedelta(minutes=m), key=k, value=2.0)
+        for m, k in [(5, "a"), (9, "b"), (31, "a"), (50, "a")]
+    ]
+    spark.createDataFrame(imps, SCHEMA).coalesce(1).write.mode("append").parquet(str(imp_dir))
+    spark.createDataFrame(clks, SCHEMA).coalesce(1).write.mode("append").parquet(str(clk_dir))
+
+    imp_s = spark.readStream.schema(SCHEMA).parquet(str(imp_dir)).withColumnRenamed("ts", "imp_ts")
+    clk_s = spark.readStream.schema(SCHEMA).parquet(str(clk_dir)).withColumnRenamed("ts", "clk_ts")
+    joined = interval_join(
+        imp_s.select("imp_ts", "key"),
+        clk_s.select("clk_ts", "key"),
+        keys=["key"],
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        watermark="1 hour",
+        lower="0 seconds",
+        upper="10 minutes",
+    ).select(imp_s["key"].alias("key"), "imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["key"], r["imp_ts"].minute, r["clk_ts"].minute)
+        for r in spark.sql("SELECT * FROM interval_join_test").collect()
+    )
+    # (a,0) matches clk@5; (b,0) matches clk@9; (a,30) matches clk@31;
+    # clk@50 matches nothing (band is 10 min).
+    assert got == [("a", 0, 5), ("a", 30, 31), ("b", 0, 9)]
+
+
+def test_interval_join_rejects_streaming_dim(spark, tmp_path):
+    from datapipeline_template_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    try:
+        stream_static_enrich(stream, stream, ["key"])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("streaming dim must be rejected")
