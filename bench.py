@@ -44,6 +44,7 @@ HEADLINE = [
     "st01_tumbling_counts",
     "dd01_exact_dedup_documents",
     "dd03_minhash_lsh_candidates",
+    "dd05_minhash_lsh_kernel",
     "tx01_token_stats",
     "tx06_tfidf",
     "ss04_cosine_topk_blas",

@@ -24,6 +24,7 @@ from ..catalog import table
 from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_kernel,
     ngram_jaccard_pairs,
     shingle_tokens,
     simhash64,
@@ -149,6 +150,27 @@ def dd03_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = docs.select("doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles"))
     sigs = minhash_signatures(shingled, "doc_id", "shingles", num_hashes=32)
+    return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd05 — the same MinHash-LSH via the Arrow/numpy kernel (scale path)
+# ---------------------------------------------------------------------------
+
+
+@register("dd05_minhash_lsh_kernel", oracle=_DD03_ORACLE)
+def dd05_minhash_lsh_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd03's exact semantics through the vectorized numpy signature
+    kernel (mapInPandas, Arrow batches) — it shares dd03's oracle, so
+    the driver's hash compare proves the two pipelines bit-agree. The
+    kernel is the 100 TB path: per-partition numpy, no interpreted
+    HOF evaluation, nothing shuffled until the LSH band join."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32)
     return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4).select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
     )

@@ -218,10 +218,11 @@ GROUP BY o_orderpriority
 
 @register("q27_pivot_returns_by_priority", oracle=_Q27_ORACLE)
 def q27_pivot_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`pivot` with explicit values: listing the pivot values skips the
-    extra distinct-collection job and compiles to ONE hash aggregate
-    whose grouping key is just o_orderpriority — same shuffle as a
-    plain groupBy; the fan-out to columns is free."""
+    """`pivot` with explicit values: listing the values skips the extra
+    distinct-collection job. Catalyst compiles it as a two-level hash
+    aggregate — pre-aggregate on (priority, flag), then pivot on
+    priority — so everything after the first partial combine moves
+    |priorities|×|flags| rows, not data."""
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     joined = orders.select("o_orderkey", "o_orderpriority").join(

@@ -77,6 +77,35 @@ def main() -> None:
         ],
     )
     section(
+        "q29_disjunctive_predicates",
+        "OR-of-ANDs still pushes single-side conjuncts to both scans",
+        [
+            ("PushedFilters", r"PushedFilters: \[[^\]]{5,}\]"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ],
+    )
+    section(
+        "q27_pivot_returns_by_priority",
+        "pivot = two-level hash aggregate over pre-combined (5x3) rows",
+        [
+            ("Aggregates", r"HashAggregate\(keys=\[o_orderpriority[^\]]{0,40}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
+        ],
+    )
+    section(
+        "q23_small_qty_revenue",
+        "correlated scalar subquery decorrelated to broadcast aggregate",
+        [("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)")],
+    )
+    section(
+        "dd05_minhash_lsh_kernel",
+        "numpy signature kernel: ArrowEvalPython feeds the same band join",
+        [
+            ("Python stage", r"(MapInPandas|ArrowEvalPython)[^\n]{0,40}"),
+            ("Bucket join keys", r"hashpartitioning\(_band[^)]{0,60}"),
+        ],
+    )
+    section(
         "w08_sessionize_events",
         "one shuffle serves both windows and the final groupBy",
         [
