@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import cents
+from ..operators.skew import two_phase_distinct
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -369,3 +370,24 @@ def q30_prospect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("c_acctbal")).cast("double") / F.lit(100.0)).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 — two-phase exact distinct (skew-mitigation operator, driver-proved)
+# ---------------------------------------------------------------------------
+
+_Q31_ORACLE = """
+SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_distinct
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+@register("q31_two_phase_distinct", oracle=_Q31_ORACLE)
+def q31_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.skew.two_phase_distinct through the driver contract:
+    dedup on (key, value) spreads a hot key across the cluster before
+    the per-key count — the oracle's plain COUNT(DISTINCT) proves the
+    rewrite is semantics-preserving."""
+    li = table(spark, sf_dir, "lineitem")
+    return two_phase_distinct(li, ["l_suppkey"], "l_orderkey")

@@ -197,20 +197,23 @@ LIMIT 100
 def tx06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: tf(term,doc) × ln(N/df). df is broadcast back onto the
     exploded terms (small distinct-term dim), so the only big shuffle
-    is the tf groupBy. ln() is rounded to 4 decimals for cross-engine
-    hash parity (libm vs JVM log differ ≤1 ulp — far inside 1e-4)."""
+    is the tf groupBy. N is a 1-row broadcast aggregate INSIDE the
+    plan (no separate driver-side count job — one less Spark job and
+    no collect on the hot path). ln() is rounded to 4 decimals for
+    cross-engine hash parity (libm vs JVM log differ ≤1 ulp)."""
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     tfidf = F.round(
         F.col("tf").cast("double")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        * F.log(F.col("n_docs") / F.col("df").cast("double")),
         4,
     )
     return (
         tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
         .select("doc_id", "term", tfidf.alias("tfidf"))
         .orderBy(F.col("tfidf").desc(), F.col("doc_id"), F.col("term"))
         .limit(100)
