@@ -31,6 +31,7 @@ __all__ = [
     "MediaDecodeNotAvailable",
     "attach_media_meta",
     "decode_media",
+    "resize_media",
     "sample_frames",
     "media_byte_stats",
 ]
@@ -119,6 +120,64 @@ def decode_media(
             )
 
     return src.mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    backend: str = "fake",
+) -> DataFrame:
+    """Resize media blobs to (width, height) via Arrow-batched
+    ``mapInPandas`` — binary in, binary out, so resize stages compose
+    with decode/sample in one pipeline without leaving Arrow.
+
+    The fake backend emits a deterministic ``width*height``-byte
+    strided resample of the input bytes (shape-correct, content fake);
+    real backends raise ``MediaDecodeNotAvailable`` here and are
+    injected by deployments with the same (blob, w, h) -> bytes
+    signature.
+    """
+    if backend != "fake":
+        raise MediaDecodeNotAvailable(
+            f"resize backend {backend!r} not available in this environment"
+        )
+    src = df.select(F.col(id_col).alias("media_id"), F.col(binary_col).alias("_blob"))
+    n_out = width * height
+
+    def _fake_resize(blob: bytes) -> bytes:
+        if not blob:
+            return bytes(n_out)
+        step = max(len(blob) // n_out, 1)
+        out = (blob[::step] * ((n_out // max(len(blob[::step]), 1)) + 1))[:n_out]
+        return out
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": [_fake_resize(b) for b in pdf["_blob"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return src.mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def sample_frames(

@@ -260,3 +260,45 @@ def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# tx08 — BPE-ish regex token counting (subword classes, not whitespace)
+# ---------------------------------------------------------------------------
+
+_TX08_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0) AS toks
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_subwords,
+       CAST(SUM(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))) AS BIGINT)
+         AS n_numeric,
+       CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_subwords_per_doc
+FROM t
+GROUP BY lang
+"""
+
+
+@register("tx08_regex_subwords", oracle=_TX08_ORACLE)
+def tx08_regex_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization: letter runs / digit runs / single
+    punctuation via regexp_extract_all (the split shape GPT-2-family
+    pre-tokenizers use, minus case folding). The character classes are
+    plain ASCII so Java (Spark) and RE2-ish (DuckDB) regex engines
+    agree. Narrow per-row map + one aggregate — no UDFs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    n_sub = F.size(toks).cast("long")
+    n_num = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("long")
+    return (
+        docs.select("lang", n_sub.alias("_n"), n_num.alias("_d"))
+        .groupBy("lang")
+        .agg(
+            F.sum("_n").alias("n_subwords"),
+            F.sum("_d").alias("n_numeric"),
+            (F.sum("_n").cast("double") / F.count(F.lit(1))).alias("avg_subwords_per_doc"),
+        )
+    )

@@ -162,6 +162,22 @@ def test_multimodal_meta_and_frames(spark):
     assert frames.count() == 5  # offsets 0,1024,...,4096
 
 
+def test_multimodal_resize_plumbing(spark):
+    from datapipeline_template_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=b"abcdefgh" * 100), Row(media_id=2, payload=b"")]
+    )
+    out = {r["media_id"]: r for r in resize_media(df, "media_id", "payload", 8, 4).collect()}
+    assert len(out[1]["resized"]) == 32 and out[1]["width"] == 8 and out[1]["height"] == 4
+    assert len(out[2]["resized"]) == 32  # empty blob still shape-correct
+    # Deterministic: same blob, same output.
+    again = {r["media_id"]: r for r in resize_media(df, "media_id", "payload", 8, 4).collect()}
+    assert again[1]["resized"] == out[1]["resized"]
+    with pytest.raises(MediaDecodeNotAvailable):
+        resize_media(df, "media_id", "payload", 8, 4, backend="pillow")
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     """IVF with 16 cells / 2 probes must recover most of the exact
     top-5 neighborhood (approximate, but not arbitrarily wrong)."""
