@@ -98,3 +98,24 @@ def test_external_location_tables(spark, tmp_path):
     assert (ext / "bronze" / "things").exists()
     assert (ext / "silver" / "things").exists()
     assert spark.read.table("ext_silver.silver_things").count() == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    becomes a PartitionFilter (directory pruning) — at 100 TB the scan
+    never lists, let alone reads, the out-of-range partitions."""
+    from datapipeline_template_spark.catalog import table as cat_table
+
+    ev = cat_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    days = sorted(r["day"] for r in spark.read.parquet(out).select("day").distinct().collect())
+    assert len(days) > 1
+    pick = days[0]
+    filtered = spark.read.parquet(out).where(F.col("day") == F.lit(pick))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    # Count parity with an unpartitioned filter on the same predicate.
+    expected = ev.where(F.to_date("ts") == F.lit(pick)).count()
+    assert filtered.count() == expected
