@@ -391,3 +391,40 @@ def q31_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite is semantics-preserving."""
     li = table(spark, sf_dir, "lineitem")
     return two_phase_distinct(li, ["l_suppkey"], "l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q32 — unpivot / melt (the inverse reshaping of q27's pivot)
+# ---------------------------------------------------------------------------
+
+_Q32_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM base
+UNION ALL
+SELECT o_orderpriority, 'total_cents' AS metric, total_cents AS value FROM base
+UNION ALL
+SELECT o_orderpriority, 'max_cents' AS metric, max_cents AS value FROM base
+"""
+
+
+@register("q32_unpivot_priority_metrics", oracle=_Q32_ORACLE)
+def q32_unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via DataFrame.unpivot (melt): Catalyst's
+    Expand node emits the 3 metric rows per input row in one pass —
+    no UNION re-scan of the aggregate, which is what the oracle (and
+    a naive engine) pays."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+        F.max(cents("o_totalprice")).alias("max_cents"),
+    )
+    return base.unpivot(
+        ["o_orderpriority"], ["n_orders", "total_cents", "max_cents"], "metric", "value"
+    )
