@@ -66,3 +66,52 @@ def test_two_phase_distinct_matches_count_distinct(spark):
     plain = facts.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
     two = two_phase_distinct(facts, ["k"], "v")
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session's AQE skew-join config must actually fire: a
+    sort-merge join with one pathological key gets its hot partition
+    split at runtime (plan shows the skew marker). Thresholds are
+    lowered to make toy data look skewed; at 100 TB the defaults
+    (256 MB partitions) trigger the same re-plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        # One key owns 1M of 1.0002M rows — its COMPRESSED shuffle
+        # partition (~114 KB; lit-padding compresses ~60×) must clear
+        # the byte threshold, which is what AQE actually measures.
+        # Only the LEFT side is hot: a partition skewed on BOTH sides
+        # is exactly the case OptimizeSkewedJoin refuses to split.
+        hot = spark.range(1_000_000).select(F.lit(7).alias("k"), F.col("id").alias("rowid"))
+        tail = spark.range(200).select(
+            (F.col("id") + 100).alias("k"), F.col("id").alias("rowid")
+        )
+        left = hot.unionByName(tail).withColumn(
+            "pad", F.concat(F.lit("x" * 64), F.col("rowid"))
+        )
+        right = spark.range(300).select(
+            F.pmod(F.col("id"), F.lit(150)).alias("k2"), F.col("id").alias("rv")
+        )
+        # Inspect the SAME QueryExecution that ran: a fresh .count()
+        # builds its own, so assert on the aggregate DataFrame itself.
+        cnt_df = left.join(right, left.k == right.k2).groupBy().count()
+        # hot key matches right ids {7, 157}; tail keys 100..149 match 2 each.
+        assert cnt_df.collect()[0][0] == 1_000_000 * 2 + 100
+        plan = cnt_df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the hot partition:\n{plan[:1200]}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
