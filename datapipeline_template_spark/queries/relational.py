@@ -693,3 +693,81 @@ def q17_event_pairs_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("e1.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q33 — date arithmetic: month-end buckets, month spans, quarters
+# ---------------------------------------------------------------------------
+
+_Q33_ORACLE = """
+SELECT
+  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT)) AS BIGINT)
+    AS total_days_to_cutoff
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY month_end, qtr
+"""
+
+
+@register("q33_month_end_buckets", oracle=_Q33_ORACLE)
+def q33_month_end_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: last_day / quarter / datediff — all
+    codegen'd JVM date math on the int96-free timestamp column; the
+    shipdate filter still pushes to the scan."""
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        orders.select(
+            F.last_day("o_orderdate").alias("month_end"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "_days"
+            ),
+        )
+        .groupBy("month_end", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("_days").cast("long")).alias("total_days_to_cutoff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — edit-distance pairs (levenshtein), blocked to stay sub-quadratic
+# ---------------------------------------------------------------------------
+
+_Q34_ORACLE = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 3
+"""
+
+
+@register("q34_levenshtein_pairs", oracle=_Q34_ORACLE)
+def q34_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical supplier names by edit distance ≤ 3, blocked by
+    nation so the self-join is per-block quadratic, not global (the
+    same blocking discipline as the fuzzy-dedup family; at corpus
+    scale swap the block key for an LSH bucket)."""
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    a, b = sup.alias("a"), sup.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+    )
