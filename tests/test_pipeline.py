@@ -249,3 +249,52 @@ def test_config_loading_via_spark(spark, tmp_path):
     assert by_name["app_downloads"].clustering_cols == ["id", "op"]
     assert by_name["users"].raw_file_format == "json"
     assert by_name["users"].unique_primary_key == ["id"]  # default
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """Drive the real CLI surface in a fresh process: raw files +
+    config JSON in, silver table out (exit 0, warehouse populated).
+    cwd is the tmp dir so the derby metastore / warehouse are isolated."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = str(Path(__file__).resolve().parents[1])
+    raw = tmp_path / "raw" / "gadgets"
+    raw.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 2], pa.int64()),
+                "op": pa.array(["I", "I", "U"]),
+                "qty": pa.array([10, 20, 25], pa.int32()),
+            }
+        ),
+        raw / "part-0.parquet",
+    )
+    cfg = {"gadgets": {"raw_file_format": "parquet", "unique_primary_key": ["id"]}}
+    (tmp_path / "raw" / "dp_config_template.json").write_text(json.dumps(cfg))
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "datapipeline_template_spark",
+            "run",
+            "--source-location",
+            str(tmp_path / "raw"),
+            "--batch",
+        ],
+        cwd=tmp_path,
+        env={**os.environ, "PYTHONPATH": repo, "SPARK_GRAFT_CPUS": "4"},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, f"CLI failed:\n{proc.stderr[-2000:]}"
+    silver_dir = tmp_path / "spark-warehouse" / "engine_silver.db" / "silver_gadgets"
+    assert silver_dir.exists(), f"no silver table dir; warehouse: {list((tmp_path / 'spark-warehouse').rglob('*'))[:20]}"
