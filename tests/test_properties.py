@@ -94,3 +94,45 @@ def test_dedup_idempotent(spark, seq):
     once = keep_latest(df, ["id"], ["seq"])
     twice = keep_latest(once, ["id"], ["seq"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ---------------------------------------------------------------------------
+# MinHash kernel ≡ Catalyst form on adversarial ASCII corpora
+# ---------------------------------------------------------------------------
+
+ascii_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab z.!7")),  # incl. space runs + punct
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=ascii_texts)
+@settings(**_SETTINGS)
+def test_minhash_kernel_matches_catalyst(spark, texts):
+    """The vectorized numpy signature kernel must bit-agree with the
+    Catalyst HOF pipeline on ANY ascii corpus — including empty texts,
+    leading/trailing/consecutive spaces (empty tokens hash to 0), and
+    docs shorter than the shingle width."""
+    from datapipeline_template_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_kernel,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        ),
+    )
+    jvm = minhash_signatures(
+        df.select("doc_id", shingle_tokens(tokenize("text")).alias("sh")), "doc_id", "sh"
+    ).collect()
+    knl = minhash_signatures_kernel(df, "doc_id", "text").collect()
+    assert sorted((r[0], tuple(r[1])) for r in jvm) == sorted((r[0], tuple(r[1])) for r in knl)
