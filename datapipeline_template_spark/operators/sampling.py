@@ -1,0 +1,53 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is seed-dependent *per partition layout* — the same seed
+on a different file split yields a different sample, which breaks
+reproducibility the moment a 100 TB corpus is re-compacted. These
+operators hash a stable key instead: membership depends only on the
+row's key, so the sample is identical across runs, partitionings,
+engines — and oracle-replayable in plain SQL (the driver checks q35).
+
+The hash is a Knuth multiplicative step mod the engine's poly prime:
+(key * 2654435761) % p — key magnitudes up to ~3.4e3 * p stay inside
+int64, and both Spark and DuckDB evaluate it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import POLY_P
+
+__all__ = ["sample_hash_bucket", "deterministic_sample", "stratified_sample"]
+
+_KNUTH = 2_654_435_761
+
+
+def sample_hash_bucket(key: Column | str, p: int = POLY_P) -> Column:
+    """Stable pseudo-uniform bucket in [0, p) from an integer key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (c.cast("long") * F.lit(_KNUTH)) % F.lit(p)
+
+
+def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Keep rows whose key-hash falls below rate·p — a reproducible
+    ~rate sample, stable under repartitioning/compaction and pure
+    filter pushdown (no shuffle, no RNG state)."""
+    return df.where(sample_hash_bucket(key) < F.lit(int(rate * POLY_P)))
+
+
+def stratified_sample(df: DataFrame, key: str, stratum_col: str, rates: dict[str, float]) -> DataFrame:
+    """Per-stratum hash sampling: each stratum gets its own rate
+    (missing strata default to 0 — dropped). The membership test stays
+    a scalar predicate, so Catalyst can still push it down; no
+    per-group shuffle, unlike `sampleBy` which is also seed-unstable."""
+    bucket = sample_hash_bucket(key)
+    thresh = F.lit(0).cast("long")
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        t = F.lit(int(rate * POLY_P))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = expr.otherwise(F.lit(0)) if expr is not None else thresh
+    return df.where(bucket < thresh)

@@ -428,3 +428,37 @@ def q32_unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unpivot(
         ["o_orderpriority"], ["n_orders", "total_cents", "max_cents"], "metric", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — deterministic hash sampling (reproducible training-data splits)
+# ---------------------------------------------------------------------------
+
+_Q35_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sampled_cents
+FROM orders
+WHERE (o_orderkey * 2654435761) % 1000000007 < CAST(0.1 * 1000000007 AS BIGINT)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q35_deterministic_sample", oracle=_Q35_ORACLE)
+def q35_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% sample of orders by key hash (operators.sampling): unlike
+    df.sample(seed), membership depends only on the key, so the split
+    survives recompaction/repartitioning and replays in any engine —
+    the property a 100 TB training corpus needs from its train/eval
+    splits. Pure filter: pushdown-friendly, no shuffle, no RNG."""
+    from ..operators.sampling import deterministic_sample
+
+    orders = table(spark, sf_dir, "orders")
+    return (
+        deterministic_sample(orders, "o_orderkey", 0.1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(cents("o_totalprice")).alias("sampled_cents"),
+        )
+    )

@@ -115,3 +115,23 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from datapipeline_template_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"), F.pmod(F.col("id"), F.lit(3)).cast("string").alias("grp")
+    )
+    a = sorted(r["k"] for r in deterministic_sample(df, "k", 0.2).collect())
+    b = sorted(
+        r["k"] for r in deterministic_sample(df.repartition(17), "k", 0.2).collect()
+    )
+    assert a == b and 0.15 < len(a) / 20000 < 0.25
+    s = stratified_sample(df, "k", "grp", {"0": 0.5, "1": 0.05})
+    got = {r["grp"]: r["n"] for r in s.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "2" not in got  # unlisted stratum dropped
+    assert got["0"] > got["1"] * 4
