@@ -43,6 +43,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash64",
     "ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 
@@ -430,3 +431,66 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (X10) — candidate pairs → duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components of the undirected candidate-pair graph:
+    returns (node, component) where component = the minimum node id
+    reachable from the node. This is the clustering step after
+    MinHash/SimHash candidate generation — every cluster keeps one
+    canonical doc.
+
+    Algorithm: iterative min-label propagation as pure DataFrame ops —
+    each round, every node takes min(own label, neighbors' labels);
+    fixpoint when no label changes. Rounds = graph diameter; near-dup
+    graphs are shallow (tight clusters), so this converges in a few
+    rounds. For adversarial long-chain graphs switch to large-star/
+    small-star contraction (O(log n) rounds, same per-round shape:
+    join + min-aggregate). Each round persists its labels and
+    unpersists the previous round — the lineage stays O(1) deep, so
+    no checkpointing is needed.
+
+    Deterministic: min-labels are order-independent.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).persist()
+    labels.count()
+    sym = sym.persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -228,3 +228,63 @@ def dd04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# dd06 — duplicate clusters: connected components over LSH candidates
+# ---------------------------------------------------------------------------
+
+_DD06_ORACLE = f"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles,
+                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS band,
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS bucket
+  FROM sig, unnest(range(0, 8)) AS u(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), cc AS (
+  SELECT a AS node, a AS label FROM sym
+  UNION
+  SELECT e.a AS node, cc.label
+  FROM cc JOIN sym e ON cc.node = e.b
+)
+SELECT node, MIN(label) AS component
+FROM cc
+GROUP BY node
+"""
+
+
+@register("dd06_dedup_components", oracle=_DD06_ORACLE)
+def dd06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate CLUSTERS: iterative min-label
+    propagation (operators.dedup.connected_components) over the dd03
+    LSH graph; component = min doc_id, i.e. the canonical keeper of
+    each near-dup cluster. The oracle replays the whole pipeline plus
+    a recursive CTE for the transitive closure — a driver-checked
+    ITERATIVE DataFrame algorithm."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from ..operators.dedup import connected_components, minhash_signatures_kernel
+
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )

@@ -230,3 +230,24 @@ def test_dag_topo_and_cycle(spark):
     bad.add(Dataset("y", lambda: None, deps=("x",)))
     with pytest.raises(ValueError, match="cycle"):
         bad.topo_order()
+
+
+def test_connected_components_known_graphs(spark):
+    """Chain, triangle, and isolated pair must resolve to min-id
+    components; a long chain exercises multi-round propagation."""
+    from datapipeline_template_spark.operators.dedup import connected_components
+
+    edges = [
+        # chain 1-2-3-4-5 (diameter 4 → several propagation rounds)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # triangle 10-11-12
+        (10, 11), (11, 12), (10, 12),
+        # isolated pair
+        (20, 21),
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
