@@ -771,3 +771,47 @@ def q34_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q36 — map functions: build per-group maps in-plan, extract scalars
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q36_map_functions", oracle=_Q36_ORACLE)
+def q36_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (X7): per-priority status→count maps built with
+    map_from_arrays over sorted collect_lists, read back with
+    element_at / map_keys. Output stays scalar so the oracle replays
+    it as conditional aggregation — the map operations live in the
+    Spark plan, the VALUES are engine-checked."""
+    orders = table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # array_sort on the (status, cnt) structs gives a deterministic
+    # map entry order (map equality is order-sensitive on collect).
+    entries = per_status.groupBy("o_orderpriority").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("o_orderstatus").alias("k"), F.col("cnt").alias("v")))
+        ).alias("kv")
+    )
+    m = F.map_from_arrays(
+        F.transform(F.col("kv"), lambda e: e.getField("k")),
+        F.transform(F.col("kv"), lambda e: e.getField("v")),
+    )
+    return entries.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at(m, "F"), F.lit(0).cast("long")).alias("n_f"),
+        F.coalesce(F.element_at(m, "O"), F.lit(0).cast("long")).alias("n_o"),
+        F.size(F.map_keys(m)).cast("long").alias("n_statuses"),
+    )
