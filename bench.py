@@ -38,6 +38,7 @@ HEADLINE = [
     "q06_customer_order_stats",
     "q07_priority_stats",
     "q17_event_pairs_within_hour",
+    "q17b_event_pairs_window",
     "q18_cube_returns",
     "q26_quantity_quartiles",
     "q29_disjunctive_predicates",

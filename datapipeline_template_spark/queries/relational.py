@@ -815,3 +815,29 @@ def q36_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at(m, "O"), F.lit(0).cast("long")).alias("n_o"),
         F.size(F.map_keys(m)).cast("long").alias("n_statuses"),
     )
+
+
+@register("q17b_event_pairs_window", oracle=_Q17_ORACLE)
+def q17b_event_pairs_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17's semantics without the self-join: per event, COUNT the
+    events in (ts, ts+1h] via a RANGE frame over microsecond longs,
+    then sum per user. ONE shuffle on user_id replaces the join's
+    shuffle+sort+merge of both sides — at 100 TB the window form
+    moves each row once and never materializes the pair set. Shares
+    q17's oracle: the driver proves the plans agree."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, 3_600_000_000)  # (ts, ts + 1h] in microseconds
+    )
+    return (
+        ev.withColumn("n_after", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.sum("n_after").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
