@@ -841,3 +841,47 @@ def q17b_event_pairs_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_after").alias("n_pairs"))
         .where(F.col("n_pairs") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q37 — full outer join (both-side null preservation)
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust
+  FROM customer WHERE c_acctbal > 9900.0 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp
+  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_rich_cust, 0) AS n_rich_cust,
+       COALESCE(n_rich_supp, 0) AS n_rich_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+@register("q37_full_outer_nations", oracle=_Q37_ORACLE)
+def q37_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse per-nation aggregates — both
+    unmatched sides survive with nulls coalesced to 0 (the acctbal
+    filters guarantee each side is missing nations, so both outer
+    branches are actually exercised)."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9900.0)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000.0)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return cust.join(supp, cust.c_nk == supp.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").cast("long").alias("nationkey"),
+        F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+        F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+    )
