@@ -118,18 +118,18 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.9
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.35
 """
 
 
 @register("ss02_embedding_near_dup", oracle=_SS02_ORACLE)
 def ss02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.9) within label blocks —
+    """Embedding near-dup pairs (cosine ≥ 0.35) within label blocks —
     the dedup-by-embedding operator; blocking keeps the self-join
     linear per block."""
     emb = table(spark, sf_dir, "embeddings")
     return near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.9, block_col="label"
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, block_col="label"
     )
 
 
@@ -163,7 +163,7 @@ WITH bk AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
        {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
 """
 
 
@@ -171,14 +171,15 @@ WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.8
 def ss03_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: 8 deterministic hyperplanes → 256
     buckets; candidate pairs share a bucket, verified by exact cosine
-    ≥ 0.8. The equi-join on bucket is the 100 TB-safe plan (the
+    ≥ 0.3 (the corpus' near-dup band — synthetic vectors are
+    near-orthogonal). The equi-join on bucket is the 100 TB-safe plan (the
     oracle replays the identical plane arithmetic)."""
     emb = table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding"), n_planes=8, dim=64).alias("bucket")
     )
     pairs = near_dup_pairs(
-        bucketed, id_col="vec_id", vec_col="embedding", threshold=0.8, block_col="bucket"
+        bucketed, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col="bucket"
     )
     # near_dup_pairs keeps the block key internal; re-expose bucket for
     # the oracle comparison (join back on id_a).
@@ -186,4 +187,47 @@ def ss03_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(
             bucketed.select(F.col("vec_id").alias("id_a"), "bucket"), on="id_a", how="inner"
         ).select("id_a", "id_b", "bucket", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss06 — embedding dedup clusters (near-dup pairs → connected components)
+# ---------------------------------------------------------------------------
+
+_SS06_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.35
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), cc AS (
+  SELECT a AS node, a AS label FROM sym
+  UNION
+  SELECT e.a AS node, cc.label FROM cc JOIN sym e ON cc.node = e.b
+)
+SELECT node, MIN(label) AS component
+FROM cc
+GROUP BY node
+"""
+
+
+@register("ss06_embedding_dedup_clusters", oracle=_SS06_ORACLE)
+def ss06_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clusters: ss02's pair graph resolved
+    into components (min vec_id = canonical keeper) via iterative
+    label propagation — the same clustering step dd06 applies to the
+    MinHash graph, here over the embedding modality."""
+    from ..operators.dedup import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, block_col="label"
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
     )
