@@ -106,6 +106,14 @@ def main() -> None:
         ],
     )
     section(
+        "q17b_event_pairs_window",
+        "time-band pair count as a RANGE-frame window: no join at all",
+        [
+            ("Window frame", r"windowspecdefinition\([^)]{0,90}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
+        ],
+    )
+    section(
         "w08_sessionize_events",
         "one shuffle serves both windows and the final groupBy",
         [
