@@ -302,3 +302,34 @@ def tx08_regex_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_n").cast("double") / F.count(F.lit(1))).alias("avg_subwords_per_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tx09 — posexplode (generator with position): leading-token stats
+# ---------------------------------------------------------------------------
+
+_TX09_ORACLE = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents)
+SELECT CAST(i AS BIGINT) - 1 AS pos, t[i] AS term, COUNT(*) AS n
+FROM toks, unnest(range(1, least(len(t), 3) + 1)) AS u(i)
+GROUP BY pos, term
+ORDER BY n DESC, pos, term
+LIMIT 20
+"""
+
+
+@register("tx09_leading_tokens", oracle=_TX09_ORACLE)
+def tx09_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-with-ordinality surface: posexplode emits (position,
+    token) pairs — the UDTF shape — and the per-row limit keeps the
+    fan-out bounded (3 rows/doc, not |tokens|). Deterministic top-20."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.slice(tokenize("text"), 1, 3)
+    return (
+        docs.select(F.posexplode(toks).alias("_p", "term"))
+        .select(F.col("_p").cast("long").alias("pos"), "term")
+        .groupBy("pos", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pos"), F.col("term"))
+        .limit(20)
+    )
