@@ -47,7 +47,43 @@ def main(argv: list[str] | None = None) -> int:
         "'incremental' rewrites only pk-hash buckets containing changed keys",
     )
     run.add_argument("--n-buckets", type=int, default=64)
+
+    q = sub.add_parser("query", help="run a registered catalog query")
+    q.add_argument("name", help="query name (see `list`) or 'all'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20, help="rows to show")
+
+    ex = sub.add_parser("explain", help="show a query's physical plan")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost"])
+
+    sub.add_parser("list", help="list registered queries")
+
     args = parser.parse_args(argv)
+
+    if args.cmd in ("query", "explain", "list"):
+        from .queries import load_all
+
+        registry = load_all()
+        spark = get_spark(app_name="datapipeline_template_spark")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.cmd == "list":
+            for name, qq in sorted(registry.items()):
+                kind = "oracle" if qq.oracle else "rows-only"
+                print(f"{name:40s} [{kind}]")
+            return 0
+        if args.name not in registry:
+            print(f"unknown query {args.name!r}; run `list`", file=sys.stderr)
+            return 2
+        df = registry[args.name].fn(spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain(mode=args.mode)
+        else:
+            df.show(args.limit, truncate=40)
+            print(f"({df.count()} rows total)")
+        return 0
 
     spark = get_spark(app_name="datapipeline_template_spark", hive_metastore=True)
     params = PipelineParams(

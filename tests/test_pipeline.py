@@ -298,3 +298,30 @@ def test_cli_end_to_end_subprocess(tmp_path):
     assert proc.returncode == 0, f"CLI failed:\n{proc.stderr[-2000:]}"
     silver_dir = tmp_path / "spark-warehouse" / "engine_silver.db" / "silver_gadgets"
     assert silver_dir.exists(), f"no silver table dir; warehouse: {list((tmp_path / 'spark-warehouse').rglob('*'))[:20]}"
+
+
+def test_cli_query_and_list(tmp_path):
+    """`query`/`list`/`explain` subcommands expose the catalog from
+    the CLI (fresh process)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    env = {**os.environ, "PYTHONPATH": repo, "SPARK_GRAFT_CPUS": "4"}
+    ls = subprocess.run(
+        [sys.executable, "-m", "datapipeline_template_spark", "list"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert ls.returncode == 0 and "q01_pricing_summary" in ls.stdout
+    ex = subprocess.run(
+        [sys.executable, "-m", "datapipeline_template_spark", "explain",
+         "q01_pricing_summary", "--sf-dir", "/root/testdata/sf0.001"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert ex.returncode == 0 and "HashAggregate" in ex.stdout
+    bad = subprocess.run(
+        [sys.executable, "-m", "datapipeline_template_spark", "query", "nope"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert bad.returncode == 2
