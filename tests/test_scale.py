@@ -119,3 +119,38 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # Count parity with an unpartitioned filter on the same predicate.
     expected = ev.where(F.to_date("ts") == F.lit(pick)).count()
     assert filtered.count() == expected
+
+
+def test_zorder_tightens_second_dimension(spark, sf_dir):
+    """Z-order layout: per-file ranges must be tight on BOTH columns.
+    Lexicographic clustering leaves the second column's per-file span
+    near the full domain; the Morton layout shrinks it decisively."""
+    from datapipeline_template_spark.operators.layout import (
+        cluster_for_layout,
+        zorder_for_layout,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+
+    def avg_span(df, col):
+        spans = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return float(spans)
+
+    lex = cluster_for_layout(orders, ["o_custkey", "o_orderkey"], num_files=16)
+    zed = zorder_for_layout(orders, ["o_custkey", "o_orderkey"], num_files=16)
+    # Both layouts keep the first column clustered...
+    assert avg_span(zed, "o_custkey") < avg_span(orders.repartition(16), "o_custkey")
+    # ...but only z-order tightens the second column's per-file span.
+    lex_span = avg_span(lex, "o_orderkey")
+    z_span = avg_span(zed, "o_orderkey")
+    assert z_span < 0.7 * lex_span, f"z {z_span} vs lex {lex_span}"
+    # Layout is a pure reorder: same rows.
+    assert zed.count() == orders.count()
