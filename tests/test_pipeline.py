@@ -325,3 +325,38 @@ def test_cli_query_and_list(tmp_path):
         cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
     )
     assert bad.returncode == 2
+
+
+def test_multi_entity_pipeline(spark, tmp_path):
+    """C1/C2: one config, several entities — the factory loop builds
+    every bronze+silver pair in one run, each with its own pk/dedup
+    config, and the DAG orders silver after its own bronze."""
+    import datetime as dt
+
+    src = tmp_path / "raw"
+    for name in ("users", "items"):
+        (src / name).mkdir(parents=True)
+    t = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [Row(id=1, op="I", business_id=1, created_at=t, platform="x", downloads=1),
+         Row(id=1, op="U", business_id=1, created_at=t, platform="y", downloads=2)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src / "users"))
+    spark.createDataFrame(
+        [Row(id=9, op="I", business_id=2, created_at=t, platform="z", downloads=3)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src / "items"))
+
+    spark.sql("DROP DATABASE IF EXISTS m_bronze CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS m_silver CASCADE")
+    params = PipelineParams(source_location=str(src), catalog="m")
+    entities = [
+        EntityConfig(name="users", unique_primary_key=["id"]),
+        EntityConfig(name="items", unique_primary_key=["id"]),
+    ]
+    Pipeline(spark, params, entities, streaming=False).run()
+
+    users = spark.read.table("m_silver.silver_users").collect()
+    assert len(users) == 1 and users[0]["platform"] == "y"  # latest wins
+    items = spark.read.table("m_silver.silver_items").collect()
+    assert len(items) == 1 and items[0]["id"] == 9
