@@ -19,10 +19,14 @@ SURVEY.md §7.3).
 
 Fuzzy dedup lives here as composable candidate-pair generators:
 MinHash-LSH, SimHash, n-gram Jaccard; embedding-cosine near-dup is in
-``similarity``. All are pure DataFrame ops (no Python UDFs): shingle
-→ hash → band → self-join on band bucket. Hashes are polynomial mod-p
-(functions.poly_hash) so results are engine-portable and the DuckDB
-oracle can replay them.
+``similarity``. Signature generation has two interchangeable forms —
+pure Catalyst expressions (shingle → hash → single-pass min
+aggregate) and an Arrow-batched vectorized numpy kernel
+(``minhash_signatures_kernel``) — both driven by the same fixed
+polynomial mod-p hash schedule (functions.poly_hash), so results are
+bit-identical, engine-portable, and replayable by the DuckDB oracle.
+Candidate pairing is a band-bucket equi-join; clusters come from
+``connected_components`` (iterative min-label propagation).
 """
 
 from __future__ import annotations
