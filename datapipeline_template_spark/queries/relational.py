@@ -885,3 +885,43 @@ def q37_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
         F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q38/q39 — multiset set ops (ALL variants keep duplicate cardinality)
+# ---------------------------------------------------------------------------
+
+_Q38_ORACLE = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("q38_intersect_all_priorities", oracle=_Q38_ORACLE)
+def q38_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each priority appears
+    min(count_F, count_O) times — dramatically different from the
+    5-row distinct INTERSECT (q13). Catalyst plans both ALL-variants
+    as a single aggregate over per-side counts, not a join."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(o)
+
+
+_Q39_ORACLE = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("q39_except_all_priorities", oracle=_Q39_ORACLE)
+def q39_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: each priority survives max(count_F - count_O, 0)
+    times — multiset difference, order-insensitive value-hash-safe."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.exceptAll(o)
