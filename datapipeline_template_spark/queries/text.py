@@ -333,3 +333,48 @@ def tx09_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pos"), F.col("term"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# tx10 — stopword & punctuation shares per language (exact ratios)
+# ---------------------------------------------------------------------------
+
+_TX10_ORACLE = """
+SELECT lang,
+       CAST(SUM(CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','and','of','to','is'))) AS BIGINT)) AS DOUBLE)
+         / SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS stopword_share,
+       CAST(SUM(CAST(len(list_filter(string_split(text, ''),
+             ch -> ch IN ('.', ',', '!', '?', ';', ':'))) AS BIGINT)) AS DOUBLE)
+         / SUM(CAST(n_chars AS BIGINT)) AS punct_share
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("tx10_stopword_punct_shares", oracle=_TX10_ORACLE)
+def tx10_stopword_punct_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality ratios the Gopher-style filters use: per-language
+    stopword share (English marker set) and punctuation share. Ratios
+    are exact-integer sums with ONE final division — no per-row float
+    aggregation, so both engines agree bit-for-bit."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "is"))
+    ).cast("long")
+    punct = F.size(
+        F.filter(
+            F.split(F.col("text"), ""),
+            lambda ch: ch.isin(".", ",", "!", "?", ";", ":"),
+        )
+    ).cast("long")
+    return (
+        docs.select("lang", stop.alias("_s"), F.size(toks).cast("long").alias("_t"),
+                    punct.alias("_p"), F.col("n_chars").cast("long").alias("_c"))
+        .groupBy("lang")
+        .agg(
+            (F.sum("_s").cast("double") / F.sum("_t")).alias("stopword_share"),
+            (F.sum("_p").cast("double") / F.sum("_c")).alias("punct_share"),
+        )
+    )
