@@ -1,0 +1,71 @@
+"""Physical-plan regression guards: the scale-critical plan shapes
+PLANS.md documents must hold in CI, not just in a generated report.
+
+Each assertion pins the property that makes the query survive a 100×
+scale-up — pushdown reaching the scan, dims broadcasting, aggregates
+running partial, no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_template_spark.queries import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "partial_sum" in plan
+    # Column pruning: the untouched comment-free column must not be read.
+    assert "l_orderkey" not in plan.split("ReadSchema", 1)[1][:400]
+
+
+def test_q02_broadcasts_dimension(spark):
+    plan = _plan(spark, "q02_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q03_all_dims_broadcast(spark):
+    plan = _plan(spark, "q03_regional_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan  # every dim fits the broadcast path
+
+
+def test_q29_disjunction_still_pushes(spark):
+    plan = _plan(spark, "q29_disjunctive_predicates")
+    # The OR-of-ANDs must not defeat scan pushdown on lineitem.
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
+
+
+def test_q35_sample_predicate_is_scan_side(spark):
+    plan = _plan(spark, "q35_deterministic_sample")
+    # Hash-sample membership is a scalar filter evaluated at the scan
+    # stage (no shuffle before it) — the whole point of the operator.
+    assert "Filter" in plan and "Exchange" in plan
+    assert plan.index("Filter") > plan.index("Exchange")  # filter below agg exchange
+
+
+def test_pipe01_keep_latest_partial_combine(spark):
+    plan = _plan(spark, "pipe01_cdc_keep_latest")
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dd03_band_join_is_equi(spark):
+    plan = _plan(spark, "dd03_minhash_lsh_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17b_is_joinless(spark):
+    plan = _plan(spark, "q17b_event_pairs_window")
+    assert "Join" not in plan
+    assert "Window" in plan
