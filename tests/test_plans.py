@@ -69,3 +69,12 @@ def test_q17b_is_joinless(spark):
     plan = _plan(spark, "q17b_event_pairs_window")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py silently skips unknown names — a query rename must not
+    quietly shrink the benchmark set."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"headline queries missing from registry: {missing}"
