@@ -82,3 +82,38 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     sdf = q.fn(spark, sf_dir)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_contract_runs_in_vanilla_driver_session(tmp_path):
+    """The round driver builds its OWN SparkSession (none of our
+    DEFAULT_CONFS). catalog.table defensively pins the confs
+    correctness depends on (UTC, nanosAsLong) — prove the contract
+    holds in a bare session, including the TIMESTAMP_NANOS events
+    path and an Arrow mapInPandas kernel."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    script = (
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[4]')"
+        ".config('spark.sql.shuffle.partitions','8').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "import __spark_entry__ as m\n"
+        "assert len(m.entry(spark).collect()) > 0\n"
+        "qs = m.queries()\n"
+        "for n in ('st01_tumbling_counts','dd05_minhash_lsh_kernel'):\n"
+        "    assert qs[n](spark, '/root/testdata/sf0.001').count() > 0\n"
+        "print('VANILLA-OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=repo,
+        env={**os.environ, "PYTHONPATH": repo},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0 and "VANILLA-OK" in proc.stdout, proc.stderr[-1500:]
