@@ -925,3 +925,40 @@ def q39_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
     o = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
     return f.exceptAll(o)
+
+
+# ---------------------------------------------------------------------------
+# q40 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_Q40_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(event_type, 'click') AS seg, COUNT(*) AS cnt_all
+  FROM events GROUP BY 1
+), b AS (
+  SELECT NULLIF(event_type, 'click') AS seg, COUNT(*) AS cnt_high
+  FROM events WHERE value > 50.0 GROUP BY 1
+)
+SELECT a.seg, cnt_all, cnt_high
+FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+"""
+
+
+@register("q40_null_safe_join", oracle=_Q40_ORACLE)
+def q40_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>`): the NULL segment (clicks, via
+    NULLIF) must match ITSELF across the join — plain `=` silently
+    drops it, a classic correctness trap in segment rollups. Catalyst
+    plans `<=>` as a hash join key (coalesced struct), not a
+    nested-loop residual."""
+    ev = table(spark, sf_dir, "events")
+    seg = F.nullif(F.col("event_type"), F.lit("click")).alias("seg")
+    a = ev.select(seg).groupBy("seg").agg(F.count(F.lit(1)).alias("cnt_all"))
+    b = (
+        ev.where(F.col("value") > 50.0)
+        .select(seg)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("cnt_high"))
+        .withColumnRenamed("seg", "seg_b")
+    )
+    return a.join(b, a.seg.eqNullSafe(F.col("seg_b"))).select("seg", "cnt_all", "cnt_high")
