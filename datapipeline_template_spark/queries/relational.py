@@ -640,7 +640,7 @@ def q21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q22_ORACLE = """
 SELECT l_orderkey,
        COUNT(*) AS n_items,
-       list_sort(list_distinct(list(l_returnflag))) AS flags,
+       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags,
        CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem
 WHERE l_orderkey % 100 = 0
@@ -650,12 +650,15 @@ GROUP BY l_orderkey
 
 @register("q22_array_agg", oracle=_Q22_ORACLE)
 def q22_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-valued aggregation: collect_set sorted for deterministic
-    hashing (X7 array functions on the output of X3 aggregation)."""
+    """Array-valued aggregation: collect_set → array_sort → array_join.
+    Array semantics stay in-plan (X7 array functions over an X3
+    aggregate), but the emitted column is a scalar string because the
+    driver's pandas-based hasher cannot sort/hash array cells
+    (round-2 TypeError: unhashable type 'list')."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
     return li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
     )
 

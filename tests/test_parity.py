@@ -54,6 +54,14 @@ def _rowset(cols, rows):
 def test_oracle_parity(spark, sf_dir, name):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
+    # The driver's pandas-based hasher cannot hash array/map/struct
+    # cells (q22 was driver-RED in round 2 on exactly this): every
+    # oracle-backed query must emit scalar columns only.
+    complex_cols = [
+        f.name for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, f"{name}: non-hashable columns {complex_cols}"
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
