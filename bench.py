@@ -53,6 +53,7 @@ HEADLINE = [
     "tx06_tfidf",
     "ss04_cosine_topk_blas",
     "pipe01_cdc_keep_latest",
+    "tj01_asof_prev_click",
 ]
 
 

@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
                 kind = "oracle" if qq.oracle else "rows-only"
                 print(f"{name:40s} [{kind}]")
             return 0
+        if args.cmd == "query" and args.name == "all":
+            for name in sorted(registry):
+                df = registry[name].fn(spark, args.sf_dir)
+                print(f"=== {name} ===")
+                df.show(args.limit, truncate=40)
+                print(f"({df.count()} rows total)")
+            return 0
         if args.name not in registry:
             print(f"unknown query {args.name!r}; run `list`", file=sys.stderr)
             return 2

@@ -48,6 +48,7 @@ __all__ = [
     "simhash64",
     "ngram_jaccard_pairs",
     "connected_components",
+    "connected_components_star",
 ]
 
 
@@ -231,10 +232,16 @@ def minhash_signatures_kernel(
     doc offsets. Per-row work is embarrassingly parallel — at cluster
     scale each task crunches its own partition; nothing shuffles.
 
-    ASCII contract: the JVM form hashes code points (`F.ascii`); this
-    kernel hashes UTF-8 bytes — identical for ASCII corpora (ours is;
-    verified), divergent beyond. A production build would decode to
-    code points first.
+    Unicode: the JVM form hashes code points (`F.ascii` =
+    codePointAt); the kernel decodes each batch to UTF-32-LE so the
+    buffer is exactly one uint32 code point per character — bit-equal
+    beyond ASCII (property-tested against the Catalyst form on
+    non-ASCII corpora). Code points < 2^21, so the char fold stays
+    exact in float64 (th*base + cp < 2^38).
+
+    NULL text rows are DROPPED, matching the Catalyst form (null
+    tokens → null shingles → size(null)>0 filters the row); previously
+    a single null doc crashed the whole job in `" ".join`.
     """
     import pandas as pd  # local: keep module import light
 
@@ -255,12 +262,15 @@ def minhash_signatures_kernel(
 
     def crunch(batches):
         for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
             texts = pdf[text_col].tolist()
             ids = pdf[id_col].to_numpy()
             if not texts:
                 continue
-            joined = " ".join(texts).encode("utf-8")
-            buf = np.frombuffer(joined, dtype=np.uint8)
+            # UTF-32-LE: one uint32 CODE POINT per element (the JVM
+            # form hashes code points, not UTF-8 bytes).
+            joined = " ".join(texts).encode("utf-32-le")
+            buf = np.frombuffer(joined, dtype="<u4")
             # Token boundaries: split at every space (empty tokens keep
             # hash 0, matching filter(split(t,''), ch != '') semantics).
             spaces = np.flatnonzero(buf == 0x20)
@@ -453,13 +463,27 @@ def connected_components(
 
     Algorithm: iterative min-label propagation as pure DataFrame ops —
     each round, every node takes min(own label, neighbors' labels);
-    fixpoint when no label changes. Rounds = graph diameter; near-dup
-    graphs are shallow (tight clusters), so this converges in a few
-    rounds. For adversarial long-chain graphs switch to large-star/
-    small-star contraction (O(log n) rounds, same per-round shape:
-    join + min-aggregate). Each round persists its labels and
-    unpersists the previous round — the lineage stays O(1) deep, so
-    no checkpointing is needed.
+    fixpoint when no label changes. Rounds = distance from each
+    component's min node; near-dup graphs are shallow (tight
+    clusters), so this converges in a few rounds. For adversarial
+    long-chain graphs use ``connected_components_star`` (O(log n)
+    rounds). Each round local-checkpoints its labels — BOTH to keep
+    the recompute lineage O(1) and to keep the logical plan itself
+    from nesting one join deeper per round (persist alone caches data
+    but the plan still grows until plan stringification/analysis
+    dominates). Superseded checkpoint blocks are freed by the
+    ContextCleaner once the round's DataFrame is garbage-collected.
+
+    Non-convergence is an ERROR, not a silent wrong answer: if the
+    loop exhausts ``max_iter`` with labels still changing, the
+    components would be split at arbitrary boundaries, so we raise
+    (pointing at the star variant) instead of returning.
+
+    The returned DataFrame is local-checkpointed (O(1) lineage, blocks
+    freed when it is garbage-collected); every intermediate cache is
+    unpersisted before returning, so repeated invocations do not leak
+    executor storage. At cluster scale, write the labels out as a
+    table instead of relying on checkpoint blocks.
 
     Deterministic: min-labels are order-independent.
     """
@@ -467,12 +491,11 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
+    ).persist()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).persist()
-    labels.count()
-    sym = sym.persist()
+    ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
@@ -485,16 +508,117 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
-        ).persist()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the graph has a chain longer "
+            "than max_iter hops from its component's min node; raise max_iter "
+            "or use connected_components_star (O(log n) rounds)."
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — O(log n) rounds instead of the label
+    propagation form's O(distance-to-min), so million-hop chains
+    converge in ~20 rounds. Same output contract as
+    ``connected_components``: (node, component=min reachable node id),
+    one row per node appearing in ``edges``.
+
+    Per round, both operations are a groupBy-min plus an equi-join —
+    the same shuffle shape as one propagation round, and every emitted
+    edge keeps the canonical (larger, smaller) orientation:
+
+    - large-star: each node u connects its strictly LARGER neighbors
+      to m(u) = min(N(u) ∪ {u}).
+    - small-star: each node u connects its smaller-or-self
+      neighborhood to its minimum.
+
+    Fixpoint: the edge set is a union of stars (every edge points
+    directly at its component's min node), detected as input==output
+    over a full round. Like the propagation form, non-convergence
+    raises rather than returning split components, and each round
+    local-checkpoints its edge set so neither the recompute lineage
+    nor the logical plan grows with the round count.
+    """
+    raw = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col("x") != F.col("y")
+    )
+    # Canonical orientation: u (larger) -> v (smaller).
+    e = (
+        raw.select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        raw.select(F.col("x").alias("node"))
+        .union(raw.select(F.col("y").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    converged = False
+    for _ in range(max_iter):
+        # --- large-star over the symmetric neighborhood ---
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- small-star over the canonical (u > v) edges ---
+        mn = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mn.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Fixpoint when the FULL round left the edge set unchanged.
+        # (Comparing small vs large instead is wrong: on a plain chain
+        # the round-1 small-star output equals its large-star input
+        # while both are still far from a star union. A non-star edge
+        # set strictly decreases the paper's potential each round, so
+        # input==output ⟺ union of stars.)
+        same = small.count() == e.count() and small.subtract(e).count() == 0
+        e = small
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds "
+            "— raise max_iter (rounds needed are O(log n))."
+        )
+    # Fixpoint edge set is a union of stars: each non-root points at its
+    # component min; roots (and isolated-after-contraction nodes) map to
+    # themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = all_nodes.join(labels.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labels.union(roots)

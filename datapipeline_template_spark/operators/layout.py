@@ -68,7 +68,11 @@ def zorder_for_layout(
     Scale: the only data movement is the same single range shuffle the
     lexicographic layout pays.
     """
-    cols = [c for c in cols if c in df.columns]
+    unknown = [c for c in cols if c not in df.columns]
+    if unknown:
+        # A typo must not silently degrade the layout to fewer-column
+        # clustering — files would look fine and skip nothing.
+        raise ValueError(f"zorder_for_layout: unknown column(s) {unknown}; have {df.columns}")
     if len(cols) < 2:
         return cluster_for_layout(df, cols, num_files)
     aggs = []
@@ -78,6 +82,11 @@ def zorder_for_layout(
     n_buckets = 1 << bits
 
     def bucket(c: str) -> Column:
+        # Empty input or an all-NULL column has no range: every row
+        # (there may be none) lands in bucket 0 instead of a TypeError
+        # on float(None).
+        if stats[f"_min_{c}"] is None or stats[f"_max_{c}"] is None:
+            return F.lit(0).cast("long")
         lo, hi = float(stats[f"_min_{c}"]), float(stats[f"_max_{c}"])
         span = (hi - lo) or 1.0
         scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(n_buckets)

@@ -27,6 +27,29 @@ from ..functions import cosine_quantized, cosine_quantized_expanded
 
 __all__ = ["cosine_topk", "cosine_topk_blas", "ivf_topk", "lsh_bucket", "near_dup_pairs"]
 
+# The BLAS and IVF paths hold the QUERY side on the driver (a q×dim
+# matrix / a probe list) — correct only under the documented
+# small-query-set contract. The cap makes that contract enforced
+# instead of assumed: a caller passing a huge query side gets a clean
+# ValueError instead of an OOMed driver.
+DEFAULT_MAX_QUERY_ROWS = 100_000
+
+
+def _collect_query_side(queries: DataFrame, cols: list, max_query_rows: int) -> list:
+    """collect() the query side, raising if it exceeds the cap.
+
+    Uses limit(cap+1) so the job never materializes more than cap+1
+    rows on the driver regardless of the input's true size."""
+    rows = queries.select(*cols).limit(max_query_rows + 1).collect()
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; "
+            "the driver-side matmul/probe path is for small query sets — "
+            "raise the cap explicitly, or use the distributed exact form "
+            "(cosine_topk) / bucketed ANN (lsh_bucket) for large query sides."
+        )
+    return rows
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -72,6 +95,7 @@ def cosine_topk_blas(
     vec_col: str,
     k: int = 5,
     query_id_col: str | None = None,
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul — the
     throughput path for dense scoring.
@@ -93,7 +117,7 @@ def cosine_topk_blas(
     two implementations are interchangeable under the value-hash gate.
     """
     qid = query_id_col or id_col
-    q_rows = queries.select(F.col(qid), F.col(vec_col)).collect()
+    q_rows = _collect_query_side(queries, [F.col(qid), F.col(vec_col)], max_query_rows)
     q_ids = [r[0] for r in q_rows]
 
     def _quant(mat):
@@ -169,6 +193,7 @@ def ivf_topk(
     n_probe: int = 2,
     query_id_col: str | None = None,
     seed: int = 42,
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -203,7 +228,11 @@ def ivf_topk(
     import numpy as np
 
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    q_rows = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")).collect()
+    q_rows = _collect_query_side(
+        queries,
+        [F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")],
+        max_query_rows,
+    )
     probe_rows = []
     for r in q_rows:
         qv = np.array(r["_qv"], dtype=np.float64)

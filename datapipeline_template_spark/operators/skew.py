@@ -83,6 +83,13 @@ def two_phase_distinct(
     over the full cluster and collapse to unique pairs with map-side
     combine. Phase 2 counts pairs per key; its input is at most one
     row per distinct value, already skew-bounded.
+
+    NULL semantics match COUNT(DISTINCT) exactly: phase 2 counts the
+    value column itself (count(col) skips NULLs), so a key's lone NULL
+    pair contributes 0 — but the key row itself survives, including
+    keys whose values are ALL null (count 0), just like SQL GROUP BY.
+    A count(lit(1)) here would be off by one per key with any NULL
+    value; a pre-filter on non-null would drop all-null keys entirely.
     """
     pairs = df.select(*keys, value_col).dropDuplicates([*keys, value_col])
-    return pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
+    return pairs.groupBy(*keys).agg(F.count(F.col(value_col)).alias(out_col))

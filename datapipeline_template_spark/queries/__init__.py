@@ -42,6 +42,7 @@ _MODULES = (
     "text",
     "streaming",
     "multimodal",
+    "temporal",
     "windows",
     "relational",
     "subqueries",

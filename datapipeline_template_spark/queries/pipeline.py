@@ -179,3 +179,41 @@ def pipe06_bronze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("_source_file", "/", -1).alias("source_file_name"),
         "_file_modification_time",
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe07 — keep-latest under COMMON order-column ties (R19 edge)
+# ---------------------------------------------------------------------------
+
+_PIPE07_ORACLE = """
+SELECT user_id, event_type, event_id, day, value
+FROM (
+  SELECT user_id, event_type, event_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY CAST(date_trunc('day', ts) AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("pipe07_cdc_tie_break", oracle=_PIPE07_ORACLE)
+def pipe07_cdc_tie_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest where ties on the order column are COMMON: the
+    ingestion timestamp is coarsened to a day, so most (user_id,
+    event_type) keys have many rows sharing the max order value. The
+    reference's window (`02_silver_processing.py:120-126`) is
+    NONDETERMINISTIC on such ties; our documented divergence appends a
+    unique tiebreaker (event_id) to the order tuple, and the oracle
+    replays exactly that (ORDER BY day DESC, event_id DESC) — so the
+    deterministic tie-break is value-pinned, not just documented."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+    )
+    return keep_latest(ev, ["user_id", "event_type"], ["day", "event_id"])

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from .batch import SUPPORTED_FORMATS, infer_schema
+from .batch import SUPPORTED_FORMATS, format_available, infer_schema
 
 __all__ = ["read_stream", "evolve_schema", "run_available_now", "load_or_infer_schema"]
 
@@ -73,6 +73,11 @@ def read_stream(
     """Open the incremental file stream (schema mandatory on OSS)."""
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported raw_file_format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    if not format_available(spark, fmt):
+        raise RuntimeError(
+            f"raw_file_format {fmt!r} needs an external Spark package that is "
+            "not on this session's classpath — see sources.batch.format_available"
+        )
     reader = spark.readStream.format(fmt).schema(schema)
     if fmt == "csv":
         reader = reader.option("header", "true")

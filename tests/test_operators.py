@@ -216,6 +216,26 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         assert r["score"] == exact_scores[(r["query_id"], r["neighbor_id"])]
 
 
+def test_driver_collect_paths_reject_large_query_side(spark, sf_dir):
+    """The BLAS matmul and IVF probe paths hold the query side on the
+    driver — a query side over the cap must raise cleanly instead of
+    OOMing the driver (round-2 advice). limit(cap+1) also bounds what
+    the failing job itself materializes."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table as cat_table
+    from datapipeline_template_spark.operators.similarity import cosine_topk_blas, ivf_topk
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_blas(emb, emb, "vec_id", "embedding", k=5, max_query_rows=10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_topk(emb, emb, "vec_id", "embedding", k=5, max_query_rows=10)
+    # At (or under) the cap the path still works.
+    small = emb.where(F.col("vec_id") < 3)
+    assert cosine_topk_blas(emb, small, "vec_id", "embedding", k=2, max_query_rows=3).count() == 6
+
+
 def test_dag_topo_and_cycle(spark):
     order = []
     dag = Dag()
@@ -251,3 +271,112 @@ def test_connected_components_known_graphs(spark):
         for r in connected_components(df, "id_a", "id_b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_asof_join_boundaries_ties_and_inner(spark):
+    """As-of join semantics on a hand-checkable frame: non-strict takes
+    the same-instant right row, strict takes the one before; right
+    ties on (key, ts) resolve to the max payload tuple; inner drops
+    unmatched lefts; an unknown key column raises."""
+    from datapipeline_template_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "l1"), ("a", 20, "l2"), ("a", 5, "l0"), ("b", 10, "lb")],
+        "k string, t long, lab string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 10, 101), ("a", 15, 200), ("c", 1, 999)],
+        "k string, t long, rid int",
+    )
+    loose = {
+        (r["lab"]): (r["r_t"], r["r_rid"])
+        for r in asof_join(left, right, ["k"], "t", "t", ["rid"]).collect()
+    }
+    # non-strict: l1@10 sees the tied right rows at t=10 → max payload (10,101)
+    assert loose == {"l1": (10, 101), "l2": (15, 200), "l0": (None, None), "lb": (None, None)}
+    strict = {
+        (r["lab"]): (r["r_t"], r["r_rid"])
+        for r in asof_join(left, right, ["k"], "t", "t", ["rid"], strict=True).collect()
+    }
+    # strict: l1@10 must NOT see the t=10 rows (l2@20 still sees t=15)
+    assert strict == {"l1": (None, None), "l2": (15, 200), "l0": (None, None), "lb": (None, None)}
+    inner = asof_join(left, right, ["k"], "t", "t", ["rid"], how="inner").collect()
+    assert sorted(r["lab"] for r in inner) == ["l1", "l2"]
+    with pytest.raises(ValueError, match="key column"):
+        asof_join(left, right.withColumnRenamed("k", "kk"), ["k"], "t", "t", ["rid"])
+
+
+def _union_find(edges):
+    """Ground-truth components: plain union-find, min id per set."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_cases():
+    import random
+
+    rng = random.Random(20260813)
+    cases = {
+        "two_chains": [(i, i + 1) for i in range(1, 12)] + [(100, 101), (101, 102)],
+        "star": [(1, i) for i in range(2, 20)],
+        "dense_plus_singleton_edge": [
+            (a, b) for a in range(1, 10) for b in range(a + 1, 10)
+        ] + [(50, 51)],
+    }
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(30)
+        ]
+        cases[f"random_{trial}"] = [(a, b) for a, b in edges if a != b]
+    return cases
+
+
+@pytest.mark.parametrize("case", sorted(_cc_cases()))
+def test_connected_components_forms_agree_with_union_find(spark, case):
+    """Both CC forms (min-label propagation and large-star/small-star
+    contraction) must equal a union-find ground truth."""
+    from datapipeline_template_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = _cc_cases()[case]
+    truth = _union_find(edges)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for fn in (connected_components, connected_components_star):
+        got = {r["node"]: r["component"] for r in fn(df, "id_a", "id_b").collect()}
+        assert got == truth, f"{fn.__name__} diverged on {case}"
+
+
+def test_connected_components_long_chain_raises_star_converges(spark):
+    """A 60-hop chain exceeds the propagation form's default max_iter
+    → loud RuntimeError (round-2 advice: silent wrong components);
+    the star form needs only O(log n) rounds and must solve it."""
+    from datapipeline_template_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "id_a", "id_b", max_iter=5)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, "id_a", "id_b", max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(61)}

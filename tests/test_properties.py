@@ -97,12 +97,15 @@ def test_dedup_idempotent(spark, seq):
 
 
 # ---------------------------------------------------------------------------
-# MinHash kernel ≡ Catalyst form on adversarial ASCII corpora
+# MinHash kernel ≡ Catalyst form on adversarial corpora (ASCII + unicode)
 # ---------------------------------------------------------------------------
 
 ascii_texts = st.lists(
     st.text(
-        alphabet=st.sampled_from(list("ab z.!7")),  # incl. space runs + punct
+        # incl. space runs + punct + non-ASCII code points (é, 中, 😀 —
+        # the emoji is an astral char: exercises the code-point-vs-
+        # UTF-16/UTF-8-unit distinction in both engines)
+        alphabet=st.sampled_from(list("ab z.!7") + ["é", "中", "😀"]),
         min_size=0,
         max_size=40,
     ),
@@ -115,9 +118,10 @@ ascii_texts = st.lists(
 @settings(**_SETTINGS)
 def test_minhash_kernel_matches_catalyst(spark, texts):
     """The vectorized numpy signature kernel must bit-agree with the
-    Catalyst HOF pipeline on ANY ascii corpus — including empty texts,
-    leading/trailing/consecutive spaces (empty tokens hash to 0), and
-    docs shorter than the shingle width."""
+    Catalyst HOF pipeline on ANY corpus — including empty texts,
+    leading/trailing/consecutive spaces (empty tokens hash to 0),
+    docs shorter than the shingle width, and non-ASCII code points
+    (the kernel folds UTF-32 code points to match F.ascii)."""
     from datapipeline_template_spark.operators.dedup import (
         minhash_signatures,
         minhash_signatures_kernel,
@@ -135,4 +139,29 @@ def test_minhash_kernel_matches_catalyst(spark, texts):
         df.select("doc_id", shingle_tokens(tokenize("text")).alias("sh")), "doc_id", "sh"
     ).collect()
     knl = minhash_signatures_kernel(df, "doc_id", "text").collect()
+    assert sorted((r[0], tuple(r[1])) for r in jvm) == sorted((r[0], tuple(r[1])) for r in knl)
+
+
+def test_minhash_kernel_drops_null_text_like_catalyst(spark):
+    """A NULL text row must be silently dropped by BOTH forms (the
+    Catalyst size()>0 filter rejects null shingles; the kernel used to
+    crash the whole job on `\" \".join([None, ...])`)."""
+    from datapipeline_template_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_kernel,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a clean doc"), Row(doc_id=1, text=None), Row(doc_id=2, text="another doc")],
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        ),
+    )
+    jvm = minhash_signatures(
+        df.select("doc_id", shingle_tokens(tokenize("text")).alias("sh")), "doc_id", "sh"
+    ).collect()
+    knl = minhash_signatures_kernel(df, "doc_id", "text").collect()
+    assert sorted(r[0] for r in knl) == [0, 2]
     assert sorted((r[0], tuple(r[1])) for r in jvm) == sorted((r[0], tuple(r[1])) for r in knl)

@@ -25,10 +25,16 @@ def test_sweep_window_covers_every_family():
     """All extension-family and window queries land inside the first 50."""
     outside = [n for n in NAMES[50:] if _family(n) != "q"]
     assert outside == [], f"extension queries outside sweep window: {outside}"
-    assert {_family(n) for n in WINDOW} == {"pipe", "dd", "ss", "tx", "st", "mm", "w", "q"}
+    assert {_family(n) for n in WINDOW} == {
+        "pipe", "dd", "ss", "tx", "st", "mm", "tj", "w", "q",
+    }
 
 
 def test_sweep_window_diversity_picks_present():
+    # q24/q35 were the 8th/9th picks; pipe07 (CDC tie-break) and tj01
+    # (as-of join) displaced them — those relational/subquery rows were
+    # already driver-green in round 2, while the two new operator rows
+    # are round-3 deliverables that need their first green row.
     picks = {
         "q01_pricing_summary",
         "q02_top_revenue_orders",
@@ -37,8 +43,6 @@ def test_sweep_window_diversity_picks_present():
         "q40_null_safe_join",
         "q38_intersect_all_priorities",
         "q31_two_phase_distinct",
-        "q35_deterministic_sample",
-        "q24_exists_late_shipments",
     }
     assert picks <= set(WINDOW)
 

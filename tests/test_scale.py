@@ -154,3 +154,22 @@ def test_zorder_tightens_second_dimension(spark, sf_dir):
     assert z_span < 0.7 * lex_span, f"z {z_span} vs lex {lex_span}"
     # Layout is a pure reorder: same rows.
     assert zed.count() == orders.count()
+
+
+def test_zorder_rejects_unknown_column_and_survives_degenerate_input(spark, sf_dir):
+    """A typo'd column must raise (silent drop degraded the layout with
+    no signal — round-2 advice); empty and all-NULL inputs must lay
+    out without TypeError on float(None) min/max stats."""
+    import pytest
+
+    from datapipeline_template_spark.operators.layout import zorder_for_layout
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        zorder_for_layout(orders, ["o_custkey", "o_orderkye"], num_files=4)
+    empty = orders.where(F.lit(False))
+    assert zorder_for_layout(empty, ["o_custkey", "o_orderkey"], num_files=4).count() == 0
+    nulls = orders.limit(10).withColumn("o_custkey", F.lit(None).cast("long"))
+    assert zorder_for_layout(nulls, ["o_custkey", "o_orderkey"], num_files=4).count() == 10

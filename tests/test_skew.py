@@ -68,6 +68,23 @@ def test_two_phase_distinct_matches_count_distinct(spark):
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_two_phase_distinct_null_semantics_match_count_distinct(spark):
+    """COUNT(DISTINCT) skips NULLs but keeps the key row — including a
+    key whose values are ALL null (count 0). Round-2 advice: the old
+    count(lit(1)) was off by one per key with any NULL value."""
+    rows = [
+        ("a", 1), ("a", 1), ("a", None), ("a", 2),  # nulls skipped → 2
+        ("b", None), ("b", None),                    # all-null key → 0
+        ("c", 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    plain = df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
+    two = two_phase_distinct(df, ["k"], "v")
+    got = sorted(map(tuple, two.collect()))
+    assert got == sorted(map(tuple, plain.collect()))
+    assert got == [("a", 2), ("b", 0), ("c", 1)]
+
+
 def test_aqe_skew_join_splits_hot_partition(spark):
     """The session's AQE skew-join config must actually fire: a
     sort-merge join with one pathological key gets its hot partition

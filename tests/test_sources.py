@@ -50,6 +50,21 @@ def _avro_available(spark) -> bool:
         return False
 
 
+def test_missing_avro_package_fails_loudly(spark, tmp_path):
+    """When spark-avro is absent, the reader must raise an actionable
+    RuntimeError at construction (naming the package to add) instead
+    of an opaque ClassNotFoundException mid-load — and the probe must
+    agree with reality (format_available)."""
+    from datapipeline_template_spark.sources.batch import format_available, read_batch
+
+    if _avro_available(spark):
+        assert format_available(spark, "avro")
+        pytest.skip("spark-avro present here; the roundtrip test covers it")
+    assert not format_available(spark, "avro")
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_batch(spark, "avro", str(tmp_path))
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc", "avro"])
 def test_format_roundtrip_through_pipeline(spark, tmp_path, fmt):
     if fmt == "avro" and not _avro_available(spark):
