@@ -71,6 +71,19 @@ def test_q17b_is_joinless(spark):
     assert "Window" in plan
 
 
+def test_tj01_asof_is_joinless_single_shuffle_window(spark):
+    """The as-of join must stay the union+window form: no physical
+    Join at all (the naive theta-join encoding explodes with match
+    fan-out), exactly one hash-partitioning exchange on the key after
+    the right side's dedup agg, and the click filter pushed to scan."""
+    plan = _plan(spark, "tj01_asof_prev_click")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "EqualTo(event_type,click)" in plan  # pushdown on the right scan
+    # user_id window exchange + (user_id, ts) dedup-agg exchange only.
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_bench_headline_names_all_registered():
     """bench.py silently skips unknown names — a query rename must not
     quietly shrink the benchmark set."""

@@ -121,6 +121,15 @@ def main() -> None:
             ("Window", r"Window \[[^\]]{0,80}"),
         ],
     )
+    section(
+        "tj01_asof_prev_click",
+        "as-of join as union + window carry: joinless, fan-out independent",
+        [
+            ("PushedFilters (right scan)", r"PushedFilters: \[[^\]]{5,}\]"),
+            ("Window carry", r"last\(_asof_payload[^)]{0,60}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
+        ],
+    )
 
 
 if __name__ == "__main__":
