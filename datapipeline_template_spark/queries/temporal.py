@@ -1,9 +1,12 @@
-"""Temporal-join queries (tj*) — as-of join over the events feed.
+"""Temporal queries (tj*) — as-of join and cascade rollups over the
+events feed.
 
 The as-of join is the canonical time-series operator the reference
 family exposes (DuckDB ASOF JOIN is the oracle's native spelling);
 `operators/asof.py` re-expresses it Spark-first as union + window
 carry (one key shuffle, no theta join, fan-out independent).
+`operators/rollup.py` adds continuous-aggregate cascades (coarse
+levels re-aggregate fine ones — raw scanned once).
 """
 
 from __future__ import annotations
@@ -12,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import cents
 from ..operators.asof import asof_join
+from ..operators.rollup import cascade_rollup
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -57,3 +62,46 @@ def tj01_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict=True,
         prefix="prev_",
     )
+
+
+# ---------------------------------------------------------------------------
+# tj02 — cascade rollup: month level derived hour → day → month; the
+# oracle aggregates straight from raw, so the value-hash PROVES the
+# re-aggregation is exact (decomposable measures, integer cents).
+# ---------------------------------------------------------------------------
+
+_TJ02_ORACLE = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tj02_cascade_rollup", oracle=_TJ02_ORACLE)
+def tj02_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: monthly per-type stats computed
+    hour → day → month (each level re-aggregates the previous one; raw
+    scanned once), hash-checked against the oracle's direct
+    month-from-raw aggregate — exactness of the re-aggregation is the
+    assertion, not just the final numbers."""
+    ev = table(spark, sf_dir, "events").select(
+        "ts", "event_type", cents("value").alias("vc")
+    )
+    levels = cascade_rollup(
+        ev,
+        ts_col="ts",
+        keys=["event_type"],
+        measures={
+            "n_events": ("count", F.lit(1)),
+            "value_cents": ("sum", F.col("vc")),
+            "min_cents": ("min", F.col("vc")),
+            "max_cents": ("max", F.col("vc")),
+        },
+        levels=("hour", "day", "month"),
+    )
+    return levels["month"]

@@ -306,6 +306,104 @@ def test_asof_join_boundaries_ties_and_inner(spark):
         asof_join(left, right.withColumnRenamed("k", "kk"), ["k"], "t", "t", ["rid"])
 
 
+def test_asof_bucketed_equals_single_window(spark):
+    """The skew-proof two-pass bucketed as-of must be row-identical to
+    the single-window form — across bucket widths that force many
+    cross-bucket seeds (width=1s → ~every row its own bucket), on a
+    hot key holding 80% of the rows, in both boundary modes, for both
+    timestamp and numeric ts columns."""
+    import random
+
+    from datapipeline_template_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        key = "hot" if rng.random() < 0.8 else rng.choice(["a", "b", "c"])
+        # epoch seconds in a narrow band → frequent equal-ts collisions
+        rows.append((i, key, 1_700_000_000 + rng.randrange(120), rng.randrange(50)))
+    df = spark.createDataFrame(rows, "rid long, k string, sec long, v long")
+    tsdf = df.withColumn("ts", F.timestamp_seconds("sec"))
+    left = tsdf.select("rid", "k", "ts")
+    right = (
+        tsdf.where(F.col("v") % 3 == 0)
+        .groupBy("k", "ts")
+        .agg(F.max("rid").alias("pay"))
+    )
+    for strict in (False, True):
+        want = sorted(
+            map(tuple, asof_join(left, right, ["k"], "ts", "ts", ["pay"], strict=strict).collect())
+        )
+        for width in (1, 7, 3600):
+            got = sorted(
+                map(
+                    tuple,
+                    asof_join_bucketed(
+                        left, right, ["k"], "ts", "ts", ["pay"],
+                        bucket_width_seconds=width, strict=strict,
+                    ).collect(),
+                )
+            )
+            assert got == want, f"strict={strict} width={width}"
+    # numeric ts path
+    nleft = df.select("rid", "k", F.col("sec").alias("t"))
+    nright = df.where(F.col("v") % 3 == 0).groupBy("k", F.col("sec").alias("t")).agg(
+        F.max("rid").alias("pay")
+    )
+    want = sorted(map(tuple, asof_join(nleft, nright, ["k"], "t", "t", ["pay"]).collect()))
+    got = sorted(
+        map(
+            tuple,
+            asof_join_bucketed(
+                nleft, nright, ["k"], "t", "t", ["pay"], bucket_width_seconds=10
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_cascade_rollup_levels_equal_direct_aggregation(spark):
+    """Every cascade level must equal the same-grain aggregate computed
+    directly from raw — the decomposability contract (count folds as
+    sum, min/max as themselves); non-decomposable kinds raise."""
+    from datapipeline_template_spark.operators.rollup import cascade_rollup
+
+    rows = [
+        ("a", "2024-01-01 10:15:00", 5),
+        ("a", "2024-01-01 10:45:00", 3),
+        ("a", "2024-01-01 11:05:00", 7),
+        ("a", "2024-01-02 09:00:00", 2),
+        ("b", "2024-02-10 23:59:59", 11),
+        ("b", "2024-01-01 10:15:00", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string, v int").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    measures = {
+        "n": ("count", F.lit(1)),
+        "s": ("sum", F.col("v")),
+        "mn": ("min", F.col("v")),
+        "mx": ("max", F.col("v")),
+    }
+    levels = cascade_rollup(df, "ts", ["k"], measures, levels=("hour", "day", "month"))
+    for lvl, got in levels.items():
+        direct = df.groupBy(
+            F.date_trunc(lvl, "ts").alias("bucket"), "k"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect())), lvl
+    # k=a: 3 events on Jan 1 + 1 on Jan 2 → day counts {3,1}, one
+    # January month row of 4.
+    assert {r["n"] for r in levels["day"].where(F.col("k") == "a").collect()} == {3, 1}
+    assert [r["n"] for r in levels["month"].where(F.col("k") == "a").collect()] == [4]
+    with pytest.raises(ValueError, match="non-decomposable"):
+        cascade_rollup(df, "ts", ["k"], {"a": ("avg", F.col("v"))})
+
+
 def _union_find(edges):
     """Ground-truth components: plain union-find, min id per set."""
     parent = {}

@@ -31,10 +31,10 @@ def test_sweep_window_covers_every_family():
 
 
 def test_sweep_window_diversity_picks_present():
-    # q24/q35 were the 8th/9th picks; pipe07 (CDC tie-break) and tj01
-    # (as-of join) displaced them — those relational/subquery rows were
-    # already driver-green in round 2, while the two new operator rows
-    # are round-3 deliverables that need their first green row.
+    # q24/q35/q31 were the trailing picks; pipe07 (CDC tie-break),
+    # tj01 (as-of join) and tj02 (cascade rollup) displaced them —
+    # those relational/subquery rows were already driver-green in
+    # round 2, while the new operator rows need their first green row.
     picks = {
         "q01_pricing_summary",
         "q02_top_revenue_orders",
@@ -42,7 +42,6 @@ def test_sweep_window_diversity_picks_present():
         "q37_full_outer_nations",
         "q40_null_safe_join",
         "q38_intersect_all_priorities",
-        "q31_two_phase_distinct",
     }
     assert picks <= set(WINDOW)
 
