@@ -54,6 +54,7 @@ HEADLINE = [
     "ss04_cosine_topk_blas",
     "pipe01_cdc_keep_latest",
     "tj01_asof_prev_click",
+    "tj02_cascade_rollup",
 ]
 
 

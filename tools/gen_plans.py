@@ -130,6 +130,16 @@ def main() -> None:
             ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
         ],
     )
+    section(
+        "tj02_cascade_rollup",
+        "continuous-aggregate cascade: raw scanned once, coarse levels "
+        "re-aggregate fine ones (chain of partial hash aggregates)",
+        [
+            ("Raw scans (want exactly one)", r"FileScan parquet[^\n]{0,60}"),
+            ("Aggregate chain", r"HashAggregate\(keys=\[[^\]]{0,70}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
+        ],
+    )
 
 
 if __name__ == "__main__":
