@@ -212,3 +212,75 @@ def test_interval_join_rejects_streaming_dim(spark, tmp_path):
         pass
     else:
         raise AssertionError("streaming dim must be rejected")
+
+
+def test_incremental_rollup_matches_batch_cascade(spark, tmp_path):
+    """Continuous-aggregate maintenance: drain a file stream in TWO
+    AvailableNow passes (second pass sees only the new file — the
+    checkpoint guarantees it), then the maintained hourly store and the
+    derived day level must equal the batch cascade over ALL data —
+    including cells both passes touched (merge, not append)."""
+    import pandas as pd
+
+    from datapipeline_template_spark.operators.rollup import cascade_rollup
+    from datapipeline_template_spark.streaming.rollup import IncrementalRollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    batch1 = [
+        Row(ts=base + dt.timedelta(minutes=m), key=k, value=float(v))
+        for m, k, v in [(0, "a", 1), (5, "a", 2), (65, "a", 4), (0, "b", 10)]
+    ]
+    # Batch 2 revisits hour 0 for both keys (merge path) and adds a new day.
+    batch2 = [
+        Row(ts=base + dt.timedelta(minutes=m), key=k, value=float(v))
+        for m, k, v in [(7, "a", 100), (1, "b", 3), (1500, "b", 8)]
+    ]
+
+    measures = {
+        "n": ("count", F.lit(1)),
+        "s": ("sum", F.col("value")),
+        "mn": ("min", F.col("value")),
+        "mx": ("max", F.col("value")),
+    }
+    roll = IncrementalRollup(store, "ts", ["key"], measures, level="hour")
+
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+    roll.run_available_now(spark.readStream.schema(SCHEMA).parquet(str(src)), ckpt)
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+    roll.run_available_now(spark.readStream.schema(SCHEMA).parquet(str(src)), ckpt)
+
+    all_rows = spark.createDataFrame(batch1 + batch2, SCHEMA)
+    expected = cascade_rollup(
+        all_rows, "ts", ["key"], measures, levels=("hour", "day")
+    )
+
+    got_hour = sorted(map(tuple, roll.read(spark).collect()))
+    want_hour = sorted(map(tuple, expected["hour"].collect()))
+    assert got_hour == want_hour
+
+    got_day = sorted(
+        map(tuple, roll.read_cascade(spark, ("hour", "day"))["day"].collect())
+    )
+    want_day = sorted(map(tuple, expected["day"].collect()))
+    assert got_day == want_day
+
+    # At-least-once safety: a replayed batch_id is skipped, not
+    # double-merged (the committed-batch marker pattern).
+    replay = spark.createDataFrame(batch2, SCHEMA)
+    roll.process_batch(replay, batch_id=99)  # new id: merges once
+    after_first = sorted(map(tuple, roll.read(spark).collect()))
+    assert after_first != got_hour
+    roll.process_batch(replay, batch_id=99)  # replayed id: no-op
+    assert sorted(map(tuple, roll.read(spark).collect())) == after_first
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="start at 'hour'"):
+        roll.read_cascade(spark, ("day", "month"))
+    with _pytest.raises(ValueError, match="non-decomposable"):
+        IncrementalRollup(store, "ts", ["key"], {"a": ("avg", F.col("value"))})
