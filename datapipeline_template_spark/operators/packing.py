@@ -1,0 +1,79 @@
+"""Training-layout operators: deterministic corpus shuffle, sharding,
+and token-budget sequence packing.
+
+The last step of every LLM data pipeline: documents leave the engine
+as N shards of fixed-token-budget training sequences in a pseudorandom
+but REPRODUCIBLE order. Three properties matter at 100 TB:
+
+- **Determinism.** The shuffle key is the engine-portable polynomial
+  hash (`functions.poly_hash`) of ``salt + ":" + id`` — re-running the
+  pipeline, recompacting inputs, or changing partitioning cannot change
+  the layout (unlike ``df.orderBy(rand(seed))``, whose sample depends
+  on partition boundaries). A new salt is a fresh epoch-level reshuffle.
+- **No global sort.** shard = hash % n_shards distributes documents
+  uniformly; ordering + packing happen per shard inside ONE window
+  (one hash shuffle, no range exchange, no driver involvement). Pick
+  n_shards so a shard's rows fit a partition's sort budget — at 100 TB
+  that's just a bigger n_shards, the plan is unchanged.
+- **Packing is a running sum**, not a bin-packing search: documents are
+  laid head-to-tail in shuffle order and a sequence boundary falls
+  every ``budget`` tokens. ``seq_in_shard`` is the sequence where the
+  document STARTS; ``offset_in_seq`` its start offset inside it —
+  exactly the contiguous-concat packing GPT-style training uses (docs
+  spill across sequence boundaries; the tokenizer consumer splits at
+  token granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import poly_hash
+
+__all__ = ["pack_sequences", "whitespace_token_count"]
+
+
+def whitespace_token_count(text_col: Column | str) -> Column:
+    """Whitespace token count, NULL-safe (NULL/empty text → 0)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.size(F.filter(F.split(c, " "), lambda t: t != F.lit("")))
+    return F.when(n > 0, n).otherwise(F.lit(0)).cast("long")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n_shards: int,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row a (shard, seq_in_shard, offset_in_seq) training
+    position. ``weight`` is the row's token (or char) count; ``budget``
+    the tokens per training sequence; ``salt`` the reshuffle epoch."""
+    if n_shards <= 0 or budget <= 0:
+        raise ValueError("n_shards and budget must be positive")
+    skey = poly_hash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_skey", id_col)  # id tiebreak: total order under collisions
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = weight.cast("long").alias("_tok")
+    out = (
+        df.select(F.col(id_col), skey.alias("_skey"), tok)
+        .withColumn("shard", (F.col("_skey") % n_shards).cast("int"))
+        .withColumn("_cum", F.sum("_tok").over(w))
+        .select(
+            id_col,
+            "shard",
+            # Integer DIV, not floor(double /): at 100 TB a shard's
+            # cumulative token count can pass 2^53, where double
+            # division silently loses exactness.
+            F.expr(f"(_cum - _tok) DIV {int(budget)}").alias("seq_in_shard"),
+            ((F.col("_cum") - F.col("_tok")) % budget).alias("offset_in_seq"),
+            F.col("_tok").alias("n_tokens"),
+        )
+    )
+    return out

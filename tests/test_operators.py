@@ -478,3 +478,64 @@ def test_connected_components_long_chain_raises_star_converges(spark):
         for r in connected_components_star(df, "id_a", "id_b", max_iter=12).collect()
     }
     assert got == {i: 0 for i in range(61)}
+
+
+def test_pack_sequences_invariants(spark):
+    """Training-layout packing: deterministic under repartitioning and
+    salt-stable; contiguous within shard (each row's offset = previous
+    row's offset+tokens mod budget, seq strictly non-decreasing);
+    different salts give different layouts; NULL/empty text weighs 0."""
+    from datapipeline_template_spark.operators.packing import (
+        pack_sequences,
+        whitespace_token_count,
+    )
+
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(200)]
+    rows += [(200, None), (201, ""), (202, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = pack_sequences(
+        df, "doc_id", whitespace_token_count("text"), n_shards=4, budget=10, salt="s1"
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 203
+    assert got[200]["n_tokens"] == 0 and got[201]["n_tokens"] == 0 and got[202]["n_tokens"] == 0
+
+    # Determinism under physical layout changes.
+    out2 = pack_sequences(
+        df.repartition(13), "doc_id", whitespace_token_count("text"),
+        n_shards=4, budget=10, salt="s1",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+    # A different salt reshuffles: some document changes position.
+    out3 = pack_sequences(
+        df, "doc_id", whitespace_token_count("text"), n_shards=4, budget=10, salt="s2"
+    )
+    assert sorted(map(tuple, out.collect())) != sorted(map(tuple, out3.collect()))
+
+    # Within every shard, replaying the TRUE shuffle order (the poly
+    # hash the operator sorts by) must reproduce (seq, offset) via the
+    # contiguous-concat rule.
+    from collections import defaultdict
+
+    from datapipeline_template_spark.functions import poly_hash
+
+    skey_rows = df.select(
+        "doc_id", poly_hash(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))).alias("k")
+    ).collect()
+    skey = {r["doc_id"]: r["k"] for r in skey_rows}
+    by_shard = defaultdict(list)
+    for r in out.collect():
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (skey[r["doc_id"]], r["doc_id"]))
+        cum = 0
+        for r in rs:
+            assert skey[r["doc_id"]] % 4 == shard
+            assert r["seq_in_shard"] == cum // 10, r
+            assert r["offset_in_seq"] == cum % 10, r
+            cum += r["n_tokens"]
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", whitespace_token_count("text"), 0, 10)

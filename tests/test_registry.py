@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import re
 
-from datapipeline_template_spark.queries import load_all
+from datapipeline_template_spark.queries import _OVERFLOW, load_all
 
 REGISTRY = load_all()
 NAMES = list(REGISTRY)
@@ -22,12 +22,19 @@ def test_registry_size_stable():
 
 
 def test_sweep_window_covers_every_family():
-    """All extension-family and window queries land inside the first 50."""
-    outside = [n for n in NAMES[50:] if _family(n) != "q"]
+    """All extension-family and window queries land inside the first 50
+    (explicitly-overflowed names excepted — the window is full)."""
+    outside = [n for n in NAMES[50:] if _family(n) != "q" and n not in _OVERFLOW]
     assert outside == [], f"extension queries outside sweep window: {outside}"
     assert {_family(n) for n in WINDOW} == {
         "pipe", "dd", "ss", "tx", "st", "mm", "tj", "w", "q",
     }
+
+
+def test_overflow_names_registered_last():
+    for n in _OVERFLOW:
+        assert n in REGISTRY
+    assert NAMES[-len(_OVERFLOW):] == list(_OVERFLOW)
 
 
 def test_sweep_window_diversity_picks_present():

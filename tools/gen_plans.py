@@ -131,6 +131,15 @@ def main() -> None:
         ],
     )
     section(
+        "pk01_sequence_packing",
+        "training layout: ONE hash exchange on shard, per-shard window, "
+        "no global sort",
+        [
+            ("Exchanges", r"Exchange (?:hash|range)partitioning\([^)]{0,50}"),
+            ("Window", r"Window \[[^\]]{0,70}"),
+        ],
+    )
+    section(
         "tj02_cascade_rollup",
         "continuous-aggregate cascade: raw scanned once, coarse levels "
         "re-aggregate fine ones (chain of partial hash aggregates)",
