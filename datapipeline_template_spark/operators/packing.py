@@ -29,9 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import poly_hash
+from ..functions import POLY_P, poly_hash
+from .sampling import sample_hash_bucket
 
-__all__ = ["pack_sequences", "whitespace_token_count"]
+__all__ = ["pack_sequences", "whitespace_token_count", "mix_sources"]
 
 
 def whitespace_token_count(text_col: Column | str) -> Column:
@@ -77,3 +78,48 @@ def pack_sequences(
         )
     )
     return out
+
+
+def mix_sources(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Dataset mixing by epoch weights — the LLaMA-style data schedule
+    where source s is seen ``epochs[s]`` times per training pass
+    (2.5 = two full repeats plus a deterministic 50% subset; 0.4 = a
+    40% subset; 0 = source excluded).
+
+    Each kept copy carries an ``epoch`` tag (0-based) so downstream
+    packing can interleave repeats. The fractional epoch's membership
+    uses the same stable key-hash as ``deterministic_sample`` —
+    reproducible across runs, partitionings, and engines, and the
+    whole operator is a generator + scalar filter: no shuffle, no RNG
+    state, flatMap-shaped at 100 TB (output ≈ Σ epochs·|stratum|).
+    """
+    expr = None
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"negative epochs for stratum {s!r}")
+        cond = F.col(stratum_col) == F.lit(s)
+        expr = F.when(cond, F.lit(float(e))) if expr is None else expr.when(cond, F.lit(float(e)))
+    e_col = (
+        expr.otherwise(F.lit(float(default_epochs)))
+        if expr is not None
+        else F.lit(float(default_epochs))
+    )
+    # floor() on BOTH the repeat count and the fractional threshold:
+    # double->long CAST truncates in Spark but rounds in DuckDB, so the
+    # oracle would diverge on exactly-half thresholds without it.
+    k = F.floor(e_col).cast("long")
+    frac_thresh = F.floor((e_col - F.floor(e_col)) * F.lit(POLY_P)).cast("long")
+    bucket = sample_hash_bucket(key_col)
+    return (
+        df.withColumn("_k", k)
+        .withColumn("_ft", frac_thresh)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_k"))))
+        .where((F.col("epoch") < F.col("_k")) | (bucket < F.col("_ft")))
+        .drop("_k", "_ft")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
-from ..operators.packing import pack_sequences, whitespace_token_count
+from ..operators.packing import mix_sources, pack_sequences, whitespace_token_count
 from . import register
 
 _PK01_ORACLE = """
@@ -41,6 +41,43 @@ SELECT doc_id, shard,
        tok AS n_tokens
 FROM packed
 """
+
+
+_PK02_ORACLE = """
+WITH weighted AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5
+                     WHEN 'src1' THEN 0.4
+                     WHEN 'src2' THEN 0.0
+                     ELSE 1.0 END AS e,
+         (doc_id * 2654435761) % 1000000007 AS bucket
+  FROM documents
+), expanded AS (
+  SELECT w.doc_id, w.source, w.bucket,
+         CAST(FLOOR(w.e) AS BIGINT) AS k,
+         CAST(FLOOR((w.e - FLOOR(w.e)) * 1000000007) AS BIGINT) AS ft,
+         t.epoch
+  FROM weighted w, UNNEST(range(0, CAST(FLOOR(w.e) AS BIGINT) + 1)) AS t(epoch)
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM expanded
+WHERE epoch < k OR bucket < ft
+"""
+
+
+@register("pk02_source_mixing", oracle=_PK02_ORACLE)
+def pk02_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted dataset mixing: src0 seen 2.5×, src1 downsampled
+    to 40%, src2 excluded, everything else 1× — every kept copy tagged
+    with its epoch, membership by the stable key hash (no RNG)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_sources(
+        docs,
+        key_col="doc_id",
+        stratum_col="source",
+        epochs={"src0": 2.5, "src1": 0.4, "src2": 0.0},
+        default_epochs=1.0,
+    )
 
 
 @register("pk01_sequence_packing", oracle=_PK01_ORACLE)

@@ -539,3 +539,39 @@ def test_pack_sequences_invariants(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", whitespace_token_count("text"), 0, 10)
+
+
+def test_mix_sources_epoch_weights(spark):
+    """Epoch-weighted mixing: integer part = full repeats, fractional
+    part = deterministic hash subset, 0 excludes, default applies to
+    unlisted strata; stable under repartitioning."""
+    from datapipeline_template_spark.functions import POLY_P
+    from datapipeline_template_spark.operators.packing import mix_sources
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mix_sources(
+        df, "doc_id", "src", {"s0": 3.0, "s1": 0.5, "s2": 0.0}, default_epochs=1.0
+    )
+    got = out.groupBy("src").count().collect()
+    by_src = {r["src"]: r["count"] for r in got}
+    assert by_src["s0"] == 300  # 3 full epochs x 100 docs
+    assert "s2" not in by_src  # excluded
+    assert by_src["s3"] == 100  # default 1.0
+    assert 20 <= by_src["s1"] <= 80  # ~50% hash subset
+    # Fractional membership is exactly the documented predicate.
+    kept_s1 = {r["doc_id"] for r in out.where(F.col("src") == "s1").collect()}
+    expect_s1 = {
+        i for i in range(1, 400, 4) if (i * 2_654_435_761) % POLY_P < POLY_P // 2
+    }
+    assert kept_s1 == expect_s1
+    # Epoch tags: s0 docs carry epochs {0,1,2}.
+    eps = {r["epoch"] for r in out.where(F.col("src") == "s0").collect()}
+    assert eps == {0, 1, 2}
+    # Deterministic under physical layout.
+    out2 = mix_sources(
+        df.repartition(7), "doc_id", "src", {"s0": 3.0, "s1": 0.5, "s2": 0.0}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    with pytest.raises(ValueError, match="negative"):
+        mix_sources(df, "doc_id", "src", {"s0": -1.0})
