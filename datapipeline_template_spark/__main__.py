@@ -61,7 +61,39 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registered queries")
 
+    sn = sub.add_parser("snapshot", help="inspect/maintain a snapshot table")
+    sn.add_argument("action", choices=["history", "read", "optimize", "vacuum"])
+    sn.add_argument("path", help="snapshot table root directory")
+    sn.add_argument("--version", type=int, default=None, help="time travel (read)")
+    sn.add_argument("--retention", default="interval 14 days", help="vacuum window")
+    sn.add_argument("--target-file-mb", type=int, default=128, help="optimize size")
+    sn.add_argument("--limit", type=int, default=20, help="rows to show (read)")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "snapshot":
+        from .plans.snapshots import SnapshotTable
+
+        spark = get_spark(app_name="datapipeline_template_spark")
+        spark.sparkContext.setLogLevel("ERROR")
+        tbl = SnapshotTable(spark, args.path)
+        if args.action == "history":
+            for h in tbl.history():
+                print(
+                    f"v{h['version']:>4}  {h['operation']:<10} "
+                    f"+{h['num_added']} -{h['num_removed']}  ts={h['timestamp_ms']}"
+                )
+        elif args.action == "read":
+            df = tbl.read(version=args.version)
+            df.show(args.limit, truncate=40)
+            print(f"({df.count()} rows total)")
+        elif args.action == "optimize":
+            v = tbl.optimize(target_file_bytes=args.target_file_mb * 1024 * 1024)
+            print(f"optimized -> version {v}" if v is not None else "nothing to compact")
+        else:
+            deleted = tbl.vacuum(args.retention)
+            print(f"vacuumed {len(deleted)} file(s)")
+        return 0
 
     if args.cmd in ("query", "explain", "list"):
         from .queries import load_all

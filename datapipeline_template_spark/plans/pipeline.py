@@ -57,6 +57,7 @@ class Pipeline:
         streaming: bool = True,
         silver_mode: str = "full",
         n_buckets: int = 64,
+        snapshot_root: str | None = None,
     ) -> None:
         if silver_mode not in ("full", "incremental"):
             raise ValueError(f"silver_mode must be 'full' or 'incremental', got {silver_mode!r}")
@@ -72,6 +73,16 @@ class Pipeline:
         self.checkpoint_root = checkpoint_root or os.path.join(
             params.source_location, "_checkpoints"
         )
+        # Optional Delta-runtime parity (reference: every table is a
+        # versioned Delta table with retention-gated VACUUM,
+        # `databricks.yml:19-21`): when set, each full silver run ALSO
+        # commits its result to a snapshot table under
+        # `{snapshot_root}/{entity}`, giving run-over-run time travel,
+        # history, and retention VACUUM. Local-mode trade: the data is
+        # written twice (catalog table + snapshot); at cluster scale
+        # the snapshot would be the primary and the catalog table a
+        # pointer to its current version.
+        self.snapshot_root = snapshot_root
 
     # -- naming (reference: bronze_{entity} / silver_{entity}) -----------
     def bronze_table(self, entity: str) -> str:
@@ -191,6 +202,32 @@ class Pipeline:
         }
         kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
         self.spark.sql(f"ALTER TABLE {fqn} SET TBLPROPERTIES ({kv})")
+        if self.snapshot_root:
+            self.silver_snapshot(entity.name).write(
+                self.spark.read.table(fqn), mode="overwrite"
+            )
+
+    # -- snapshot history (Delta-runtime parity) ----------------------------
+    def silver_snapshot(self, entity: str):
+        """The versioned snapshot table tracking this entity's silver
+        runs (only with ``snapshot_root`` set)."""
+        if not self.snapshot_root:
+            raise ValueError("Pipeline was built without snapshot_root")
+        from .snapshots import SnapshotTable
+
+        return SnapshotTable(self.spark, os.path.join(self.snapshot_root, entity))
+
+    def silver_as_of(self, entity: str, version: int) -> DataFrame:
+        """Time travel: the silver contents as committed by run ``version``."""
+        return self.silver_snapshot(entity).read(version=version)
+
+    def vacuum_silver_history(self, entity: str, now_ms: int | None = None) -> list[str]:
+        """Retention-gated VACUUM over the entity's silver history using
+        the configured ``deleted_file_retention_duration`` — the
+        reference's `delta.deletedFileRetentionDuration` behavior."""
+        return self.silver_snapshot(entity).vacuum(
+            self.params.deleted_file_retention_duration, now_ms=now_ms
+        )
 
     # -- views --------------------------------------------------------------
     def build_views(self) -> list[str]:

@@ -360,3 +360,43 @@ def test_multi_entity_pipeline(spark, tmp_path):
     assert len(users) == 1 and users[0]["platform"] == "y"  # latest wins
     items = spark.read.table("m_silver.silver_items").collect()
     assert len(items) == 1 and items[0]["id"] == 9
+
+
+def test_silver_snapshot_history_time_travel_and_vacuum(spark, pipeline_env, tmp_path):
+    """Delta-runtime parity E2E: with snapshot_root set, every full
+    silver run commits a version — run 2 can time-travel to run 1's
+    contents, history lists both runs, and VACUUM with the configured
+    retention ('interval 14 days') deletes run-1 files only once the
+    window has elapsed."""
+    params, entity, entity_dir, _ = pipeline_env
+    snap_root = str(tmp_path / "snaps")
+
+    _write_batch(spark, entity_dir, _fixture_rows_v1())
+    pipe = Pipeline(spark, params, [entity], streaming=False, snapshot_root=snap_root)
+    pipe.run()
+    run1 = {r["id"]: r["downloads"] for r in pipe.silver_as_of("app_downloads", 0).collect()}
+    # v1 only: id=1 original value, id=2 not yet deleted, 4/5 dropped.
+    assert run1 == {1: 5, 2: 7, 3: 1}
+
+    _write_batch(spark, entity_dir, _fixture_rows_v2())
+    pipe.run()
+    snap = pipe.silver_snapshot("app_downloads")
+    assert snap.latest_version() == 1
+    # Current = run 2's silver; version 0 still = run 1's.
+    cur = {r["id"]: r["downloads"] for r in snap.read().collect()}
+    assert cur == {1: 50, 3: 1, 6: 9}
+    assert {r["id"]: r["downloads"] for r in snap.read(version=0).collect()} == run1
+    assert [h["version"] for h in snap.history()] == [1, 0]
+
+    # Inside the 14-day retention: nothing vacuumed.
+    assert pipe.vacuum_silver_history("app_downloads") == []
+    assert snap.read(version=0).count() == 3
+    # 15 days later: run-1 files go; current version intact.
+    now = snap._read_manifest(1)["timestamp_ms"] + 15 * 86400 * 1000
+    deleted = pipe.vacuum_silver_history("app_downloads", now_ms=now)
+    assert deleted
+    assert {r["id"] for r in snap.read().collect()} == {1, 3, 6}
+    with pytest.raises(FileNotFoundError):
+        snap.read(version=0)
+    with pytest.raises(ValueError, match="snapshot_root"):
+        Pipeline(spark, params, [entity], streaming=False).silver_snapshot("app_downloads")

@@ -91,3 +91,24 @@ def test_bench_headline_names_all_registered():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"headline queries missing from registry: {missing}"
+
+
+def test_pk01_single_exchange_no_global_sort(spark):
+    """Sequence packing must stay the one-shuffle shape: a single hash
+    exchange on shard feeding the per-shard window — no global sort
+    (rangepartitioning) and no join anywhere."""
+    plan = _plan(spark, "pk01_sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_tj02_cascade_scans_raw_once(spark):
+    """The rollup cascade's month level must read raw exactly once and
+    re-aggregate through the chain — three partial hash aggregates, one
+    file scan."""
+    plan = _plan(spark, "tj02_cascade_rollup")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("partial_") >= 1
+    assert plan.count("HashAggregate") >= 6  # 3 levels x (partial+final)
