@@ -55,6 +55,7 @@ HEADLINE = [
     "pipe01_cdc_keep_latest",
     "tj01_asof_prev_click",
     "tj02_cascade_rollup",
+    "pk01_sequence_packing",
 ]
 
 

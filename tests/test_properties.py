@@ -165,3 +165,59 @@ def test_minhash_kernel_drops_null_text_like_catalyst(spark):
     knl = minhash_signatures_kernel(df, "doc_id", "text").collect()
     assert sorted(r[0] for r in knl) == [0, 2]
     assert sorted((r[0], tuple(r[1])) for r in jvm) == sorted((r[0], tuple(r[1])) for r in knl)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-table log replay vs a pure-python model: any interleaving of
+# append/overwrite/optimize must leave every version's visible rows
+# equal to the model's, and vacuum must only break pre-tombstone reads.
+# ---------------------------------------------------------------------------
+
+snapshot_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "overwrite", "optimize"]),
+        st.integers(min_value=1, max_value=5),  # rows in this write
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=snapshot_ops)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_log_replay_matches_model(spark, ops):
+    import shutil
+    import tempfile
+
+    from datapipeline_template_spark.plans.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="snapprop-")
+    try:
+        t = SnapshotTable(spark, root, checkpoint_interval=2)
+        model: list[set[int]] = []  # per committed version: visible ids
+        next_id = 0
+        for kind, n in ops:
+            if kind == "optimize":
+                if not model:
+                    continue
+                v = t.optimize(target_file_bytes=512 * 1024 * 1024)
+                if v is not None:
+                    model.append(model[-1])
+                continue
+            ids = set(range(next_id, next_id + n))
+            next_id += n
+            df = spark.createDataFrame([(i,) for i in sorted(ids)], "x long").coalesce(1)
+            t.write(df, mode=kind if kind == "overwrite" else "append")
+            model.append(ids | (model[-1] if (model and kind == "append") else set()))
+        if not model:
+            return
+        for v, want in enumerate(model):
+            got = {r["x"] for r in t.read(version=v).collect()}
+            assert got == want, f"version {v}"
+        # Vacuum far in the future: the CURRENT version always survives.
+        t.vacuum("interval 1 second",
+                 now_ms=t._read_manifest(t.latest_version())["timestamp_ms"] + 10**10)
+        assert {r["x"] for r in t.read().collect()} == model[-1]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
