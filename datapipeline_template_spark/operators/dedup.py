@@ -47,6 +47,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash64",
     "ngram_jaccard_pairs",
+    "decontaminate_flags",
     "connected_components",
     "connected_components_star",
 ]
@@ -444,6 +445,39 @@ def ngram_jaccard_pairs(
             jac.alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def decontaminate_flags(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    shingles_col: str,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY
+    shingle with the evaluation set, with the count of distinct shared
+    shingles — the overlap check run before training so eval data
+    cannot leak into the corpus (the n-gram method of GPT-3 appendix C
+    / The Pile; k is fixed by the shingle column the caller built).
+
+    Scale shape: the eval side collapses to its DISTINCT shingle
+    hashes — benchmarks are tiny relative to a 100 TB corpus, so that
+    set broadcasts and the corpus side is a map-only explode + hash
+    probe; the only shuffle is the final per-doc count. Never all-pairs
+    (contrast `ngram_jaccard_pairs`, which answers the pairwise
+    question).
+    """
+    ev = (
+        eval_set.select(F.explode(F.array_distinct(F.col(shingles_col))).alias("_g"))
+        .distinct()
+    )
+    ce = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(shingles_col))).alias("_g")
+    )
+    return (
+        ce.join(F.broadcast(ev), "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").alias("n_shared"))
     )
 
 

@@ -288,3 +288,46 @@ def dd06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd07 — benchmark decontamination (eval-overlap flags). Registered in
+# the registry OVERFLOW section (the 50-entry sweep window is full).
+# ---------------------------------------------------------------------------
+
+_DD07_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, source, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), ev AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest(shingles) AS g FROM sh WHERE source = 'src0')
+), ce AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh WHERE source <> 'src0'
+)
+SELECT ce.doc_id, CAST(COUNT(DISTINCT ce.g) AS BIGINT) AS n_shared
+FROM ce JOIN ev ON ce.g = ev.g
+GROUP BY ce.doc_id
+"""
+
+
+@register("dd07_decontamination", oracle=_DD07_ORACLE)
+def dd07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage check: treating source='src0' as the held-out
+    benchmark, flag every other document sharing at least one 3-gram
+    shingle with it (n_shared = distinct shared shingles). Eval
+    shingles broadcast; the corpus is map-only until the per-doc
+    count."""
+    from ..operators.dedup import decontaminate_flags
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", shingle_tokens(tokenize("text"), k=3).alias("sh")
+    )
+    return decontaminate_flags(
+        sh.where(F.col("source") != "src0"),
+        sh.where(F.col("source") == "src0"),
+        "doc_id",
+        "sh",
+    )

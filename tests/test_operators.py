@@ -575,3 +575,33 @@ def test_mix_sources_epoch_weights(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
     with pytest.raises(ValueError, match="negative"):
         mix_sources(df, "doc_id", "src", {"s0": -1.0})
+
+
+def test_decontaminate_flags_overlap_semantics(spark):
+    """A corpus doc is flagged iff it shares ≥1 shingle with the eval
+    set; n_shared counts DISTINCT shared shingles; clean docs absent."""
+    from datapipeline_template_spark.operators.dedup import (
+        decontaminate_flags,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    ).select("doc_id", shingle_tokens(tokenize("text"), k=3).alias("sh"))
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares several 3-grams
+            (2, "a quick brown fox appears"),       # shares exactly one
+            (3, "completely unrelated words here"),  # clean
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", shingle_tokens(tokenize("text"), k=3).alias("sh"))
+
+    got = {r["doc_id"]: r["n_shared"] for r in
+           decontaminate_flags(corpus, eval_df, "doc_id", "sh").collect()}
+    assert 3 not in got
+    # doc1: 'the quick brown','quick brown fox','brown fox jumps' = 3
+    assert got[1] == 3
+    # doc2: only 'quick brown fox'
+    assert got[2] == 1
