@@ -67,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--version", type=int, default=None, help="time travel (read)")
     sn.add_argument("--retention", default="interval 14 days", help="vacuum window")
     sn.add_argument("--target-file-mb", type=int, default=128, help="optimize size")
+    sn.add_argument("--zorder-by", default=None,
+                    help="comma-separated columns: OPTIMIZE ZORDER BY analog")
     sn.add_argument("--limit", type=int, default=20, help="rows to show (read)")
 
     args = parser.parse_args(argv)
@@ -88,7 +90,10 @@ def main(argv: list[str] | None = None) -> int:
             df.show(args.limit, truncate=40)
             print(f"({df.count()} rows total)")
         elif args.action == "optimize":
-            v = tbl.optimize(target_file_bytes=args.target_file_mb * 1024 * 1024)
+            v = tbl.optimize(
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            )
             print(f"optimized -> version {v}" if v is not None else "nothing to compact")
         else:
             deleted = tbl.vacuum(args.retention)

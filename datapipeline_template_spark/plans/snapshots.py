@@ -264,32 +264,54 @@ class SnapshotTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024, min_files: int = 2) -> int | None:
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        zorder_by: list[str] | None = None,
+    ) -> int | None:
         """Bin-pack small files into ~target-size files (OPTIMIZE /
         autoCompact analog). Only files below target size are rewritten;
         already-right-sized files are left untouched, so repeated
         OPTIMIZE is idempotent and the rewrite cost is proportional to
         the small-file backlog, not the table. Returns the new version,
-        or None if there was nothing to compact."""
+        or None if there was nothing to compact.
+
+        ``zorder_by`` is the OPTIMIZE ZORDER BY analog: the rewritten
+        rows are Morton-clustered (`operators.layout.zorder_for_layout`)
+        so every output file covers a small hyper-rectangle of the
+        named columns and parquet footer min/max prune on ANY of them.
+        With ``zorder_by``, ALL live files are rewritten (reclustering
+        is global by definition), so it is not idempotent-cheap — run
+        it on the maintenance cadence, not per commit."""
         cur_version = self.latest_version()
         state = self._state_at(cur_version)
-        small = [
-            f for f in state["files"]
-            if os.path.getsize(os.path.join(self.path, f)) < target_file_bytes
-        ]
-        if len(small) < min_files:
+        if zorder_by:
+            rewrite = list(state["files"])
+        else:
+            rewrite = [
+                f for f in state["files"]
+                if os.path.getsize(os.path.join(self.path, f)) < target_file_bytes
+            ]
+        if len(rewrite) < min_files:
             return None
-        total = sum(os.path.getsize(os.path.join(self.path, f)) for f in small)
+        total = sum(os.path.getsize(os.path.join(self.path, f)) for f in rewrite)
         n_out = max(1, round(total / target_file_bytes) or 1)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(state["schema"]))
         df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, f) for f in small]
+            *[os.path.join(self.path, f) for f in rewrite]
         )
-        files, _ = self._write_files(df.coalesce(n_out))
+        if zorder_by:
+            from ..operators.layout import zorder_for_layout
+
+            out = zorder_for_layout(df, zorder_by, num_files=n_out)
+        else:
+            out = df.coalesce(n_out)
+        files, _ = self._write_files(out)
         return self._commit(
-            {"operation": "optimize", "add": files, "remove": small, "schema": None},
+            {"operation": "optimize", "add": files, "remove": rewrite, "schema": None},
             version=cur_version + 1,
         )
 

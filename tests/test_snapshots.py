@@ -190,3 +190,46 @@ def test_empty_overwrite_and_empty_read(spark, tmp_path):
     assert t.read().count() == 0
     assert set(t.read().columns) == {"id", "v"}
     assert t.read(version=0).count() == 3
+
+
+def test_optimize_zorder_reclusters_all_files(spark, tmp_path):
+    """OPTIMIZE ZORDER BY analog: rewrites ALL live files Morton-
+    clustered — rows preserved exactly, several output files, and the
+    per-file span of the SECOND z-column visibly tighter than the
+    unclustered layout's."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # Appends land rows in insertion order — no clustering at all.
+    for i in range(4):
+        t.write(
+            spark.range(i * 2000, (i + 1) * 2000)
+            .withColumn("a", (F.col("id") * 37) % 500)
+            .withColumn("b", (F.col("id") * 91) % 500)
+            .repartition(3),
+            mode="append",
+        )
+    rows_before = sorted(map(tuple, t.read().collect()))
+    files_before = t._state_at(t.latest_version())["files"]
+
+    v = t.optimize(target_file_bytes=40_000, zorder_by=["a", "b"])
+    assert v == t.latest_version()
+    state = t._state_at(v)
+    assert set(state["files"]).isdisjoint(files_before)  # global rewrite
+    assert len(state["files"]) >= 2
+    assert sorted(map(tuple, t.read().collect())) == rows_before
+
+    def avg_span(paths, col):
+        import statistics
+
+        spans = []
+        for p in paths:
+            agg = spark.read.parquet(p).agg(
+                (F.max(col) - F.min(col)).alias("s")
+            ).collect()[0]["s"]
+            spans.append(float(agg))
+        return statistics.mean(spans)
+
+    new_paths = [str(tmp_path / "t" / f) for f in state["files"]]
+    old_paths = [str(tmp_path / "t" / f) for f in files_before]
+    # b cycles through its domain within every append file (span ~500);
+    # after z-ordering each file covers a narrow b-rectangle.
+    assert avg_span(new_paths, "b") < 0.7 * avg_span(old_paths, "b")
