@@ -378,3 +378,69 @@ def tx10_stopword_punct_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_p").cast("double") / F.sum("_c")).alias("punct_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tx11 — within-document repetition ratio (Gopher repetition signal).
+# OVERFLOW-registered: the 50-entry sweep window is full.
+# ---------------------------------------------------------------------------
+
+_TX11_ORACLE = """
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(string_split(text,' '),
+           t -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, x) -> (acc * 131 + x) % 1000000007)) AS th
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         CAST(greatest(len(th) - 1, 0) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(
+           list_transform(range(1, greatest(len(th) - 1, 0) + 1),
+                          i -> (th[i] * 131 + th[i+1]) % 1000000007))) AS BIGINT)
+           AS n_distinct
+  FROM tk
+)
+SELECT doc_id, n_bigrams, n_distinct,
+       CASE WHEN n_bigrams > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS dup_ratio
+FROM bi
+"""
+
+
+@register("tx11_repetition_ratio", oracle=_TX11_ORACLE)
+def tx11_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetitive-text signal: the fraction of duplicated
+    token bigrams within each document (1 - distinct/total). Degenerate
+    generated text scores high and gets filtered before training. Pure
+    per-row expression — map-only at any scale; exact-int counts, one
+    final double division for engine parity."""
+    from ..functions import POLY_BASE, POLY_P, token_poly_hash
+    from ..operators.text import tokenize
+
+    th = token_poly_hash(tokenize("text"))
+    n = F.size(th)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: (F.element_at(th, i) * F.lit(POLY_BASE) + F.element_at(th, i + 1))
+            % F.lit(POLY_P),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    docs = table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.greatest(n - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct"),
+    )
+    return out.withColumn(
+        "dup_ratio",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_bigrams").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )

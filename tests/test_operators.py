@@ -605,3 +605,30 @@ def test_decontaminate_flags_overlap_semantics(spark):
     assert got[1] == 3
     # doc2: only 'quick brown fox'
     assert got[2] == 1
+
+
+def test_repetition_ratio_degenerate_docs(spark, tmp_path):
+    """tx11 semantics on controlled docs: pure repetition → ratio → 1,
+    all-distinct → 0, short docs (0/1 token) → 0 with 0 bigrams."""
+    import os
+
+    from datapipeline_template_spark.queries import load_all
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam " * 50 + "spam", "en", "s", 1),   # one bigram repeated
+            (1, " ".join(f"w{i}" for i in range(20)), "en", "s", 1),  # all distinct
+            (2, "single", "en", "s", 1),
+            (3, "", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           load_all()["tx11_repetition_ratio"].fn(spark, d).collect()}
+    assert out[0]["n_distinct"] == 1 and out[0]["dup_ratio"] > 0.97
+    assert out[1]["dup_ratio"] == 0.0 and out[1]["n_distinct"] == 19
+    assert out[2]["n_bigrams"] == 0 and out[2]["dup_ratio"] == 0.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["dup_ratio"] == 0.0
