@@ -965,3 +965,43 @@ def q40_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("seg", "seg_b")
     )
     return a.join(b, a.seg.eqNullSafe(F.col("seg_b"))).select("seg", "cnt_all", "cnt_high")
+
+
+# ---------------------------------------------------------------------------
+# q41 — VariantType semi-structured path (parse_json / variant_get)
+# ---------------------------------------------------------------------------
+
+_Q41_ORACLE = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+         AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type, k_bucket
+"""
+
+
+@register("q41_variant_json", oracle=_Q41_ORACLE)
+def q41_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: `parse_json` shreds the props string into a
+    binary variant ONCE per row; `variant_get` then does typed path
+    extraction without re-parsing — at 100 TB the parse cost is paid
+    one time per ingested row instead of once per accessed field
+    (unlike q12's regexp or repeated get_json_object calls). Grouped by
+    (event_type, k//10) bucket; exact-int aggregates for oracle parity."""
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy(
+            "event_type",
+            F.floor(F.col("_k") / 10).cast("long").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
