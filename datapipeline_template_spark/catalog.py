@@ -38,10 +38,18 @@ def default_sf_dir() -> str:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame (plain parquet scan).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which vanilla Spark
-    rejects; we read nanos as int64 (legacy conf) and truncate to
-    microseconds with exact integer division — same ns→µs truncation
-    DuckDB applies, and no double-rounding (ns values exceed 2^53).
+    ``events.ts`` is physically TIMESTAMP(NANOS). How Spark surfaces it
+    depends on the version, so we branch on the ACTUAL dtype rather than
+    a version string or a conf:
+
+    - Spark 3.x honors ``spark.sql.legacy.parquet.nanosAsLong`` → ``ts``
+      arrives as ``LongType`` nanos; truncate to micros with exact
+      integer division (no double rounding — ns values exceed 2^53).
+    - Spark 4.x ignores that conf and reads nanos natively as
+      ``TIMESTAMP_NTZ``, already truncated to micros with values
+      byte-identical to DuckDB's ns→µs truncation; cast to session-tz
+      timestamp (wall-clock identity under the pinned UTC tz).
+    - A plain ``TimestampType`` passes through untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -52,15 +60,43 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        # Keep setting the legacy conf: on Spark 3 it is what makes the
+        # nanos file readable at all; on Spark 4 it is a no-op.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every catalog table as a temp view for spark.sql use."""
-    for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register catalog tables as temp views for spark.sql use.
+
+    ``only`` restricts registration to the tables a query actually
+    references. Without it, a per-table failure is downgraded to a loud
+    warning so one unreadable table cannot poison unrelated queries
+    (round-3 lesson: a broken ``events`` read killed a GROUPING SETS
+    query over ``orders``).
+    """
+    names = TABLES if only is None else only
+    for name in names:
+        try:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception as exc:  # noqa: BLE001 - isolate per-table failures
+            if only is not None:
+                raise
+            import sys
+
+            print(
+                f"register_views: skipping table {name!r}: {exc}",
+                file=sys.stderr,
+            )

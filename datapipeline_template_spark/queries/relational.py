@@ -629,7 +629,7 @@ def q21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered views — the engine's SQL entry point (every other query
     uses the DataFrame API; both front ends share Catalyst). The
     oracle is the IDENTICAL SQL string, which DuckDB also accepts."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(_Q21_SQL)
 
 

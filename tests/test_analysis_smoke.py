@@ -1,0 +1,26 @@
+"""Registry-wide ANALYSIS smoke test.
+
+Round-3 lesson: the sandbox moved from Spark 3 to Spark 4 between
+rounds and a single events-read shim that no longer analyzed took out
+19 of 91 queries, 25 tests, and the whole bench — and the first signal
+was a crashed bench JSON, not a named test. This test touches
+``.schema`` (analysis only, no execution) for EVERY registry entry in
+one pass, so the next environment shift surfaces as one red test
+naming every affected query in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_template_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_analyzes(spark, sf_dir, name):
+    # .schema forces Catalyst analysis (column resolution, type checks)
+    # without triggering a job — fast enough to cover the full registry.
+    schema = REGISTRY[name].fn(spark, sf_dir).schema
+    assert len(schema.fields) > 0, f"{name}: empty schema"

@@ -94,10 +94,12 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 
 def test_contract_runs_in_vanilla_driver_session(tmp_path):
     """The round driver builds its OWN SparkSession (none of our
-    DEFAULT_CONFS). catalog.table defensively pins the confs
-    correctness depends on (UTC, nanosAsLong) — prove the contract
-    holds in a bare session, including the TIMESTAMP_NANOS events
-    path and an Arrow mapInPandas kernel."""
+    DEFAULT_CONFS). catalog.table defensively pins UTC and branches on
+    the ACTUAL dtype of events.ts (Spark 3 legacy-conf long nanos vs
+    Spark 4 native TIMESTAMP_NTZ) — prove the contract holds in a bare
+    session, in a session with the legacy conf pre-set (a no-op on
+    Spark 4), including the TIMESTAMP_NANOS events path and an Arrow
+    mapInPandas kernel."""
     import os
     import subprocess
     import sys
@@ -107,9 +109,17 @@ def test_contract_runs_in_vanilla_driver_session(tmp_path):
     script = (
         "from pyspark.sql import SparkSession\n"
         "spark = (SparkSession.builder.master('local[4]')"
-        ".config('spark.sql.shuffle.partitions','8').getOrCreate())\n"
+        ".config('spark.sql.shuffle.partitions','8')"
+        # Pre-set the Spark-3 legacy conf: on Spark 4 it is ignored and
+        # must not change the dtype branch catalog.table picks.
+        ".config('spark.sql.legacy.parquet.nanosAsLong','true')"
+        ".getOrCreate())\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "import __spark_entry__ as m\n"
+        "from datapipeline_template_spark.catalog import table\n"
+        "ts_type = table(spark, '/root/testdata/sf0.001', 'events')"
+        ".schema['ts'].dataType.typeName()\n"
+        "assert ts_type == 'timestamp', ts_type\n"
         "assert len(m.entry(spark).collect()) > 0\n"
         "qs = m.queries()\n"
         "for n in ('st01_tumbling_counts','dd05_minhash_lsh_kernel'):\n"
