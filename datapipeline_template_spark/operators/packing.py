@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from ..functions import POLY_P, poly_hash
 from .sampling import sample_hash_bucket
 
-__all__ = ["pack_sequences", "whitespace_token_count", "mix_sources"]
+__all__ = [
+    "pack_sequences",
+    "whitespace_token_count",
+    "mix_sources",
+    "train_split",
+    "length_bucket",
+]
 
 
 def whitespace_token_count(text_col: Column | str) -> Column:
@@ -78,6 +84,62 @@ def pack_sequences(
         )
     )
     return out
+
+
+def train_split(key: Column | str, fractions: dict[str, float]) -> Column:
+    """Deterministic train/val/test assignment from a stable key hash.
+
+    The held-out split is THE thing a training pipeline must never
+    recompute differently: a seed-based ``randomSplit`` changes
+    membership when the corpus is recompacted or repartitioned, which
+    silently leaks eval docs into training. Here membership is a pure
+    function of the row's key — `sample_hash_bucket` (Knuth
+    multiplicative mod the poly prime), split by cumulative integer
+    thresholds — so the same doc lands in the same split across runs,
+    partitionings, and engines (oracle-replayable in plain SQL).
+
+    ``fractions`` maps split name -> fraction; they must sum to ~1.
+    Scalar CASE expression: no shuffle, pushdown-friendly.
+    """
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = sample_hash_bucket(key)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        # Thresholds are computed driver-side and inlined as int64
+        # literals, so both engines compare against the identical
+        # constant — no in-engine float->int edge to disagree on.
+        thresh = F.lit(int(cum * POLY_P))
+        cond = bucket < thresh
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return (expr.otherwise(last) if expr is not None else last).alias("split")
+
+
+def length_bucket(weight: Column, caps: list[int]) -> Column:
+    """Smallest training context length >= the row's token count.
+
+    Training batches pad every sequence to a fixed context length, so
+    the choice of length buckets decides padding waste — the first
+    accounting question a data pipeline answers before packing. Buckets
+    are EXPLICIT integer boundaries (e.g. 128/256/512/1024), compared
+    with exact integer predicates — not ``2^ceil(log2(n))``, whose
+    float log is engine-dependent at exact powers of two. Rows longer
+    than the largest cap get bucket -1 ("chunked": such docs are split,
+    not padded). Scalar CASE: map-only, pushdown-friendly.
+    """
+    if not caps or sorted(caps) != list(caps) or len(set(caps)) != len(caps):
+        raise ValueError("caps must be strictly increasing and non-empty")
+    w = weight.cast("long")
+    expr = None
+    for cap in caps:
+        cond = w <= F.lit(cap)
+        expr = F.when(cond, F.lit(cap)) if expr is None else expr.when(cond, F.lit(cap))
+    return expr.otherwise(F.lit(-1)).cast("long").alias("bucket_cap")
 
 
 def mix_sources(

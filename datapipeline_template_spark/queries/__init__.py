@@ -58,6 +58,8 @@ _MODULES = (
 _OVERFLOW = (
     "pk01_sequence_packing",
     "pk02_source_mixing",
+    "pk03_train_val_split",
+    "pk04_length_buckets",
     "dd07_decontamination",
     "tx11_repetition_ratio",
     "tx12_gopher_quality_gate",

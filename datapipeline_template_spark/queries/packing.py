@@ -11,8 +11,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..catalog import table
-from ..operators.packing import mix_sources, pack_sequences, whitespace_token_count
+from ..operators.packing import (
+    length_bucket,
+    mix_sources,
+    pack_sequences,
+    train_split,
+    whitespace_token_count,
+)
 from . import register
 
 _PK01_ORACLE = """
@@ -77,6 +85,98 @@ def pk02_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratum_col="source",
         epochs={"src0": 2.5, "src1": 0.4, "src2": 0.0},
         default_epochs=1.0,
+    )
+
+
+_PK03_ORACLE = """
+WITH b AS (
+  SELECT source,
+         (doc_id * 2654435761) % 1000000007 AS bucket,
+         COALESCE(CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT),
+                  0) AS tok
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 900000006 THEN 'train'
+            WHEN bucket < 950000006 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM b
+GROUP BY 1, 2
+"""
+
+
+@register("pk03_train_val_split", oracle=_PK03_ORACLE)
+def pk03_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split by the stable doc_id hash — the
+    recompaction-proof alternative to randomSplit — audited as doc and
+    token counts per source × split. Membership is a scalar CASE over
+    the key hash: no shuffle beyond the final aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            train_split("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}),
+            whitespace_token_count("text").alias("tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+        )
+    )
+
+
+_PK04_ORACLE = """
+WITH b AS (
+  SELECT source,
+         COALESCE(CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT),
+                  0) AS tok
+  FROM documents
+), bucketed AS (
+  SELECT source, tok,
+         CASE WHEN tok <= 16 THEN 16
+              WHEN tok <= 32 THEN 32
+              WHEN tok <= 64 THEN 64
+              ELSE -1 END AS bucket_cap
+  FROM b
+)
+SELECT source, CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN bucket_cap > 0 THEN bucket_cap - tok ELSE 0 END) AS BIGINT)
+         AS padding_tokens
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
+@register("pk04_length_buckets", oracle=_PK04_ORACLE)
+def pk04_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length bucketing (16/32/64, longer docs chunked):
+    per source × bucket doc/token counts plus the padding-token waste
+    of padding every sequence to its bucket cap — the accounting that
+    decides a training pipeline's bucket boundaries. Exact integer
+    boundaries, map-only before the final aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    tok = whitespace_token_count("text")
+    return (
+        docs.select(
+            "source",
+            length_bucket(tok, [16, 32, 64]),
+            tok.alias("tok"),
+        )
+        .groupBy("source", "bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("bucket_cap") > 0, F.col("bucket_cap") - F.col("tok")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("padding_tokens"),
+        )
     )
 
 

@@ -577,6 +577,50 @@ def test_mix_sources_epoch_weights(spark):
         mix_sources(df, "doc_id", "src", {"s0": -1.0})
 
 
+def test_train_split_partition_and_determinism(spark):
+    """Hash split: exhaustive (every row gets exactly one split),
+    proportions roughly honored, membership is the documented
+    bucket-threshold predicate, stable under repartitioning, and the
+    fractions must sum to 1."""
+    from datapipeline_template_spark.functions import POLY_P
+    from datapipeline_template_spark.operators.packing import train_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = df.select("doc_id", train_split("doc_id", fr))
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # Membership is the documented predicate.
+    t1, t2 = int(0.8 * POLY_P), int(0.9 * POLY_P)
+    for r in out.collect():
+        b = (r["doc_id"] * 2_654_435_761) % POLY_P
+        want = "train" if b < t1 else ("val" if b < t2 else "test")
+        assert r["split"] == want, r
+    out2 = df.repartition(7).select("doc_id", train_split("doc_id", fr))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    with pytest.raises(ValueError, match="sum to 1"):
+        train_split("doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_length_bucket_boundaries(spark):
+    """Length bucketing: exact boundary rows land in the lower bucket
+    (cap is inclusive), overflow -> -1, zero-weight rows land in the
+    smallest bucket; caps must be strictly increasing."""
+    from datapipeline_template_spark.operators.packing import length_bucket
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (16,), (17,), (32,), (33,), (64,), (65,), (1000,)], "tok long"
+    )
+    out = df.select("tok", length_bucket(F.col("tok"), [16, 32, 64]))
+    got = {r["tok"]: r["bucket_cap"] for r in out.collect()}
+    assert got == {0: 16, 1: 16, 16: 16, 17: 32, 32: 32, 33: 64, 64: 64, 65: -1, 1000: -1}
+    with pytest.raises(ValueError, match="strictly increasing"):
+        length_bucket(F.col("tok"), [32, 16])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        length_bucket(F.col("tok"), [])
+
+
 def test_decontaminate_flags_overlap_semantics(spark):
     """A corpus doc is flagged iff it shares ≥1 shingle with the eval
     set; n_shared counts DISTINCT shared shingles; clean docs absent."""
