@@ -29,7 +29,10 @@ __all__ = [
     "quantized_dot",
     "quantized_norm_sq",
     "cosine_quantized",
-    "cosine_quantized_expanded",
+    "quantize_vec",
+    "norm_sq_prequantized",
+    "dot_expanded",
+    "cosine_prequantized",
 ]
 
 # Modulus for polynomial hashes: large prime < 2^31 so that
@@ -122,30 +125,63 @@ def cosine_quantized(a: Column, b: Column, scale: int = 10_000) -> Column:
     return dot / (na * nb)
 
 
-def cosine_quantized_expanded(
-    a: Column, b: Column, dim: int, scale: int = 10_000
-) -> Column:
-    """Same value as ``cosine_quantized`` (integer sums are associative,
-    so term order is irrelevant), but built as a flat ``dim``-term
-    arithmetic expression instead of higher-order-function lambdas.
+def quantize_vec(col: Column | str, scale: int = 10_000) -> Column:
+    """array<float> → array<long>, quantized ONCE PER ROW.
 
-    Flat expressions run inside whole-stage codegen; the HOF form is
-    interpreted per element and pays a large one-time codegen cost
-    (measured: 3× cold, ~15% warm on 64-dim corpus scoring). Use this
-    when the dimension is statically known — which it always is for a
-    real embedding column.
+    The pair-scoring hot path (a join) must not re-quantize per
+    candidate pair: compute this in a projection BEFORE the join and
+    score pre-quantized arrays with ``dot_expanded``. The HOF transform
+    is interpreted per element, but it runs dim ops per row — the join
+    runs dim ops per PAIR, which is where codegen matters.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def norm_sq_prequantized(qvec: Column) -> Column:
+    """Exact int64 squared norm of an already-quantized array — also a
+    per-row, pre-join quantity."""
+    return F.aggregate(
+        F.transform(qvec, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_expanded(a: Column, b: Column, dim: int) -> Column:
+    """Flat ``dim``-term int64 dot product over PRE-QUANTIZED arrays.
+
+    Whole-stage-codegen sizing is the whole point: one multiply and two
+    array loads per term keeps a broadcast join's generated doConsume
+    method well under the JVM's 64 KB bytecode limit. The previous
+    fully-expanded form (quantize + dot + both norms inline = 192
+    round/cast terms per pair) exceeded it, and Spark silently dropped
+    the entire join stage to interpreted evaluation — the worst of both
+    worlds at 100 TB. Norms belong in per-row projections
+    (``norm_sq_prequantized``), not here.
     """
 
-    def t(col: Column, j: int) -> Column:
-        return F.round(F.element_at(col, j + 1).cast("double") * F.lit(float(scale))).cast(
-            "long"
-        )
+    def t(c: Column, j: int) -> Column:
+        return F.element_at(c, j + 1)
 
-    dot = t(a, 0) * t(b, 0)
-    na = t(a, 0) * t(a, 0)
-    nb = t(b, 0) * t(b, 0)
+    acc = t(a, 0) * t(b, 0)
     for j in range(1, dim):
-        dot = dot + t(a, j) * t(b, j)
-        na = na + t(a, j) * t(a, j)
-        nb = nb + t(b, j) * t(b, j)
-    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        acc = acc + t(a, j) * t(b, j)
+    return acc
+
+
+def cosine_prequantized(
+    qa: Column, qb: Column, na_sq: Column, nb_sq: Column, dim: int
+) -> Column:
+    """Cosine from pre-quantized arrays + precomputed squared norms:
+    bit-identical to ``cosine_quantized`` (same quantization, exact
+    integer dot, one final double expression), but the only per-pair
+    work is the flat dot product."""
+    return dot_expanded(qa, qb, dim).cast("double") / (
+        F.sqrt(na_sq.cast("double")) * F.sqrt(nb_sq.cast("double"))
+    )
+
+
+

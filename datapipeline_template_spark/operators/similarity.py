@@ -23,7 +23,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import cosine_quantized, cosine_quantized_expanded
+from ..functions import (
+    cosine_prequantized,
+    cosine_quantized,
+    norm_sq_prequantized,
+    quantize_vec,
+)
 
 __all__ = ["cosine_topk", "cosine_topk_blas", "ivf_topk", "lsh_bucket", "near_dup_pairs"]
 
@@ -65,18 +70,28 @@ def cosine_topk(
     Returns (query_id, neighbor_id, score), k rows per query, with a
     total deterministic ordering (score desc, neighbor id asc). The
     query side is broadcast — the corpus never shuffles. With a
-    statically-known ``dim`` the score is a flat codegen expression
-    (cosine_quantized_expanded); pass ``dim=None`` for dynamic-length
-    vectors (slower HOF form).
+    statically-known ``dim``, both sides are quantized and normed ONCE
+    PER ROW before the join, so the per-pair work inside the join is a
+    single flat int64 dot product that stays inside whole-stage
+    codegen (the old inline quantize+norms form generated >64 KB of
+    bytecode per pair and fell back to interpreted eval). Pass
+    ``dim=None`` for dynamic-length vectors (slower HOF form).
     """
     qid = query_id_col or id_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
-    score = (
-        cosine_quantized_expanded(F.col("_qvec"), F.col("_cvec"), dim)
-        if dim
-        else cosine_quantized(F.col("_qvec"), F.col("_cvec"))
-    )
+    if dim:
+        q = q.select(
+            "query_id", quantize_vec("_qvec").alias("_qq")
+        ).withColumn("_qn", norm_sq_prequantized(F.col("_qq")))
+        c = c.select(
+            "neighbor_id", quantize_vec("_cvec").alias("_cq")
+        ).withColumn("_cn", norm_sq_prequantized(F.col("_cq")))
+        score = cosine_prequantized(
+            F.col("_qq"), F.col("_cq"), F.col("_qn"), F.col("_cn"), dim
+        )
+    else:
+        score = cosine_quantized(F.col("_qvec"), F.col("_cvec"))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
         "score", score
     )
@@ -243,11 +258,18 @@ def ivf_topk(
         probe_rows, ["query_id", "_cell", "_qv"]
     )
 
+    dim = len(q_rows[0]["_qv"]) if q_rows else 1
+    probes = probes.select(
+        "query_id", "_cell", quantize_vec("_qv").alias("_pq")
+    ).withColumn("_pn", norm_sq_prequantized(F.col("_pq")))
+    assigned = assigned.withColumn("_aq", quantize_vec("_v")).withColumn(
+        "_an", norm_sq_prequantized(F.col("_aq"))
+    )
     cand = assigned.join(F.broadcast(probes), "_cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    score = cosine_quantized_expanded(
-        F.col("_qv"), F.col("_v"), dim=len(q_rows[0]["_qv"]) if q_rows else 1
+    score = cosine_prequantized(
+        F.col("_pq"), F.col("_aq"), F.col("_pn"), F.col("_an"), dim
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -299,12 +321,20 @@ def near_dup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
     base = df.select(*cols)
+    if dim:
+        # Quantize + norm once per ROW; the self-join then scores
+        # pre-quantized arrays with the flat codegen-sized dot.
+        base = base.withColumn("_qv", quantize_vec("_v")).withColumn(
+            "_n", norm_sq_prequantized(F.col("_qv"))
+        )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if block_col:
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
     sim = (
-        cosine_quantized_expanded(F.col("a._v"), F.col("b._v"), dim)
+        cosine_prequantized(
+            F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n"), dim
+        )
         if dim
         else cosine_quantized(F.col("a._v"), F.col("b._v"))
     )
