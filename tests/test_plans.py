@@ -104,6 +104,27 @@ def test_pk01_single_exchange_no_global_sort(spark):
     assert "Window" in plan
 
 
+def test_similarity_joins_stay_in_codegen(spark):
+    """The cosine join stages must run inside whole-stage codegen.
+    The inline expanded cosine (192 round/cast terms per pair) used to
+    generate >64 KB of bytecode in the broadcast join's doConsume, and
+    Spark SILENTLY fell back to interpreted evaluation — invisible in
+    the plan string, visible only as a CodeGenerator error log. With
+    spark.sql.codegen.fallback=false that fallback becomes a hard
+    error, so executing the queries IS the assertion."""
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in (
+            "ss01_cosine_topk",
+            "ss02_embedding_near_dup",
+            "ss03_lsh_ann_pairs",
+            "ss06_embedding_dedup_clusters",
+        ):
+            REGISTRY[name].fn(spark, SF).count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
 def test_tj02_cascade_scans_raw_once(spark):
     """The rollup cascade's month level must read raw exactly once and
     re-aggregate through the chain — three partial hash aggregates, one
