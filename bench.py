@@ -72,11 +72,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: run each headline query once at the tiny scale factor so
-    # codegen compilation happens outside the timed region. A query
-    # that cannot even run at warmup is excluded from the timed loop
-    # and reported in the "errors" key — one red query must degrade the
-    # bench, not zero it (round-3 lesson: a silent warmup except let a
-    # broken query crash the whole bench with no JSON).
+    # codegen compilation happens outside the timed region. Warmup
+    # failures are LOUD but do not exclude the query — a warmup-scale-
+    # only failure must not silently shrink the timed set (the total
+    # would read as a speedup). Only a timed-loop failure excludes, and
+    # it lands in the "errors" JSON key — one red query degrades the
+    # bench instead of zeroing it (round-3 lesson: a silent warmup
+    # except let a broken query crash the whole bench with no JSON).
     errors: dict[str, str] = {}
     warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warmup_dir):
@@ -84,7 +86,6 @@ def main() -> None:
             try:
                 registry[name].fn(spark, warmup_dir).count()
             except Exception as exc:  # noqa: BLE001 - isolate per-query failures
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"bench: warmup FAILED for {name}: {exc}", file=sys.stderr)
     else:
         table(spark, sf_dir, "region").count()
@@ -95,8 +96,6 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        if name in errors:
-            continue
         fn = registry[name].fn
         best = float("inf")
         try:

@@ -47,8 +47,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       integer division (no double rounding — ns values exceed 2^53).
     - Spark 4.x ignores that conf and reads nanos natively as
       ``TIMESTAMP_NTZ``, already truncated to micros with values
-      byte-identical to DuckDB's ns→µs truncation; cast to session-tz
-      timestamp (wall-clock identity under the pinned UTC tz).
+      byte-identical to DuckDB's ns→µs truncation; convert by pure
+      wall-clock arithmetic (micros since the NTZ epoch →
+      ``timestamp_micros``), NOT a bare ``cast("timestamp")`` — the
+      cast's meaning depends on the session timezone at analysis
+      time, so a caller flipping the tz after ``table()`` returns
+      would silently shift every timestamp.
     - A plain ``TimestampType`` passes through untouched.
     """
     if name not in TABLES:
@@ -71,7 +75,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         if isinstance(ts_type, TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 
@@ -96,6 +106,13 @@ def register_views(
                 raise
             import sys
 
+            # Drop any stale view of the same name: a leftover view
+            # from an earlier sf_dir would otherwise keep resolving
+            # and silently serve the WRONG data after this skip.
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001
+                pass
             print(
                 f"register_views: skipping table {name!r}: {exc}",
                 file=sys.stderr,

@@ -108,12 +108,7 @@ def quantized_dot(a: Column, b: Column, scale: int = 10_000) -> Column:
 
 
 def quantized_norm_sq(a: Column, scale: int = 10_000) -> Column:
-    qa = _quantize(a, scale)
-    return F.aggregate(
-        F.transform(qa, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    return norm_sq_prequantized(_quantize(a, scale))
 
 
 def cosine_quantized(a: Column, b: Column, scale: int = 10_000) -> Column:
@@ -135,9 +130,7 @@ def quantize_vec(col: Column | str, scale: int = 10_000) -> Column:
     runs dim ops per PAIR, which is where codegen matters.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(
-        c, lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
-    )
+    return _quantize(c, scale)
 
 
 def norm_sq_prequantized(qvec: Column) -> Column:

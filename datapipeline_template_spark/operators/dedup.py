@@ -50,6 +50,7 @@ __all__ = [
     "decontaminate_flags",
     "connected_components",
     "connected_components_star",
+    "select_survivors",
 ]
 
 
@@ -656,3 +657,62 @@ def connected_components_star(
         "node", F.col("node").alias("component")
     )
     return labels.union(roots)
+
+
+def select_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    quality_col: str,
+    min_cluster_size: int = 2,
+) -> DataFrame:
+    """Survivor selection — the step AFTER clustering that decides
+    which document each near-dup cluster keeps: the highest-quality
+    member (``quality_col`` DESC), tie-broken by id ASC so the choice
+    is a deterministic total order, not partition luck.
+
+    ``components`` is a (node, component) labeling (output of
+    ``connected_components``/``_star``); documents absent from it are
+    singleton clusters (component = own id). Emits one row per cluster
+    with >= ``min_cluster_size`` members: (component, survivor_id,
+    cluster_size, survivor_quality).
+
+    Scale shape: one broadcast-or-shuffle left join to attach labels
+    (the component map is |nodes-in-pairs|, far smaller than the
+    corpus), then ONE hash shuffle on component for the window pair
+    (count + row_number share the partitioning). No driver involvement.
+    """
+    from pyspark.sql import Window
+
+    lab = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("_comp")
+    )
+    labeled = (
+        docs.select(F.col(id_col), F.col(quality_col))
+        .join(lab, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_comp"), F.col(id_col)).alias("component"),
+            quality_col,
+        )
+    )
+    w = Window.partitionBy("component")
+    ranked = labeled.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        ),
+    )
+    return (
+        ranked.where(
+            (F.col("rn") == 1) & (F.col("cluster_size") >= min_cluster_size)
+        )
+        .select(
+            "component",
+            F.col(id_col).alias("survivor_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col(quality_col).alias("survivor_quality"),
+        )
+    )

@@ -104,6 +104,12 @@ def train_split(key: Column | str, fractions: dict[str, float]) -> Column:
     total = sum(fractions.values())
     if not fractions or abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    bad = {n: f for n, f in fractions.items() if not 0.0 < f <= 1.0}
+    if bad:
+        # A negative or >1 fraction still sums to 1 with the others but
+        # produces an empty or overlapping split — the silent eval-leak
+        # this operator exists to prevent.
+        raise ValueError(f"each split fraction must be in (0, 1], got {bad}")
     bucket = sample_hash_bucket(key)
     expr = None
     cum = 0.0

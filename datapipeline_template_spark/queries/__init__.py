@@ -61,6 +61,7 @@ _OVERFLOW = (
     "pk03_train_val_split",
     "pk04_length_buckets",
     "dd07_decontamination",
+    "dd08_dedup_survivors",
     "tx11_repetition_ratio",
     "tx12_gopher_quality_gate",
 )

@@ -291,6 +291,82 @@ def dd06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dd08 — survivor selection per duplicate cluster. Registered in the
+# registry OVERFLOW section (the 50-entry sweep window is full).
+# ---------------------------------------------------------------------------
+
+_DD08_ORACLE = f"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles,
+                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS band,
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS bucket
+  FROM sig, unnest(range(0, 8)) AS u(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), cc AS (
+  SELECT a AS node, a AS label FROM sym
+  UNION
+  SELECT e.a AS node, cc.label
+  FROM cc JOIN sym e ON cc.node = e.b
+), comp AS (
+  SELECT node, MIN(label) AS component FROM cc GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), ranked AS (
+  SELECT doc_id, component, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size
+  FROM labeled
+)
+SELECT component, doc_id AS survivor_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       n_chars AS survivor_quality
+FROM ranked
+WHERE rn = 1 AND cluster_size >= 2
+"""
+
+
+@register("dd08_dedup_survivors", oracle=_DD08_ORACLE)
+def dd08_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step AFTER clustering: each near-dup cluster keeps
+    its highest-quality member (longest doc, ties broken by min
+    doc_id) — the row a real pipeline writes to the deduplicated
+    corpus. Replays the dd06 MinHash→LSH→connected-components pipeline
+    then selects survivors with one component-partitioned window; the
+    oracle replays everything incl. the recursive transitive closure."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from ..operators.dedup import (
+        connected_components,
+        minhash_signatures_kernel,
+        select_survivors,
+    )
+
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return select_survivors(docs, comp, "doc_id", "n_chars", min_cluster_size=2)
+
+
+# ---------------------------------------------------------------------------
 # dd07 — benchmark decontamination (eval-overlap flags). Registered in
 # the registry OVERFLOW section (the 50-entry sweep window is full).
 # ---------------------------------------------------------------------------

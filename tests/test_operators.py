@@ -601,6 +601,10 @@ def test_train_split_partition_and_determinism(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
     with pytest.raises(ValueError, match="sum to 1"):
         train_split("doc_id", {"train": 0.5, "val": 0.1})
+    # Sums to 1 but a negative/oversized fraction would yield an empty
+    # or overlapping split — must be rejected, not silently accepted.
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        train_split("doc_id", {"train": 1.2, "test": -0.2})
 
 
 def test_length_bucket_boundaries(spark):
@@ -619,6 +623,35 @@ def test_length_bucket_boundaries(spark):
         length_bucket(F.col("tok"), [32, 16])
     with pytest.raises(ValueError, match="strictly increasing"):
         length_bucket(F.col("tok"), [])
+
+
+def test_select_survivors_semantics(spark):
+    """Survivor per cluster = max quality, ties to min id; docs absent
+    from the component map are singletons (excluded at the default
+    min_cluster_size=2, included at 1); deterministic under
+    repartitioning."""
+    from datapipeline_template_spark.operators.dedup import select_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)], "doc_id long, q long"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node long, component long"
+    )  # cluster {1,2,3}; 4 labeled singleton; 5 unlabeled singleton
+    out = select_survivors(docs, comp, "doc_id", "q").collect()
+    assert len(out) == 1
+    r = out[0]
+    # Quality tie between 2 and 3 at q=30 → min doc_id wins.
+    assert (r["component"], r["survivor_id"], r["cluster_size"], r["survivor_quality"]) == (
+        1, 2, 3, 30
+    )
+    all_out = {
+        (r["component"], r["survivor_id"])
+        for r in select_survivors(docs, comp, "doc_id", "q", min_cluster_size=1).collect()
+    }
+    assert all_out == {(1, 2), (4, 4), (5, 5)}
+    out2 = select_survivors(docs.repartition(5), comp, "doc_id", "q").collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
 
 
 def test_decontaminate_flags_overlap_semantics(spark):

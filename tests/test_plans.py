@@ -112,6 +112,7 @@ def test_similarity_joins_stay_in_codegen(spark):
     the plan string, visible only as a CodeGenerator error log. With
     spark.sql.codegen.fallback=false that fallback becomes a hard
     error, so executing the queries IS the assertion."""
+    prior = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
         for name in (
@@ -122,7 +123,7 @@ def test_similarity_joins_stay_in_codegen(spark):
         ):
             REGISTRY[name].fn(spark, SF).count()
     finally:
-        spark.conf.set("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.fallback", prior)
 
 
 def test_tj02_cascade_scans_raw_once(spark):

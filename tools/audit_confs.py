@@ -39,24 +39,37 @@ def iter_sources():
             yield p
 
 
+# A probe only counts if it appears NEAR the conf usage: a file-wide
+# match would let an unrelated `.dataType` elsewhere in a big module
+# silence the guard for a newly added legacy conf.
+PROBE_WINDOW = 30
+
+
 def main() -> int:
     bad = []
     for path in iter_sources():
         with open(path, encoding="utf-8") as fh:
-            src = fh.read()
-        confs = sorted(set(LEGACY.findall(src)))
-        if confs and not PROBE.search(src):
-            rel = os.path.relpath(path, REPO)
-            bad.append((rel, confs))
+            lines = fh.readlines()
+        for i, line in enumerate(lines):
+            confs = sorted(set(LEGACY.findall(line)))
+            if not confs:
+                continue
+            lo = max(0, i - PROBE_WINDOW)
+            hi = min(len(lines), i + PROBE_WINDOW + 1)
+            window = "".join(lines[lo:hi])
+            if not PROBE.search(window):
+                rel = os.path.relpath(path, REPO)
+                bad.append((rel, i + 1, confs))
     if bad:
-        for rel, confs in bad:
+        for rel, lineno, confs in bad:
             print(
-                f"FRAGILE: {rel} sets {confs} without a runtime dtype "
-                "probe — branch on the actual schema, not the conf",
+                f"FRAGILE: {rel}:{lineno} sets {confs} without a runtime "
+                f"dtype probe within {PROBE_WINDOW} lines — branch on the "
+                "actual schema, not the conf",
                 file=sys.stderr,
             )
         return 1
-    print("conf audit: OK (every legacy-conf usage has a dtype probe)")
+    print("conf audit: OK (every legacy-conf usage has a nearby dtype probe)")
     return 0
 
 
