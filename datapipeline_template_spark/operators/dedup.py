@@ -45,6 +45,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signatures_kernel",
     "lsh_candidate_pairs",
+    "lsh_candidate_pairs_incremental",
     "simhash64",
     "ngram_jaccard_pairs",
     "decontaminate_flags",
@@ -363,6 +364,68 @@ def lsh_candidate_pairs(
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    sigs_existing: DataFrame,
+    sigs_new: DataFrame,
+    id_col: str,
+    signature_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental LSH maintenance — the shape a growing corpus runs
+    daily: candidate pairs TOUCHING today's batch only (new×existing
+    and new×new), without re-pairing the existing corpus against
+    itself.
+
+    Returns distinct (id_a < id_b) pairs, exactly the subset of the
+    full-corpus ``lsh_candidate_pairs`` output where at least one side
+    is a new document.
+
+    Scale: the existing side is a STORED signature table in production
+    (signatures are write-once per doc — never recomputed); only the
+    batch is signed per run. The join probes banded-new (small: one
+    day's crawl) against banded-all on the (band, bucket) equi-key, so
+    Spark broadcasts the batch side and the corpus never shuffles.
+    Work per run is O(|batch| × bucket hit rate), not O(|corpus|²).
+    """
+
+    def banded(df: DataFrame) -> DataFrame:
+        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(band_idx).alias("_band"),
+            F.col(signature_col).alias("_sig"),
+        ).select(
+            "_id",
+            "_band",
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice("_sig", F.col("_band") * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            ).alias("_bucket"),
+        )
+
+    new_b = banded(sigs_new)
+    all_b = banded(sigs_existing.select(id_col, signature_col).unionByName(
+        sigs_new.select(id_col, signature_col)
+    ))
+    joined = F.broadcast(new_b.alias("a")).join(
+        all_b.alias("b"),
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a._id") != F.col("b._id")),
+    )
+    return (
+        joined.select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
         .distinct()
     )
 

@@ -62,6 +62,7 @@ _OVERFLOW = (
     "pk04_length_buckets",
     "dd07_decontamination",
     "dd08_dedup_survivors",
+    "dd09_incremental_lsh",
     "tx11_repetition_ratio",
     "tx12_gopher_quality_gate",
 )

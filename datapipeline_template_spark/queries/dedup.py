@@ -291,6 +291,58 @@ def dd06_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dd09 — incremental LSH maintenance (daily-batch candidates).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_DD09_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles,
+                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS band,
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS bucket
+  FROM sig, unnest(range(0, 8)) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+"""
+
+
+@register("dd09_incremental_lsh", oracle=_DD09_ORACLE)
+def dd09_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup maintenance: docs with doc_id % 10 == 0
+    play today's batch, the rest the stored corpus. Candidates are
+    exactly the full-corpus LSH pairs touching the batch — computed by
+    probing banded-new (broadcast) against banded-all, never
+    re-pairing the existing corpus against itself. The oracle is the
+    dd03 pair SQL restricted to pairs with a batch member."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from ..operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures_kernel,
+    )
+
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32).persist()
+    new = sigs.where(F.col("doc_id") % 10 == 0)
+    existing = sigs.where(F.col("doc_id") % 10 != 0)
+    return lsh_candidate_pairs_incremental(
+        existing, new, "doc_id", "sig", bands=8, rows_per_band=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # dd08 — survivor selection per duplicate cluster. Registered in the
 # registry OVERFLOW section (the 50-entry sweep window is full).
 # ---------------------------------------------------------------------------

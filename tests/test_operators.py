@@ -625,6 +625,50 @@ def test_length_bucket_boundaries(spark):
         length_bucket(F.col("tok"), [])
 
 
+def test_incremental_lsh_equals_full_restricted(spark):
+    """Incremental candidates must equal the full-corpus pairs
+    restricted to pairs touching the batch — including new×new pairs
+    (within-batch dups) — and produce nothing when the batch has no
+    near-dups."""
+    from datapipeline_template_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incremental,
+        minhash_signatures_kernel,
+    )
+
+    texts = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta {i % 5} " * 4
+        texts.append((i, base))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text").persist()
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", "sig", eager=False).collect()
+    }
+    assert full, "fixture must produce near-dup pairs"
+    batch_ids = {i for i in range(40) if i % 7 == 0}
+    new = sigs.where(F.col("doc_id") % 7 == 0)
+    existing = sigs.where(F.col("doc_id") % 7 != 0)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_incremental(
+            existing, new, "doc_id", "sig"
+        ).collect()
+    }
+    want = {(a, b) for a, b in full if a in batch_ids or b in batch_ids}
+    assert inc == want
+    # Batch disjoint from every bucket -> empty increment.
+    lonely = spark.createDataFrame(
+        [(999, "totally unrelated vocabulary nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    lone_sigs = minhash_signatures_kernel(lonely, "doc_id", "text")
+    assert (
+        lsh_candidate_pairs_incremental(sigs, lone_sigs, "doc_id", "sig").count() == 0
+    )
+
+
 def test_select_survivors_semantics(spark):
     """Survivor per cluster = max quality, ties to min id; docs absent
     from the component map are singletons (excluded at the default
