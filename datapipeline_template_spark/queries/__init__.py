@@ -65,6 +65,7 @@ _OVERFLOW = (
     "dd09_incremental_lsh",
     "tx11_repetition_ratio",
     "tx12_gopher_quality_gate",
+    "tx13_heavy_hitters_certified",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

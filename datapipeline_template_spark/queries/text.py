@@ -263,6 +263,40 @@ def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tx13 — certified heavy hitters: tx05's answer via the scale path.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_stream(spark: SparkSession, sf_dir: str):
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.explode(bigrams).alias("bigram"))
+
+
+@register("tx13_heavy_hitters_certified", oracle=_TX05_ORACLE)
+def tx13_heavy_hitters_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx05's EXACT top-20 bigrams, computed the way a web-scale
+    corpus must: per-partition local top-k' (Arrow mapInPandas) →
+    broadcast recount of the tiny candidate union → certification that
+    no dropped item can reach the top-k (k-th count > Σ per-partition
+    thresholds, raises otherwise). The full-distinct-item shuffle that
+    tx05's groupBy pays — billions of keys on a real n-gram stream —
+    never happens; only k'·partitions candidate rows move. Same oracle
+    as tx05 because the certified answer is exact, not approximate."""
+    from ..operators.sketch import certified_topk
+
+    return certified_topk(_bigram_stream(spark, sf_dir), "bigram", k=20, local_k=1024)
+
+
+# ---------------------------------------------------------------------------
 # tx08 — BPE-ish regex token counting (subword classes, not whitespace)
 # ---------------------------------------------------------------------------
 

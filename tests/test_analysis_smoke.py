@@ -23,9 +23,14 @@ from datapipeline_template_spark.queries import load_all
 REGISTRY = load_all()
 
 # DataFrame construction itself executes jobs for these (see
-# operators/similarity.py `_collect_query_side` and the IVF KMeans
-# fit) — not analysis-only, so not this test's scope.
-EXECUTES_AT_BUILD = {"ss04_cosine_topk_blas", "ss05_ivf_ann"}
+# operators/similarity.py `_collect_query_side`, the IVF KMeans fit,
+# and sketch.certified_topk's certification collect) — not
+# analysis-only, so not this test's scope.
+EXECUTES_AT_BUILD = {
+    "ss04_cosine_topk_blas",
+    "ss05_ivf_ann",
+    "tx13_heavy_hitters_certified",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(REGISTRY) - EXECUTES_AT_BUILD))

@@ -625,6 +625,41 @@ def test_length_bucket_boundaries(spark):
         length_bucket(F.col("tok"), [])
 
 
+def test_certified_topk_exact_and_certification(spark):
+    """certified_topk equals the exact groupBy top-k when certifiable;
+    raises (instead of silently approximating) when the per-partition
+    threshold bound could hide a winner; validates parameters."""
+    import pytest as _pytest
+
+    from datapipeline_template_spark.operators.sketch import certified_topk
+
+    rows = []
+    for i in range(100):
+        rows += [(f"hot{j}",) for j in range(5) if i % (j + 1) == 0]
+        rows.append((f"cold{i}",))
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = [tuple(r) for r in certified_topk(df, "item", k=3, local_k=50).collect()]
+    want = [
+        tuple(r)
+        for r in df.groupBy("item")
+        .count()
+        .selectExpr("item", "count as n")
+        .orderBy(F.col("n").desc(), "item")
+        .limit(3)
+        .collect()
+    ]
+    assert got == want
+    # Uniform data + tiny local_k: every partition drops items at the
+    # same count as the winners — certification must refuse.
+    uni = spark.createDataFrame(
+        [(f"u{i}",) for i in range(2000)], "item string"
+    ).repartition(8)
+    with _pytest.raises(ValueError, match="not certifiable"):
+        certified_topk(uni, "item", k=3, local_k=5)
+    with _pytest.raises(ValueError, match="local_k"):
+        certified_topk(df, "item", k=10, local_k=5)
+
+
 def test_incremental_lsh_equals_full_restricted(spark):
     """Incremental candidates must equal the full-corpus pairs
     restricted to pairs touching the batch — including new×new pairs
