@@ -66,6 +66,7 @@ _OVERFLOW = (
     "tx11_repetition_ratio",
     "tx12_gopher_quality_gate",
     "tx13_heavy_hitters_certified",
+    "ss07_label_centroid_stats",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -231,3 +231,72 @@ def ss06_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ss07 — per-label centroid sums: distributed element-wise vector
+# aggregation, exact ints end-to-end. Registered in the registry
+# OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS07_ORACLE = """
+WITH q AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+), per_dim AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s, COUNT(*) AS c
+  FROM q GROUP BY label, dim
+), vecs AS (
+  SELECT label, list(s ORDER BY dim) AS ds, MAX(c) AS n_vecs
+  FROM per_dim GROUP BY label
+)
+SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       ds[1] AS sum_d1, ds[33] AS sum_d33,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ds, x -> ((x % 1000000007) + 1000000007) % 1000000007)),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
+FROM vecs
+"""
+
+
+@register("ss07_label_centroid_stats", oracle=_SS07_ORACLE)
+def ss07_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed element-wise vector aggregation: per-label centroid
+    SUM vectors over quantized embeddings, all-integer so the result is
+    bit-exact in any engine. Shape: posexplode to (label, dim, qval) —
+    narrow, ×dim — then groupBy(label, dim) with map-side partial
+    combine (rows collapse to |labels|·dim before the shuffle), then a
+    tiny per-label reassembly. No driver involvement, no floats until
+    a consumer divides by n. Emitted as scalars (two probe dims + a
+    poly-fold checksum of the full vector) because the driver hasher
+    can't hash array cells."""
+    from ..functions import POLY_P, quantize_vec
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode(quantize_vec("embedding")).alias("dim", "qv")
+    )
+    per_dim = q.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    vecs = per_dim.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"),
+        F.max("c").alias("n_vecs"),
+    )
+    vals = F.transform(
+        F.col("ds"), lambda x: ((x["s"] % POLY_P) + POLY_P) % POLY_P
+    )
+    checksum = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(131) + x) % F.lit(POLY_P),
+    )
+    return vecs.select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.element_at("ds", 1)["s"].alias("sum_d1"),
+        F.element_at("ds", 33)["s"].alias("sum_d33"),
+        checksum.alias("checksum"),
+    )
