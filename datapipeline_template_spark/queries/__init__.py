@@ -67,6 +67,7 @@ _OVERFLOW = (
     "tx12_gopher_quality_gate",
     "tx13_heavy_hitters_certified",
     "ss07_label_centroid_stats",
+    "mm03_frame_manifest",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -59,3 +59,39 @@ def mm02_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.format").alias("format"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm03 — frame-sampling manifest. Registered in the registry OVERFLOW
+# section.
+# ---------------------------------------------------------------------------
+
+_MM03_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(off // 64 AS BIGINT) AS frame_idx,
+       CAST(off AS BIGINT) AS byte_offset
+FROM documents, UNNEST(range(0, GREATEST(octet_length(encode(text)), 1), 64)) AS t(off)
+WHERE doc_id % 50 = 0
+"""
+
+
+@register("mm03_frame_manifest", oracle=_MM03_ORACLE)
+def mm03_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling manifest: one row per sampled offset of each
+    blob (every 64 bytes) — the executor-side posexplode shape video
+    frame extraction uses (offsets computed in-plan, decode happens in
+    a downstream Arrow kernel; no driver involvement). Offsets are
+    pure arithmetic, so the manifest is exactly oracle-replayable."""
+    from ..operators.multimodal import sample_frames
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .withColumn("blob", F.encode(F.col("text"), "UTF-8"))
+    )
+    out = sample_frames(docs, "doc_id", "blob", every_n_bytes=64)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
