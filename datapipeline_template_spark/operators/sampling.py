@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from ..functions import POLY_P
 
-__all__ = ["sample_hash_bucket", "deterministic_sample", "stratified_sample"]
+__all__ = [
+    "sample_hash_bucket",
+    "deterministic_sample",
+    "stratified_sample",
+    "quota_sample",
+]
 
 _KNUTH = 2_654_435_761
 
@@ -51,3 +56,46 @@ def stratified_sample(df: DataFrame, key: str, stratum_col: str, rates: dict[str
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thresh = expr.otherwise(F.lit(0)) if expr is not None else thresh
     return df.where(bucket < thresh)
+
+
+def quota_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+) -> DataFrame:
+    """EXACT-size per-stratum sample: the first ``quotas[stratum]``
+    rows of each stratum in stable key-hash order — how a fixed-size
+    eval set is drawn (\"exactly 500 docs per source\") when a rate
+    can't guarantee the count.
+
+    Ordering is (key-hash, key): pseudo-random but fully deterministic
+    across runs, partitionings, and engines — and because it's a total
+    order, the chosen set is too. Strata smaller than their quota keep
+    every row. Rate-based ``stratified_sample`` stays the scale
+    default (pure scan-side filter, no shuffle); the quota form pays
+    ONE hash shuffle on the stratum for its rank window, which is the
+    unavoidable cost of an exact count. Quotas are per-stratum row
+    caps — far under window-sort pressure even on a skewed stratum,
+    since rank is computed streaming over the sorted partition.
+    """
+    if any(q < 0 for q in quotas.values()) or default_quota < 0:
+        raise ValueError("quotas must be non-negative")
+    from pyspark.sql import Window
+
+    bucket = sample_hash_bucket(key)
+    expr = None
+    for stratum, q in quotas.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        t = F.lit(int(q))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    quota = expr.otherwise(F.lit(int(default_quota))) if expr is not None else F.lit(
+        int(default_quota)
+    )
+    w = Window.partitionBy(stratum_col).orderBy(bucket.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= quota)
+        .drop("_rank")
+    )

@@ -68,6 +68,7 @@ _OVERFLOW = (
     "tx13_heavy_hitters_certified",
     "ss07_label_centroid_stats",
     "mm03_frame_manifest",
+    "pk05_eval_quota_sample",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -195,3 +195,41 @@ def pk01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=256,
         salt="42",
     )
+
+
+# ---------------------------------------------------------------------------
+# pk05 — exact-size eval-set quota sampling. Registered in the registry
+# OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_PK05_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC
+         ) AS rnk
+  FROM documents
+)
+SELECT doc_id, source
+FROM ranked
+WHERE rnk <= CASE source WHEN 'src0' THEN 40
+                         WHEN 'src1' THEN 15
+                         ELSE 5 END
+"""
+
+
+@register("pk05_eval_quota_sample", oracle=_PK05_ORACLE)
+def pk05_eval_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size eval set: the first N docs per source in stable
+    key-hash order (40/15/5-per-source quotas) — reproducible under
+    recompaction, unlike seed-based sampling, and exactly sized,
+    unlike rate-based sampling. One stratum shuffle for the rank
+    window."""
+    from ..operators.sampling import quota_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_sample(
+        docs, key="doc_id", stratum_col="source",
+        quotas={"src0": 40, "src1": 15}, default_quota=5,
+    )

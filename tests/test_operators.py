@@ -625,6 +625,33 @@ def test_length_bucket_boundaries(spark):
         length_bucket(F.col("tok"), [])
 
 
+def test_quota_sample_exact_sizes_and_determinism(spark):
+    """Quota sampling: exact per-stratum sizes (capped at stratum
+    size), membership is the first-N-by-hash-order set, stable under
+    repartitioning, negative quotas rejected."""
+    from datapipeline_template_spark.functions import POLY_P
+    from datapipeline_template_spark.operators.sampling import quota_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = quota_sample(df, "doc_id", "src", {"s0": 7, "s1": 100}, default_quota=3)
+    counts = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert counts == {"s0": 7, "s1": 30, "s2": 3}  # s1 quota > stratum size
+    # Membership = first N in (hash, id) order.
+    s0_ids = sorted(
+        (i for i in range(0, 90, 3)),
+        key=lambda i: ((i * 2_654_435_761) % POLY_P, i),
+    )[:7]
+    got_s0 = {r["doc_id"] for r in out.where(F.col("src") == "s0").collect()}
+    assert got_s0 == set(s0_ids)
+    out2 = quota_sample(
+        df.repartition(11), "doc_id", "src", {"s0": 7, "s1": 100}, default_quota=3
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    with pytest.raises(ValueError, match="non-negative"):
+        quota_sample(df, "doc_id", "src", {"s0": -1})
+
+
 def test_certified_topk_exact_and_certification(spark):
     """certified_topk equals the exact groupBy top-k when certifiable;
     raises (instead of silently approximating) when the per-partition
