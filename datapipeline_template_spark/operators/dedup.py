@@ -315,6 +315,31 @@ def minhash_signatures_kernel(
     return df.select(id_col, text_col).mapInPandas(crunch, schema=out_schema)
 
 
+def _banded(
+    df: DataFrame, id_col: str, signature_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode signatures to (_id, _band, _bucket) rows — THE bucket
+    encoding. One definition shared by the full and incremental pair
+    generators: their equivalence contract (incremental ≡ full
+    restricted to the batch) requires bit-identical bucket keys."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(band_idx).alias("_band"),
+        F.col(signature_col).alias("_sig"),
+    ).select(
+        "_id",
+        "_band",
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.slice("_sig", F.col("_band") * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        ).alias("_bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -342,18 +367,7 @@ def lsh_candidate_pairs(
     if eager:
         df = df.persist()
         df.count()
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(band_idx).alias("_band"),
-        F.col(signature_col).alias("_sig"),
-    ).select(
-        "_id",
-        "_band",
-        F.concat_ws(
-            "_", F.transform(F.slice("_sig", F.col("_band") * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
-        ).alias("_bucket"),
-    )
+    banded = _banded(df, id_col, signature_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -393,28 +407,16 @@ def lsh_candidate_pairs_incremental(
     Work per run is O(|batch| × bucket hit rate), not O(|corpus|²).
     """
 
-    def banded(df: DataFrame) -> DataFrame:
-        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-        return df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(band_idx).alias("_band"),
-            F.col(signature_col).alias("_sig"),
-        ).select(
-            "_id",
-            "_band",
-            F.concat_ws(
-                "_",
-                F.transform(
-                    F.slice("_sig", F.col("_band") * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-            ).alias("_bucket"),
-        )
-
-    new_b = banded(sigs_new)
-    all_b = banded(sigs_existing.select(id_col, signature_col).unionByName(
-        sigs_new.select(id_col, signature_col)
-    ))
+    new_b = _banded(sigs_new, id_col, signature_col, bands, rows_per_band)
+    all_b = _banded(
+        sigs_existing.select(id_col, signature_col).unionByName(
+            sigs_new.select(id_col, signature_col)
+        ),
+        id_col,
+        signature_col,
+        bands,
+        rows_per_band,
+    )
     joined = F.broadcast(new_b.alias("a")).join(
         all_b.alias("b"),
         (F.col("a._band") == F.col("b._band"))

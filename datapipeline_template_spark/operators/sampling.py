@@ -94,8 +94,12 @@ def quota_sample(
         int(default_quota)
     )
     w = Window.partitionBy(stratum_col).orderBy(bucket.asc(), F.col(key).asc())
+    # Collision-safe rank name: never clobber a caller's column.
+    rank_col = "_rank"
+    while rank_col in df.columns:
+        rank_col += "_"
     return (
-        df.withColumn("_rank", F.row_number().over(w))
-        .where(F.col("_rank") <= quota)
-        .drop("_rank")
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= quota)
+        .drop(rank_col)
     )

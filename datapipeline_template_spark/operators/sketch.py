@@ -64,35 +64,36 @@ def certified_topk(
     local = items.mapInPandas(
         local_counts, schema=f"{item_col} string, cnt long, t long"
     ).persist()
-
-    # Σ t_i over partitions. mapInPandas is narrow, so each output
-    # partition holds exactly one local_counts emission (its input
-    # partition's rows, all carrying the same t) — one t per partition
-    # id is that partition's dropped-item cap.
-    total_bound = (
-        local.select(F.spark_partition_id().alias("_pid"), "t")
-        .groupBy("_pid")
-        .agg(F.max("t").alias("t"))
-        .agg(F.sum("t").alias("bound"))
-    )
-
-    candidates = local.select(item_col).distinct()
-    exact = (
-        items.join(F.broadcast(candidates), item_col, "left_semi")
-        .groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    topk = exact.orderBy(F.col("n").desc(), F.col(item_col)).limit(k)
-
-    # k rows + one scalar — driver-side metadata, not a data collect.
-    rows = topk.collect()
-    b = total_bound.first()["bound"] or 0
-    kth = rows[-1]["n"] if len(rows) == k else 0
-    if b > 0 and kth <= b:
-        raise ValueError(
-            f"top-{k} not certifiable: k-th count {kth} <= missed-item "
-            f"bound {b}; raise local_k (was {local_k})"
+    try:
+        # Σ t_i over partitions. mapInPandas is narrow, so each output
+        # partition holds exactly one local_counts emission (its input
+        # partition's rows, all carrying the same t) — one t per
+        # partition id is that partition's dropped-item cap.
+        total_bound = (
+            local.select(F.spark_partition_id().alias("_pid"), "t")
+            .groupBy("_pid")
+            .agg(F.max("t").alias("t"))
+            .agg(F.sum("t").alias("bound"))
         )
-    local.unpersist()
+
+        candidates = local.select(item_col).distinct()
+        exact = (
+            items.join(F.broadcast(candidates), item_col, "left_semi")
+            .groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        topk = exact.orderBy(F.col("n").desc(), F.col(item_col)).limit(k)
+
+        # k rows + one scalar — driver-side metadata, not a data collect.
+        rows = topk.collect()
+        b = total_bound.first()["bound"] or 0
+        kth = rows[-1]["n"] if len(rows) == k else 0
+        if b > 0 and kth <= b:
+            raise ValueError(
+                f"top-{k} not certifiable: k-th count {kth} <= missed-item "
+                f"bound {b}; raise local_k (was {local_k})"
+            )
+    finally:
+        local.unpersist()
     spark = items.sparkSession
     return spark.createDataFrame(rows, schema=f"{item_col} string, n long")

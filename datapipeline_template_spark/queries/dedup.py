@@ -334,7 +334,12 @@ def dd09_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_kernel,
     )
 
+    # Eager persist, same trade as lsh_candidate_pairs(eager=True):
+    # both probe sides read the cache instead of racing to recompute
+    # signatures; released at session end (the returned DataFrame is
+    # lazy, so there is no in-function unpersist point).
     sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32).persist()
+    sigs.count()
     new = sigs.where(F.col("doc_id") % 10 == 0)
     existing = sigs.where(F.col("doc_id") % 10 != 0)
     return lsh_candidate_pairs_incremental(

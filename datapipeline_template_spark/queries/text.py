@@ -238,10 +238,10 @@ LIMIT 20
 """
 
 
-@register("tx05_top_bigrams", oracle=_TX05_ORACLE)
-def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram frequency: per-row n-gram explode (narrow), one
-    count shuffle, deterministic top-20."""
+def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 'bigram' column, exploded per doc — the SHARED input of
+    tx05 (exact groupBy) and tx13 (certified heavy hitters). They
+    share one oracle, so their streams must be one definition."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize("text")
     # sequence(1, 0) would generate a DESCENDING range — guard the
@@ -253,8 +253,15 @@ def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.explode(bigrams).alias("bigram"))
+
+
+@register("tx05_top_bigrams", oracle=_TX05_ORACLE)
+def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency: per-row n-gram explode (narrow), one
+    count shuffle, deterministic top-20."""
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        _bigram_stream(spark, sf_dir)
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -266,19 +273,6 @@ def tx05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tx13 — certified heavy hitters: tx05's answer via the scale path.
 # Registered in the registry OVERFLOW section.
 # ---------------------------------------------------------------------------
-
-
-def _bigram_stream(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.explode(bigrams).alias("bigram"))
 
 
 @register("tx13_heavy_hitters_certified", oracle=_TX05_ORACLE)

@@ -36,14 +36,17 @@ def test_register_views_drops_stale_view_on_skip(spark, sf_dir, tmp_path):
     PREVIOUS sf_dir's data — the view is dropped so later SQL fails
     loudly instead of silently returning wrong-scale rows."""
     register_views(spark, sf_dir)
-    assert spark.sql("SELECT count(*) FROM region").first()[0] > 0
-    # Re-register against a directory with no parquet: every table
-    # fails, and the old views must be gone.
-    register_views(spark, str(tmp_path))
-    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
-        spark.sql("SELECT count(*) FROM region").first()
-    # Restore for any test running after us in the session.
-    register_views(spark, sf_dir)
+    try:
+        assert spark.sql("SELECT count(*) FROM region").first()[0] > 0
+        # Re-register against a directory with no parquet: every table
+        # fails, and the old views must be gone.
+        register_views(spark, str(tmp_path))
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+            spark.sql("SELECT count(*) FROM region").first()
+    finally:
+        # Restore the session views even if an assertion failed — later
+        # tests in the shared session depend on them.
+        register_views(spark, sf_dir)
 
 
 def test_register_views_only_raises_on_failure(spark, tmp_path):
