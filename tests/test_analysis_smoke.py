@@ -30,6 +30,7 @@ EXECUTES_AT_BUILD = {
     "ss04_cosine_topk_blas",
     "ss05_ivf_ann",
     "tx13_heavy_hitters_certified",
+    "dd09_incremental_lsh",  # eager signature materialization
 }
 
 
