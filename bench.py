@@ -53,6 +53,7 @@ HEADLINE = [
     "dd01_exact_dedup_documents",
     "dd03_minhash_lsh_candidates",
     "dd05_minhash_lsh_kernel",
+    "dd09_incremental_lsh",
     "tx01_token_stats",
     "tx06_tfidf",
     "ss04_cosine_topk_blas",
