@@ -221,3 +221,54 @@ def test_snapshot_log_replay_matches_model(spark, ops):
         assert {r["x"] for r in t.read().collect()} == model[-1]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 training-layout operators: hypothesis invariants
+# ---------------------------------------------------------------------------
+
+layout_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id (dups possible)
+        st.sampled_from(["a", "b", "c"]),            # stratum
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=layout_rows)
+@settings(**_SETTINGS)
+def test_train_split_is_exhaustive_partition(spark, rows):
+    """Every row lands in exactly one split, membership is a pure
+    function of the key (stable under repartitioning), and the splits
+    reunite to the input."""
+    from datapipeline_template_spark.operators.packing import train_split
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = df.select("doc_id", train_split("doc_id", {"train": 0.8, "val": 0.2}))
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == len(rows)
+    assert set(got.values()) <= {"train", "val"}
+    out2 = df.repartition(5).select(
+        "doc_id", train_split("doc_id", {"train": 0.8, "val": 0.2})
+    )
+    assert {r["doc_id"]: r["split"] for r in out2.collect()} == got
+
+
+@given(rows=layout_rows, q=st.integers(min_value=0, max_value=12))
+@settings(**_SETTINGS)
+def test_quota_sample_size_law(spark, rows, q):
+    """|sample ∩ stratum| == min(quota, |stratum|), for every stratum,
+    at any quota."""
+    from collections import Counter
+
+    from datapipeline_template_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = quota_sample(df, "doc_id", "src", {}, default_quota=q)
+    sizes = Counter(r["src"] for r in out.collect())
+    truth = Counter(s for _, s in rows)
+    for stratum, n in truth.items():
+        assert sizes.get(stratum, 0) == min(q, n), (stratum, q, n)
