@@ -742,25 +742,47 @@ def select_survivors(
     with >= ``min_cluster_size`` members: (component, survivor_id,
     cluster_size, survivor_quality).
 
-    Scale shape: one broadcast-or-shuffle left join to attach labels
-    (the component map is |nodes-in-pairs|, far smaller than the
-    corpus), then ONE hash shuffle on component for the window pair
-    (count + row_number share the partitioning). No driver involvement.
+    Scale shape: the component map only contains nodes that appeared
+    in at least one candidate pair — a few percent of a deduplicated
+    corpus; the overwhelming mass is singletons that can never reach
+    ``min_cluster_size >= 2``. So for the common ``min_cluster_size >=
+    2`` case we INNER-join docs to the map FIRST: only
+    pair-participating documents survive the join, and only those are
+    hash-shuffled on ``component`` for the window pair (count +
+    row_number share the partitioning). At 100 TB that turns a
+    full-corpus shuffle into a shuffle of the few-% clustered subset.
+    Only when the caller asks for ``min_cluster_size <= 1`` (singleton
+    clusters must be emitted too) do we fall back to the left-join +
+    coalesce form over the whole corpus. No driver involvement either
+    way.
     """
     from pyspark.sql import Window
 
     lab = components.select(
         F.col("node").alias(id_col), F.col("component").alias("_comp")
     )
-    labeled = (
-        docs.select(F.col(id_col), F.col(quality_col))
-        .join(lab, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_comp"), F.col(id_col)).alias("component"),
-            quality_col,
+    if min_cluster_size >= 2:
+        # Singletons are absent from the component map and can never
+        # pass the size filter — drop them before the shuffle.
+        labeled = (
+            docs.select(F.col(id_col), F.col(quality_col))
+            .join(lab, id_col, "inner")
+            .select(
+                id_col,
+                F.col("_comp").alias("component"),
+                quality_col,
+            )
         )
-    )
+    else:
+        labeled = (
+            docs.select(F.col(id_col), F.col(quality_col))
+            .join(lab, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("_comp"), F.col(id_col)).alias("component"),
+                quality_col,
+            )
+        )
     w = Window.partitionBy("component")
     ranked = labeled.withColumn(
         "cluster_size", F.count(F.lit(1)).over(w)

@@ -134,3 +134,26 @@ def test_tj02_cascade_scans_raw_once(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("partial_") >= 1
     assert plan.count("HashAggregate") >= 6  # 3 levels x (partial+final)
+
+
+def test_select_survivors_drops_singletons_before_window(spark):
+    """The min_cluster_size>=2 path must INNER-join docs to the (small)
+    component map BEFORE the window, so the corpus' singleton mass —
+    ~all of it at 100 TB — never hash-shuffles on component. A LeftOuter
+    in the plan means the full corpus reached the shuffle."""
+    from datapipeline_template_spark.operators.dedup import select_survivors
+
+    docs = spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS q")
+    comp = spark.range(20).selectExpr("id AS node", "id % 5 AS component")
+    plan = (
+        select_survivors(docs, comp, "doc_id", "q", min_cluster_size=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join Inner" in plan or "BroadcastHashJoin" in plan
+    assert "LeftOuter" not in plan
+    # min_cluster_size=1 still emits singletons via the left-join form.
+    plan1 = (
+        select_survivors(docs, comp, "doc_id", "q", min_cluster_size=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftOuter" in plan1
