@@ -58,41 +58,28 @@ def stratified_sample(df: DataFrame, key: str, stratum_col: str, rates: dict[str
     return df.where(bucket < thresh)
 
 
-def quota_sample(
-    df: DataFrame,
-    key: str,
-    stratum_col: str,
-    quotas: dict[str, int],
-    default_quota: int = 0,
-) -> DataFrame:
-    """EXACT-size per-stratum sample: the first ``quotas[stratum]``
-    rows of each stratum in stable key-hash order — how a fixed-size
-    eval set is drawn (\"exactly 500 docs per source\") when a rate
-    can't guarantee the count.
+def _stratum_case(stratum_col: str, values: dict[str, int], default: int) -> Column:
+    """CASE WHEN stratum = s THEN v ... ELSE default — one scalar expr."""
+    expr = None
+    for stratum, v in values.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        expr = F.when(cond, F.lit(int(v))) if expr is None else expr.when(
+            cond, F.lit(int(v))
+        )
+    return expr.otherwise(F.lit(int(default))) if expr is not None else F.lit(
+        int(default)
+    )
 
-    Ordering is (key-hash, key): pseudo-random but fully deterministic
-    across runs, partitionings, and engines — and because it's a total
-    order, the chosen set is too. Strata smaller than their quota keep
-    every row. Rate-based ``stratified_sample`` stays the scale
-    default (pure scan-side filter, no shuffle); the quota form pays
-    ONE hash shuffle on the stratum for its rank window, which is the
-    unavoidable cost of an exact count. Quotas are per-stratum row
-    caps — far under window-sort pressure even on a skewed stratum,
-    since rank is computed streaming over the sorted partition.
-    """
-    if any(q < 0 for q in quotas.values()) or default_quota < 0:
-        raise ValueError("quotas must be non-negative")
+
+def _quota_window(
+    df: DataFrame, key: str, stratum_col: str, quota: Column
+) -> DataFrame:
+    """Exact rank filter: first `quota` rows per stratum in (key-hash,
+    key) order. One hash shuffle on the stratum; every row of each
+    stratum sorts on a single task."""
     from pyspark.sql import Window
 
     bucket = sample_hash_bucket(key)
-    expr = None
-    for stratum, q in quotas.items():
-        cond = F.col(stratum_col) == F.lit(stratum)
-        t = F.lit(int(q))
-        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
-    quota = expr.otherwise(F.lit(int(default_quota))) if expr is not None else F.lit(
-        int(default_quota)
-    )
     w = Window.partitionBy(stratum_col).orderBy(bucket.asc(), F.col(key).asc())
     # Collision-safe rank name: never clobber a caller's column.
     rank_col = "_rank"
@@ -103,3 +90,100 @@ def quota_sample(
         .where(F.col(rank_col) <= quota)
         .drop(rank_col)
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    prefilter: bool = True,
+    slack: float = 4.0,
+    margin: int = 64,
+) -> DataFrame:
+    """EXACT-size per-stratum sample: the first ``quotas[stratum]``
+    rows of each stratum in stable key-hash order — how a fixed-size
+    eval set is drawn (\"exactly 500 docs per source\") when a rate
+    can't guarantee the count.
+
+    Ordering is (key-hash, key): pseudo-random but fully deterministic
+    across runs, partitionings, and engines — and because it's a total
+    order, the chosen set is too. Strata smaller than their quota keep
+    every row.
+
+    Scale shape: the naive form windows the WHOLE stratum — every row
+    of a stratum lands on one task for the row_number sort, a multi-TB
+    single-task sort when 100 TB splits over a handful of sources.
+    Instead (``prefilter=True``, the default):
+
+    1. one map-side-combined ``groupBy(stratum).count()`` gives exact
+       stratum sizes n_s (|strata| is source-cardinality small — the
+       result is collected);
+    2. because the key-hash is pseudo-uniform on [0, p), the quota-th
+       order statistic of n_s draws concentrates at q/n_s·p; keep only
+       rows with ``bucket < p·(slack·q + margin)/n_s`` — a scalar
+       CASE-WHEN predicate evaluated at the scan, no shuffle;
+    3. verify: count survivors per stratum; any stratum with fewer
+       than min(q, n_s) survivors gets its threshold widened 8× and
+       the filter re-runs (geometric, terminates at p — in practice
+       the Chernoff tail at slack=4, margin=64 makes widening a
+       never-event);
+    4. the exact rank window then runs on the ~slack·q-row survivor
+       set per stratum.
+
+    Survivors are all rows with bucket strictly below the stratum's
+    threshold, so they form a PREFIX of the stratum's (bucket, key)
+    total order — whenever the verified survivor count reaches
+    min(q, n_s), the top-q of the survivors is exactly the top-q of
+    the stratum. The result is therefore bit-identical to the window
+    form (``prefilter=False``), which is kept for A/B and testing.
+    Cost: two map-only scans + a tiny window vs one scan + a
+    full-stratum sort; at scale the former wins by orders of
+    magnitude. Strata with quota 0 are dropped map-side.
+    """
+    if any(q < 0 for q in quotas.values()) or default_quota < 0:
+        raise ValueError("quotas must be non-negative")
+    quota = _stratum_case(stratum_col, quotas, default_quota)
+    if not prefilter:
+        return _quota_window(df, key, stratum_col, quota)
+
+    sizes = {
+        r[stratum_col]: r["_n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    thresholds: dict[str, int] = {}
+    needed: dict[str, int] = {}
+    for stratum, n in sizes.items():
+        q = quotas.get(stratum, default_quota)
+        if q <= 0 or n == 0:
+            continue
+        needed[stratum] = min(q, n)
+        if q >= n:
+            thresholds[stratum] = POLY_P
+        else:
+            thresholds[stratum] = min(
+                POLY_P, int(POLY_P * (slack * q + margin) / n) + 1
+            )
+    if not thresholds:
+        return df.where(F.lit(False))
+
+    bucket = sample_hash_bucket(key)
+    while True:
+        t_expr = _stratum_case(stratum_col, thresholds, 0)
+        survivors = df.where(bucket < t_expr)
+        got = {
+            r[stratum_col]: r["_n"]
+            for r in survivors.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        deficient = [
+            s
+            for s, need in needed.items()
+            if got.get(s, 0) < need and thresholds[s] < POLY_P
+        ]
+        if not deficient:
+            return _quota_window(survivors, key, stratum_col, quota)
+        for s in deficient:
+            thresholds[s] = min(POLY_P, thresholds[s] * 8)

@@ -272,3 +272,62 @@ def test_quota_sample_size_law(spark, rows, q):
     truth = Counter(s for _, s in rows)
     for stratum, n in truth.items():
         assert sizes.get(stratum, 0) == min(q, n), (stratum, q, n)
+
+
+@given(rows=layout_rows, q=st.integers(min_value=0, max_value=12))
+@settings(**_SETTINGS)
+def test_quota_sample_prefilter_equals_window(spark, rows, q):
+    """The threshold-prefilter path must pick EXACTLY the rows the
+    single-reducer window form picks — bit-identical sample."""
+    from datapipeline_template_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    fast = {(r["doc_id"], r["src"]) for r in
+            quota_sample(df, "doc_id", "src", {}, default_quota=q).collect()}
+    slow = {(r["doc_id"], r["src"]) for r in
+            quota_sample(df, "doc_id", "src", {}, default_quota=q,
+                         prefilter=False).collect()}
+    assert fast == slow
+
+
+def test_quota_sample_prefilter_bounds_window_input(spark):
+    """On a 90%-skew stratum the pre-filter must shrink the window's
+    input to ~slack*quota rows, not the whole stratum — the property
+    that kills the 100 TB single-task sort."""
+    from datapipeline_template_spark.operators.sampling import (
+        _quota_window,
+        quota_sample,
+        sample_hash_bucket,
+    )
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 = 0 THEN concat('rare', id % 3) ELSE 'big' END AS src",
+    )
+    q = 25
+    out = quota_sample(df, "doc_id", "src", {}, default_quota=q)
+    from collections import Counter
+
+    sizes = Counter(r["src"] for r in out.select("src").collect())
+    assert sizes["big"] == q and all(v == q for v in sizes.values())
+    # Reconstruct the survivor predicate quota_sample built and check
+    # the window input is bounded far under the stratum size.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan  # threshold predicate made it into the plan
+    # The big stratum is 18k rows; slack*q + margin = 164 expected
+    # survivors. Allow generous randomness headroom, but require at
+    # least a 10x reduction.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    # Count rows passing the same prefilter quota_sample used by
+    # rerunning it with an instrumented copy: survivors == rows whose
+    # bucket < p*(slack*q+margin)/n_s for their stratum.
+    POLY_P = 1_000_000_007
+    big_n = n - n // 10
+    thresh = int(POLY_P * (4.0 * q + 64) / big_n) + 1
+    surv = df.where(
+        (F.col("src") == "big")
+        & (sample_hash_bucket("doc_id") < F.lit(thresh))
+    ).count()
+    assert q <= surv < big_n / 10, surv
