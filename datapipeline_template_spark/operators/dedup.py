@@ -389,6 +389,8 @@ def lsh_candidate_pairs_incremental(
     signature_col: str,
     bands: int = 8,
     rows_per_band: int = 4,
+    broadcast: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Incremental LSH maintenance — the shape a growing corpus runs
     daily: candidate pairs TOUCHING today's batch only (new×existing
@@ -402,9 +404,20 @@ def lsh_candidate_pairs_incremental(
     Scale: the existing side is a STORED signature table in production
     (signatures are write-once per doc — never recomputed); only the
     batch is signed per run. The join probes banded-new (small: one
-    day's crawl) against banded-all on the (band, bucket) equi-key, so
-    Spark broadcasts the batch side and the corpus never shuffles.
-    Work per run is O(|batch| × bucket hit rate), not O(|corpus|²).
+    day's crawl) against banded-all on the (band, bucket) equi-key;
+    broadcasting the batch side means the corpus never shuffles. But
+    the broadcast is |batch| × bands rows — a daily increment fits, an
+    operator-level BACKFILL (re-signing a month) does not, and a
+    forced broadcast would OOM executors. So the hint is gated:
+    ``broadcast=None`` (default) broadcasts only when the batch is
+    known to be bounded — ``sigs_new.isStreaming`` is False and a
+    cheap count of the batch side stays under
+    ``broadcast_max_rows / bands``; pass ``broadcast=True/False`` to
+    pin the strategy when the caller already knows the batch size
+    (e.g. a foreachBatch maintainer that just counted the
+    micro-batch). The non-broadcast path is a plain (band, bucket)
+    equi-shuffle join — both sides partition by bucket, AQE handles
+    bucket skew — and returns identical pairs.
     """
 
     new_b = _banded(sigs_new, id_col, signature_col, bands, rows_per_band)
@@ -417,7 +430,15 @@ def lsh_candidate_pairs_incremental(
         bands,
         rows_per_band,
     )
-    joined = F.broadcast(new_b.alias("a")).join(
+    if broadcast is None:
+        # The count is one narrow job over the (small) batch side —
+        # cheap relative to the join it sizes, and the only way to
+        # know the broadcast is safe without trusting the caller.
+        broadcast = (not sigs_new.isStreaming) and (
+            sigs_new.count() <= broadcast_max_rows // max(bands, 1)
+        )
+    left = F.broadcast(new_b.alias("a")) if broadcast else new_b.alias("a")
+    joined = left.join(
         all_b.alias("b"),
         (F.col("a._band") == F.col("b._band"))
         & (F.col("a._bucket") == F.col("b._bucket"))

@@ -342,8 +342,10 @@ def dd09_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs.count()
     new = sigs.where(F.col("doc_id") % 10 == 0)
     existing = sigs.where(F.col("doc_id") % 10 != 0)
+    # broadcast pinned True: the batch slice is known-small here, and
+    # pinning skips the operator's sizing count job in the bench loop.
     return lsh_candidate_pairs_incremental(
-        existing, new, "doc_id", "sig", bands=8, rows_per_band=4
+        existing, new, "doc_id", "sig", bands=8, rows_per_band=4, broadcast=True
     )
 
 

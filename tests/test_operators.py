@@ -720,6 +720,37 @@ def test_incremental_lsh_equals_full_restricted(spark):
     }
     want = {(a, b) for a, b in full if a in batch_ids or b in batch_ids}
     assert inc == want
+    # The non-broadcast path — what a large backfill batch takes —
+    # must return identical pairs, and without the forced hint the
+    # optimizer must be free NOT to broadcast: with the auto-broadcast
+    # threshold disabled, no BroadcastHashJoin may appear. (With the
+    # hint, Catalyst broadcasts regardless of the threshold — that was
+    # the OOM risk being fixed.)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inc_shuffle_df = lsh_candidate_pairs_incremental(
+            existing, new, "doc_id", "sig", broadcast=False
+        )
+        assert {(r["id_a"], r["id_b"]) for r in inc_shuffle_df.collect()} == want
+        plan = inc_shuffle_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        # Auto mode: a batch bigger than the row gate must fall back too.
+        auto_df = lsh_candidate_pairs_incremental(
+            existing, new, "doc_id", "sig", broadcast_max_rows=8
+        )
+        assert {(r["id_a"], r["id_b"]) for r in auto_df.collect()} == want
+        plan_auto = auto_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_auto
+        # And the forced-hint path must broadcast even below threshold,
+        # pinning that the gate (not luck) controls the strategy.
+        forced = lsh_candidate_pairs_incremental(
+            existing, new, "doc_id", "sig", broadcast=True
+        )
+        plan_forced = forced._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_forced or "BroadcastExchange" in plan_forced
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     # Batch disjoint from every bucket -> empty increment.
     lonely = spark.createDataFrame(
         [(999, "totally unrelated vocabulary nothing shared here at all")],
