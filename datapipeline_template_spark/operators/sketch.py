@@ -22,9 +22,18 @@ raises otherwise (raise k'). On Zipf-distributed text the bound is
 loose by orders of magnitude, so modest k' certifies easily.
 
 This is the SpaceSaving/Misra-Gries shape with per-partition exact
-counting; a strict-memory MG summary can replace step 1's
-``value_counts`` if per-partition distinct counts outgrow executor
-memory, with the same merge/certify contract.
+counting. When per-partition distinct counts outgrow executor memory
+(a truly web-scale n-gram column), ``local_phase="mg"`` swaps step 1
+for a STRICT-memory Misra-Gries summary of ``mg_capacity`` counters:
+batches merge into the summary and, whenever it exceeds capacity, the
+(overflow)-th smallest count d is subtracted from every counter and
+non-positive ones drop — the classic all-decrement step, batched. MG
+guarantees every item's true local count ≤ its summary count + D
+(D = total decremented), so for items a partition did NOT report,
+``t_i = D_i + (k'-th retained count when the summary was truncated)``
+is a valid upper bound and the SAME merge/certify contract holds —
+the recount is exact either way, only the certification bound loosens
+(Zipf columns still certify easily at modest capacity).
 """
 
 from __future__ import annotations
@@ -36,13 +45,30 @@ __all__ = ["certified_topk"]
 
 
 def certified_topk(
-    items: DataFrame, item_col: str, k: int, local_k: int = 1024
+    items: DataFrame,
+    item_col: str,
+    k: int,
+    local_k: int = 1024,
+    local_phase: str = "exact",
+    mg_capacity: int | None = None,
 ) -> DataFrame:
     """Exact, certified top-``k`` (count DESC, item ASC) of a
     one-column item stream. Raises if exactness cannot be certified at
-    this ``local_k``."""
+    this ``local_k``.
+
+    ``local_phase="exact"`` (default) counts every distinct item per
+    partition — unbounded in per-partition distinct items.
+    ``local_phase="mg"`` holds at most ``mg_capacity`` counters
+    (default ``8 * local_k``) per partition via Misra-Gries decrements
+    — strict memory, same certified-exact output, looser bound.
+    """
     if k <= 0 or local_k < k:
         raise ValueError("need 0 < k <= local_k")
+    if local_phase not in ("exact", "mg"):
+        raise ValueError("local_phase must be 'exact' or 'mg'")
+    capacity = mg_capacity if mg_capacity is not None else 8 * local_k
+    if local_phase == "mg" and capacity < local_k:
+        raise ValueError("need mg_capacity >= local_k")
     import pandas as pd
 
     def local_counts(batches):
@@ -61,8 +87,51 @@ def certified_topk(
             {item_col: top.index, "cnt": top.to_numpy(), "t": t}
         )
 
+    def local_counts_mg(batches):
+        # Misra-Gries with `capacity` counters: memory is O(capacity)
+        # regardless of the partition's distinct-item count. After each
+        # batch merge, overflow past capacity subtracts the overflow-th
+        # smallest count from EVERY counter (the batched all-decrement)
+        # and drops the non-positive ones; `dropped` accumulates the
+        # total subtracted, the classic MG undercount bound.
+        acc: dict[str, int] = {}
+        dropped = 0
+        for pdf in batches:
+            for item, n in pdf[item_col].value_counts().items():
+                acc[item] = acc.get(item, 0) + int(n)
+            over = len(acc) - capacity
+            if over > 0:
+                counts = sorted(acc.values())
+                d = counts[over - 1]
+                dropped += d
+                acc = {i: c - d for i, c in acc.items() if c > d}
+        if not acc and dropped == 0:
+            return
+        s = pd.Series(acc).sort_values(ascending=False) if acc else pd.Series(
+            [], dtype="int64"
+        )
+        top = s.iloc[:local_k]
+        # Any UNREPORTED item's true local count <= its MG count + the
+        # total decremented. Items evicted or never retained have MG
+        # count 0 -> bound `dropped`; items retained but cut by the
+        # local_k truncation have MG count <= the k'-th retained count.
+        t = dropped + (int(top.iloc[-1]) if len(s) > local_k else 0)
+        if len(top) == 0:
+            # Everything decremented away (adversarially flat input):
+            # emit one null-item row so the partition's bound still
+            # reaches the certifier (a null candidate semi-joins to
+            # nothing, so it can't pollute the recount).
+            yield pd.DataFrame(
+                {item_col: [None], "cnt": [0], "t": [t]}
+            )
+            return
+        yield pd.DataFrame(
+            {item_col: top.index, "cnt": top.to_numpy(), "t": t}
+        )
+
+    fn = local_counts if local_phase == "exact" else local_counts_mg
     local = items.mapInPandas(
-        local_counts, schema=f"{item_col} string, cnt long, t long"
+        fn, schema=f"{item_col} string, cnt long, t long"
     ).persist()
     try:
         # Σ t_i over partitions. mapInPandas is narrow, so each output

@@ -687,6 +687,53 @@ def test_certified_topk_exact_and_certification(spark):
         certified_topk(df, "item", k=10, local_k=5)
 
 
+def test_certified_topk_misra_gries_local_phase(spark):
+    """The strict-memory MG local phase must return the identical
+    certified-exact answer when distinct items per partition vastly
+    exceed mg_capacity — the memory regime the exact phase can't
+    enter — and refuse certification when the decrement bound could
+    hide a winner."""
+    import pytest as _pytest
+
+    from datapipeline_template_spark.operators.sketch import certified_topk
+
+    # 4000 distinct cold items + 5 heavy hitters, 8 partitions ->
+    # ~500 distinct per partition, far beyond capacity 64.
+    rows = []
+    for i in range(4000):
+        rows.append((f"cold{i}",))
+        if i % 8 < 5:
+            rows.append((f"hot{i % 8}",))
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    want = [
+        tuple(r)
+        for r in df.groupBy("item")
+        .count()
+        .selectExpr("item", "count as n")
+        .orderBy(F.col("n").desc(), "item")
+        .limit(3)
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in certified_topk(
+            df, "item", k=3, local_k=8, local_phase="mg", mg_capacity=64
+        ).collect()
+    ]
+    assert got == want
+    # Flat input at tiny capacity: decrements dominate, the bound
+    # exceeds any candidate count -> must raise, never approximate.
+    uni = spark.createDataFrame(
+        [(f"u{i}",) for i in range(2000)], "item string"
+    ).repartition(4)
+    with _pytest.raises(ValueError, match="not certifiable"):
+        certified_topk(uni, "item", k=3, local_k=4, local_phase="mg", mg_capacity=8)
+    with _pytest.raises(ValueError, match="mg_capacity"):
+        certified_topk(df, "item", k=3, local_k=64, local_phase="mg", mg_capacity=8)
+    with _pytest.raises(ValueError, match="local_phase"):
+        certified_topk(df, "item", k=3, local_k=8, local_phase="bogus")
+
+
 def test_incremental_lsh_equals_full_restricted(spark):
     """Incremental candidates must equal the full-corpus pairs
     restricted to pairs touching the batch — including new×new pairs
@@ -884,3 +931,27 @@ def test_gopher_rules_flag_degenerate_docs(spark):
     for n, c in rules.items():
         all_ok = all_ok & c
     assert [r["doc_id"] for r in docs.filter(all_ok).collect()] == [0]
+
+
+def test_tx13_green_under_both_local_phases(spark):
+    """tx13's certified heavy hitters must produce the identical
+    exact top-20 whether the local phase counts exactly or runs the
+    strict-memory Misra-Gries summary."""
+    from datapipeline_template_spark.operators.sketch import certified_topk
+    from datapipeline_template_spark.queries.text import _bigram_stream
+
+    sf = "/root/testdata/sf0.001"
+    exact = [
+        tuple(r)
+        for r in certified_topk(
+            _bigram_stream(spark, sf), "bigram", k=20, local_k=1024
+        ).collect()
+    ]
+    mg = [
+        tuple(r)
+        for r in certified_topk(
+            _bigram_stream(spark, sf), "bigram", k=20, local_k=1024,
+            local_phase="mg", mg_capacity=4096,
+        ).collect()
+    ]
+    assert exact == mg
