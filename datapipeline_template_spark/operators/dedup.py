@@ -117,8 +117,14 @@ def shingle_tokens(tokens: Column, k: int = 3, p: int = POLY_P, base: int = POLY
     """k-word shingles of an array<string>, each hashed to int64.
 
     Two-level hashing: each token is polynomial-hashed ONCE (char
-    fold), then each shingle combines k consecutive token hashes with
-    fixed coefficients mod p — so every character is processed once
+    fold), then each shingle combines k consecutive token hashes as a
+    degree-(k-1) polynomial in base ``_SHINGLE_C2`` = 131 mod p —
+    Horner-evaluated with a mod per step, so intermediates stay below
+    p·131 + p < 2^38 and any k (GPT-3-style 13-gram decontamination
+    included) is exact in int64. For k=3 the value is bit-identical to
+    the historical expanded form th0·17161 + th1·131 + th2 mod p
+    (17161 = 131², same residue, same [0, p) range — pinned by the
+    dd02/dd03/dd07/dd08 oracles). Every character is processed once
     per document instead of k times per shingle (the joined-text form
     re-folded the whole document k× and allocated shingle strings).
 
@@ -127,22 +133,24 @@ def shingle_tokens(tokens: Column, k: int = 3, p: int = POLY_P, base: int = POLY
     a heavy expression re-evaluates it per element: measured blow-up).
     Shorter-than-k docs yield one shingle with missing positions as 0
     (same on the SQL side via COALESCE(th[i], 0)).
-
-    Currently k=3 only (coefficient schedule is fixed).
     """
-    if k != 3:
-        raise NotImplementedError("shingle_tokens supports k=3 (fixed coefficient schedule)")
+    if k < 1:
+        raise ValueError("shingle width k must be >= 1")
     th = token_poly_hash(tokens, p, base)
     n = F.size(th)
-    s2 = F.slice(th, 2, n)
-    s3 = F.slice(th, 3, n)
-    partial = F.zip_with(
-        th, s2, lambda x, y: x * F.lit(_SHINGLE_C1) + F.coalesce(y, F.lit(0).cast("long")) * F.lit(_SHINGLE_C2)
-    )
-    combined = F.zip_with(
-        partial, s3, lambda xy, z: (xy + F.coalesce(z, F.lit(0).cast("long"))) % F.lit(p)
-    )
-    return F.slice(combined, 1, F.greatest(n - F.lit(k - 1), F.lit(1)))
+    acc = th
+    for j in range(1, k):
+        sj = F.slice(th, j + 1, n)
+        acc = F.zip_with(
+            acc,
+            sj,
+            lambda a, x: (
+                a * F.lit(_SHINGLE_C2) + F.coalesce(x, F.lit(0).cast("long"))
+            )
+            % F.lit(p),
+        )
+    # k=1: acc is th itself, already reduced mod p by token_poly_hash.
+    return F.slice(acc, 1, F.greatest(n - F.lit(k - 1), F.lit(1)))
 
 
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32, p: int = POLY_P) -> Column:
@@ -217,6 +225,7 @@ def minhash_signatures_kernel(
     num_hashes: int = 32,
     p: int = POLY_P,
     base: int = POLY_BASE,
+    k: int = 3,
 ) -> DataFrame:
     """Arrow-batched numpy MinHash kernel — bit-identical to
     ``minhash_signatures`` over ``shingle_tokens(tokenize(text))``
@@ -248,6 +257,8 @@ def minhash_signatures_kernel(
     """
     import pandas as pd  # local: keep module import light
 
+    if k < 1:
+        raise ValueError("shingle width k must be >= 1")
     out_schema = f"{id_col} long, sig array<long>"
     a_coef = np.arange(num_hashes, dtype=np.float64) * 2 + 1_234_567
     b_coef = np.arange(num_hashes, dtype=np.float64) * 31 + 9_876_543
@@ -297,15 +308,19 @@ def minhash_signatures_kernel(
             doc_start = np.cumsum(n_tok) - n_tok
             pos = np.arange(len(th)) - np.repeat(doc_start, n_tok)
             n_rep = np.repeat(n_tok, n_tok)
-            # Shifted token hashes, zero beyond the doc (COALESCE).
-            th1 = np.where(pos + 1 < n_rep, np.roll(th, -1), 0.0)
-            th2 = np.where(pos + 2 < n_rep, np.roll(th, -2), 0.0)
-            # th*17161 < 2^45 — still exact in float64.
-            sh = fmod_p(th * 17_161 + th1 * 131 + th2)
-            # Keep the first max(n-2, 1) shingles of each doc.
-            keep = pos < np.maximum(n_rep - 2, 1)
+            # Horner over k shifted token-hash columns, zero beyond
+            # the doc (COALESCE). Per step acc*131 + th_j < p*131 + p
+            # < 2^38 — exact in float64 — so ANY k stays exact; for
+            # k=3 the residue equals the historical expanded
+            # th*17161 + th1*131 + th2 form bit-for-bit.
+            sh = th
+            for j in range(1, k):
+                thj = np.where(pos + j < n_rep, np.roll(th, -j), 0.0)
+                sh = fmod_p(sh * 131 + thj)
+            # Keep the first max(n-(k-1), 1) shingles of each doc.
+            keep = pos < np.maximum(n_rep - (k - 1), 1)
             sh = sh[keep]
-            sh_per_doc = np.maximum(n_tok - 2, 1)
+            sh_per_doc = np.maximum(n_tok - (k - 1), 1)
             offsets = np.concatenate(([0], np.cumsum(sh_per_doc)[:-1]))
             # 32 minima per doc in one reduceat sweep. sh*a + b < 2^51.
             hashed = fmod_p(sh[:, None] * a_coef[None, :] + b_coef[None, :])

@@ -69,6 +69,7 @@ _OVERFLOW = (
     "ss07_label_centroid_stats",
     "mm03_frame_manifest",
     "pk05_eval_quota_sample",
+    "dd10_decontamination_5gram",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -466,3 +466,59 @@ def dd07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sh",
     )
+
+
+# ---------------------------------------------------------------------------
+# dd10 — GPT-3-style wide-shingle decontamination (k=5). Registered in
+# the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+# Horner form of the degree-(k-1) shingle polynomial in base 131 with a
+# mod per step — the same schedule shingle_tokens(k) generalizes to;
+# intermediates stay < p*131 so DuckDB BIGINT arithmetic is exact.
+_SHINGLES_K5_FROM_TH_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(th) - 4, 1) + 1),
+    i -> ((((((((COALESCE(th[i], 0) * 131 + COALESCE(th[i+1], 0)) % 1000000007)
+               * 131 + COALESCE(th[i+2], 0)) % 1000000007)
+               * 131 + COALESCE(th[i+3], 0)) % 1000000007)
+               * 131 + COALESCE(th[i+4], 0)) % 1000000007)
+  ))
+"""
+
+_DD10_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, source, {_SHINGLES_K5_FROM_TH_SQL} AS shingles FROM tk
+), ev AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest(shingles) AS g FROM sh WHERE source = 'src0')
+), ce AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh WHERE source <> 'src0'
+)
+SELECT ce.doc_id, CAST(COUNT(DISTINCT ce.g) AS BIGINT) AS n_shared
+FROM ce JOIN ev ON ce.g = ev.g
+GROUP BY ce.doc_id
+"""
+
+
+@register("dd10_decontamination_5gram", oracle=_DD10_ORACLE)
+def dd10_decontamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd07's leakage check at the 5-gram width — the shape of GPT-3
+    appendix-C-style decontamination, where wider shingles cut false
+    positives on common short phrases. Exercises the generalized
+    arbitrary-k shingle schedule (Horner in base 131 mod p); same
+    broadcast-eval / map-only-corpus scale shape as dd07."""
+    from ..operators.dedup import decontaminate_flags
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", shingle_tokens(tokenize("text"), k=5).alias("sh")
+    )
+    return decontaminate_flags(
+        sh.where(F.col("source") != "src0"),
+        sh.where(F.col("source") == "src0"),
+        "doc_id",
+        "sh",
+    )

@@ -114,14 +114,15 @@ ascii_texts = st.lists(
 )
 
 
-@given(texts=ascii_texts)
+@given(texts=ascii_texts, k=st.sampled_from([1, 2, 3, 5, 13]))
 @settings(**_SETTINGS)
-def test_minhash_kernel_matches_catalyst(spark, texts):
+def test_minhash_kernel_matches_catalyst(spark, texts, k):
     """The vectorized numpy signature kernel must bit-agree with the
     Catalyst HOF pipeline on ANY corpus — including empty texts,
     leading/trailing/consecutive spaces (empty tokens hash to 0),
     docs shorter than the shingle width, and non-ASCII code points
-    (the kernel folds UTF-32 code points to match F.ascii)."""
+    (the kernel folds UTF-32 code points to match F.ascii) — at EVERY
+    shingle width (k spans unigram through GPT-3-style 13-gram)."""
     from datapipeline_template_spark.operators.dedup import (
         minhash_signatures,
         minhash_signatures_kernel,
@@ -136,9 +137,11 @@ def test_minhash_kernel_matches_catalyst(spark, texts):
         ),
     )
     jvm = minhash_signatures(
-        df.select("doc_id", shingle_tokens(tokenize("text")).alias("sh")), "doc_id", "sh"
+        df.select("doc_id", shingle_tokens(tokenize("text"), k=k).alias("sh")),
+        "doc_id",
+        "sh",
     ).collect()
-    knl = minhash_signatures_kernel(df, "doc_id", "text").collect()
+    knl = minhash_signatures_kernel(df, "doc_id", "text", k=k).collect()
     assert sorted((r[0], tuple(r[1])) for r in jvm) == sorted((r[0], tuple(r[1])) for r in knl)
 
 
