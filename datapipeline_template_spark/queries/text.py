@@ -195,12 +195,18 @@ LIMIT 100
 
 @register("tx06_tfidf", oracle=_TX06_ORACLE)
 def tx06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: tf(term,doc) × ln(N/df). df is broadcast back onto the
-    exploded terms (small distinct-term dim), so the only big shuffle
-    is the tf groupBy. N is a 1-row broadcast aggregate INSIDE the
-    plan (no separate driver-side count job — one less Spark job and
-    no collect on the hot path). ln() is rounded to 4 decimals for
-    cross-engine hash parity (libm vs JVM log differ ≤1 ulp)."""
+    """TF-IDF: tf(term,doc) × ln(N/df). The tf⋈df join is left
+    UNHINTED on purpose: df is the distinct-term dimension, which on a
+    web-scale corpus is billions of terms — a forced broadcast would
+    OOM. Unhinted, the term-key equi-join co-partitions both sides
+    (df is produced partitioned by term; tf pays one shuffle from
+    (doc_id, term) to term), and at small scale Catalyst/AQE still
+    picks a broadcast from its own size estimate — the right strategy
+    at each scale, chosen by the optimizer, not pinned by us. N is a
+    1-row broadcast aggregate INSIDE the plan (no separate driver-side
+    count job — one less Spark job and no collect on the hot path).
+    ln() is rounded to 4 decimals for cross-engine hash parity (libm
+    vs JVM log differ ≤1 ulp)."""
     docs = table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
@@ -212,7 +218,7 @@ def tx06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n))
         .select("doc_id", "term", tfidf.alias("tfidf"))
         .orderBy(F.col("tfidf").desc(), F.col("doc_id"), F.col("term"))

@@ -157,3 +157,19 @@ def test_select_survivors_drops_singletons_before_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftOuter" in plan1
+
+
+def test_tx06_df_join_not_hint_forced(spark):
+    """The tf⋈df join must carry no broadcast hint: df is the
+    distinct-term dimension (billions of terms at web scale). With the
+    auto-broadcast threshold disabled the optimizer must be free to
+    pick a shuffle join on term; only the 1-row N aggregate stays
+    broadcast."""
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "tx06_tfidf")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "SortMergeJoin" in plan  # the term join, optimizer-chosen
+    assert plan.count("BroadcastHashJoin") <= 1  # only the 1-row N join
