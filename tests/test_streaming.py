@@ -284,3 +284,74 @@ def test_incremental_rollup_matches_batch_cascade(spark, tmp_path):
         roll.read_cascade(spark, ("day", "month"))
     with _pytest.raises(ValueError, match="non-decomposable"):
         IncrementalRollup(store, "ts", ["key"], {"a": ("avg", F.col("value"))})
+
+
+def test_incremental_lsh_stream_matches_full_corpus(spark, tmp_path):
+    """End-to-end streaming LSH maintenance: drain a document stream
+    in TWO AvailableNow passes, then the maintained candidate pairs
+    must equal the full-corpus lsh_candidate_pairs over every document
+    seen — the dd09 equivalence contract held across micro-batches —
+    and a replayed batch_id must change nothing."""
+    from datapipeline_template_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_kernel,
+    )
+    from datapipeline_template_spark.streaming.lsh import IncrementalLsh
+
+    doc_schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "lsh_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(ids):
+        # near-dup families keyed by i%5 -> plenty of cross-batch pairs
+        return [
+            (i, f"alpha beta gamma delta epsilon zeta eta theta {i % 5} " * 4)
+            for i in ids
+        ]
+
+    lsh = IncrementalLsh(store, "doc_id", "text")
+
+    batch1 = mk(range(0, 25))
+    spark.createDataFrame(batch1, doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    lsh.run_available_now(
+        spark.readStream.schema(doc_schema).parquet(str(src)), ckpt
+    )
+    batch2 = mk(range(25, 40))
+    spark.createDataFrame(batch2, doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    lsh.run_available_now(
+        spark.readStream.schema(doc_schema).parquet(str(src)), ckpt
+    )
+
+    all_docs = spark.createDataFrame(batch1 + batch2, doc_schema)
+    sigs = minhash_signatures_kernel(all_docs, "doc_id", "text")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", "sig", eager=False).collect()
+    }
+    assert want, "fixture must produce pairs"
+    got = {(r["id_a"], r["id_b"]) for r in lsh.pairs(spark).collect()}
+    assert got == want
+    # Signatures store holds every doc exactly once.
+    assert lsh.signatures(spark).count() == 40
+
+    # Replay safety: re-delivering batch 0's docs under its batch_id is
+    # a marker-skip no-op; under a NEW batch_id the contract is broken
+    # by the caller (write-once ids), so only the former is exercised.
+    lsh.process_batch(spark.createDataFrame(batch1, doc_schema), batch_id=0)
+    assert {(r["id_a"], r["id_b"]) for r in lsh.pairs(spark).collect()} == want
+    assert lsh.signatures(spark).count() == 40
+
+    # Crash-window repair: marker for batch 1 lost after data landed ->
+    # reprocessing batch 1 overwrites the same bytes, no duplicates.
+    import os
+
+    os.remove(os.path.join(store, "_commits", "1"))
+    lsh.process_batch(spark.createDataFrame(batch2, doc_schema), batch_id=1)
+    assert {(r["id_a"], r["id_b"]) for r in lsh.pairs(spark).collect()} == want
+    assert lsh.signatures(spark).count() == 40
