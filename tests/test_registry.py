@@ -56,3 +56,33 @@ def test_sweep_window_diversity_picks_present():
 def test_every_oracle_has_query():
     for name, q in REGISTRY.items():
         assert callable(q.fn), name
+
+
+def test_sweep_tool_runs_and_reports(tmp_path):
+    """tools/sweep_all.py (the full-registry evidence artifact the
+    driver's 50-entry window can't produce) must run, hash-compare
+    against DuckDB, and write the same-shaped JSON record."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "sweep.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "tools/sweep_all.py",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--only",
+            "^q01|^pipe01",
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    rec = json.loads(out.read_text())
+    assert set(rec) == {"q01_pricing_summary", "pipe01_cdc_keep_latest"}
+    assert all(r["hash_match"] for r in rec.values())
