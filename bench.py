@@ -119,7 +119,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # A failed query is DROPPED from `value`, so a red run would
+        # otherwise read as a speedup in cross-run comparisons; the
+        # explicit counts make the shrunken denominator visible in the
+        # same keys a consumer reads `value` from.
         result["errors"] = errors
+        result["n_failed"] = len(errors)
+    result["n_timed"] = len(timings)
     print(json.dumps(result))
 
 
