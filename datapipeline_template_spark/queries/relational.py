@@ -1005,3 +1005,46 @@ def q41_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q42 — Bloom-filter-accelerated semi join (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+_Q42_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0
+         AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q42_bloom_semi_join", oracle=_Q42_ORACLE)
+def q42_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, via
+    operators.bloom.bloom_semi_join: the urgent-order keys build an
+    in-plan Bloom bitmap (one broadcast row), the lineitem scan is
+    pre-filtered map-only against it, and only surviving rows enter
+    the exact semi join — the explicit form of the runtime-filter
+    optimization AQE applies internally. Result is EXACTLY the plain
+    semi join (the bitmap only prunes); integer-cents revenue."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    rev = F.sum(
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    ).cast("double") / F.lit(10000.0)
+    return hits.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        rev.alias("revenue"),
+    )

@@ -105,3 +105,45 @@ def tj02_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels=("hour", "day", "month"),
     )
     return levels["month"]
+
+
+# ---------------------------------------------------------------------------
+# tj03 — interval-overlap join: concurrent-event counts (±10 minutes)
+# ---------------------------------------------------------------------------
+
+_TJ03_ORACLE = """
+SELECT a.event_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_concurrent
+FROM events a JOIN events b
+  ON b.ts >= a.ts - INTERVAL 10 MINUTE
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.event_id
+"""
+
+
+@register("tj03_interval_join", oracle=_TJ03_ORACLE)
+def tj03_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, how many OTHER events (any user) fall within
+    ±10 minutes — the interval-overlap join Spark lacks natively,
+    re-expressed as operators.interval.interval_point_join's
+    bin-bucketed equi-join (bin = the 10-minute radius, so each
+    interval spans <= 3 bins). A theta-join spelling would run as a
+    BroadcastNestedLoopJoin — quadratic and unusable at 100 TB.
+
+    Each event always matches its own interval, so the inner join
+    keeps every event and ``count - 1`` is the concurrent count —
+    zero-neighbor events still get a row."""
+    from ..operators.interval import interval_point_join
+
+    ev = table(spark, sf_dir, "events")
+    points = ev.select(F.col("event_id").alias("p_event_id"), "ts")
+    intervals = ev.select(
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    joined = interval_point_join(points, intervals, "ts", "lo", "hi", bin_width_s=600)
+    return (
+        joined.groupBy("p_event_id")
+        .agg((F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_concurrent"))
+        .select(F.col("p_event_id").alias("event_id"), "n_concurrent")
+    )

@@ -561,3 +561,133 @@ def tx12_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(name.replace("ok_", "fail_"))
         )
     return flagged.groupBy("source").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# tx14 — C4-style chunk-level quality filter (line rules, per source)
+# ---------------------------------------------------------------------------
+
+_TX14_KEEP_SQL = """
+  len(string_split(ch, ' ')) >= 5
+  AND 2 * len(list_distinct(string_split(ch, ' '))) >= len(string_split(ch, ' '))
+  AND len(list_filter(string_split(ch, ' '), t -> t IN ('the', 'a'))) >= 1
+"""
+
+_TX14_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+), chunked AS (
+  SELECT doc_id, source,
+         list_transform(range(0, CAST(ceil(len(ts)/12.0) AS BIGINT)),
+                        i -> array_to_string(ts[(i*12+1):(i*12+12)], ' ')) AS chunks
+  FROM toks
+), flags AS (
+  SELECT source, len(chunks) AS n_chunks,
+         len(list_filter(chunks, ch -> {_TX14_KEEP_SQL})) AS n_kept
+  FROM chunked
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(n_kept) AS BIGINT) AS n_kept,
+       CAST(sum(n_kept) AS DOUBLE) / CAST(sum(n_chunks) AS DOUBLE) AS kept_ratio
+FROM flags
+GROUP BY source
+"""
+
+
+@register("tx14_chunk_quality", oracle=_TX14_ORACLE)
+def tx14_chunk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level cleaning rules, applied to the corpus's
+    12-token chunk analog of lines: a chunk survives if it has >= 5
+    tokens, >= 50% distinct tokens, and contains a stopword ('the' /
+    'a' — the terminal-punctuation analog for a punctuation-free
+    corpus). Per-source keep ratios. Entirely per-row array exprs over
+    the un-exploded chunk array — map-only until the tiny final
+    groupBy; exact integer counts, one final division."""
+    from ..operators.dedup import chunk_split
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_split("text", 12)
+
+    def keep(ch):
+        toks = F.split(ch, " ")
+        return (
+            (F.size(toks) >= F.lit(5))
+            & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks))
+            & F.arrays_overlap(toks, F.array(F.lit("the"), F.lit("a")))
+        )
+
+    per_doc = docs.select(
+        "source",
+        F.size(chunks).cast("long").alias("n_chunks"),
+        F.size(F.filter(chunks, keep)).cast("long").alias("n_kept"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("n_kept").cast("bigint").alias("n_kept"),
+        (F.sum("n_kept").cast("double") / F.sum("n_chunks").cast("double")).alias(
+            "kept_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx15 — PII redaction (regex scrub with exact match counts)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no real PII, so both engines append the
+# SAME deterministic contact suffix (derived from doc_id) before
+# scrubbing — the redaction then does real, verifiable work on every
+# row instead of passing vacuously.
+_TX15_ORACLE = r"""
+WITH contact AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+           AS raw
+  FROM documents
+), scrub AS (
+  SELECT doc_id, raw,
+         CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS no_email
+  FROM contact
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(no_email, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       regexp_replace(no_email, '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM scrub
+"""
+
+
+@register("tx15_pii_redaction", oracle=_TX15_ORACLE)
+def tx15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, then phones) with exact per-row match
+    counts, over a deterministically synthesized contact suffix. Pure
+    ``regexp_extract_all``/``regexp_replace`` Catalyst — map-only, no
+    shuffle, codegen-resident; patterns restricted to the Java/RE2
+    common subset so the DuckDB replay is byte-identical."""
+    from ..operators.text import pii_redact
+
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@example.org")).otherwise(
+            F.lit("")
+        ),
+    )
+    cols = pii_redact(raw)
+    return docs.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        cols["redacted"].alias("redacted"),
+    )

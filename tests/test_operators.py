@@ -955,3 +955,170 @@ def test_tx13_green_under_both_local_phases(spark):
         ).collect()
     ]
     assert exact == mg
+
+
+def test_chunk_dedup_first_occurrence_and_rebuild(spark):
+    """chunk_dedup keeps each chunk value only at its min (id, chunk_no)
+    occurrence and rebuilds docs in order; docs made entirely of
+    already-seen chunks collapse to ''."""
+    from datapipeline_template_spark.operators.dedup import chunk_dedup
+
+    a = "w1 w2 w3"          # doc 1 chunk 0 (first occurrence)
+    b = "w4 w5 w6"          # doc 1 chunk 1
+    rows = [
+        (1, f"{a} {b}"),
+        (2, f"{b} {a}"),      # both chunks seen in doc 1 -> empty
+        (3, f"w7 w8 w9 {a}"), # second chunk duplicates a -> only first kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, "doc_id", "text", chunk_tokens=3).collect()
+    }
+    assert out[1]["clean_text"] == f"{a} {b}" and out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_dropped"] == 2
+    assert out[3]["clean_text"] == "w7 w8 w9" and out[3]["n_dropped"] == 1
+    assert out[3]["n_chunks"] == 2
+
+
+def test_chunk_dedup_window_sees_only_contested_chunks(spark):
+    """Scale-shape guard: the first-occurrence window must run on the
+    chunks JOINED to the contested-value set, not on the full corpus
+    — the full chunk explosion feeds only a partial-agg count."""
+    from datapipeline_template_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    plan = chunk_dedup(docs, chunk_tokens=3)._jdf.queryExecution().optimizedPlan().toString()
+    win = plan.find("Window")
+    assert win != -1
+    # Below the window there must be a Join (chunks x contested values);
+    # a window directly over the exploded scan would shuffle everything.
+    assert "Join" in plan[win:], plan
+
+
+def test_pii_redact_counts_and_idempotence(spark):
+    from datapipeline_template_spark.operators.text import pii_redact
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at bob@example.com or jane.doe@corp.io today"),
+        (2, "call +1-555-0123 or +1-555-9999 x bob@a.io"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    cols = pii_redact("s")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            cols["n_emails"].alias("ne"),
+            cols["n_phones"].alias("np"),
+            cols["redacted"].alias("red"),
+        ).collect()
+    }
+    assert out[1]["ne"] == 2 and out[1]["np"] == 0
+    assert "<EMAIL>" in out[1]["red"] and "@" not in out[1]["red"]
+    assert out[2]["ne"] == 1 and out[2]["np"] == 2
+    assert "+1-555" not in out[2]["red"]
+    assert out[3]["ne"] == 0 and out[3]["np"] == 0 and out[3]["red"] == rows[2][1]
+    # Idempotent: redacting the redacted text changes nothing.
+    red = df.select(cols["redacted"].alias("s"))
+    again = pii_redact("s")
+    assert red.select(
+        (again["n_emails"] + again["n_phones"]).alias("n")
+    ).agg(F.sum("n")).collect()[0][0] == 0
+
+
+def test_interval_point_join_boundaries_and_plan(spark):
+    """Inclusive bounds, bin-straddling intervals matched exactly once,
+    and the physical plan is a hash join on the bin — never a
+    BroadcastNestedLoopJoin."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.interval import interval_point_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    points = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(599)), (3, ts(600)), (4, ts(1800))],
+        "pid long, ts timestamp",
+    )
+    # Interval [0, 600] straddles the 600s bin edge; [550, 650] lives in
+    # two bins; [1799, 1801] catches only point 4.
+    intervals = spark.createDataFrame(
+        [(10, ts(0), ts(600)), (20, ts(550), ts(650)), (30, ts(1799), ts(1801))],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    out = interval_point_join(points, intervals, "ts", "lo", "hi", bin_width_s=600)
+    pairs = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert pairs == [(1, 10), (2, 10), (2, 20), (3, 10), (3, 20), (4, 30)]
+    # Exactly-once: no pair duplicated despite multi-bin intervals.
+    assert len(pairs) == len(set(pairs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # extra_on residual predicate via the _p/_i aliases.
+    filt = interval_point_join(
+        points, intervals, "ts", "lo", "hi", bin_width_s=600,
+        extra_on=F.col("_p.pid") != F.lit(2),
+    )
+    assert sorted((r["pid"], r["iid"]) for r in filt.collect()) == [
+        (1, 10), (3, 10), (3, 20), (4, 30)
+    ]
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """bloom_semi_join ≡ plain left-semi join (the bitmap only prunes),
+    the probe predicate never misses a true key (no false negatives),
+    and a tight bitmap actually filters."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.bloom import (
+        bloom_bitmap_row,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 5000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 5000, 50).select(F.col("id").alias("dk"))  # 100 keys
+    out = bloom_semi_join(fact, dim, "fk", "dk", m_bits=1 << 12, k=3)
+    expected = fact.join(dim, fact.fk == dim.dk, "left_semi")
+    assert sorted(r["fk"] for r in out.collect()) == sorted(
+        r["fk"] for r in expected.collect()
+    )
+    # No false negatives: every dim key passes its own bitmap.
+    bm = bloom_bitmap_row(dim, "dk", m_bits=1 << 12, k=3)
+    hits = (
+        dim.crossJoin(F.broadcast(bm))
+        .where(bloom_might_contain(F.col("_bloom"), F.col("dk"), m_bits=1 << 12, k=3))
+        .count()
+    )
+    assert hits == dim.count()
+    # Real pruning: survivors far below the fact count (fpp at
+    # m/n ≈ 41 bits/key is < 1e-3, so ~100 of 5000 rows survive).
+    survivors = (
+        fact.crossJoin(F.broadcast(bm))
+        .where(bloom_might_contain(F.col("_bloom"), F.col("fk"), m_bits=1 << 12, k=3))
+        .count()
+    )
+    assert survivors < 300, survivors
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_bitmap_row(dim, "dk", m_bits=100)
+
+
+def test_bloom_bitmap_row_shape(spark):
+    from datapipeline_template_spark.operators.bloom import bloom_bitmap_row
+
+    bm = bloom_bitmap_row(
+        spark.range(10).selectExpr("id AS k"), "k", m_bits=256, k=2
+    ).collect()
+    assert len(bm) == 1 and len(bm[0]["_bloom"]) == 4  # 256 bits / 64

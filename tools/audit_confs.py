@@ -13,6 +13,7 @@ must branch on an ACTUAL runtime dtype/schema, not the conf).
 
 from __future__ import annotations
 
+import ast
 import os
 import re
 import sys
@@ -39,37 +40,62 @@ def iter_sources():
             yield p
 
 
-# A probe only counts if it appears NEAR the conf usage: a file-wide
-# match would let an unrelated `.dataType` elsewhere in a big module
-# silence the guard for a newly added legacy conf.
+# A probe only counts if it appears in the SAME enclosing function as
+# the conf usage (AST spans): a file-wide — or even merely NEARBY —
+# match would let an unrelated `.dataType` in an adjacent function
+# silence the guard for a newly added legacy conf. Module-level usages
+# (no enclosing function) fall back to a ±30-line window.
 PROBE_WINDOW = 30
+
+
+def _function_spans(source: str) -> list[tuple[int, int]]:
+    """(start, end) 1-based line spans of every (async) function def,
+    innermost-last so the tightest enclosing span wins."""
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return []
+    spans = [
+        (node.lineno, node.end_lineno or node.lineno)
+        for node in ast.walk(tree)
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+    return sorted(spans, key=lambda s: s[1] - s[0], reverse=True)
 
 
 def main() -> int:
     bad = []
     for path in iter_sources():
         with open(path, encoding="utf-8") as fh:
-            lines = fh.readlines()
+            source = fh.read()
+        lines = source.splitlines(keepends=True)
+        spans = _function_spans(source)
         for i, line in enumerate(lines):
             confs = sorted(set(LEGACY.findall(line)))
             if not confs:
                 continue
-            lo = max(0, i - PROBE_WINDOW)
-            hi = min(len(lines), i + PROBE_WINDOW + 1)
-            window = "".join(lines[lo:hi])
+            lineno = i + 1
+            enclosing = [s for s in spans if s[0] <= lineno <= s[1]]
+            if enclosing:
+                lo, hi = enclosing[-1]  # innermost function
+                window = "".join(lines[lo - 1 : hi])
+            else:
+                window = "".join(
+                    lines[max(0, i - PROBE_WINDOW) : i + PROBE_WINDOW + 1]
+                )
             if not PROBE.search(window):
                 rel = os.path.relpath(path, REPO)
-                bad.append((rel, i + 1, confs))
+                bad.append((rel, lineno, confs))
     if bad:
         for rel, lineno, confs in bad:
             print(
                 f"FRAGILE: {rel}:{lineno} sets {confs} without a runtime "
-                f"dtype probe within {PROBE_WINDOW} lines — branch on the "
+                "dtype probe in the same function — branch on the "
                 "actual schema, not the conf",
                 file=sys.stderr,
             )
         return 1
-    print("conf audit: OK (every legacy-conf usage has a nearby dtype probe)")
+    print("conf audit: OK (every legacy-conf usage has a same-function dtype probe)")
     return 0
 
 
