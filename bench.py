@@ -61,6 +61,11 @@ HEADLINE = [
     "tj01_asof_prev_click",
     "tj02_cascade_rollup",
     "pk01_sequence_packing",
+    # round-5 additions: sub-document dedup, interval join, Bloom
+    # runtime-filter semi join — the new scale-shape showcases.
+    "dd11_chunk_dedup",
+    "tj03_interval_join",
+    "q42_bloom_semi_join",
 ]
 
 

@@ -187,3 +187,68 @@ def quota_sample(
             return _quota_window(survivors, key, stratum_col, quota)
         for s in deficient:
             thresholds[s] = min(POLY_P, thresholds[s] * 8)
+
+
+def temperature_allocation(
+    counts: dict[str, int], total: int, scale: int = 1_000_000
+) -> dict[str, int]:
+    """Exact integer largest-remainder allocation of a ``total`` budget
+    across strata with sqrt-temperature weights (the α = 0.5 of
+    XLM-R-style multilingual sampling p_s ∝ n_s^α — upsample
+    low-resource strata, downsample the head).
+
+    Every step is engine-replayable bit-for-bit, which is why α is
+    FIXED at 0.5: IEEE sqrt is correctly rounded in every engine
+    (pow(x, α) is not), so ``w_s = floor(sqrt(n_s)·scale)`` is the
+    identical int64 in Python, Spark, and DuckDB, and everything after
+    is pure integer arithmetic:
+
+        S  = Σ w_s                     (order-free int sum)
+        q0 = (total · w_s) div S       (floor division)
+        leftover = total - Σ q0        (< #strata)
+
+    with the leftover distributed to the largest remainders
+    ``(total · w_s) mod S``, ties broken by stratum name ASC. Strata
+    smaller than their quota under-deliver (quota_sample keeps the
+    whole stratum); redistribution of that shortfall is a policy
+    choice left to the caller.
+    """
+    import math
+
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    w = {
+        s: int(math.floor(math.sqrt(n) * scale)) for s, n in counts.items() if n > 0
+    }
+    if not w:
+        return {}
+    S = sum(w.values())
+    q0 = {s: (total * ws) // S for s, ws in w.items()}
+    rem = {s: (total * ws) % S for s, ws in w.items()}
+    leftover = total - sum(q0.values())
+    bump = sorted(w, key=lambda s: (-rem[s], s))[:leftover]
+    return {s: q0[s] + (1 if s in bump else 0) for s in w}
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    total: int,
+    **quota_kwargs,
+) -> DataFrame:
+    """Temperature-mixed exact-size sample: count strata (one
+    map-side-combined aggregate over a 2-column projection; the result
+    is stratum-cardinality small and collected), allocate the budget
+    with ``temperature_allocation``, then draw each stratum's quota in
+    stable key-hash order via ``quota_sample`` (prefiltered — no
+    single-reducer stratum sort). Fully deterministic: same corpus →
+    same sample, regardless of partitioning or engine."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quotas = temperature_allocation(counts, total)
+    return quota_sample(
+        df, key=key, stratum_col=stratum_col, quotas=quotas, **quota_kwargs
+    )

@@ -75,6 +75,8 @@ _OVERFLOW = (
     "tx15_pii_redaction",
     "tj03_interval_join",
     "q42_bloom_semi_join",
+    "pk06_temperature_mix",
+    "dd12_dup_span_stats",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -564,3 +564,101 @@ def dd11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return chunk_dedup(docs, "doc_id", "text", chunk_tokens=12)
+
+
+# ---------------------------------------------------------------------------
+# dd12 — duplicated-span coverage (memorization-risk analytics)
+# ---------------------------------------------------------------------------
+
+# Positional (non-distinct) 10-token window hashes from the token-hash
+# list th — Horner base 131 mod p, the same schedule as shingle_tokens.
+_WINDOWS_K10_FROM_TH_SQL = """
+  list_transform(range(1, greatest(len(th) - 9, 1) + 1),
+    i -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, 10), j -> COALESCE(th[i + j], CAST(0 AS BIGINT)))),
+           (acc, x) -> (acc * 131 + x) % 1000000007))
+"""
+
+_DD12_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_WINDOWS_K10_FROM_TH_SQL} AS wins FROM tk
+), w AS (
+  SELECT doc_id, i - 1 AS pos, wins[i] AS h
+  FROM sh, LATERAL (SELECT unnest(range(1, len(wins) + 1)) AS i) g
+), dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) > 1
+), dw AS (
+  SELECT w.doc_id, w.pos FROM w JOIN dup ON w.h = dup.h
+), cov AS (
+  SELECT doc_id, pos, pos + j AS tokpos
+  FROM dw, LATERAL (SELECT unnest(range(0, 10)) AS j) gg
+), stats AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT pos) AS BIGINT) AS n_dup_windows,
+         CAST(count(DISTINCT tokpos) AS BIGINT) AS n_dup_positions
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(string_split(d.text, ' ')) - 9, 1) AS BIGINT) AS n_windows,
+       COALESCE(s.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(s.n_dup_positions, 0) AS n_dup_positions,
+       CAST(COALESCE(s.n_dup_positions, 0) AS DOUBLE)
+         / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_ratio
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+
+@register("dd12_dup_span_stats", oracle=_DD12_ORACLE)
+def dd12_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication analytics (the Lee-et-al.
+    'Deduplicating Training Data' measurement step): every OVERLAPPING
+    10-token window is hashed positionally; a window value occurring
+    more than once corpus-wide is a duplicated span, and each doc
+    reports how many of its token positions are covered by at least
+    one duplicated span — the memorization-risk surface dd11's aligned
+    chunks can't see (spans straddling chunk boundaries).
+
+    Scale shape: the window stream is a narrow (doc_id, pos, h)
+    projection; duplicate values come from one partial-agg count; only
+    DUP windows (a small fraction) are joined back and exploded ×10
+    for the exact interval-union coverage count. Group on a 128-bit
+    fingerprint at web scale (here the poly hash, so DuckDB replays
+    the identical algorithm)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(shingle_tokens(toks, k=10)).alias("pos", "h"),
+    )
+    dup = sh.groupBy("h").count().where(F.col("count") > 1).select("h")
+    dw = sh.join(dup, "h").select("doc_id", "pos")
+    cov = dw.select(
+        "doc_id",
+        "pos",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(9))).alias("tokpos"),
+    )
+    stats = cov.groupBy("doc_id").agg(
+        F.countDistinct("pos").cast("bigint").alias("n_dup_windows"),
+        F.countDistinct("tokpos").cast("bigint").alias("n_dup_positions"),
+    )
+    n_tokens = F.size(toks).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.greatest(n_tokens - F.lit(9), F.lit(1)).cast("long").alias("n_windows"),
+    )
+    return base.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias("n_dup_positions"),
+        (
+            F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_ratio"),
+    )

@@ -233,3 +233,58 @@ def pk05_eval_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key="doc_id", stratum_col="source",
         quotas={"src0": 40, "src1": 15}, default_quota=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# pk06 — temperature-weighted source mixing (α = 0.5, exact allocation).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_PK06_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wgt
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(wgt) AS BIGINT) AS s FROM w
+), base AS (
+  SELECT lang, wgt, (200 * wgt) // s AS q0, (200 * wgt) % s AS rem
+  FROM w, tot
+), lo AS (
+  SELECT CAST(200 - SUM(q0) AS BIGINT) AS leftover FROM base
+), alloc AS (
+  SELECT lang,
+         q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                        <= (SELECT leftover FROM lo)
+              THEN 1 ELSE 0 END AS quota
+  FROM base
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC
+         ) AS rnk
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN alloc a ON r.lang = a.lang
+WHERE r.rnk <= a.quota
+"""
+
+
+@register("pk06_temperature_mix", oracle=_PK06_ORACLE)
+def pk06_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R-style temperature mixing (p_lang ∝ n_lang^0.5) of a
+    200-doc training mix: low-resource languages are upsampled
+    relative to their corpus share via an exact integer
+    largest-remainder allocation (floor(sqrt·1e6) weights — IEEE sqrt
+    is correctly rounded, everything after is int64, so Python, Spark
+    and DuckDB allocate the IDENTICAL budget), then each language's
+    quota is drawn in stable key-hash order. At sf0.01 'en' is 43.6%
+    of the corpus but 30.5% of the mix."""
+    from ..operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, key="doc_id", stratum_col="lang", total=200)

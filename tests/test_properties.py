@@ -334,3 +334,27 @@ def test_quota_sample_prefilter_bounds_window_input(spark):
         & (sample_hash_bucket("doc_id") < F.lit(thresh))
     ).count()
     assert q <= surv < big_n / 10, surv
+
+
+def test_temperature_allocation_invariants():
+    """Budget always fully allocated, leftover bumps < #strata, sqrt
+    temperature flattens the head, zero-count strata dropped."""
+    from datapipeline_template_spark.operators.sampling import temperature_allocation
+
+    counts = {"en": 218, "zh": 75, "es": 73, "de": 70, "fr": 64}
+    a = temperature_allocation(counts, 200)
+    assert sum(a.values()) == 200
+    # Head share shrinks vs proportional; tail share grows.
+    assert a["en"] / 200 < counts["en"] / sum(counts.values())
+    assert a["fr"] / 200 > counts["fr"] / sum(counts.values())
+    # Deterministic: same input -> same dict.
+    assert a == temperature_allocation(counts, 200)
+    # Degenerate cases.
+    assert temperature_allocation({}, 100) == {}
+    assert temperature_allocation({"x": 0}, 100) == {}
+    one = temperature_allocation({"x": 7}, 13)
+    assert one == {"x": 13}
+    # Exactness across a sweep of budgets (largest remainder never
+    # over/under-allocates).
+    for total in (0, 1, 7, 19, 101):
+        assert sum(temperature_allocation(counts, total).values()) == total

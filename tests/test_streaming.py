@@ -355,3 +355,78 @@ def test_incremental_lsh_stream_matches_full_corpus(spark, tmp_path):
     lsh.process_batch(spark.createDataFrame(batch2, doc_schema), batch_id=1)
     assert {(r["id_a"], r["id_b"]) for r in lsh.pairs(spark).collect()} == want
     assert lsh.signatures(spark).count() == 40
+
+
+def test_incremental_chunk_dedup_matches_batch_operator(spark, tmp_path):
+    """Two AvailableNow drains of ascending-id docs maintain cleaned
+    docs equal to the batch chunk_dedup over everything seen; replays
+    (marker-skip and crash-window) change nothing."""
+    from datapipeline_template_spark.operators.dedup import chunk_dedup
+    from datapipeline_template_spark.streaming.chunks import IncrementalChunkDedup
+
+    doc_schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "chunk_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 3-token chunks; families i%4 make heavy cross-batch duplication,
+    # the +i tail keeps every doc partially unique.
+    def mk(ids):
+        return [
+            (i, f"a{i % 4} b{i % 4} c{i % 4} shared common tail x{i} y{i} z{i}")
+            for i in ids
+        ]
+
+    inc = IncrementalChunkDedup(store, "doc_id", "text", chunk_tokens=3)
+
+    batch1 = mk(range(0, 12))
+    spark.createDataFrame(batch1, doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(doc_schema).parquet(str(src)), ckpt
+    )
+    batch2 = mk(range(12, 20))
+    spark.createDataFrame(batch2, doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(doc_schema).parquet(str(src)), ckpt
+    )
+
+    all_docs = spark.createDataFrame(batch1 + batch2, doc_schema)
+    want = {
+        (r["doc_id"], r["clean_text"], r["n_chunks"], r["n_dropped"])
+        for r in chunk_dedup(all_docs, "doc_id", "text", chunk_tokens=3).collect()
+    }
+    got = {
+        (r["doc_id"], r["clean_text"], r["n_chunks"], r["n_dropped"])
+        for r in inc.clean_docs(spark).collect()
+    }
+    assert got == want
+    assert any(r[3] > 0 for r in got), "fixture must actually drop chunks"
+    # Registry holds each distinct chunk value exactly once.
+    seen = inc.seen_chunks(spark)
+    assert seen.count() == seen.distinct().count()
+
+    # Marker-skip replay: no-op.
+    inc.process_batch(spark.createDataFrame(batch1, doc_schema), batch_id=0)
+    assert {
+        (r["doc_id"], r["clean_text"], r["n_chunks"], r["n_dropped"])
+        for r in inc.clean_docs(spark).collect()
+    } == want
+
+    # Crash-window repair: marker lost after data landed.
+    import os
+
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(spark.createDataFrame(batch2, doc_schema), batch_id=1)
+    assert {
+        (r["doc_id"], r["clean_text"], r["n_chunks"], r["n_dropped"])
+        for r in inc.clean_docs(spark).collect()
+    } == want
+    # Fresh read: the overwrite invalidated the earlier frame's file
+    # index, so compare on a re-listed frame.
+    seen2 = inc.seen_chunks(spark)
+    assert seen2.count() == seen2.distinct().count()
