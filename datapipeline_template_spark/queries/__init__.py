@@ -77,6 +77,7 @@ _OVERFLOW = (
     "q42_bloom_semi_join",
     "pk06_temperature_mix",
     "dd12_dup_span_stats",
+    "pipe08_scd2_history",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -217,3 +217,56 @@ def pipe07_cdc_tie_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return keep_latest(ev, ["user_id", "event_type"], ["day", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# pipe08 — SCD Type 2 history from the CDC feed. Registered in the
+# registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_PIPE08_ORACLE = """
+WITH feed AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN value < 1.0 THEN NULL
+              ELSE 'U' END AS op
+  FROM events
+), versions AS (
+  SELECT user_id, event_type, event_id, ts, value, op,
+         LEAD(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts ASC, event_id ASC) AS ts_end,
+         LEAD(event_id) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts ASC, event_id ASC) AS event_id_end
+  FROM feed
+)
+SELECT user_id, event_type, event_id, ts, value, op,
+       ts_end, event_id_end,
+       ts_end IS NULL AS is_current
+FROM versions
+WHERE op IS NULL OR op != 'D'
+"""
+
+
+@register("pipe08_scd2_history", oracle=_PIPE08_ORACLE)
+def pipe08_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2: the CDC feed's every change becomes a version row
+    with a (ts, event_id) validity interval — lead-closed by the next
+    change, deletes close intervals without emitting versions, and a
+    trailing delete leaves the key with no current row. History is
+    what keep-latest (pipe01) throws away; same single key-shuffle
+    cost. NULL ops stay in history (unlike the null-rejecting _active
+    filter pipe02 pins)."""
+    from ..operators.cdc import scd2_history
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    feed = ev.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("value") < 1.0, F.lit(None).cast("string"))
+        .otherwise("U"),
+    )
+    return scd2_history(
+        feed, ["user_id", "event_type"], ["ts", "event_id"], op_col="op"
+    )

@@ -1122,3 +1122,40 @@ def test_bloom_bitmap_row_shape(spark):
         spark.range(10).selectExpr("id AS k"), "k", m_bits=256, k=2
     ).collect()
     assert len(bm) == 1 and len(bm[0]["_bloom"]) == 4  # 256 bits / 64
+
+
+def test_scd2_history_intervals_and_deletes(spark):
+    """Versions chain lead-closed intervals; a delete closes the prior
+    version but emits none; a trailing delete leaves no current row;
+    NULL ops remain versions."""
+    from datapipeline_template_spark.operators.cdc import scd2_history
+
+    rows = [
+        # key A: U@1, U@3, D@5  -> two versions, none current
+        ("A", 1, 10.0, "U"),
+        ("A", 3, 11.0, "U"),
+        ("A", 5, 0.0, "D"),
+        # key B: U@2, NULL@4    -> two versions, NULL-op one current
+        ("B", 2, 20.0, "U"),
+        ("B", 4, 21.0, None),
+        # key C: D@1, U@2       -> delete first (no prior), one current
+        ("C", 1, 0.0, "D"),
+        ("C", 2, 30.0, "U"),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v double, op string")
+    out = {
+        (r["k"], r["seq"]): r
+        for r in scd2_history(df, ["k"], ["seq"], op_col="op").collect()
+    }
+    assert set(out) == {("A", 1), ("A", 3), ("B", 2), ("B", 4), ("C", 2)}
+    assert out[("A", 1)]["seq_end"] == 3 and not out[("A", 1)]["is_current"]
+    # Closed by the delete, which itself never appears.
+    assert out[("A", 3)]["seq_end"] == 5 and not out[("A", 3)]["is_current"]
+    assert out[("B", 2)]["seq_end"] == 4
+    assert out[("B", 4)]["seq_end"] is None and out[("B", 4)]["is_current"]
+    assert out[("C", 2)]["is_current"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scd2_history(df.withColumn("seq_end", df.seq), ["k"], ["seq"])

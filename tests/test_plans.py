@@ -173,3 +173,24 @@ def test_tx06_df_join_not_hint_forced(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     assert "SortMergeJoin" in plan  # the term join, optimizer-chosen
     assert plan.count("BroadcastHashJoin") <= 1  # only the 1-row N join
+
+
+def test_q42_bloom_probe_prefilters_fact_scan(spark):
+    """The Bloom probe must sit on the FACT side as a plain Filter
+    (xxhash64 bitmap tests) BEFORE the semi join, and the bitmap build
+    must partial-aggregate (bit_or) — no Python anywhere."""
+    plan = _plan(spark, "q42_bloom_semi_join")
+    f = plan.find("xxhash64")
+    assert f != -1, plan
+    # The probe filter appears before (above in execution = deeper
+    # index) ... locate the semi join and require a Filter-with-probe
+    # on the fact branch.
+    assert "LeftSemi" in plan
+    assert "partial_bit_or" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tj03_interval_join_is_hash_join(spark):
+    plan = _plan(spark, "tj03_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))

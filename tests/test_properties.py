@@ -358,3 +358,103 @@ def test_temperature_allocation_invariants():
     # over/under-allocates).
     for total in (0, 1, 7, 19, 101):
         assert sum(temperature_allocation(counts, total).values()) == total
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: chunk dedup and interval join vs brute-force models
+# ---------------------------------------------------------------------------
+
+corpus_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),  # tiny vocab -> dup chunks
+        min_size=1,
+        max_size=17,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=corpus_texts, chunk_tokens=st.sampled_from([2, 3, 5]))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_chunk_dedup_matches_python_model(spark, texts, chunk_tokens):
+    """chunk_dedup == the obvious sequential model: walk docs in id
+    order, keep a chunk only the first time its value is seen."""
+    from datapipeline_template_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_dropped"])
+        for r in chunk_dedup(df, "doc_id", "text", chunk_tokens=chunk_tokens).collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        chunks = [
+            " ".join(toks[j : j + chunk_tokens])
+            for j in range(0, len(toks), chunk_tokens)
+        ]
+        kept = []
+        dropped = 0
+        for ch in chunks:
+            if ch in seen:
+                dropped += 1
+            else:
+                seen.add(ch)
+                kept.append(ch)
+        want[i] = (" ".join(kept), len(chunks), dropped)
+    assert got == want
+
+
+intervals_points = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2000),
+            st.integers(min_value=0, max_value=900),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+
+
+@given(data=intervals_points, bin_width_s=st.sampled_from([60, 300, 600]))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_interval_point_join_matches_brute_force(spark, data, bin_width_s):
+    """Bin-bucketed interval join == the quadratic model, for every bin
+    width (including widths much smaller than interval lengths →
+    many-bin fan-out; exactly-once per qualifying pair)."""
+    import datetime as dtm
+
+    from datapipeline_template_spark.operators.interval import interval_point_join
+
+    secs, ivals = data
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    points = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(secs)], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(j, ts(lo), ts(lo + length)) for j, (lo, length) in enumerate(ivals)],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_point_join(
+            points, intervals, "ts", "lo", "hi", bin_width_s=bin_width_s
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(secs)
+        for j, (lo, length) in enumerate(ivals)
+        if lo <= s <= lo + length
+    )
+    assert got == want

@@ -149,6 +149,35 @@ def main() -> None:
             ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
         ],
     )
+    section(
+        "dd11_chunk_dedup",
+        "chunk dedup: first-occurrence window fed by the contested-value "
+        "join, rebuild is a map-only array filter (no doc shuffle)",
+        [
+            ("Window over contested join", r"Window \[[^\]]{0,80}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
+        ],
+    )
+    section(
+        "tj03_interval_join",
+        "interval-overlap join as bin-bucketed HASH join (never "
+        "BroadcastNestedLoopJoin)",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)"),
+            ("Bin keys", r"hashpartitioning\(_bin[^)]{0,50}"),
+        ],
+    )
+    section(
+        "q42_bloom_semi_join",
+        "Bloom runtime filter: fact scan filtered by xxhash64 bitmap "
+        "probes BEFORE the semi-join exchange",
+        [
+            ("Probe predicate (pre-join filter)", r"Filter [^\n]{0,60}xxhash64[^\n]{0,40}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+            ("Bitmap build agg", r"(bit_or|partial_bit_or)\([^)]{0,40}"),
+        ],
+    )
 
 
 if __name__ == "__main__":
