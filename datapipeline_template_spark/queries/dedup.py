@@ -630,10 +630,14 @@ def dd12_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical algorithm)."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize("text")
+    # Persisted: both the duplicate-value count and the dup-window join
+    # read this stream — without the cache the corpus is re-hashed
+    # twice. Narrow (id, pos, h) rows; at cluster scale materialize to
+    # a table instead (session-lifetime cache, dd09's documented trade).
     sh = docs.select(
         "doc_id",
         F.posexplode(shingle_tokens(toks, k=10)).alias("pos", "h"),
-    )
+    ).persist()
     dup = sh.groupBy("h").count().where(F.col("count") > 1).select("h")
     dw = sh.join(dup, "h").select("doc_id", "pos")
     cov = dw.select(
@@ -727,11 +731,16 @@ def dd13_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard is a SET measure: distinct the positional shingle array
     # (MinHash is dup-insensitive — min over multiset == min over set —
     # but |A|, |B| and the union are not).
+    # Persisted because THREE consumers read it (the LSH pair join's
+    # two banded sides inside lsh_candidate_pairs read their own
+    # persisted copy; here the a/b enrichment joins would otherwise
+    # re-hash the corpus twice more). Session-lifetime cache, same
+    # documented trade as dd09; at cluster scale write it to a table.
     enriched = base.where(F.size("shingles") > 0).select(
         "doc_id",
         F.array_distinct("shingles").alias("shingles"),
         minhash_signature(F.col("shingles"), num_hashes=32).alias("sig"),
-    )
+    ).persist()
     pairs = lsh_candidate_pairs(enriched.select("doc_id", "sig"), "doc_id", "sig",
                                 bands=8, rows_per_band=4)
     a = enriched.select(
