@@ -286,16 +286,23 @@ def _plane_weight(plane: int, dim: int) -> int:
     return ((plane * 7919 + dim * 104729 + 12345) % 1009) - 504
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Sign-LSH bucket id: bit i = [dot(plane_i, vec) >= 0].
+def lsh_bucket(
+    vec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
+    """Sign-LSH bucket id: bit i = [dot(plane_{offset+i}, vec) >= 0].
 
     Each plane's dot product is an exact int64 sum over the quantized
     vector — fully deterministic. Bucket ids land in [0, 2^n_planes).
+    ``plane_offset`` selects a disjoint plane slice so table t of an
+    OR-construction uses planes [t·n_planes, (t+1)·n_planes) — same
+    weight schedule, independent hash tables.
     """
     qvec = F.transform(vec, lambda x: F.round(x.cast("double") * F.lit(10000.0)).cast("long"))
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        weights = F.array(*[F.lit(_plane_weight(i, j)).cast("long") for j in range(dim)])
+        weights = F.array(
+            *[F.lit(_plane_weight(plane_offset + i, j)).cast("long") for j in range(dim)]
+        )
         dot = F.aggregate(
             F.zip_with(qvec, weights, lambda x, w: x * w),
             F.lit(0).cast("long"),
@@ -305,6 +312,42 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def lsh_multi_table_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """OR-construction sign-LSH: candidate pairs that share a bucket in
+    ANY of ``n_tables`` independent tables (disjoint plane slices),
+    deduplicated, then verified by exact cosine ≥ threshold — the
+    standard recall amplifier when a single table's collision
+    probability is low (recall ≈ 1-(1-p)^L). Each table is its own
+    bucket equi-join; the union dedups on the (id_a, id_b) pair key.
+    At 100 TB that is L bucket joins + one pair-key distinct — still
+    never an all-pairs stage.
+    """
+    out = None
+    for t in range(n_tables):
+        bucketed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket(
+                F.col(vec_col), n_planes=n_planes, dim=dim,
+                plane_offset=t * n_planes,
+            ).alias("_blk"),
+        )
+        pairs = near_dup_pairs(
+            bucketed, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            block_col="_blk", dim=dim,
+        ).select("id_a", "id_b")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
 
 
 def near_dup_pairs(

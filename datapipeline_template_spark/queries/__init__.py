@@ -80,6 +80,7 @@ _OVERFLOW = (
     "pipe08_scd2_history",
     "dd13_jaccard_estimate",
     "ss08_ann_recall",
+    "ss09_ann_recall_multi",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -143,15 +143,16 @@ def _plane_weight_sql(i: int) -> str:
     return f"(({i} * 7919 + CAST(j AS BIGINT) * 104729 + 12345) % 1009) - 504"
 
 
-def _bucket_sql(vec: str, n_planes: int = 8) -> str:
+def _bucket_sql(vec: str, n_planes: int = 8, plane_offset: int = 0) -> str:
     terms = []
-    for i in range(n_planes):
+    for bit in range(n_planes):
+        i = plane_offset + bit
         dot = f"""
           list_sum(list_transform(range(0, 64),
             j -> CAST(ROUND(CAST({vec}[CAST(j AS BIGINT) + 1] AS DOUBLE) * 10000) AS BIGINT)
                  * ({_plane_weight_sql(i)})))
         """
-        terms.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        terms.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     return " + ".join(terms)
 
 
@@ -387,6 +388,84 @@ def ss08_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_hit",
                 (
                     F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ss09 — OR-construction recall lift (multi-table sign-LSH). Registered
+# in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+
+def _ss09_table_ctes(t: int) -> str:
+    return f"""mbk{t} AS (
+  SELECT vec_id, embedding,
+         CAST({_bucket_sql('embedding', 8, plane_offset=8 * t)} AS BIGINT) AS bucket
+  FROM embeddings
+), mret{t} AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM mbk{t} a JOIN mbk{t} b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+)"""
+
+
+def _ss09_select(n_tables: int) -> str:
+    union = " UNION ".join(f"SELECT id_a, id_b FROM mret{t}" for t in range(n_tables))
+    return f"""
+SELECT CAST({n_tables} AS BIGINT) AS n_tables,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM ({union})) AS BIGINT) AS n_retrieved,
+       CAST((SELECT count(*) FROM ({union})) AS DOUBLE)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+"""
+
+
+_SS09_ORACLE = f"""
+WITH truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+), {_ss09_table_ctes(0)}, {_ss09_table_ctes(1)}, {_ss09_table_ctes(2)}, {_ss09_table_ctes(3)}
+{_ss09_select(1)} UNION ALL {_ss09_select(2)} UNION ALL {_ss09_select(4)}
+"""
+
+
+@register("ss09_ann_recall_multi", oracle=_SS09_ORACLE)
+def ss09_ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix ss08 calls for, quantified: OR-construction sign-LSH
+    (L independent 8-plane tables on disjoint plane slices) retrieval
+    vs the same exact ≥ 0.3 truth, one row per L ∈ {1, 2, 4}. Every
+    retrieved pair is cosine-verified, so n_retrieved counts TRUE
+    pairs and recall ≈ 1-(1-p)^L amplifies with L while each table
+    stays a bucket equi-join (union + pair-key distinct — still no
+    all-pairs stage at 100 TB)."""
+    from ..operators.similarity import lsh_multi_table_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    truth = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col=None
+    ).select("id_a", "id_b")
+    out = None
+    for n_tables in (1, 2, 4):
+        retrieved = lsh_multi_table_pairs(
+            emb, "vec_id", "embedding", threshold=0.3,
+            n_planes=8, n_tables=n_tables,
+        )
+        counts = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(retrieved.agg(F.count(F.lit(1)).alias("n_retrieved")))
+            .select(
+                F.lit(n_tables).cast("long").alias("n_tables"),
+                "n_truth",
+                "n_retrieved",
+                (
+                    F.col("n_retrieved").cast("double")
+                    / F.col("n_truth").cast("double")
                 ).alias("recall"),
             )
         )

@@ -1159,3 +1159,37 @@ def test_scd2_history_intervals_and_deletes(spark):
 
     with _pytest.raises(ValueError):
         scd2_history(df.withColumn("seq_end", df.seq), ["k"], ["seq"])
+
+
+def test_lsh_multi_table_pairs_monotone_and_table0_equals_single(spark):
+    """OR-construction: table 0 alone reproduces the single-table pair
+    set; adding tables only ever ADDS (distinct) verified pairs."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table as cat_table
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_multi_table_pairs,
+        near_dup_pairs,
+    )
+
+    emb = cat_table(spark, "/root/testdata/sf0.001", "embeddings")
+    single = near_dup_pairs(
+        emb.select(
+            "vec_id", "embedding",
+            lsh_bucket(F.col("embedding"), n_planes=8, dim=64).alias("_blk"),
+        ),
+        id_col="vec_id", vec_col="embedding", threshold=0.3, block_col="_blk",
+    ).select("id_a", "id_b")
+    got1 = {(r["id_a"], r["id_b"]) for r in lsh_multi_table_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_tables=1
+    ).collect()}
+    assert got1 == {(r["id_a"], r["id_b"]) for r in single.collect()}
+    got2 = {(r["id_a"], r["id_b"]) for r in lsh_multi_table_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_tables=2
+    ).collect()}
+    got4 = {(r["id_a"], r["id_b"]) for r in lsh_multi_table_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_tables=4
+    ).collect()}
+    assert got1 <= got2 <= got4
+    assert len(got4) == len(set(got4))  # distinct pairs
