@@ -81,6 +81,7 @@ _OVERFLOW = (
     "dd13_jaccard_estimate",
     "ss08_ann_recall",
     "ss09_ann_recall_multi",
+    "tj04_gapfill_locf",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

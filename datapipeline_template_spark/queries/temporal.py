@@ -147,3 +147,87 @@ def tj03_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_concurrent"))
         .select(F.col("p_event_id").alias("event_id"), "n_concurrent")
     )
+
+
+# ---------------------------------------------------------------------------
+# tj04 — daily gap-fill + LOCF (time-series resample). Registered in the
+# registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_TJ04_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value, MAX(event_id) AS event_id
+  FROM events GROUP BY user_id, ts
+), bounds AS (
+  SELECT user_id,
+         CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+  FROM bounds
+), probe AS (
+  SELECT user_id, day, day + INTERVAL 1 DAY AS probe_ts FROM grid
+), counts AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+), filled AS (
+  SELECT p.user_id, p.day, e.value AS locf_value, e.event_id AS locf_event_id
+  FROM probe p ASOF LEFT JOIN ev e
+    ON p.user_id = e.user_id AND p.probe_ts > e.ts
+)
+SELECT f.user_id, f.day, f.locf_value, f.locf_event_id,
+       COALESCE(c.n_events, 0) AS n_events,
+       COALESCE(c.n_events, 0) = 0 AS is_gap
+FROM filled f LEFT JOIN counts c ON f.user_id = c.user_id AND f.day = c.day
+"""
+
+
+@register("tj04_gapfill_locf", oracle=_TJ04_ORACLE)
+def tj04_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: a dense per-user DAILY grid from first to
+    last active day (in-plan `sequence` explode — no driver loop),
+    each day carrying the user's latest event value through end-of-day
+    (LOCF via the engine's as-of join, strict `ts < day+1`), plus the
+    day's event count and a gap flag. The gap-fill/LOCF pair is the
+    continuous-aggregate companion (tj02 rolls up what exists; tj04
+    materializes what's missing). Ties at identical ts are pre-reduced
+    with arg_max(event_id) so the carried value is a deterministic
+    total order, not partition luck. Carried doubles are VALUES, not
+    float aggregates — byte-identical across engines."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    # One row per (user, ts): carry the max-event_id row's value.
+    dedup = ev.groupBy("user_id", "ts").agg(
+        F.max(F.struct("event_id", "value")).alias("_m")
+    ).select(
+        "user_id", "ts", F.col("_m.value").alias("value"),
+        F.col("_m.event_id").alias("event_id"),
+    )
+    day = lambda c: F.date_trunc("day", F.col(c))  # noqa: E731
+    bounds = ev.groupBy("user_id").agg(
+        F.min(day("ts")).alias("d0"), F.max(day("ts")).alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    probe = grid.withColumn("probe_ts", F.col("day") + F.expr("interval 1 day"))
+    filled = asof_join(
+        probe, dedup, keys=["user_id"], left_ts="probe_ts", right_ts="ts",
+        value_cols=["value", "event_id"], strict=True,
+    )
+    counts = ev.groupBy("user_id", day("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    out = filled.join(counts, ["user_id", "day"], "left")
+    return out.select(
+        "user_id",
+        "day",
+        F.col("r_value").alias("locf_value"),
+        F.col("r_event_id").alias("locf_event_id"),
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+        (F.coalesce("_n", F.lit(0)) == 0).alias("is_gap"),
+    )
