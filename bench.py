@@ -62,10 +62,14 @@ HEADLINE = [
     "tj02_cascade_rollup",
     "pk01_sequence_packing",
     # round-5 additions: sub-document dedup, interval join, Bloom
-    # runtime-filter semi join — the new scale-shape showcases.
+    # runtime-filter semi join, span coverage, SCD2, gap-fill — the
+    # new scale-shape showcases.
     "dd11_chunk_dedup",
     "tj03_interval_join",
     "q42_bloom_semi_join",
+    "dd12_dup_span_stats",
+    "pipe08_scd2_history",
+    "tj04_gapfill_locf",
 ]
 
 

@@ -82,6 +82,7 @@ _OVERFLOW = (
     "ss08_ann_recall",
     "ss09_ann_recall_multi",
     "tj04_gapfill_locf",
+    "tx16_chunks_udtf",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -691,3 +691,48 @@ def tx15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_phones"].alias("n_phones"),
         cols["redacted"].alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx16 — Python UDTF surface (Spark 4 table function, X12). Registered
+# in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_TX16_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+       array_to_string(ts[(i*12+1):(i*12+12)], ' ') AS chunk
+FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ts)/12.0) AS BIGINT))) AS i) g
+"""
+
+
+@register("tx16_chunks_udtf", oracle=_TX16_ORACLE)
+def tx16_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (X12): a table function exploding
+    each document into (chunk_no, chunk) rows, invoked via LATERAL —
+    the sanctioned shape for Python logic that yields a VARIABLE
+    number of rows per input. Deliberately the same chunking algorithm
+    as operators.dedup.chunk_split, against the same oracle, so the
+    hash gate proves the UDTF path value-identical to the Catalyst
+    explode path. Positioning unchanged: the pure-Catalyst form (dd11)
+    is the hot path — this demonstrates the API surface (and that
+    results, not just schemas, line up). Per-row Python generator:
+    fine for enrichment fan-outs, not for the 100-TB dedup loop."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no: int, chunk: string")
+    class ChunkUdtf:
+        def eval(self, text: str, width: int):
+            toks = text.split(" ")
+            for i in range(0, max(len(toks), 1), width):
+                yield i // width, " ".join(toks[i : i + width])
+
+    spark.udtf.register("tx16_chunk_udtf", ChunkUdtf)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_tx16_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.chunk "
+        "FROM _tx16_docs d, LATERAL tx16_chunk_udtf(d.text, 12) c"
+    )
