@@ -462,3 +462,34 @@ def q35_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("o_totalprice")).alias("sampled_cents"),
         )
     )
+
+
+@register("q26b_quantiles_multipass", oracle=_Q26_ORACLE)
+def q26b_quantiles_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q26's exact quantiles through the 100-TB plan: multipass
+    histogram refinement (operators.sketch.exact_grouped_quantiles)
+    instead of the value-buffering `percentile` aggregate — counting
+    passes over the scan, nothing wide ever shuffles, executor memory
+    O(branch) regardless of group size. Registered against the SAME
+    oracle as q26, so the hash gate proves the two plans bit-agree
+    (the dd03/dd05 twin pattern, applied to quantiles)."""
+    from ..operators.sketch import exact_grouped_quantiles
+
+    li = table(spark, sf_dir, "lineitem")
+    qty = exact_grouped_quantiles(
+        li.select("l_returnflag", F.col("l_quantity").cast("long").alias("v")),
+        "l_returnflag", "v", [0.25, 0.5, 0.75],
+    )
+    price = exact_grouped_quantiles(
+        li.select("l_returnflag", cents("l_extendedprice").alias("v")),
+        "l_returnflag", "v", [0.5],
+    )
+    rows = [
+        (g, qty[g][0], qty[g][1], qty[g][2], price[g][0] / 100.0)
+        for g in sorted(qty)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, qty_q1 double, qty_median double, "
+        "qty_q3 double, price_median double",
+    )

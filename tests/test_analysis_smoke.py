@@ -31,6 +31,8 @@ EXECUTES_AT_BUILD = {
     "ss05_ivf_ann",
     "tx13_heavy_hitters_certified",
     "dd09_incremental_lsh",  # eager signature materialization
+    "pk06_temperature_mix",  # stratum-count collect for the allocation
+    "q26b_quantiles_multipass",  # iterative counting passes at build
 }
 
 

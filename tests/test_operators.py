@@ -1193,3 +1193,33 @@ def test_lsh_multi_table_pairs_monotone_and_table0_equals_single(spark):
     ).collect()}
     assert got1 <= got2 <= got4
     assert len(got4) == len(set(got4))  # distinct pairs
+
+
+def test_exact_grouped_quantiles_multipass_vs_sorted(spark):
+    """Histogram refinement equals the sorted-order interpolating
+    quantile on a WIDE value domain (forces > 1 refinement pass at
+    branch=16) and on degenerate single-value groups."""
+    import math
+    import random
+
+    from datapipeline_template_spark.operators.sketch import exact_grouped_quantiles
+
+    rng = random.Random(7)
+    rows = [("a", rng.randrange(-10**12, 10**12)) for _ in range(500)]
+    rows += [("b", 42)] * 5  # single-value group
+    rows += [("c", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = exact_grouped_quantiles(df, "g", "v", probs, branch=16)
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for p, actual in zip(probs, got[g]):
+            h = (n - 1) * p
+            f, c = math.floor(h), math.ceil(h)
+            want = float(vals[f]) + (h - f) * (float(vals[c]) - float(vals[f]))
+            assert actual == want, (g, p, actual, want)
