@@ -146,3 +146,85 @@ def running_totals_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def tws_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` drives its keyed state
+    through a protobuf-based state server; without ``google.protobuf``
+    in the Python environment the driver worker crashes AT RUNTIME
+    (analysis succeeds — the failure is a streaming-query crash, the
+    worst place to discover a missing dep). Probe the capability up
+    front so callers fail loudly at build time instead."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(
+    df: DataFrame, key_col: str, value_col: str, ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """``running_totals_stateful``'s twin on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (object-oriented StatefulProcessor,
+    composable typed state variables, timers, TTL). Same semantics:
+    emits the updated running total per key each micro-batch.
+
+    Raises ``RuntimeError`` with the remedy when the environment lacks
+    ``protobuf`` (this container does — the avro-style loud gate;
+    the applyInPandasWithState form is the always-available path, and
+    tests exercise whichever side the environment supports).
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the `protobuf` package for "
+            "its state-server protocol and `google.protobuf` is not "
+            "importable here. `pip install protobuf`, or use "
+            "running_totals_stateful (applyInPandasWithState) which has "
+            "no such dependency."
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("batch_rows", T.LongType()),
+        ]
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            n = 0
+            for pdf in rows:
+                total += float(pdf[value_col].sum())
+                n += len(pdf)
+            self._total.update((total,))
+            yield pd.DataFrame(
+                {"key": [str(key[0])], "total": [total], "batch_rows": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            RunningTotal(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -430,3 +430,48 @@ def test_incremental_chunk_dedup_matches_batch_operator(spark, tmp_path):
     # index, so compare on a re-listed frame.
     seen2 = inc.seen_chunks(spark)
     assert seen2.count() == seen2.distinct().count()
+
+
+def test_running_totals_tws_gate_or_parity(spark, tmp_path):
+    """transformWithStateInPandas twin: when the environment lacks
+    protobuf (this container), the operator must fail LOUDLY at build
+    with the remedy — not crash the streaming query at runtime. When
+    protobuf IS present, it must produce the same per-key totals as
+    the applyInPandasWithState form."""
+    import pytest
+
+    from datapipeline_template_spark.streaming.windows import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", 1.0, "2024-01-01 00:00:00"), ("a", 2.0, "2024-01-01 00:01:00"),
+         ("b", 5.0, "2024-01-01 00:02:00")],
+        "k string, v double, ts_s string",
+    ).selectExpr("k", "v", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("k string, v double, ts timestamp").parquet(
+        str(src)
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_totals_tws(stream, "k", "v", "ts")
+        return
+
+    q = (
+        running_totals_tws(stream, "k", "v", "ts")
+        .writeStream.format("memory")
+        .queryName("tws_parity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["key"]: r["total"] for r in spark.sql("SELECT * FROM tws_parity").collect()}
+    assert got == {"a": 3.0, "b": 5.0}
