@@ -222,6 +222,15 @@ def exact_grouped_quantiles(
     for g, (n, lo, hi) in stats.items():
         if n == 0:
             continue
+        # The in-plan bucket index computes (_v - _lo) in int64; it is
+        # exact only while the group's whole range fits — a domain
+        # spanning more than 2^63-1 (lo << 0 << hi) would wrap the
+        # subtraction and misassign buckets silently.
+        if hi - lo > (1 << 63) - 1:
+            raise ValueError(
+                f"group {g!r} value range [{lo}, {hi}] exceeds int64 width; "
+                "rescale or split the domain before exact_grouped_quantiles"
+            )
         s = set()
         for p in probs:
             h = (n - 1) * p
@@ -250,17 +259,32 @@ def exact_grouped_quantiles(
         if not state:
             break
         tasks = sorted({(g, lo, hi) for (g, _r), (lo, hi, _o) in state.items()})
+        # The group field keeps the input column's actual type — a
+        # string-only schema would mis-join long/int group keys.
+        from pyspark.sql import types as T
+
+        tasks_schema = T.StructType(
+            [
+                T.StructField("_task", T.IntegerType()),
+                T.StructField(group_col, df.schema[group_col].dataType),
+                T.StructField("_lo", T.LongType()),
+                T.StructField("_hi", T.LongType()),
+                T.StructField("_w", T.LongType()),
+            ]
+        )
         tasks_df = spark.createDataFrame(
             [(i, g, lo, hi, max(1, (hi - lo + 1 + branch - 1) // branch))
              for i, (g, lo, hi) in enumerate(tasks)],
-            f"_task int, {group_col} string, _lo long, _hi long, _w long",
+            tasks_schema,
         )
         counts = (
             df.select(F.col(group_col), F.col(value_col).cast("long").alias("_v"))
             .join(F.broadcast(tasks_df), group_col)
             .where((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
-            .groupBy("_task", ((F.col("_v") - F.col("_lo")) / F.col("_w"))
-                     .cast("long").alias("_b"))
+            # Integer floor division in-plan: the double quotient loses
+            # exactness past 2^53 and could put boundary values in the
+            # adjacent bucket.
+            .groupBy("_task", F.expr("(_v - _lo) DIV _w").alias("_b"))
             .count()
             .collect()
         )

@@ -630,14 +630,18 @@ def dd12_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical algorithm)."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize("text")
-    # Persisted: both the duplicate-value count and the dup-window join
-    # read this stream — without the cache the corpus is re-hashed
-    # twice. Narrow (id, pos, h) rows; at cluster scale materialize to
-    # a table instead (session-lifetime cache, dd09's documented trade).
+    # Both the duplicate-value count and the dup-window join read this
+    # stream. NOT persisted: the projection is rehashed once per
+    # consumer (two corpus scans) — recomputing a narrow map-only
+    # stage is cheaper than leaking a corpus-sized cache in a
+    # long-lived session (a round-5 `.persist()` here had no
+    # unpersist point, since the returned DataFrame is lazy). At
+    # cluster scale materialize the (id, pos, h) stream to a table
+    # once and point both consumers at it.
     sh = docs.select(
         "doc_id",
         F.posexplode(shingle_tokens(toks, k=10)).alias("pos", "h"),
-    ).persist()
+    )
     dup = sh.groupBy("h").count().where(F.col("count") > 1).select("h")
     dw = sh.join(dup, "h").select("doc_id", "pos")
     cov = dw.select(

@@ -725,6 +725,10 @@ def tx16_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_no: int, chunk: string")
     class ChunkUdtf:
         def eval(self, text: str, width: int):
+            if text is None:
+                # Match chunk_split's Catalyst null semantics: a NULL
+                # document yields no chunk rows (split(NULL) is NULL).
+                return
             toks = text.split(" ")
             for i in range(0, max(len(toks), 1), width):
                 yield i // width, " ".join(toks[i : i + width])

@@ -1223,3 +1223,51 @@ def test_exact_grouped_quantiles_multipass_vs_sorted(spark):
             f, c = math.floor(h), math.ceil(h)
             want = float(vals[f]) + (h - f) * (float(vals[c]) - float(vals[f]))
             assert actual == want, (g, p, actual, want)
+
+
+def test_exact_grouped_quantiles_long_group_key(spark):
+    """Non-string group columns join correctly against the broadcast
+    task frame (the r05 advice: a hardcoded string schema silently
+    required string keys)."""
+    import math
+
+    from datapipeline_template_spark.operators.sketch import exact_grouped_quantiles
+
+    rows = [(7, v) for v in range(100)] + [(8, v * 3) for v in range(33)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    probs = [0.0, 0.5, 1.0]
+    got = exact_grouped_quantiles(df, "g", "v", probs, branch=8)
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for p, actual in zip(probs, got[g]):
+            h = (n - 1) * p
+            f, c = math.floor(h), math.ceil(h)
+            want = float(vals[f]) + (h - f) * (float(vals[c]) - float(vals[f]))
+            assert actual == want, (g, p, actual, want)
+
+
+def test_exact_grouped_quantiles_extreme_domain(spark):
+    """Bucket indexing stays exact past 2^53 (integer DIV in-plan, not
+    a double quotient), and a range wider than int64 raises instead of
+    silently wrapping."""
+    import pytest
+
+    from datapipeline_template_spark.operators.sketch import exact_grouped_quantiles
+
+    # Range 2^62 — legal, but every bucket width exceeds 2^53 in the
+    # first pass, where double division would lose exactness.
+    big = [-(2**61), -(2**61) + 12345, 0, 2**61 - 98765, 2**61]
+    df = spark.createDataFrame([("w", v) for v in big], "g string, v long")
+    got = exact_grouped_quantiles(df, "g", "v", [0.0, 0.5, 1.0], branch=16)
+    assert got["w"] == [float(-(2**61)), 0.0, float(2**61)]
+
+    # Range > int64: in-plan (_v - _lo) would wrap — must raise.
+    over = spark.createDataFrame(
+        [("x", -(2**62)), ("x", 2**62)], "g string, v long"
+    )
+    with pytest.raises(ValueError, match="int64"):
+        exact_grouped_quantiles(over, "g", "v", [0.5], branch=16)
