@@ -41,14 +41,26 @@ def mm01_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm02 — metadata struct projection — rows-only (struct output)
+# mm02 — metadata struct projection
 # ---------------------------------------------------------------------------
 
+_MM02_ORACLE = """
+SELECT doc_id,
+       'image' AS media_type,
+       'png' AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
 
-@register("mm02_media_meta", oracle=None)
+
+@register("mm02_media_meta", oracle=_MM02_ORACLE)
 def mm02_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed media-metadata struct beside the blob; rows-only check
-    (struct columns don't flatten into the oracle hash)."""
+    """Typed media-metadata struct beside the blob, projected to its
+    deterministic fields (type/format literals + byte length). The
+    struct itself can't enter the flat oracle hash, but this
+    projection replays exactly in SQL — so the metadata VALUES are
+    oracle-pinned, not just row-counted (was rows-only through
+    round 5)."""
     docs = table(spark, sf_dir, "documents").withColumn(
         "blob", F.encode(F.col("text"), "UTF-8")
     )

@@ -182,6 +182,38 @@ def pipe06_bronze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pipe06b — deterministic audit projection (R5/R13, oracle-pinned twin)
+# ---------------------------------------------------------------------------
+
+_PIPE06B_ORACLE = """
+SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+       r_name,
+       'region.parquet' AS source_file_name
+FROM region
+"""
+
+
+@register("pipe06b_bronze_audit_deterministic", oracle=_PIPE06B_ORACLE)
+def pipe06b_bronze_audit_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe06's oracle-pinned twin: the same audit-column machinery
+    (`_metadata` projection through add_audit_columns) restricted to
+    its DETERMINISTIC outputs — the `_source_file` basename must equal
+    the physical file read, and the payload must flow through the
+    widened projection unchanged. pipe06 stays registered (rows-only)
+    as the liveness check for the wall-clock `_ingested_at` /
+    `_file_modification_time` columns this twin excludes."""
+    from ..operators.projection import add_audit_columns
+
+    raw = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df = add_audit_columns(upcast_int_to_bigint(raw))
+    return df.select(
+        "r_regionkey",
+        "r_name",
+        F.substring_index("_source_file", "/", -1).alias("source_file_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pipe07 — keep-latest under COMMON order-column ties (R19 edge)
 # ---------------------------------------------------------------------------
 

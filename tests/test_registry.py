@@ -17,8 +17,58 @@ def _family(name: str) -> str:
     return re.match(r"[a-z]+", name).group()
 
 
+# The driver's 50-entry window, pinned BY NAME: a new registration must
+# land either past the window (relational q-variants) or in _OVERFLOW —
+# any diff here is a deliberate, reviewed window change, never a silent
+# mid-registry insertion reordering what the driver sweeps.
+PINNED_WINDOW = [
+    "pipe01_cdc_keep_latest", "pipe02_cdc_soft_delete",
+    "pipe03_expectations", "pipe04_upcast_widening",
+    "pipe05_renamed_columns", "pipe06b_bronze_audit_deterministic",
+    "pipe07_cdc_tie_break",
+    "dd01_exact_dedup_documents", "dd02_ngram_jaccard_pairs",
+    "dd03_minhash_lsh_candidates", "dd05_minhash_lsh_kernel",
+    "dd04_simhash_pairs", "dd06_dedup_components",
+    "ss01_cosine_topk", "ss04_cosine_topk_blas", "ss05_ivf_ann",
+    "ss02_embedding_near_dup", "ss03_lsh_ann_pairs",
+    "ss06_embedding_dedup_clusters",
+    "tx07_token_entropy_pandas", "tx01_token_stats",
+    "tx02_quality_by_source", "tx03_language_id", "tx04_fingerprint",
+    "tx06_tfidf", "tx05_top_bigrams", "tx08_regex_subwords",
+    "tx09_leading_tokens", "tx10_stopword_punct_shares",
+    "st01_tumbling_counts", "st02_sliding_counts", "st03_session_windows",
+    "mm01_media_byte_stats", "mm02_media_meta",
+    "tj01_asof_prev_click", "tj02_cascade_rollup",
+    "w01_top_orders_per_customer", "w02_running_user_value",
+    "w03_event_gaps_lag", "w04_customer_quartiles", "w05_moving_avg_value",
+    "w06_first_last_event", "w07_supplier_percentiles",
+    "w08_sessionize_events",
+    "q01_pricing_summary", "q02_top_revenue_orders", "q22_array_agg",
+    "q37_full_outer_nations", "q40_null_safe_join",
+    "q38_intersect_all_priorities",
+]
+
+
 def test_registry_size_stable():
     assert len(NAMES) == len(set(NAMES)) >= 82
+
+
+def test_window_pinned_by_name():
+    """The exact 50 names the driver sweeps (round-6 delta: pipe06's
+    slot went to its oracle-pinned twin pipe06b; pipe06 moved to
+    _OVERFLOW as the rows-only liveness check)."""
+    assert WINDOW == PINNED_WINDOW
+
+
+def test_every_query_classified():
+    """Every registered name is (a) in the pinned window, (b) a
+    relational q-variant registered past it, or (c) explicitly listed
+    in _OVERFLOW — no unclassified registrations that would silently
+    reorder the window."""
+    for n in NAMES[50:]:
+        assert _family(n) == "q" or n in _OVERFLOW, (
+            f"{n} is outside the window but not classified in _OVERFLOW"
+        )
 
 
 def test_sweep_window_covers_every_family():
