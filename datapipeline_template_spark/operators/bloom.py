@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_bitmap_row", "bloom_might_contain", "bloom_semi_join"]
+__all__ = [
+    "bloom_bitmap_row",
+    "bloom_might_contain",
+    "bloom_semi_join",
+    "should_use_bloom",
+]
 
 # Signed-int64 masks 1 << j for j in 0..63 (1 << 63 wraps negative).
 _MASKS = [(1 << j) - (1 << 64 if j == 63 else 0) for j in range(64)]
@@ -101,6 +106,58 @@ def bloom_might_contain(
     return pred
 
 
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_size(s: str) -> int:
+    """Parse Spark byte-size conf strings ('10485760b', '10MB', '-1')."""
+    s = s.strip().lower()
+    for suffix in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * _SIZE_SUFFIXES[suffix]
+    return int(s)
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the optimized plan — the
+    same statistic the planner uses to pick broadcast joins. No job
+    runs; returns None when the private hook is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def should_use_bloom(dim: DataFrame) -> bool:
+    """The auto-bypass decision: a Bloom pre-filter only pays when the
+    dim side is TOO BIG to broadcast — if Catalyst's size estimate for
+    the dim plan fits under ``spark.sql.autoBroadcastJoinThreshold``,
+    the plain semi join already broadcasts and prunes the fact scan
+    map-side, so the bitmap build (an extra dim pass + two tiny
+    shuffles) is pure overhead (measured at sf0.1: 1.30 s bloom vs
+    0.52 s plain). Unknown estimate or disabled broadcast (-1) keeps
+    the bitmap: the insurance path is the scale-safe default.
+    """
+    try:
+        thr = _parse_byte_size(
+            dim.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        return True
+    if thr <= 0:
+        return True  # broadcast disabled: the fact side WOULD shuffle
+    size = _plan_size_estimate(dim)
+    if size is None:
+        return True
+    return size > thr
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -108,20 +165,29 @@ def bloom_semi_join(
     dim_key: str,
     m_bits: int = 1 << 17,
     k: int = 3,
+    use_bloom: bool | None = None,
 ) -> DataFrame:
     """EXACT left-semi join of ``fact`` to ``dim`` with a Bloom
     pre-filter on the fact scan: fact rows whose key fails the bitmap
     never reach the join shuffle. Result ≡
     ``fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")``.
+
+    ``use_bloom=None`` (default) auto-bypasses the bitmap when the dim
+    plan's Catalyst size estimate fits the broadcast threshold (see
+    ``should_use_bloom``) — naive callers never pay the bitmap
+    overhead at scales where the plain semi join broadcasts anyway.
+    Pass True/False to pin the strategy (tests pin both; a caller that
+    knows its dim outgrows the planner's estimate should pin True).
     """
+    if use_bloom is None:
+        use_bloom = should_use_bloom(dim)
+    dim_keys = dim.select(F.col(dim_key).alias("_dk"))
+    if not use_bloom:
+        return fact.join(dim_keys, F.col(fact_key) == F.col("_dk"), "left_semi")
     bitmap = bloom_bitmap_row(dim.select(dim_key), dim_key, m_bits, k)
     pruned = (
         fact.crossJoin(F.broadcast(bitmap))
         .where(bloom_might_contain(F.col("_bloom"), F.col(fact_key), m_bits, k))
         .drop("_bloom")
     )
-    return pruned.join(
-        dim.select(F.col(dim_key).alias("_dk")),
-        F.col(fact_key) == F.col("_dk"),
-        "left_semi",
-    )
+    return pruned.join(dim_keys, F.col(fact_key) == F.col("_dk"), "left_semi")

@@ -1041,8 +1041,11 @@ def q42_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny shuffles) is pure overhead. The pattern pays when the dim is
     too big to broadcast and the fact side would otherwise shuffle:
     the map-only probe then deletes ~80% of a multi-TB exchange
-    (60 000 → 11 784 fact rows at sf0.01). Headlined as the measured
-    cost of the scale insurance, not as a small-scale win."""
+    (60 000 → 11 784 fact rows at sf0.01). Since round 6 the operator
+    AUTO-BYPASSES the bitmap when Catalyst's dim size estimate fits
+    the broadcast threshold (operators/bloom.should_use_bloom), so at
+    bench scale this runs the plain broadcast semi join; the forced
+    bloom path stays oracle-identical and unit-pinned."""
     from ..operators.bloom import bloom_semi_join
 
     li = table(spark, sf_dir, "lineitem")

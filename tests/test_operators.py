@@ -1124,6 +1124,46 @@ def test_bloom_bitmap_row_shape(spark):
     assert len(bm) == 1 and len(bm[0]["_bloom"]) == 4  # 256 bits / 64
 
 
+def test_bloom_auto_bypass_decision(spark):
+    """should_use_bloom: a broadcast-sized dim bypasses the bitmap; a
+    dim past the threshold (or with broadcast disabled) keeps it; and
+    both pinned paths return identical rows."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.bloom import (
+        _parse_byte_size,
+        bloom_semi_join,
+        should_use_bloom,
+    )
+
+    assert _parse_byte_size("10485760b") == 10 * (1 << 20)
+    assert _parse_byte_size("10MB") == 10 * (1 << 20)
+    assert _parse_byte_size("-1") == -1
+    assert _parse_byte_size("512k") == 512 * (1 << 10)
+
+    dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey"
+    )
+    assert should_use_bloom(dim) is False  # tiny file, default 10MB threshold
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        assert should_use_bloom(dim) is True  # estimate exceeds 1 byte
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert should_use_bloom(dim) is True  # broadcast disabled → fact would shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    fact = spark.range(0, 2000).select(F.col("id").alias("fk"))
+    small = spark.range(0, 2000, 40).select(F.col("id").alias("dk"))
+    with_bloom = bloom_semi_join(fact, small, "fk", "dk", use_bloom=True)
+    without = bloom_semi_join(fact, small, "fk", "dk", use_bloom=False)
+    assert sorted(r["fk"] for r in with_bloom.collect()) == sorted(
+        r["fk"] for r in without.collect()
+    )
+
+
 def test_scd2_history_intervals_and_deletes(spark):
     """Versions chain lead-closed intervals; a delete closes the prior
     version but emits none; a trailing delete leaves no current row;

@@ -175,16 +175,34 @@ def test_tx06_df_join_not_hint_forced(spark):
     assert plan.count("BroadcastHashJoin") <= 1  # only the 1-row N join
 
 
-def test_q42_bloom_probe_prefilters_fact_scan(spark):
-    """The Bloom probe must sit on the FACT side as a plain Filter
-    (xxhash64 bitmap tests) BEFORE the semi join, and the bitmap build
-    must partial-aggregate (bit_or) — no Python anywhere."""
+def test_q42_auto_bypasses_bloom_at_broadcast_scale(spark):
+    """Round 6: the operator auto-bypasses the bitmap when Catalyst's
+    dim estimate fits the broadcast threshold — at test scale q42 must
+    plan as the PLAIN broadcast semi join (no bitmap build, none of
+    its two extra shuffles)."""
     plan = _plan(spark, "q42_bloom_semi_join")
-    f = plan.find("xxhash64")
-    assert f != -1, plan
-    # The probe filter appears before (above in execution = deeper
-    # index) ... locate the semi join and require a Filter-with-probe
-    # on the fact branch.
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "bit_or" not in plan, plan  # no bitmap build anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_forced_bloom_probe_prefilters_fact_scan(spark):
+    """The FORCED bloom path (use_bloom=True — the dim-too-big-to-
+    broadcast regime): probe sits on the fact side as a plain Filter
+    (xxhash64 bitmap tests) before the semi join, bitmap build
+    partial-aggregates (bit_or), no Python anywhere."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.bloom import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    li = table(spark, SF, "lineitem")
+    urgent = table(spark, SF, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", use_bloom=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan
     assert "LeftSemi" in plan
     assert "partial_bit_or" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

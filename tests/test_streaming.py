@@ -357,6 +357,48 @@ def test_incremental_lsh_stream_matches_full_corpus(spark, tmp_path):
     assert lsh.signatures(spark).count() == 40
 
 
+def test_pinned_broadcast_skips_sizing_count(spark, monkeypatch):
+    """A pinned ``broadcast=`` must skip the operator's sizing count()
+    — the maintainer already counted the micro-batch, so paying a
+    second narrow job per batch would be waste (r05 verdict item).
+    Default (None) still runs exactly one sizing count."""
+    from datapipeline_template_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures_kernel,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five six {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text")
+    existing = sigs.where("doc_id < 8")
+    new = sigs.where("doc_id >= 8")
+
+    counts = []
+    # Patch the CONCRETE DataFrame class (Spark 4: instances are
+    # pyspark.sql.classic.dataframe.DataFrame, not the abstract base).
+    DataFrame = type(sigs)
+    orig_count = DataFrame.count
+
+    def tracked(self):
+        counts.append(1)
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", tracked)
+    pinned = lsh_candidate_pairs_incremental(
+        existing, new, "doc_id", "sig", broadcast=True
+    )
+    assert counts == [], "pinned broadcast must not run a sizing count"
+    defaulted = lsh_candidate_pairs_incremental(existing, new, "doc_id", "sig")
+    assert len(counts) == 1, "default None sizes the batch with ONE count"
+    monkeypatch.setattr(DataFrame, "count", orig_count)
+    # Both strategies return identical pairs.
+    assert sorted((r["id_a"], r["id_b"]) for r in pinned.collect()) == sorted(
+        (r["id_a"], r["id_b"]) for r in defaulted.collect()
+    )
+
+
 def test_incremental_chunk_dedup_matches_batch_operator(spark, tmp_path):
     """Two AvailableNow drains of ascending-id docs maintain cleaned
     docs equal to the batch chunk_dedup over everything seen; replays
