@@ -30,7 +30,16 @@ from ..functions import (
     quantize_vec,
 )
 
-__all__ = ["cosine_topk", "cosine_topk_blas", "ivf_topk", "lsh_bucket", "near_dup_pairs"]
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_blas",
+    "ivf_topk",
+    "lsh_bucket",
+    "lsh_multi_table_pairs",
+    "lsh_pairs_for_recall",
+    "near_dup_pairs",
+    "tables_for_recall",
+]
 
 # The BLAS and IVF paths hold the QUERY side on the driver (a q×dim
 # matrix / a probe list) — correct only under the documented
@@ -348,6 +357,71 @@ def lsh_multi_table_pairs(
         ).select("id_a", "id_b")
         out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()
+
+
+def tables_for_recall(
+    target_recall: float, p_single: float, max_tables: int = 64
+) -> int:
+    """Smallest table count L with 1-(1-p)^L >= target — the number a
+    recall-targeted 100-TB ANN/dedup run needs BEFORE it commits to a
+    bucket layout. ``p_single`` is the MEASURED single-table recall
+    (ss08/ss09's accounting), not a theoretical collision probability.
+
+    The formula assumes tables are independent; measured OR-curves on
+    the eval slice undershoot it slightly (sf0.001: L=4 measured
+    0.0847 vs 0.0923 predicted from p=0.0239), so treat the result as
+    the floor, re-measure with ss09's harness, and bump L if the
+    target is tight. Raises when the target is unreachable within
+    ``max_tables`` — an unreachable target should fail loudly at plan
+    time, not silently return low-recall pairs.
+    """
+    import math
+
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    if not (0.0 < p_single <= 1.0):
+        raise ValueError(f"p_single must be in (0, 1], got {p_single}")
+    if p_single >= target_recall:
+        return 1
+    tables = math.ceil(math.log1p(-target_recall) / math.log1p(-p_single))
+    if tables > max_tables:
+        raise ValueError(
+            f"recall {target_recall} needs {tables} tables at measured "
+            f"p={p_single} (> max_tables={max_tables}); raise the per-table "
+            "recall (fewer planes / multi-probe) instead of the table count"
+        )
+    return tables
+
+
+def lsh_pairs_for_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    target_recall: float,
+    p_single: float,
+    n_planes: int = 8,
+    dim: int = 64,
+    max_tables: int = 64,
+) -> DataFrame:
+    """Recall-targeted OR-construction: choose L from the measured
+    single-table recall via ``tables_for_recall`` and run
+    ``lsh_multi_table_pairs`` with that many independent tables — the
+    operator form of the ss08/ss09 measurement loop (measure p once on
+    the eval slice, then size the production build from it). Same
+    scale shape as the underlying multi-table operator: L bucket
+    equi-joins + one pair-key distinct, never all-pairs.
+    """
+    tables = tables_for_recall(target_recall, p_single, max_tables=max_tables)
+    return lsh_multi_table_pairs(
+        df,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=tables,
+        dim=dim,
+    )
 
 
 def near_dup_pairs(

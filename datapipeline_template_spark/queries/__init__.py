@@ -86,6 +86,7 @@ _OVERFLOW = (
     # Round 6: pipe06's window slot went to its oracle-pinned twin
     # (pipe06b); the wall-clock liveness check stays registered here.
     "pipe06_bronze_audit",
+    "ss10_recall_targeted_ann",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -486,3 +486,89 @@ def ss09_ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = counts if out is None else out.unionByName(counts)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ss10 — recall-TARGETED OR-construction (the operator form of the
+# ss08/ss09 measurement loop). Registered in the registry OVERFLOW
+# section.
+# ---------------------------------------------------------------------------
+
+_SS10_TARGET = 0.10
+# ss08's measured single-table (8-plane) recall at the sf0.01 gate —
+# the input a production build would take from the eval harness.
+_SS10_P = 0.031
+# ceil(log1p(-0.10)/log1p(-0.031)) = 4 — the oracle replays exactly
+# this table count; the hash gate therefore proves the chooser picked
+# it (a wrong L changes n_retrieved/recall and the chosen_l column).
+
+_SS10_ORACLE = f"""
+WITH eval_emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eval_emb a JOIN eval_emb b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+), {_ss09_table_ctes(0)}, {_ss09_table_ctes(1)}, {_ss09_table_ctes(2)}, {_ss09_table_ctes(3)}
+SELECT CAST({_SS10_TARGET} AS DOUBLE) AS target_recall,
+       CAST({_SS10_P} AS DOUBLE) AS p_single,
+       CAST(4 AS BIGINT) AS chosen_l,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM (SELECT id_a, id_b FROM mret0 UNION
+                                   SELECT id_a, id_b FROM mret1 UNION
+                                   SELECT id_a, id_b FROM mret2 UNION
+                                   SELECT id_a, id_b FROM mret3)) AS BIGINT)
+         AS n_retrieved,
+       CAST((SELECT count(*) FROM (SELECT id_a, id_b FROM mret0 UNION
+                                   SELECT id_a, id_b FROM mret1 UNION
+                                   SELECT id_a, id_b FROM mret2 UNION
+                                   SELECT id_a, id_b FROM mret3)) AS DOUBLE)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+"""
+
+
+@register("ss10_recall_targeted_ann", oracle=_SS10_ORACLE)
+def ss10_recall_targeted_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-targeted ANN build: the caller states a recall TARGET
+    and the MEASURED single-table recall (ss08's number); the operator
+    chooses the table count L = ceil(log1p(-target)/log1p(-p)) and
+    runs the OR-construction with exactly that many tables — the
+    closed loop a 100-TB dedup run needs (measure p on the eval slice
+    once, size the production build from it, never hand-tune L).
+    Here target 10% at measured p=3.1% chooses L=4, whose measured
+    recall at the sf0.01 gate is 11.3% — target met; the oracle
+    replays the 4-table retrieval so the chooser's output is
+    hash-pinned, not just asserted. The independence assumption makes
+    the formula a FLOOR (tables share the quantized vector; measured
+    OR-curves undershoot slightly), which is why the operator docs
+    demand re-measuring after sizing."""
+    from ..operators.similarity import lsh_pairs_for_recall, tables_for_recall
+
+    chosen_l = tables_for_recall(_SS10_TARGET, _SS10_P)
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _SS_EVAL_SLICE)
+    truth = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col=None
+    ).select("id_a", "id_b")
+    retrieved = lsh_pairs_for_recall(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        target_recall=_SS10_TARGET,
+        p_single=_SS10_P,
+        n_planes=8,
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(retrieved.agg(F.count(F.lit(1)).alias("n_retrieved")))
+        .select(
+            F.lit(_SS10_TARGET).cast("double").alias("target_recall"),
+            F.lit(_SS10_P).cast("double").alias("p_single"),
+            F.lit(chosen_l).cast("long").alias("chosen_l"),
+            "n_truth",
+            "n_retrieved",
+            (
+                F.col("n_retrieved").cast("double") / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -1235,6 +1235,67 @@ def test_lsh_multi_table_pairs_monotone_and_table0_equals_single(spark):
     assert len(got4) == len(set(got4))  # distinct pairs
 
 
+def test_tables_for_recall_math():
+    import pytest
+
+    from datapipeline_template_spark.operators.similarity import tables_for_recall
+
+    assert tables_for_recall(0.9, 0.5) == 4  # ceil(ln .1 / ln .5) = 3.32 -> 4
+    assert tables_for_recall(0.4, 0.5) == 1  # single table already suffices
+    assert tables_for_recall(0.5, 0.5) == 1
+    with pytest.raises(ValueError, match="max_tables"):
+        tables_for_recall(0.99, 0.001, max_tables=64)  # needs ~4603 tables
+    with pytest.raises(ValueError):
+        tables_for_recall(1.5, 0.5)
+    with pytest.raises(ValueError):
+        tables_for_recall(0.5, 0.0)
+
+
+def test_recall_target_achieved_on_eval_slice(spark, sf_dir):
+    """lsh_pairs_for_recall: measure the single-table recall p on the
+    eval slice (the ss08 step), ask for modest multiples of it, and
+    the chosen L must actually deliver the target — the closed loop
+    the operator exists for. Targets sit under the independence
+    prediction's measured undershoot, so this is a real guarantee
+    check, not a tautology."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_table_pairs,
+        lsh_pairs_for_recall,
+    )
+    from datapipeline_template_spark.operators.similarity import near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    truth = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col=None
+    )
+    n_truth = truth.count()
+    p1 = (
+        lsh_multi_table_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=1
+        ).count()
+        / n_truth
+    )
+    assert p1 > 0
+    for mult in (1.6, 3.2):  # the L=2 and L=4 regimes at measured p
+        target = p1 * mult
+        got = (
+            lsh_pairs_for_recall(
+                emb,
+                "vec_id",
+                "embedding",
+                threshold=0.3,
+                target_recall=target,
+                p_single=p1,
+                n_planes=8,
+            ).count()
+            / n_truth
+        )
+        assert got >= target, (target, got, p1)
+
+
 def test_exact_grouped_quantiles_multipass_vs_sorted(spark):
     """Histogram refinement equals the sorted-order interpolating
     quantile on a WIDE value domain (forces > 1 refinement pass at
