@@ -35,6 +35,7 @@ __all__ = [
     "cosine_topk_blas",
     "ivf_topk",
     "lsh_bucket",
+    "lsh_bucket_prequantized",
     "lsh_multi_table_pairs",
     "lsh_pairs_for_recall",
     "near_dup_pairs",
@@ -307,6 +308,17 @@ def lsh_bucket(
     weight schedule, independent hash tables.
     """
     qvec = F.transform(vec, lambda x: F.round(x.cast("double") * F.lit(10000.0)).cast("long"))
+    return lsh_bucket_prequantized(
+        qvec, n_planes=n_planes, dim=dim, plane_offset=plane_offset
+    )
+
+
+def lsh_bucket_prequantized(
+    qvec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
+    """``lsh_bucket`` over an ALREADY-quantized int64 array (the
+    stored form incremental maintenance keeps) — same plane schedule,
+    bit-identical buckets, no re-quantization per probe."""
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         weights = F.array(

@@ -357,6 +357,67 @@ def test_incremental_lsh_stream_matches_full_corpus(spark, tmp_path):
     assert lsh.signatures(spark).count() == 40
 
 
+def test_incremental_sign_lsh_matches_multi_table_pairs(spark, tmp_path, sf_dir):
+    """Embedding-side maintenance (the third instance of the dd09
+    equivalence contract): drain an embedding stream in TWO
+    AvailableNow passes, then the maintained cosine-verified pairs
+    must equal lsh_multi_table_pairs over every vector seen, replays
+    must be no-ops, and a crash window must self-repair."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_table_pairs,
+    )
+    from datapipeline_template_spark.streaming.sign_lsh import IncrementalSignLsh
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema_str = "vec_id long, embedding array<float>"
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "sign_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = emb.where("vec_id < 120")
+    batch2 = emb.where("vec_id >= 120 AND vec_id < 200")
+    inc = IncrementalSignLsh(store, threshold=0.3, n_planes=4, n_tables=2)
+
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    seen = emb.where("vec_id < 200")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_multi_table_pairs(
+            seen, "vec_id", "embedding", threshold=0.3, n_planes=4, n_tables=2
+        ).collect()
+    }
+    assert want, "fixture must produce pairs"
+    got = {(r["id_a"], r["id_b"]) for r in inc.pairs(spark).collect()}
+    assert got == want
+    assert inc.vectors(spark).count() == 200
+
+    # Replay safety: re-delivering batch 0 under its batch_id no-ops.
+    inc.process_batch(batch1, batch_id=0)
+    assert {(r["id_a"], r["id_b"]) for r in inc.pairs(spark).collect()} == want
+    assert inc.vectors(spark).count() == 200
+
+    # Crash-window repair: marker for batch 1 lost after data landed →
+    # reprocessing overwrites identical bytes, no duplicates.
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(batch2, batch_id=1)
+    assert {(r["id_a"], r["id_b"]) for r in inc.pairs(spark).collect()} == want
+    assert inc.vectors(spark).count() == 200
+
+
 def test_pinned_broadcast_skips_sizing_count(spark, monkeypatch):
     """A pinned ``broadcast=`` must skip the operator's sizing count()
     — the maintainer already counted the micro-batch, so paying a
