@@ -168,6 +168,24 @@ def certified_topk(
     return spark.createDataFrame(rows, schema=f"{item_col} string, n long")
 
 
+def _quantile_pass_counts(df, group_col: str, value_col: str, tasks_df):
+    """ONE refinement pass's counting aggregate — the plan that runs
+    per pass at 100 TB: broadcast the tiny task frame onto the scan,
+    bucket with integer floor division (the double quotient loses
+    exactness past 2^53), partial-agg count per (task, bucket). Shared
+    with the plan guard in tests so the map-side-combined shape is
+    pinned, not assumed."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(group_col), F.col(value_col).cast("long").alias("_v"))
+        .join(F.broadcast(tasks_df), group_col)
+        .where((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
+        .groupBy("_task", F.expr("(_v - _lo) DIV _w").alias("_b"))
+        .count()
+    )
+
+
 def exact_grouped_quantiles(
     df,
     group_col: str,
@@ -277,17 +295,7 @@ def exact_grouped_quantiles(
              for i, (g, lo, hi) in enumerate(tasks)],
             tasks_schema,
         )
-        counts = (
-            df.select(F.col(group_col), F.col(value_col).cast("long").alias("_v"))
-            .join(F.broadcast(tasks_df), group_col)
-            .where((F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")))
-            # Integer floor division in-plan: the double quotient loses
-            # exactness past 2^53 and could put boundary values in the
-            # adjacent bucket.
-            .groupBy("_task", F.expr("(_v - _lo) DIV _w").alias("_b"))
-            .count()
-            .collect()
-        )
+        counts = _quantile_pass_counts(df, group_col, value_col, tasks_df).collect()
         by_task: dict = {}
         for r in counts:
             by_task.setdefault(r["_task"], {})[r["_b"]] = r["count"]

@@ -212,3 +212,60 @@ def test_tj03_interval_join_is_hash_join(spark):
     plan = _plan(spark, "tj03_interval_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_tj04_gapfill_carries_without_pair_join(spark):
+    """tj04's LOCF is the JOINLESS as-of carry (union + window last),
+    never a per-(day, event) pair join — and the daily grid comes from
+    an in-plan sequence explode, no driver loop."""
+    plan = _plan(spark, "tj04_gapfill_locf")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "last(" in plan  # the as-of window carry
+    assert "Generate explode" in plan  # grid = sequence + explode
+    assert "sequence(" in plan
+
+
+def test_ss09_retrieval_is_bucket_equi_joins(spark):
+    """The OR-construction RETRIEVAL side (ss09/ss10's scale path —
+    the eval harness's exact-truth join is a deliberately bounded
+    quadratic, so the guard pins the operator, not the harness): L
+    bucket equi-joins, never an all-pairs stage."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_table_pairs,
+    )
+
+    emb = table(spark, SF, "embeddings").where(F.col("vec_id") < 500)
+    out = lsh_multi_table_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_blk" in plan  # bucket key reaches the join condition
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_q26b_pass_aggregate_is_map_side_combined(spark):
+    """q26b's per-pass counting plan (shared helper): the tiny task
+    frame BROADCASTS onto the value scan and the (task, bucket) count
+    partial-aggregates before its exchange — each refinement pass is
+    one map-side-combined scan, the property that makes ≤7 passes
+    cheaper than one shuffle of the values."""
+    from datapipeline_template_spark.operators.sketch import _quantile_pass_counts
+
+    df = spark.range(1000).selectExpr("CAST(id % 2 AS STRING) AS g", "id AS v")
+    tasks = spark.createDataFrame(
+        [(0, "0", 0, 999, 63), (1, "1", 0, 999, 63)],
+        "_task int, g string, _lo long, _hi long, _w long",
+    )
+    plan = (
+        _quantile_pass_counts(df, "g", "v", tasks)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan

@@ -25,8 +25,7 @@ def main() -> None:
     print("Regenerate: `python tools/gen_plans.py > PLANS.md`.")
     print()
 
-    def section(name, title, greps):
-        df = reg[name].fn(spark, sf)
+    def section_df(name, title, df, greps):
         s = df._jdf.queryExecution().toString()
         print(f"## {name} — {title}\n")
         for label, pat in greps:
@@ -37,6 +36,9 @@ def main() -> None:
             if hits:
                 print(f"- **{label}:** " + "; ".join(f"`{h[:160]}`" for h in hits[:4]))
         print()
+
+    def section(name, title, greps):
+        section_df(name, title, reg[name].fn(spark, sf), greps)
 
     section(
         "q01_pricing_summary",
@@ -168,14 +170,88 @@ def main() -> None:
             ("Bin keys", r"hashpartitioning\(_bin[^)]{0,50}"),
         ],
     )
+    # q42 auto-bypasses the bitmap when the dim fits the broadcast
+    # threshold (round 6) — document the FORCED bloom plan (the
+    # dim-too-big regime it exists for) alongside the bypassed default.
     section(
         "q42_bloom_semi_join",
+        "default at this scale: auto-bypassed to the plain broadcast "
+        "semi join (dim fits the broadcast threshold)",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+            ("No bitmap build", r"(bit_or)"),
+        ],
+    )
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table as _table
+    from datapipeline_template_spark.operators.bloom import bloom_semi_join
+
+    _li = _table(spark, sf, "lineitem")
+    _urgent = _table(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    section_df(
+        "q42 (forced bloom path)",
         "Bloom runtime filter: fact scan filtered by xxhash64 bitmap "
         "probes BEFORE the semi-join exchange",
+        bloom_semi_join(_li, _urgent, "l_orderkey", "o_orderkey", use_bloom=True),
         [
             ("Probe predicate (pre-join filter)", r"Filter [^\n]{0,60}xxhash64[^\n]{0,40}"),
             ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
             ("Bitmap build agg", r"(bit_or|partial_bit_or)\([^)]{0,40}"),
+        ],
+    )
+
+    section(
+        "tj04_gapfill_locf",
+        "gap-fill + LOCF: in-plan sequence-explode grid, JOINLESS as-of "
+        "carry (union + window last) — no per-(day, event) pair join",
+        [
+            ("Grid explode", r"Generate explode\([^\n]{0,60}"),
+            ("Window carry", r"last\([^\n]{0,40}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_table_pairs,
+    )
+
+    _emb = _table(spark, sf, "embeddings").where(F.col("vec_id") < 500)
+    section_df(
+        "ss09/ss10 retrieval (lsh_multi_table_pairs)",
+        "OR-construction retrieval: L bucket equi-joins + pair-key "
+        "distinct, never all-pairs (the eval harness's exact-truth join "
+        "is a deliberately bounded quadratic and is NOT the scale path)",
+        lsh_multi_table_pairs(
+            _emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=2
+        ),
+        [
+            ("Bucket join keys", r"hashpartitioning\(_blk[^)]{0,40}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
+    from datapipeline_template_spark.operators.sketch import _quantile_pass_counts
+
+    _li_cents = _li.selectExpr(
+        "l_returnflag AS g", "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v"
+    )
+    _tasks = spark.createDataFrame(
+        [(0, "A", 0, 10_000_000, 9766), (1, "N", 0, 10_000_000, 9766)],
+        "_task int, g string, _lo long, _hi long, _w long",
+    )
+    section_df(
+        "q26b refinement pass (_quantile_pass_counts)",
+        "exact quantiles at scale: each pass broadcasts the tiny task "
+        "frame onto the scan and partial-aggregates (task, bucket) "
+        "counts — O(branch) executor memory where percentile() buffers "
+        "every value",
+        _quantile_pass_counts(_li_cents, "g", "v", _tasks),
+        [
+            ("Task-frame broadcast", r"BroadcastHashJoin[^\n]{0,40}"),
+            ("Partial combine", r"partial_count\([^)]{0,20}"),
+            ("Integer bucket expr", r"div _w[^\n]{0,20}"),
         ],
     )
 
