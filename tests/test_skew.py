@@ -152,3 +152,77 @@ def test_deterministic_sample_stable_under_repartition(spark):
     got = {r["grp"]: r["n"] for r in s.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert "2" not in got  # unlisted stratum dropped
     assert got["0"] > got["1"] * 4
+
+
+def test_scd2_history_hot_key_stays_bounded(spark):
+    """Adversarial SCD2 skew: ONE key carries 1e5 versions (a CDC feed
+    gone pathological — e.g. a heartbeat row updated every second).
+    The per-key lead window partition is change-cardinality sized, so
+    the run must stay bounded (seconds, not a spilled mega-partition)
+    and every interval must close exactly onto the next change."""
+    import time
+
+    from datapipeline_template_spark.operators.cdc import scd2_history
+
+    n = 100_000
+    hot = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 2).alias("value"),
+        F.when(F.col("id") % 997 == 0, "D").otherwise("U").alias("op"),
+    )
+    cold = spark.range(50).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"),
+        F.col("id").alias("seq"),
+        F.col("id").alias("value"),
+        F.lit("U").alias("op"),
+    )
+    feed = hot.unionByName(cold).repartition(16)
+    t0 = time.monotonic()
+    out = scd2_history(feed, ["k"], ["seq"], op_col="op")
+    rows = out.where(F.col("k") == "hot").select("seq", "seq_end").collect()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"hot-key SCD2 took {elapsed:.1f}s"
+    # Exactness under the pile-up: every non-delete version's interval
+    # closes onto seq+1 (the next change), the last row stays open.
+    n_deletes = len([s for s in range(n) if s % 997 == 0])
+    assert len(rows) == n - n_deletes
+    for r in rows:
+        if r["seq"] == n - 1:
+            assert r["seq_end"] is None
+        else:
+            assert r["seq_end"] == r["seq"] + 1, r
+
+
+def test_chunk_dedup_hot_value_stays_bounded(spark):
+    """Adversarial chunk skew: ONE 12-token chunk value appears 1e5
+    times corpus-wide (boilerplate — the RefinedWeb reality). The
+    contested window partitions by chunk value, so the hot value lands
+    in one partition; the run must stay bounded and keep EXACTLY the
+    first occurrence."""
+    import time
+
+    from datapipeline_template_spark.operators.dedup import chunk_dedup
+
+    boiler = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " unique-"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    ).repartition(16)
+    t0 = time.monotonic()
+    out = chunk_dedup(docs, "doc_id", "text", chunk_tokens=12)
+    agg = out.agg(
+        F.sum("n_dropped").alias("dropped"),
+        F.sum(F.when(F.col("clean_text").startswith("the quick"), 1).otherwise(0))
+        .alias("kept_boiler"),
+    ).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"hot-value chunk dedup took {elapsed:.1f}s"
+    # 100k boilerplate chunks -> 1 survivor; every doc keeps its unique
+    # tail chunk ("unique-<id>" second chunk).
+    assert agg["dropped"] == 100_000 - 1
+    assert agg["kept_boiler"] == 1
+    first = out.where(F.col("doc_id") == 0).collect()[0]
+    assert first["clean_text"].startswith(boiler)
