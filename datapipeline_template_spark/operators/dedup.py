@@ -52,6 +52,8 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "select_survivors",
+    "remove_dup_spans",
+    "content_defined_chunks",
 ]
 
 
@@ -929,4 +931,123 @@ def select_survivors(
             F.col("cluster_size").cast("long").alias("cluster_size"),
             F.col(quality_col).alias("survivor_quality"),
         )
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-substring deduplication — the ACTING step of Lee et al.'s
+    'Deduplicating Training Data Makes Language Models Better'
+    (ExactSubstr): every token position covered by at least one
+    corpus-duplicated k-token window is REMOVED from the document
+    (dd12 measures this coverage; this operator edits it out).
+
+    Returns (id_col, clean_text, n_tokens, n_removed) — one row per
+    input document, ``clean_text = ''`` when every position was
+    covered.
+
+    Scale shape (the dd12 pipeline + chunk_dedup's map-only rebuild):
+    1. narrow (doc_id, pos, window-hash) projection → partial-agg
+       count finds corpus-duplicated window VALUES (small);
+    2. only duplicated windows join back and explode ×k into covered
+       token positions, rolled up to one int-set row per AFFECTED doc;
+    3. the rebuild LEFT-joins that small set to the original docs scan
+       and filters each doc's token array in place by position —
+       map-only, no corpus shuffle, the overwhelming unaffected mass
+       streams through untouched.
+    The paper removes spans of >= 50 tokens; here ``k`` is the window
+    width and any covered position is dropped — the same semantics at
+    the measurement grain dd12 uses, so the two queries share one
+    coverage definition. Group on a 128-bit fingerprint at web scale
+    (here the poly hash so DuckDB replays it exactly).
+    """
+    from ..operators.text import tokenize
+
+    toks = tokenize(text_col)
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(shingle_tokens(toks, k=k)).alias("pos", "h"),
+    )
+    dup = sh.groupBy("h").count().where(F.col("count") > 1).select("h")
+    cov = sh.join(dup, "h").select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+            "tokpos"
+        ),
+    )
+    removed = cov.groupBy(id_col).agg(
+        F.collect_set("tokpos").alias("_rm"),
+        F.countDistinct("tokpos").cast("long").alias("_n_removed"),
+    )
+    rebuilt = docs.join(removed, id_col, "left")
+    kept = F.filter(
+        toks,
+        lambda _t, i: F.col("_rm").isNull() | ~F.array_contains(F.col("_rm"), i),
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
+def content_defined_chunks(
+    text: Column | str, divisor: int = 8
+) -> Column:
+    """Content-defined chunking (the FastCDC/gear-hash idea at token
+    grain): a chunk boundary falls AFTER every token whose polynomial
+    hash ≡ 0 (mod ``divisor``) — so boundaries are a function of LOCAL
+    content only, and inserting or deleting tokens early in a document
+    re-chunks only the neighborhood of the edit (fixed-size chunking
+    like ``chunk_split`` shifts every later chunk, defeating sub-doc
+    dedup on insert-heavy corpora; the property test pins this
+    resynchronization). Expected chunk length ≈ ``divisor`` tokens.
+
+    One O(n) fold per document (``F.aggregate`` carrying
+    (done_chunks, current_chunk)) — map-only, no shuffle; the HOF is
+    interpreted per element, which is acceptable for a per-row
+    restructuring pass (same trade as ``chunk_split``; at 100 TB the
+    byte-grain kernel form would be an Arrow ``mapInPandas``).
+    Deterministic (poly hash, no RNG), so DuckDB replays boundaries
+    positionally with a window sum.
+    """
+    from ..operators.text import tokenize
+
+    toks = tokenize(text) if isinstance(text, str) else F.split(text, " ")
+    th = token_poly_hash(toks)
+    pairs = F.zip_with(toks, th, lambda t, h: F.struct(t.alias("t"), h.alias("h")))
+    zero = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+        F.lit(True).alias("empty"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cur2 = F.when(acc["empty"], x["t"]).otherwise(
+            F.concat(acc["cur"], F.lit(" "), x["t"])
+        )
+        is_boundary = (x["h"] % F.lit(divisor)) == F.lit(0)
+        return F.when(
+            is_boundary,
+            F.struct(
+                F.concat(acc["done"], F.array(cur2)).alias("done"),
+                F.lit("").alias("cur"),
+                F.lit(True).alias("empty"),
+            ),
+        ).otherwise(
+            F.struct(acc["done"].alias("done"), cur2.alias("cur"), F.lit(False).alias("empty"))
+        )
+
+    return F.aggregate(
+        pairs,
+        zero,
+        step,
+        lambda acc: F.when(acc["empty"], acc["done"]).otherwise(
+            F.concat(acc["done"], F.array(acc["cur"]))
+        ),
     )

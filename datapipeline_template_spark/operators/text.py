@@ -23,6 +23,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "gopher_rules",
+    "bigram_familiarity",
     "LANG_MARKERS",
 ]
 
@@ -186,3 +187,55 @@ def pii_redact(col: Column | str) -> dict[str, Column]:
         "n_emails": n_emails,
         "n_phones": n_phones,
     }
+
+
+def bigram_familiarity(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Count-based fluency scoring — the exact-arithmetic stand-in for
+    CCNet's KenLM-perplexity filter: score each document by how COMMON
+    its bigrams are corpus-wide (familiarity = mean corpus frequency
+    of the doc's bigrams). Boilerplate-heavy or templated text scores
+    high, singleton noise scores ~1; the tails of this distribution
+    are the same rows a perplexity filter flags, but the statistic is
+    pure integer counting — bit-replayable by any engine, unlike a
+    float LM log-prob.
+
+    Returns (id_col, n_bigrams, freq_sum, familiarity): freq_sum is
+    the exact int64 sum of corpus counts, familiarity the one final
+    double division (0.0 for docs with < 2 tokens).
+
+    Scale shape: bigram stream is a narrow explode; corpus counts are
+    one partial-agg groupBy; the score join is a (bigram) equi-shuffle
+    of the stream against the counts — at web scale hash bigrams to a
+    64/128-bit fingerprint first so 8-byte keys shuffle instead of
+    strings (here raw strings so DuckDB replays verbatim).
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    stream = docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    counts = stream.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        stream.join(counts, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nb"),
+            F.sum("_c").cast("long").alias("_fs"),
+        )
+    )
+    out = docs.select(id_col).join(per_doc, id_col, "left")
+    nb = F.coalesce(F.col("_nb"), F.lit(0)).cast("long")
+    fs = F.coalesce(F.col("_fs"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        nb.alias("n_bigrams"),
+        fs.alias("freq_sum"),
+        F.when(nb == 0, F.lit(0.0))
+        .otherwise(fs.cast("double") / nb.cast("double"))
+        .alias("familiarity"),
+    )

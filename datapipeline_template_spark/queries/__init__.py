@@ -87,6 +87,8 @@ _OVERFLOW = (
     # (pipe06b); the wall-clock liveness check stays registered here.
     "pipe06_bronze_audit",
     "ss10_recall_targeted_ann",
+    "dd14_exact_substring_removal",
+    "tx17_bigram_familiarity",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

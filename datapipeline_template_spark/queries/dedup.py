@@ -772,3 +772,62 @@ def dd13_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard"),
         F.abs(est - jac).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd14 — exact-substring span REMOVAL (Lee et al. ExactSubstr acting
+# step; dd12 measures, dd14 edits). Registered in the registry OVERFLOW
+# section.
+# ---------------------------------------------------------------------------
+
+_DD14_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_WINDOWS_K10_FROM_TH_SQL} AS wins FROM tk
+), w AS (
+  SELECT doc_id, i - 1 AS pos, wins[i] AS h
+  FROM sh, LATERAL (SELECT unnest(range(1, len(wins) + 1)) AS i) g
+), dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) > 1
+), dw AS (
+  SELECT w.doc_id, w.pos FROM w JOIN dup ON w.h = dup.h
+), cov AS (
+  SELECT DISTINCT doc_id, pos + j AS tokpos
+  FROM dw, LATERAL (SELECT unnest(range(0, 10)) AS j) gg
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), tok AS (
+  SELECT doc_id, i - 1 AS p, ts[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) g
+), kept AS (
+  SELECT t.doc_id, array_to_string(list(t.tok ORDER BY t.p), ' ') AS clean_text
+  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.tokpos
+  GROUP BY t.doc_id
+), rm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed
+FROM documents d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN rm r ON d.doc_id = r.doc_id
+"""
+
+
+@register("dd14_exact_substring_removal", oracle=_DD14_ORACLE)
+def dd14_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, acting step (Lee et al. ExactSubstr):
+    every token position covered by a corpus-duplicated 10-token
+    window is removed and the document rebuilt — dd12's coverage
+    measurement turned into the edit a training pipeline actually
+    applies (n_removed per doc == dd12's n_dup_positions by shared
+    definition). Scale shape: duplicated-window detection is the dd12
+    partial-agg pipeline; the rebuild is chunk_dedup's map-only
+    array-filter — the unaffected corpus mass never shuffles."""
+    from ..operators.dedup import remove_dup_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_dup_spans(docs, "doc_id", "text", k=10)

@@ -740,3 +740,46 @@ def tx16_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_no, c.chunk "
         "FROM _tx16_docs d, LATERAL tx16_chunk_udtf(d.text, 12) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# tx17 — bigram familiarity (count-based CCNet-perplexity stand-in).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_TX17_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) g
+), cnt AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bg
+), per AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(c.c) AS BIGINT) AS freq_sum
+  FROM bg b JOIN cnt c USING (bg) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.freq_sum, 0) AS freq_sum,
+       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(p.freq_sum AS DOUBLE) / p.n_bigrams END AS familiarity
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("tx17_bigram_familiarity", oracle=_TX17_ORACLE)
+def tx17_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency scoring without a language model: each doc's mean
+    corpus-wide bigram frequency — the exact-integer stand-in for
+    CCNet's KenLM perplexity gate (high = templated/boilerplate, ~1 =
+    singleton noise; both tails are filter candidates). freq_sum is an
+    exact int64 sum so the whole statistic hash-matches the DuckDB
+    replay; one explode + one partial-agg count + one bigram
+    equi-join."""
+    from ..operators.text import bigram_familiarity
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_familiarity(docs, "doc_id", "text")

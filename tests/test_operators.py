@@ -1372,3 +1372,34 @@ def test_exact_grouped_quantiles_extreme_domain(spark):
     )
     with pytest.raises(ValueError, match="int64"):
         exact_grouped_quantiles(over, "g", "v", [0.5], branch=16)
+
+
+def test_remove_dup_spans_edits_exactly_covered_positions(spark):
+    """dd14's operator: only positions covered by a corpus-duplicated
+    k-window are removed; untouched docs pass through byte-identical;
+    a fully duplicated doc empties."""
+    from datapipeline_template_spark.operators.dedup import remove_dup_spans
+
+    dup_span = "a b c d e f g h i j"  # exactly one 10-token window
+    docs = spark.createDataFrame(
+        [
+            (0, dup_span + " tail0 x y z"),
+            (1, dup_span + " tail1 p q r"),
+            (2, "completely unrelated words seven eight nine ten eleven twelve thirteen"),
+            (3, dup_span),
+            (4, dup_span),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_dup_spans(docs, k=10).collect()}
+    # Docs 0/1: the shared 10-token prefix window is duplicated →
+    # positions 0..9 removed, tails kept.
+    assert out[0]["clean_text"] == "tail0 x y z"
+    assert out[1]["clean_text"] == "tail1 p q r"
+    assert out[0]["n_removed"] == 10 and out[0]["n_tokens"] == 14
+    # Doc 2: unique content, untouched.
+    assert out[2]["clean_text"].startswith("completely unrelated")
+    assert out[2]["n_removed"] == 0
+    # Docs 3/4: fully duplicated → emptied.
+    assert out[3]["clean_text"] == "" and out[4]["clean_text"] == ""
+    assert out[3]["n_removed"] == 10
