@@ -89,6 +89,8 @@ _OVERFLOW = (
     "ss10_recall_targeted_ann",
     "dd14_exact_substring_removal",
     "tx17_bigram_familiarity",
+    # Round 7:
+    "tx18_content_defined_chunks",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

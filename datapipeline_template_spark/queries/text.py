@@ -783,3 +783,81 @@ def tx17_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bigram_familiarity(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# tx18 — content-defined chunking stats (FastCDC-style boundaries).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+# Per-token poly hash (the operators.dedup.token_poly_hash schedule),
+# boundary after every token whose hash ≡ 0 (mod 8), chunk id = count
+# of boundaries strictly before the token, chunks re-joined by ' ' and
+# each poly-hashed; the per-doc checksum folds chunk hashes in chunk
+# order — a positional replay of content_defined_chunks' fold.
+_TX18_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         list_transform(string_split(text, ' '),
+           t -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, x) -> (acc * 131 + x) % 1000000007)) AS th
+  FROM documents
+), tok AS (
+  SELECT doc_id, i, ts[i] AS tok,
+         CASE WHEN th[i] % 8 = 0 THEN 1 ELSE 0 END AS b
+  FROM tk, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) g
+), cid AS (
+  SELECT doc_id, i, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cno
+  FROM tok
+), chunks AS (
+  SELECT doc_id, cno,
+         array_to_string(list(tok ORDER BY i), ' ') AS chunk
+  FROM cid GROUP BY doc_id, cno
+), ch AS (
+  SELECT doc_id, cno,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(chunk, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007) AS h
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list(h ORDER BY cno)),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
+FROM ch GROUP BY doc_id
+"""
+
+
+@register("tx18_content_defined_chunks", oracle=_TX18_ORACLE)
+def tx18_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators.dedup.content_defined_chunks)
+    exercised end-to-end: per-doc chunk count plus an order-sensitive
+    poly-hash checksum of the chunk STRINGS, so the DuckDB replay pins
+    every boundary position and every chunk's exact content — a shifted
+    or merged chunk changes the checksum. Boundaries are a function of
+    LOCAL content only (gear-hash ≡ 0 mod 8), which is what makes
+    sub-document dedup survive insert-heavy edits; the resynchronization
+    property itself is pinned in tests/test_operators.py. Map-only
+    (one per-doc fold, no shuffle past the scan)."""
+    from ..functions import POLY_P, poly_hash
+    from ..operators.dedup import content_defined_chunks
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = content_defined_chunks("text", divisor=8)
+    hashes = F.transform(chunks, lambda c: poly_hash(c))
+    checksum = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(131) + x) % F.lit(POLY_P),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(chunks).cast("long").alias("n_chunks"),
+        checksum.alias("checksum"),
+    )

@@ -194,16 +194,27 @@ class IncrementalSignLsh:
     def pairs(self, spark: SparkSession) -> DataFrame:
         """All maintained cosine-verified pairs (id_a < id_b),
         distinct across batches by the exactly-once emission
-        contract."""
-        try:
-            return spark.read.parquet(self._pairs_path).select("id_a", "id_b")
-        except Exception:
-            from pyspark.sql import types as T
+        contract.
 
-            idt = self.vectors(spark).schema["_id"].dataType
-            return spark.createDataFrame(
-                [],
-                T.StructType(
-                    [T.StructField("id_a", idt), T.StructField("id_b", idt)]
-                ),
-            )
+        Empty-store handling is gated on directory EXISTENCE (the same
+        probe ``process_batch`` uses for the vector store), never a
+        broad ``except`` — a corrupt store or permission error must
+        surface, not read as "no pairs yet". When no batch has ever
+        drained, the id type is taken from the vector store if one
+        exists; with the store entirely empty the documented default is
+        ``bigint`` (the engine's id convention)."""
+        from pyspark.sql import types as T
+
+        if os.path.isdir(self._pairs_path):
+            return spark.read.parquet(self._pairs_path).select("id_a", "id_b")
+        idt = (
+            self.vectors(spark).schema["_id"].dataType
+            if os.path.isdir(self._vec_path)
+            else T.LongType()
+        )
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("id_a", idt), T.StructField("id_b", idt)]
+            ),
+        )

@@ -1403,3 +1403,48 @@ def test_remove_dup_spans_edits_exactly_covered_positions(spark):
     # Docs 3/4: fully duplicated → emptied.
     assert out[3]["clean_text"] == "" and out[4]["clean_text"] == ""
     assert out[3]["n_removed"] == 10
+
+
+def test_content_defined_chunks_resynchronize_after_insert(spark):
+    """The property that justifies content-defined over fixed-size
+    chunking: inserting a token EARLY in a document re-chunks only the
+    neighborhood of the edit — every chunk after the first boundary
+    past the insertion is byte-identical, while fixed-size chunking
+    (chunk_split semantics) shifts every later chunk."""
+    from datapipeline_template_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    base_tokens = [f"tok{i}" for i in range(200)]
+    original = " ".join(base_tokens)
+    edited = " ".join(base_tokens[:3] + ["INSERTED"] + base_tokens[3:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: list(r["chunks"])
+        for r in df.select(
+            "doc_id", content_defined_chunks("text", divisor=8).alias("chunks")
+        ).collect()
+    }
+    orig, new = out[1], out[2]
+    # Longest common suffix of the two chunk lists.
+    suffix = 0
+    while (
+        suffix < min(len(orig), len(new))
+        and orig[-1 - suffix] == new[-1 - suffix]
+    ):
+        suffix += 1
+    # The edit sits in the first chunk (token position 3); all chunks
+    # after the boundary that closes it must resynchronize — i.e. at
+    # most the single edited chunk differs, and the doc has many chunks
+    # (expected length ≈ divisor → ~25 chunks of 200 tokens).
+    assert len(orig) > 5, f"fixture degenerate: only {len(orig)} chunks"
+    assert suffix >= len(orig) - 1, (
+        f"chunks failed to resynchronize: {len(orig) - suffix} head chunks "
+        f"differ (expected at most 1)"
+    )
+    # Contrast: the tokens themselves shifted, so FIXED-size chunks
+    # would share no aligned suffix — verify the premise by checking
+    # the first chunk really did change.
+    assert orig[0] != new[0]

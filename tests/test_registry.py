@@ -49,8 +49,13 @@ PINNED_WINDOW = [
 ]
 
 
+# Exact registry size, bumped DELIBERATELY with every added query —
+# a floor (`>= 82`) let accidental deregistration pass silently.
+EXPECTED_REGISTRY_SIZE = 119
+
+
 def test_registry_size_stable():
-    assert len(NAMES) == len(set(NAMES)) >= 82
+    assert len(NAMES) == len(set(NAMES)) == EXPECTED_REGISTRY_SIZE
 
 
 def test_window_pinned_by_name():

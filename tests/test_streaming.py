@@ -578,3 +578,23 @@ def test_running_totals_tws_gate_or_parity(spark, tmp_path):
     q.awaitTermination()
     got = {r["key"]: r["total"] for r in spark.sql("SELECT * FROM tws_parity").collect()}
     assert got == {"a": 3.0, "b": 5.0}
+
+
+def test_sign_lsh_pairs_empty_store_typed(spark, tmp_path):
+    """pairs() on a store no batch ever touched: typed empty frame
+    (bigint ids — the engine convention), no exception, and no broad
+    except masking real read failures (the path is gated on directory
+    existence, like process_batch's vector-store probe)."""
+    from pyspark.sql import types as T
+
+    from datapipeline_template_spark.streaming.sign_lsh import (
+        IncrementalSignLsh,
+    )
+
+    idx = IncrementalSignLsh(str(tmp_path / "empty_store"))
+    out = idx.pairs(spark)
+    assert out.count() == 0
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        ("id_a", T.LongType()),
+        ("id_b", T.LongType()),
+    ]
