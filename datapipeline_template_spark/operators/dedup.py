@@ -939,32 +939,52 @@ def remove_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    min_span_len: int | None = None,
 ) -> DataFrame:
     """Exact-substring deduplication — the ACTING step of Lee et al.'s
     'Deduplicating Training Data Makes Language Models Better'
-    (ExactSubstr): every token position covered by at least one
-    corpus-duplicated k-token window is REMOVED from the document
+    (ExactSubstr): token positions covered by at least one
+    corpus-duplicated k-token window are REMOVED from the document
     (dd12 measures this coverage; this operator edits it out).
 
-    Returns (id_col, clean_text, n_tokens, n_removed) — one row per
-    input document, ``clean_text = ''`` when every position was
-    covered.
+    ``min_span_len=None`` (position grain): every covered position is
+    dropped — the same coverage definition dd12 measures, so
+    n_removed == dd12's n_dup_positions per doc.
+
+    ``min_span_len=L`` (span grain — the paper's actual semantics,
+    Lee et al. §3.1 remove merged duplicate spans of >= 50 tokens):
+    adjacent covered positions are merged into maximal contiguous
+    spans via gap-and-islands IN-PLAN (per-doc row_number over tokpos;
+    island key = tokpos - rn, so one window shuffle on the doc id),
+    and only spans of at least L tokens are removed. Output gains a
+    ``n_spans_removed`` column.
+
+    Returns (id_col, clean_text, n_tokens, n_removed[,
+    n_spans_removed]) — one row per input document, ``clean_text =
+    ''`` when every position was covered.
 
     Scale shape (the dd12 pipeline + chunk_dedup's map-only rebuild):
     1. narrow (doc_id, pos, window-hash) projection → partial-agg
        count finds corpus-duplicated window VALUES (small);
     2. only duplicated windows join back and explode ×k into covered
-       token positions, rolled up to one int-set row per AFFECTED doc;
+       token positions (span grain: merged to islands, length-filtered),
+       rolled up to one int-set row per AFFECTED doc;
     3. the rebuild LEFT-joins that small set to the original docs scan
-       and filters each doc's token array in place by position —
-       map-only, no corpus shuffle, the overwhelming unaffected mass
-       streams through untouched.
-    The paper removes spans of >= 50 tokens; here ``k`` is the window
-    width and any covered position is dropped — the same semantics at
-    the measurement grain dd12 uses, so the two queries share one
-    coverage definition. Group on a 128-bit fingerprint at web scale
-    (here the poly hash so DuckDB replays it exactly).
+       and rebuilds each affected doc as ``array_except(positions,
+       removed)`` + an ``element_at`` gather — hash-set semantics, so
+       O(n_tokens + n_removed) PER DOC. The previous
+       ``array_contains``-per-token form was O(n_tokens × n_removed);
+       measured A/B on ~fully-covered docs (best-of-2, local[32]):
+       5k tokens 1.14 s → 0.71 s, 20k tokens 9.77 s → 0.87 s (11×,
+       growing quadratically — a 100k-token doc did not finish in 9
+       minutes under the old form, vs sub-second here). Map-only,
+       no corpus shuffle — the overwhelming unaffected mass streams
+       through untouched.
+    Group on a 128-bit fingerprint at web scale (here the poly hash so
+    DuckDB replays it exactly).
     """
+    from pyspark.sql import Window
+
     from ..operators.text import tokenize
 
     toks = tokenize(text_col)
@@ -979,21 +999,52 @@ def remove_dup_spans(
             "tokpos"
         ),
     )
-    removed = cov.groupBy(id_col).agg(
-        F.collect_set("tokpos").alias("_rm"),
-        F.countDistinct("tokpos").cast("long").alias("_n_removed"),
-    )
+    if min_span_len is None:
+        removed = cov.groupBy(id_col).agg(
+            F.collect_set("tokpos").alias("_rm"),
+            F.countDistinct("tokpos").cast("long").alias("_n_removed"),
+        )
+    else:
+        # Gap-and-islands WITHOUT a pre-distinct: dense_rank gives
+        # duplicate tokpos values the same rank, so (tokpos -
+        # dense_rank) is still constant exactly within one contiguous
+        # run — one shuffle on the doc id for the window, and the
+        # island groupBy reuses that partitioning (doc_id ⊂ grouping
+        # key); a cov.distinct() first would cost a second exchange on
+        # (doc_id, tokpos). Contiguity makes the span length
+        # (_e - _s + 1) — no countDistinct needed.
+        w = Window.partitionBy(id_col).orderBy("tokpos")
+        spans = (
+            cov.withColumn("_isl", F.col("tokpos") - F.dense_rank().over(w))
+            .groupBy(id_col, "_isl")
+            .agg(F.min("tokpos").alias("_s"), F.max("tokpos").alias("_e"))
+            .withColumn("_len", F.col("_e") - F.col("_s") + F.lit(1))
+            .where(F.col("_len") >= F.lit(min_span_len))
+        )
+        removed = spans.groupBy(id_col).agg(
+            F.flatten(F.collect_list(F.sequence("_s", "_e"))).alias("_rm"),
+            F.sum("_len").cast("long").alias("_n_removed"),
+            F.count(F.lit(1)).cast("long").alias("_n_spans"),
+        )
     rebuilt = docs.join(removed, id_col, "left")
-    kept = F.filter(
-        toks,
-        lambda _t, i: F.col("_rm").isNull() | ~F.array_contains(F.col("_rm"), i),
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(1)),
+        F.coalesce(F.col("_rm"), F.array().cast("array<int>")),
     )
-    return rebuilt.select(
+    kept = F.transform(kept_pos, lambda p: F.element_at(toks, p + F.lit(1)))
+    out_cols = [
         F.col(id_col),
         F.array_join(kept, " ").alias("clean_text"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
-    )
+    ]
+    if min_span_len is not None:
+        out_cols.append(
+            F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias(
+                "n_spans_removed"
+            )
+        )
+    return rebuilt.select(*out_cols)
 
 
 def content_defined_chunks(

@@ -91,6 +91,7 @@ _OVERFLOW = (
     "tx17_bigram_familiarity",
     # Round 7:
     "tx18_content_defined_chunks",
+    "dd14b_exact_substring_spans",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -846,3 +846,84 @@ def dd14_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return remove_dup_spans(docs, "doc_id", "text", k=10)
+
+
+# ---------------------------------------------------------------------------
+# dd14b — span-grain ExactSubstr removal (Lee et al. §3.1: merged
+# duplicate spans of >= 50 tokens). Registered in the registry OVERFLOW
+# section.
+# ---------------------------------------------------------------------------
+
+_DD14B_MIN_SPAN = 50
+
+_DD14B_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_WINDOWS_K10_FROM_TH_SQL} AS wins FROM tk
+), w AS (
+  SELECT doc_id, i - 1 AS pos, wins[i] AS h
+  FROM sh, LATERAL (SELECT unnest(range(1, len(wins) + 1)) AS i) g
+), dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) > 1
+), dw AS (
+  SELECT w.doc_id, w.pos FROM w JOIN dup ON w.h = dup.h
+), cov AS (
+  SELECT DISTINCT doc_id, pos + j AS tokpos
+  FROM dw, LATERAL (SELECT unnest(range(0, 10)) AS j) gg
+), isl AS (
+  SELECT doc_id, tokpos,
+         tokpos - row_number() OVER (PARTITION BY doc_id ORDER BY tokpos) AS k
+  FROM cov
+), spans AS (
+  SELECT doc_id, k, min(tokpos) AS s, max(tokpos) AS e,
+         count(*) AS len
+  FROM isl GROUP BY doc_id, k
+  HAVING count(*) >= {_DD14B_MIN_SPAN}
+), rmpos AS (
+  SELECT doc_id, s + j AS tokpos
+  FROM spans, LATERAL (SELECT unnest(range(0, e - s + 1)) AS j) g
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), tok AS (
+  SELECT doc_id, i - 1 AS p, ts[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) g
+), kept AS (
+  SELECT t.doc_id, array_to_string(list(t.tok ORDER BY t.p), ' ') AS clean_text
+  FROM tok t ANTI JOIN rmpos c ON t.doc_id = c.doc_id AND t.p = c.tokpos
+  GROUP BY t.doc_id
+), rm AS (
+  SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_removed,
+         CAST(count(*) AS BIGINT) AS n_spans_removed
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(r.n_spans_removed, 0) AS n_spans_removed
+FROM documents d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN rm r ON d.doc_id = r.doc_id
+"""
+
+
+@register("dd14b_exact_substring_spans", oracle=_DD14B_ORACLE)
+def dd14b_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr at the PAPER's grain (Lee et al. §3.1): covered
+    positions are merged into maximal contiguous spans (in-plan
+    gap-and-islands — per-doc row_number; island key = tokpos - rn)
+    and only spans of >= 50 tokens are removed, so a boilerplate
+    sentence dup that covers 11 positions survives while a lifted
+    paragraph is excised. At sf0.01 this is non-trivial in BOTH
+    directions: 21 spans (len 58–93) removed, 22 shorter spans (len
+    11–43) retained vs dd14's drop-everything grain. Shares dd12/dd14's
+    duplicated-window pipeline and the O(n_tokens + n_removed)
+    array_except rebuild; the extra cost over dd14 is one window +
+    groupBy pair that reuses the doc-id shuffle partitioning."""
+    from ..operators.dedup import remove_dup_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_dup_spans(
+        docs, "doc_id", "text", k=10, min_span_len=_DD14B_MIN_SPAN
+    )

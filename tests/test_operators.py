@@ -1448,3 +1448,40 @@ def test_content_defined_chunks_resynchronize_after_insert(spark):
     # would share no aligned suffix — verify the premise by checking
     # the first chunk really did change.
     assert orig[0] != new[0]
+
+
+def test_remove_dup_spans_min_span_len_keeps_short_spans(spark):
+    """Span-grain ExactSubstr: a duplicated run shorter than
+    min_span_len SURVIVES; a long lifted block is excised whole; the
+    span count is reported. Doc layout (k=3 windows):
+      docs 1/2 share a 20-token block (covered run = 20) and a
+      4-token phrase (covered run = 4 < min_span_len=10 -> kept)."""
+    from datapipeline_template_spark.operators.dedup import (
+        remove_dup_spans,
+    )
+
+    block = " ".join(f"b{i}" for i in range(20))
+    phrase = "p0 p1 p2 p3"
+    rows = [
+        (1, f"{block} x1 x2 x3 x4 x5 {phrase} x6 x7 x8"),
+        (2, f"y1 y2 y3 y4 y5 {block} y6 y7 y8 {phrase}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(
+            docs, "doc_id", "text", k=3, min_span_len=10
+        ).collect()
+    }
+    # The 20-token block is removed from both docs; the 4-token phrase
+    # is covered but below the span threshold, so it stays.
+    assert out[1]["n_spans_removed"] == 1 and out[2]["n_spans_removed"] == 1
+    assert out[1]["n_removed"] == 20 and out[2]["n_removed"] == 20
+    assert phrase in out[1]["clean_text"] and phrase in out[2]["clean_text"]
+    assert "b0" not in out[1]["clean_text"] and "b19" not in out[2]["clean_text"]
+    # Position grain (min_span_len=None) removes BOTH covered runs.
+    pos = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert pos[1]["n_removed"] == 24 and "p0" not in pos[1]["clean_text"]

@@ -269,3 +269,18 @@ def test_q26b_pass_aggregate_is_map_side_combined(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dd14b_span_pipeline_single_doc_shuffle(spark):
+    """The span-grain ExactSubstr island pipeline: the window and the
+    island groupBy share ONE doc-id exchange (dense_rank tolerates
+    duplicate positions, so there is no pre-distinct exchange on
+    (doc_id, tokpos)), and the rebuild joins the small removed-set
+    side as a broadcast — the corpus mass never shuffles for the
+    rebuild."""
+    plan = _plan(spark, "dd14b_exact_substring_spans")
+    # Exchanges: dup-window count (h) + window/groupBy (doc_id). A
+    # third hash exchange would be the pre-distinct regression.
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "dense_rank" in plan
