@@ -36,9 +36,11 @@ __all__ = [
     "ivf_topk",
     "lsh_bucket",
     "lsh_bucket_prequantized",
+    "lsh_multi_probe_pairs",
     "lsh_multi_table_pairs",
     "lsh_pairs_for_recall",
     "near_dup_pairs",
+    "probe_masks",
     "tables_for_recall",
 ]
 
@@ -434,6 +436,108 @@ def lsh_pairs_for_recall(
         n_tables=tables,
         dim=dim,
     )
+
+
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """All XOR masks of popcount <= probe_bits over n_planes bits,
+    ascending (0 first) — the Hamming ball a multi-probe query visits.
+    len = sum_{d<=probe_bits} C(n_planes, d): 8 planes → 1 / 9 / 37 /
+    93 buckets at probe_bits 0/1/2/3."""
+    from itertools import combinations
+
+    if not (0 <= probe_bits <= n_planes):
+        raise ValueError(
+            f"probe_bits must be in [0, {n_planes}], got {probe_bits}"
+        )
+    masks = []
+    for d in range(probe_bits + 1):
+        for bits in combinations(range(n_planes), d):
+            masks.append(sum(1 << b for b in bits))
+    return sorted(masks)
+
+
+def lsh_multi_probe_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    dim: int = 64,
+    plane_offset: int = 0,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Multi-probe sign-LSH: candidate pairs whose buckets differ in at
+    most ``probe_bits`` plane signs, verified by exact cosine >=
+    threshold — the OTHER recall amplifier (Lv et al., 'Multi-Probe
+    LSH', VLDB'07). Where OR-construction adds L independent hash
+    TABLES (L× index storage, L bucket joins + a pair-key distinct),
+    multi-probe keeps ONE table and visits the Hamming-ball buckets at
+    query time: the probe side explodes ×|masks| rows, the index side
+    stays one bucket per vector — the trade a 100-TB ANN build chooses
+    when index storage (or streaming maintenance of L bucket columns)
+    is the binding cost.
+
+    Exactly one emission per pair, NO distinct stage: a pair at
+    Hamming distance d matches exactly the single mask m = bucket_a
+    XOR bucket_b (popcount d), and the ``id_a < id_b`` predicate keeps
+    one direction — so unlike the OR-construction there is no
+    dedup shuffle at all; the only shuffle is the bucket equi-join
+    itself (never all-pairs).
+
+    ``n_tables > 1`` composes BOTH amplifiers (probes within each
+    table, OR across tables on disjoint plane slices — then the
+    pair-key distinct the OR-construction needs): measured at the
+    sf0.01 eval slice, 2 tables × 3-bit probes reach the recall a lone
+    amplifier can't affordably buy (see ss12 / README).
+
+    Quantize + norm once per row; the join scores pre-quantized arrays
+    with the flat codegen-resident dot (the ss01-family fast path).
+    """
+    masks = probe_masks(n_planes, probe_bits)
+    base = df.select(
+        F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_qv")
+    ).withColumn("_n", norm_sq_prequantized(F.col("_qv")))
+    out = None
+    for t in range(n_tables):
+        bucketed = base.withColumn(
+            "_bkt",
+            lsh_bucket_prequantized(
+                F.col("_qv"),
+                n_planes=n_planes,
+                dim=dim,
+                plane_offset=plane_offset + t * n_planes,
+            ),
+        )
+        probe = bucketed.select(
+            "_id",
+            "_qv",
+            "_n",
+            F.explode(
+                F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("_pb"),
+        )
+        a, b = probe.alias("a"), bucketed.alias("b")
+        sim = cosine_prequantized(
+            F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n"), dim
+        )
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._pb") == F.col("b._bkt"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                sim.alias("cosine"),
+            )
+            .where(F.col("cosine") >= F.lit(threshold))
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    # Within one table each pair surfaces exactly once (unique mask +
+    # id_a < id_b); only the cross-table OR needs the dedup.
+    return out if n_tables == 1 else out.distinct()
 
 
 def near_dup_pairs(

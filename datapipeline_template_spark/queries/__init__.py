@@ -92,6 +92,8 @@ _OVERFLOW = (
     # Round 7:
     "tx18_content_defined_chunks",
     "dd14b_exact_substring_spans",
+    "ss11_ann_recall_multiprobe",
+    "ss12_production_recall_ann",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

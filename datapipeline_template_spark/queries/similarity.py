@@ -572,3 +572,205 @@ def ss10_recall_targeted_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ss11 — multi-probe recall lift (Hamming-ball probing, single table).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import probe_masks as _probe_masks  # noqa: E402
+
+
+def _ss11_probe_ctes(pb: int) -> str:
+    masks = ", ".join(str(m) for m in _probe_masks(8, pb))
+    return f"""pbk{pb} AS (
+  SELECT vec_id, embedding, xor(bucket, m) AS pbucket
+  FROM bk1, (SELECT unnest([{masks}]) AS m) mm
+), pret{pb} AS (
+  SELECT p.vec_id AS id_a, b.vec_id AS id_b
+  FROM pbk{pb} p JOIN bk1 b
+    ON p.pbucket = b.bucket AND p.vec_id < b.vec_id
+  WHERE {_cosine_sql('p.embedding', 'b.embedding')} >= 0.3
+)"""
+
+
+def _ss11_select(pb: int) -> str:
+    return f"""
+SELECT CAST({pb} AS BIGINT) AS probe_bits,
+       CAST({len(_probe_masks(8, pb))} AS BIGINT) AS n_buckets_probed,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM pret{pb}) AS BIGINT) AS n_retrieved,
+       CAST((SELECT count(*) FROM pret{pb}) AS DOUBLE)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+"""
+
+
+_SS11_ORACLE = f"""
+WITH eval_emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eval_emb a JOIN eval_emb b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+), bk1 AS (
+  SELECT vec_id, embedding, CAST({_bucket_sql('embedding', 8)} AS BIGINT) AS bucket
+  FROM eval_emb
+), {_ss11_probe_ctes(1)}, {_ss11_probe_ctes(2)}, {_ss11_probe_ctes(3)}
+{_ss11_select(1)} UNION ALL {_ss11_select(2)} UNION ALL {_ss11_select(3)}
+"""
+
+
+@register("ss11_ann_recall_multiprobe", oracle=_SS11_ORACLE)
+def ss11_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND recall amplifier, quantified (Lv et al. multi-probe
+    LSH): one 8-plane table, but retrieval also visits every bucket
+    within Hamming distance ``probe_bits`` of the query's bucket —
+    vs the same exact ≥ 0.3 truth as ss08/ss09, one row per
+    probe_bits ∈ {1, 2, 3}. Measured at the sf0.01 gate: 15.3% /
+    36.1% / 58.8% — vs 3.1% unprobed (ss08) and 11.3% for FOUR
+    OR-construction tables (ss09): probing beats table-multiplication
+    per unit of index storage, because the index stays ONE bucket per
+    vector and only the probe side fans out (9/37/93 bucket visits).
+    Pair emission is exactly-once by mask uniqueness — no distinct
+    stage at all (see operators.similarity.lsh_multi_probe_pairs).
+    Same fixed eval slice bounding the exact truth join."""
+    from ..operators.similarity import lsh_multi_probe_pairs
+
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _SS_EVAL_SLICE)
+    truth = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col=None
+    ).select("id_a", "id_b")
+    out = None
+    for pb in (1, 2, 3):
+        retrieved = lsh_multi_probe_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=8, probe_bits=pb
+        )
+        counts = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(retrieved.agg(F.count(F.lit(1)).alias("n_retrieved")))
+            .select(
+                F.lit(pb).cast("long").alias("probe_bits"),
+                F.lit(len(_probe_masks(8, pb))).cast("long").alias(
+                    "n_buckets_probed"
+                ),
+                "n_truth",
+                "n_retrieved",
+                (
+                    F.col("n_retrieved").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ss12 — production-recall ANN build: probes × tables composed, sized
+# by the measured chooser, with the honest re-measure step. Registered
+# in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS12_TARGET = 0.8
+# ss11's measured 3-bit single-table recall at the sf0.01 gate (582/990)
+# — the chooser input, cross-checked against the live measurement in
+# tests/test_parity.py so a plane-schedule change can't silently stale it.
+_SS12_P3 = 0.5879
+# tables_for_recall(0.8, 0.5879) = 2 — but the independence assumption
+# makes the formula a FLOOR; the measured L=2 recall (0.7505) misses
+# the target, and the documented re-measure loop bumps to L=3
+# (measured 0.8212 ≥ 0.8). ss12 reports BOTH steps, hash-pinned.
+
+
+def _ss12_ret_cte(tbl: int) -> str:
+    masks = ", ".join(str(m) for m in _probe_masks(8, 3))
+    return f"""sbk{tbl} AS (
+  SELECT vec_id, embedding,
+         CAST({_bucket_sql('embedding', 8, plane_offset=8 * tbl)} AS BIGINT) AS bucket
+  FROM eval_emb
+), sret{tbl} AS (
+  SELECT p.vec_id AS id_a, b.vec_id AS id_b
+  FROM (SELECT vec_id, embedding, xor(bucket, m) AS pbucket
+        FROM sbk{tbl}, (SELECT unnest([{masks}]) AS m) mm) p
+  JOIN sbk{tbl} b ON p.pbucket = b.bucket AND p.vec_id < b.vec_id
+  WHERE {_cosine_sql('p.embedding', 'b.embedding')} >= 0.3
+)"""
+
+
+def _ss12_select(step: str, n_tables: int) -> str:
+    union = " UNION ".join(
+        f"SELECT id_a, id_b FROM sret{t}" for t in range(n_tables)
+    )
+    return f"""
+SELECT '{step}' AS chooser_step,
+       CAST({_SS12_TARGET} AS DOUBLE) AS target_recall,
+       CAST({_SS12_P3} AS DOUBLE) AS p_single,
+       CAST({n_tables} AS BIGINT) AS chosen_l,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM ({union})) AS BIGINT) AS n_retrieved,
+       CAST((SELECT count(*) FROM ({union})) AS DOUBLE)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall,
+       CAST((SELECT count(*) FROM ({union})) AS DOUBLE)
+         / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+         >= CAST({_SS12_TARGET} AS DOUBLE) AS target_met
+"""
+
+
+_SS12_ORACLE = f"""
+WITH eval_emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eval_emb a JOIN eval_emb b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+), {_ss12_ret_cte(0)}, {_ss12_ret_cte(1)}, {_ss12_ret_cte(2)}
+{_ss12_select('floor', 2)} UNION ALL {_ss12_select('bumped', 3)}
+"""
+
+
+@register("ss12_production_recall_ann", oracle=_SS12_ORACLE)
+def ss12_production_recall_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-recall closed loop, end-to-end and hash-pinned:
+    target 80% recall; the chooser sizes the OR-construction from the
+    MEASURED 3-bit multi-probe single-table recall
+    (tables_for_recall(0.8, 0.5879) = 2), the floor build MISSES
+    (measured 0.7505 — the independence undershoot the operator docs
+    warn about), and the documented re-measure step bumps to L=3,
+    which lands 0.8212 ≥ 0.8. Pure OR-construction would need ~52
+    8-plane tables at ss08's p=0.031 (raising ValueError in
+    tables_for_recall's max_tables guard) — composing probes × tables
+    is what makes the target affordable: 3 stored bucket columns + 93
+    probe visits per query per table, never all-pairs. Both steps are
+    emitted as rows so the oracle replays the full loop, not just the
+    happy end."""
+    from ..operators.similarity import lsh_multi_probe_pairs, tables_for_recall
+
+    floor_l = tables_for_recall(_SS12_TARGET, _SS12_P3)
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _SS_EVAL_SLICE)
+    truth = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col=None
+    ).select("id_a", "id_b")
+    out = None
+    for step, n_tables in (("floor", floor_l), ("bumped", floor_l + 1)):
+        retrieved = lsh_multi_probe_pairs(
+            emb, "vec_id", "embedding", threshold=0.3,
+            n_planes=8, probe_bits=3, n_tables=n_tables,
+        ).select("id_a", "id_b")
+        recall = F.col("n_retrieved").cast("double") / F.col("n_truth").cast("double")
+        counts = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(retrieved.agg(F.count(F.lit(1)).alias("n_retrieved")))
+            .select(
+                F.lit(step).alias("chooser_step"),
+                F.lit(_SS12_TARGET).cast("double").alias("target_recall"),
+                F.lit(_SS12_P3).cast("double").alias("p_single"),
+                F.lit(n_tables).cast("long").alias("chosen_l"),
+                "n_truth",
+                "n_retrieved",
+                recall.alias("recall"),
+                (recall >= F.lit(_SS12_TARGET)).alias("target_met"),
+            )
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out

@@ -1485,3 +1485,40 @@ def test_remove_dup_spans_min_span_len_keeps_short_spans(spark):
         for r in remove_dup_spans(docs, "doc_id", "text", k=3).collect()
     }
     assert pos[1]["n_removed"] == 24 and "p0" not in pos[1]["clean_text"]
+
+
+def test_multi_probe_full_ball_equals_brute_force(spark):
+    """Exhaustiveness property: probing the ENTIRE Hamming ball
+    (probe_bits = n_planes) makes every pair a candidate, so the
+    result must equal the brute-force all-pairs threshold filter —
+    and each pair must surface exactly once (the operator has NO
+    distinct stage for a single table; mask uniqueness + id_a < id_b
+    is the dedup)."""
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_probe_pairs,
+        near_dup_pairs,
+        probe_masks,
+    )
+
+    assert len(probe_masks(8, 0)) == 1
+    assert len(probe_masks(8, 1)) == 9
+    assert len(probe_masks(8, 2)) == 37
+    assert len(probe_masks(8, 3)) == 93
+    assert len(probe_masks(4, 4)) == 16
+
+    from datapipeline_template_spark.catalog import table as cat_table
+
+    emb = cat_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 60"
+    )
+    probed = lsh_multi_probe_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4, probe_bits=4
+    ).select("id_a", "id_b")
+    brute = near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3, block_col=None
+    ).select("id_a", "id_b")
+    p = sorted(tuple(r) for r in probed.collect())
+    b = sorted(tuple(r) for r in brute.collect())
+    assert p == b and len(p) == len(set(p)), (
+        f"probed {len(p)} pairs vs brute {len(b)}"
+    )

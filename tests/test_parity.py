@@ -135,3 +135,32 @@ def test_contract_runs_in_vanilla_driver_session(tmp_path):
         timeout=300,
     )
     assert proc.returncode == 0 and "VANILLA-OK" in proc.stdout, proc.stderr[-1500:]
+
+
+def test_pinned_recall_constants_match_measurement(spark):
+    """The chooser demos (ss10, ss12) pin MEASURED single-table recalls
+    as constants; a plane-schedule or eval-slice change must fail HERE,
+    not silently invalidate the hash-pinned chooser queries. Measured
+    at the sf0.01 gate (the complete eval corpus)."""
+    from datapipeline_template_spark.queries.similarity import (
+        _SS10_P,
+        _SS12_P3,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ss08 = {
+        r["n_planes"]: r["recall"]
+        for r in REGISTRY["ss08_ann_recall"].fn(spark, sf).collect()
+    }
+    assert abs(ss08[8] - _SS10_P) < 5e-4, (
+        f"ss08 8-plane recall {ss08[8]:.4f} drifted from pinned "
+        f"_SS10_P={_SS10_P} — re-measure and update ss10's constant+oracle"
+    )
+    ss11 = {
+        r["probe_bits"]: r["recall"]
+        for r in REGISTRY["ss11_ann_recall_multiprobe"].fn(spark, sf).collect()
+    }
+    assert abs(ss11[3] - _SS12_P3) < 5e-4, (
+        f"ss11 3-bit recall {ss11[3]:.4f} drifted from pinned "
+        f"_SS12_P3={_SS12_P3} — re-measure and update ss12's constant+oracle"
+    )

@@ -284,3 +284,29 @@ def test_dd14b_span_pipeline_single_doc_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "dense_rank" in plan
+
+
+def test_ss11_multiprobe_retrieval_equi_join_no_distinct(spark):
+    """Multi-probe retrieval: the probe-side explode joins the index
+    on the bucket EQUI-key (never all-pairs), and for a single table
+    there is NO distinct/aggregate dedup stage — exactly-once pair
+    emission comes from mask uniqueness + id_a < id_b."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_probe_pairs,
+    )
+
+    emb = table(spark, SF, "embeddings").where(F.col("vec_id") < 500)
+    out = lsh_multi_probe_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, probe_bits=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_pb" in plan and "_bkt" in plan  # probe key meets index key
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    # No dedup: a HashAggregate over (id_a, id_b) would betray a
+    # distinct creeping back in for the single-table form.
+    assert "keys=[id_a" not in plan
