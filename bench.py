@@ -72,6 +72,160 @@ HEADLINE = [
     "tj04_gapfill_locf",
 ]
 
+# Secondary timed set: newer operators with correctness rows but no
+# headline slot — timed identically (warmup + best-of-N) and reported
+# under the "secondary" key, NOT summed into "value", so the headline
+# total stays comparable across rounds while any unbounded shape in a
+# new operator still surfaces as a number.
+SECONDARY = [
+    "dd14_exact_substring_removal",
+    "dd14b_exact_substring_spans",
+    "tx17_bigram_familiarity",
+    "tx18_content_defined_chunks",
+]
+
+
+def _ann_retrieval_scenarios(spark, sf_dir):
+    """Full-corpus ANN retrieval stages. The ss10/ss12 registry entries
+    carry the deliberately-bounded eval harness (exact truth on the
+    vec_id<500 slice); the number that matters at scale is the
+    RETRIEVAL operator over the whole embeddings table — timed here."""
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_probe_pairs,
+        lsh_multi_table_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return {
+        # ss10's chosen build: OR-construction, L=4 8-plane tables.
+        "ann_or4_retrieval": lambda: lsh_multi_table_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=4
+        ).count(),
+        # ss12's production build: 3-bit probes x 3 tables (82% recall).
+        "ann_probe3x3_retrieval": lambda: lsh_multi_probe_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=8,
+            probe_bits=3, n_tables=3,
+        ).count(),
+    }
+
+
+def _incremental_silver_scenario(spark, sf_dir):
+    """SURVEY §7.3's 100-TB hot path, demonstrated under the bench: a
+    bulk-loaded events silver (100k rows at sf0.1), then a 1% delta —
+    timed incremental bucket rewrite vs the reference's full
+    recompute, with a parity check that both silvers are identical.
+    Writes are included on BOTH sides (same bucketed layout), so the
+    ratio reflects work saved, not layout differences. Single-shot
+    timings (the scenario mutates state; a repeat would be a no-op) —
+    on this shared box treat the ratio, not the absolute numbers, as
+    the signal.
+
+    Delta design: 50 DISTINCT hot keys. Hash bucketing's rewrite
+    granularity is the AFFECTED-BUCKET count, and uniform hashing maps
+    k distinct delta keys onto ~n_buckets·(1-exp(-k/n_buckets))
+    buckets — a first cut of this scenario used 1000 uniform keys over
+    64 buckets, touched 53 of them, and the "incremental" run rewrote
+    83% of the table (slower than full recompute, honestly). Few-key
+    deltas (hot entities, late corrections) are where bucket-grain
+    MERGE wins; key-uniform bulk deltas want a higher bucket count or
+    a full refresh, which the module doc now states."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.config import EntityConfig, PipelineParams
+    from datapipeline_template_spark.operators.dedup import keep_latest
+    from datapipeline_template_spark.plans.incremental import (
+        BUCKET_COL,
+        IncrementalSilver,
+    )
+
+    for db in ("benchinc_bronze", "benchinc_silver"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql("CREATE DATABASE benchinc_bronze")
+    spark.sql("CREATE DATABASE benchinc_silver")
+    state = tempfile.mkdtemp(prefix="benchinc_state_")
+    try:
+        params = PipelineParams(source_location=state, catalog="benchinc")
+        entity = EntityConfig(
+            name="events",
+            unique_primary_key=["event_id"],
+            dedup_order_columns=["_ingested_at"],
+        )
+        ev = table(spark, sf_dir, "events")
+        t0c = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        t1c = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+        ev.withColumn("_ingested_at", t0c).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable("benchinc_bronze.bronze_events")
+        n_buckets = 256
+        inc = IncrementalSilver(
+            spark, params, entity, n_buckets=n_buckets,
+            state_dir=os.path.join(state, "st"),
+        )
+        inc.run()  # bootstrap (untimed — both strategies start loaded)
+
+        # 50 hot keys spread across the id range (see docstring).
+        max_id = ev.agg(F.max("event_id")).collect()[0][0] or 0
+        step = max(int(max_id) // 50, 1)
+        delta = (
+            ev.where(F.col("event_id") % F.lit(step) == 0)
+            .withColumn("value", F.col("value") + F.lit(1.0))
+            .withColumn("_ingested_at", t1c)
+        )
+        n_delta = delta.count()
+        delta.write.mode("append").format("parquet").saveAsTable(
+            "benchinc_bronze.bronze_events"
+        )
+
+        t = time.perf_counter()
+        stats = inc.run()
+        inc_sec = time.perf_counter() - t
+
+        # Reference semantics: rebuild the ENTIRE silver from bronze,
+        # same curation, same bucketed write layout.
+        bronze = spark.read.table("benchinc_bronze.bronze_events")
+        t = time.perf_counter()
+        full = keep_latest(
+            bronze, ["event_id"], ["_ingested_at"]
+        ).withColumn(
+            BUCKET_COL,
+            F.pmod(F.hash(F.col("event_id")), F.lit(n_buckets)).cast("int"),
+        )
+        full.write.mode("overwrite").format("parquet").partitionBy(
+            BUCKET_COL
+        ).saveAsTable("benchinc_silver.silver_events_full")
+        full_sec = time.perf_counter() - t
+
+        inc_tbl = spark.read.table("benchinc_silver.silver_events").drop(BUCKET_COL)
+        full_tbl = spark.read.table("benchinc_silver.silver_events_full").drop(
+            BUCKET_COL
+        )
+        parity = (
+            inc_tbl.exceptAll(full_tbl).count() == 0
+            and full_tbl.exceptAll(inc_tbl).count() == 0
+        )
+        return {
+            "rows": ev.count(),
+            "delta_rows": n_delta,
+            "buckets_rewritten": stats["buckets_rewritten"],
+            "n_buckets": n_buckets,
+            # The scale signal: fraction of the table the incremental
+            # path re-shuffles/rewrites. Wall-clock at 100k rows is
+            # job-overhead-bound; at real scale the time ratio
+            # approaches this data ratio.
+            "rewritten_frac": round(stats["buckets_rewritten"] / n_buckets, 4),
+            "incremental_sec": round(inc_sec, 4),
+            "full_recompute_sec": round(full_sec, 4),
+            "speedup": round(full_sec / inc_sec, 2) if inc_sec > 0 else None,
+            "parity": parity,
+        }
+    finally:
+        for db in ("benchinc_bronze", "benchinc_silver"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(state, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,6 +274,49 @@ def main() -> None:
             continue
         timings[name] = round(best, 4)
 
+    # Secondary set + scenarios: same warmup/best-of-N discipline for
+    # registry names; scenario callables are single-shot (stateful).
+    secondary: dict[str, float] = {}
+    sec_names = [n for n in SECONDARY if n in registry]
+    if os.path.isdir(warmup_dir):
+        for name in sec_names:
+            try:
+                registry[name].fn(spark, warmup_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: warmup FAILED for {name}: {exc}", file=sys.stderr)
+    for name in sec_names:
+        fn = registry[name].fn
+        best = float("inf")
+        try:
+            for _ in range(max(runs, 1)):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: secondary run FAILED for {name}: {exc}", file=sys.stderr)
+            continue
+        secondary[name] = round(best, 4)
+    for name, thunk in _ann_retrieval_scenarios(spark, sf_dir).items():
+        best = float("inf")
+        try:
+            for _ in range(max(runs, 1)):
+                t0 = time.perf_counter()
+                thunk()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: scenario FAILED for {name}: {exc}", file=sys.stderr)
+            continue
+        secondary[name] = round(best, 4)
+
+    try:
+        inc_silver = _incremental_silver_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        inc_silver = None
+        errors["incremental_silver"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: incremental-silver scenario FAILED: {exc}", file=sys.stderr)
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -127,6 +324,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if secondary:
+        result["secondary"] = secondary
+    if inc_silver is not None:
+        result["incremental_silver"] = inc_silver
     if errors:
         # A failed query is DROPPED from `value`, so a red run would
         # otherwise read as a speedup in cross-run comparisons; the

@@ -177,4 +177,31 @@ def cosine_prequantized(
     )
 
 
+def cosine_prequantized_hof(
+    qa: Column, qb: Column, na_sq: Column, nb_sq: Column
+) -> Column:
+    """``cosine_prequantized`` with the dot as zip_with + aggregate
+    instead of the flat ``dim``-term expression — bit-identical values
+    (same exact-int sum, same final double expression).
+
+    Measured A/B (Spark 4.1, sf0.1, 777k candidate pairs inside a
+    shuffled-hash join CONDITION): HOF 1.55 s vs flat 13.5 s — the
+    64-term expanded Add/Multiply chain is pathological in 4.1's
+    condition codegen, while zip_with/aggregate over primitive long
+    arrays runs a tight specialized loop. The round-4 measurement that
+    favored the flat form was a BROADCAST join's doConsume with the
+    quantization inlined per pair; with pre-quantized arrays the HOF
+    form wins in every context re-measured this round. Prefer this
+    for new per-pair scoring; the flat form remains for the
+    guard-tested ss01-family call sites pending their own A/B."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return dot.cast("double") / (
+        F.sqrt(na_sq.cast("double")) * F.sqrt(nb_sq.cast("double"))
+    )
+
+
 

@@ -19,12 +19,17 @@ math immune to summation-order nondeterminism under AQE re-partitioning.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401 — module scope so pandas_udf type
+# hints ('pd.Series') resolve at decoration time (same pattern as
+# queries/text.py).
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import (
     cosine_prequantized,
+    cosine_prequantized_hof,
     cosine_quantized,
     norm_sq_prequantized,
     quantize_vec,
@@ -36,6 +41,7 @@ __all__ = [
     "ivf_topk",
     "lsh_bucket",
     "lsh_bucket_prequantized",
+    "lsh_buckets_kernel",
     "lsh_multi_probe_pairs",
     "lsh_multi_table_pairs",
     "lsh_pairs_for_recall",
@@ -315,12 +321,65 @@ def lsh_bucket(
     )
 
 
+def lsh_buckets_kernel(
+    qvec: Column,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+    plane_offset: int = 0,
+) -> Column:
+    """ALL ``n_tables`` sign-LSH buckets of a pre-quantized vector in
+    one Arrow-batched numpy matmul — returns array<long> of length
+    ``n_tables`` (table t's bucket at index t+1, planes
+    [offset + t·n_planes, offset + (t+1)·n_planes)).
+
+    Bit-identical to ``lsh_bucket_prequantized`` (same integer plane
+    weights, exact int64 dots — parity-tested), but ~three orders of
+    magnitude cheaper per row: the Catalyst form is n_planes
+    interpreted zip_with+aggregate folds (~ms per row at 8×64), and
+    join pipelines evaluate it more than once per row (scan null
+    filter + projection, per table, both sides) — profiled at sf0.1
+    the bucket HOFs dominated the multi-probe build (~20 s of a 22 s
+    run). One (rows × dim) @ (dim × planes) int64 matmul per Arrow
+    batch replaces all of it; weights ≤ 504 and |q| ≤ 1e4·|x| keep the
+    dot far inside int64, so the sign bits are exact in any engine.
+    The dd03/dd05 convention: Catalyst form = the DuckDB-replayable
+    reference, kernel = the corpus-scale path, hash-equal by test."""
+    from pyspark.sql.functions import pandas_udf
+
+    total = n_planes * n_tables
+    W = np.array(
+        [
+            [_plane_weight(plane_offset + i, j) for i in range(total)]
+            for j in range(dim)
+        ],
+        dtype=np.int64,
+    )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.int64)  # rows × dim
+        signs = (M @ W) >= 0  # rows × (n_planes·n_tables), exact int64
+        buckets = np.zeros((len(M), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for i in range(n_planes):
+                buckets[:, t] |= signs[:, t * n_planes + i].astype(np.int64) << i
+        return pd.Series(list(buckets))
+
+    return _buckets(qvec)
+
+
 def lsh_bucket_prequantized(
     qvec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
 ) -> Column:
     """``lsh_bucket`` over an ALREADY-quantized int64 array (the
     stored form incremental maintenance keeps) — same plane schedule,
-    bit-identical buckets, no re-quantization per probe."""
+    bit-identical buckets, no re-quantization per probe.
+
+    This is the Catalyst/DuckDB-replayable REFERENCE form; per-row it
+    is n_planes interpreted HOF folds — use ``lsh_buckets_kernel``
+    (bit-equal, parity-tested) anywhere the bucket is computed over a
+    corpus rather than a bounded eval slice."""
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         weights = F.array(
@@ -353,21 +412,24 @@ def lsh_multi_table_pairs(
     probability is low (recall ≈ 1-(1-p)^L). Each table is its own
     bucket equi-join; the union dedups on the (id_a, id_b) pair key.
     At 100 TB that is L bucket joins + one pair-key distinct — still
-    never an all-pairs stage.
+    never an all-pairs stage. Buckets for all L tables come from one
+    Arrow matmul per row (``lsh_buckets_kernel``); the per-plane
+    Catalyst fold is the bounded-eval-slice form.
     """
+    quantized = df.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("_qv")
+    ).withColumn(
+        "_bkts",
+        lsh_buckets_kernel(
+            F.col("_qv"), n_planes=n_planes, dim=dim, n_tables=n_tables
+        ),
+    )
     out = None
     for t in range(n_tables):
-        bucketed = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            lsh_bucket(
-                F.col(vec_col), n_planes=n_planes, dim=dim,
-                plane_offset=t * n_planes,
-            ).alias("_blk"),
-        )
+        bucketed = quantized.withColumn("_blk", F.element_at("_bkts", t + 1))
         pairs = near_dup_pairs(
-            bucketed, id_col=id_col, vec_col=vec_col, threshold=threshold,
-            block_col="_blk", dim=dim,
+            bucketed, id_col=id_col, vec_col="_qv", threshold=threshold,
+            block_col="_blk", dim=dim, prequantized=True,
         ).select("id_a", "id_b")
         out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()
@@ -495,31 +557,57 @@ def lsh_multi_probe_pairs(
     with the flat codegen-resident dot (the ss01-family fast path).
     """
     masks = probe_masks(n_planes, probe_bits)
-    base = df.select(
-        F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_qv")
-    ).withColumn("_n", norm_sq_prequantized(F.col("_qv")))
-    out = None
-    for t in range(n_tables):
-        bucketed = base.withColumn(
-            "_bkt",
-            lsh_bucket_prequantized(
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_qv")
+        )
+        .withColumn("_n", norm_sq_prequantized(F.col("_qv")))
+        # ALL tables' buckets in one Arrow matmul per row (the
+        # interpreted per-plane HOF fold dominated this operator —
+        # see lsh_buckets_kernel).
+        .withColumn(
+            "_bkts",
+            lsh_buckets_kernel(
                 F.col("_qv"),
                 n_planes=n_planes,
                 dim=dim,
-                plane_offset=plane_offset + t * n_planes,
+                n_tables=n_tables,
+                plane_offset=plane_offset,
             ),
         )
-        probe = bucketed.select(
+    )
+    out = None
+    for t in range(n_tables):
+        bucketed = base.withColumn("_bkt", F.element_at("_bkts", t + 1))
+        # Explode the LITERAL mask array and XOR after the Generate:
+        # fanning out pre-xored buckets (explode(array(_bkt^m1, ...,
+        # _bkt^m93))) lets projection collapse inline the bucket's
+        # 8-plane HOF expression into every array element — the bucket
+        # fold ran 93× per row, interpreted (measured 43 s → 2.2 s at
+        # sf0.1 for the 3-bit × 3-table build). The Generate boundary
+        # pins _bkt to one evaluation per row.
+        probe = bucketed.withColumn(
+            "_m", F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))
+        ).select(
             "_id",
             "_qv",
             "_n",
-            F.explode(
-                F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in masks])
-            ).alias("_pb"),
+            F.col("_bkt").bitwiseXOR(F.col("_m")).alias("_pb"),
         )
-        a, b = probe.alias("a"), bucketed.alias("b")
-        sim = cosine_prequantized(
-            F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n"), dim
+        # shuffle_hash on the INDEX side: Catalyst's size estimate does
+        # not model the ×|masks| explode, so it happily picks the probe
+        # side as a broadcast build — ~100 MB per table at a 2k-vector
+        # sf0.1 (driver OOM in the bench), unbounded at scale. The
+        # shuffled hash join on the bucket key is the plan that holds
+        # at 100 TB: both sides hash-partition on bucket, the build is
+        # the one-bucket-per-vector index partition. Plan-guarded.
+        a = probe.alias("a")
+        b = bucketed.hint("shuffle_hash").alias("b")
+        # HOF dot, not the flat expanded form: 9× measured in this
+        # join's condition codegen (functions.cosine_prequantized_hof
+        # docstring carries the A/B).
+        sim = cosine_prequantized_hof(
+            F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n")
         )
         pairs = (
             a.join(
@@ -547,17 +635,24 @@ def near_dup_pairs(
     threshold: float = 0.95,
     block_col: str | None = None,
     dim: int | None = 64,
+    prequantized: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold, blocked by
-    ``block_col`` (or LSH bucket) so the self-join is an equi-join."""
+    ``block_col`` (or LSH bucket) so the self-join is an equi-join.
+    ``prequantized=True`` declares ``vec_col`` already int64-quantized
+    (the stored-index form) and skips the per-row quantization."""
     cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
     base = df.select(*cols)
     if dim:
         # Quantize + norm once per ROW; the self-join then scores
-        # pre-quantized arrays with the flat codegen-sized dot.
-        base = base.withColumn("_qv", quantize_vec("_v")).withColumn(
+        # pre-quantized arrays. The per-pair dot is the zip_with/
+        # aggregate form — on Spark 4.1 it beat the flat expanded
+        # chain in every re-measured join context (2.5 s vs 3.7–10 s
+        # at sf0.1 here; see functions.cosine_prequantized_hof).
+        qv = F.col("_v") if prequantized else quantize_vec("_v")
+        base = base.withColumn("_qv", qv).withColumn(
             "_n", norm_sq_prequantized(F.col("_qv"))
         )
     a, b = base.alias("a"), base.alias("b")
@@ -565,8 +660,8 @@ def near_dup_pairs(
     if block_col:
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
     sim = (
-        cosine_prequantized(
-            F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n"), dim
+        cosine_prequantized_hof(
+            F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n")
         )
         if dim
         else cosine_quantized(F.col("a._v"), F.col("b._v"))

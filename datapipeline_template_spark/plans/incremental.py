@@ -35,6 +35,15 @@ bucket count trades rewrite granularity against small files (pick
 buckets ≈ table_size / target_partition_size). The bucket column also
 co-locates every future per-key operation (joins against silver on the
 pk can pre-partition on the same bucket function).
+
+Granularity caveat (measured in bench.py's incremental-silver
+scenario): the rewrite unit is the BUCKET, and uniform hashing maps k
+distinct delta keys onto ~n_buckets·(1-exp(-k/n_buckets)) buckets —
+a key-UNIFORM delta with k ≳ n_buckets touches nearly every bucket
+and the incremental path degrades to a slower full recompute. The
+win case is few-key deltas (hot entities, late corrections); for
+key-uniform bulk backfills either raise n_buckets (more, smaller
+rewrite units) or run a full refresh.
 """
 
 from __future__ import annotations
@@ -165,10 +174,15 @@ class IncrementalSilver:
         else:
             delta = bronze.where(F.col(wm_col) > F.lit(hwm).cast("timestamp"))
             delta = delta.withColumn(BUCKET_COL, self._bucket_expr(pk_cols))
-            n_new = delta.count()
+            # ONE job for both the row count and the affected-bucket
+            # list (a separate count() + distinct().collect() doubled
+            # the delta scan — job-launch overhead dominates small
+            # deltas, the common case this path exists for).
+            bucket_counts = delta.groupBy(BUCKET_COL).count().collect()
+            n_new = int(sum(r["count"] for r in bucket_counts))
             if n_new == 0:
                 return {"new_rows": 0, "buckets_rewritten": 0, "mode": "noop"}
-            buckets = [r[0] for r in delta.select(BUCKET_COL).distinct().collect()]
+            buckets = [r[BUCKET_COL] for r in bucket_counts]
             silver = spark.read.table(self.silver_fqn)
             cand = silver.where(F.col(BUCKET_COL).isin(buckets)).unionByName(
                 delta, allowMissingColumns=True
@@ -180,18 +194,31 @@ class IncrementalSilver:
             # table, untouched buckets included. insertInto is
             # positional — align to the table's column order.
             table_cols = spark.read.table(self.silver_fqn).columns
-            present = {r[0] for r in rebuilt.select(BUCKET_COL).distinct().collect()}
+            # Dynamic overwrite only touches partitions PRESENT in the
+            # written data — a delete that empties a bucket leaves the
+            # stale partition behind. The present-bucket probe costs a
+            # SECOND pass through curation, so it runs only when
+            # curation can actually drop rows (soft-delete filter
+            # active on a CDC source, or expectations configured);
+            # keep-latest alone can never empty a bucket that delta
+            # rows land in.
+            curation_can_drop = bool(self.entity.expect_all_or_drop) or (
+                self.params.soft_deletes.upper() != "Y" and "op" in cand.columns
+            )
+            if curation_can_drop:
+                rebuilt = rebuilt.localCheckpoint(eager=True)
+                present = {
+                    r[0] for r in rebuilt.select(BUCKET_COL).distinct().collect()
+                }
             (
                 rebuilt.select(*table_cols)
                 .write.mode("overwrite")
                 .insertInto(self.silver_fqn)
             )
-            # Dynamic overwrite only touches partitions PRESENT in the
-            # written data — a delete that empties a bucket leaves the
-            # stale partition behind. Clear emptied buckets explicitly.
-            emptied = [b for b in buckets if b not in present]
-            if emptied:
-                self._drop_buckets(emptied)
+            if curation_can_drop:
+                emptied = [b for b in buckets if b not in present]
+                if emptied:
+                    self._drop_buckets(emptied)
             stats = {"new_rows": n_new, "buckets_rewritten": len(buckets),
                      "mode": "incremental"}
 

@@ -1522,3 +1522,28 @@ def test_multi_probe_full_ball_equals_brute_force(spark):
     assert p == b and len(p) == len(set(p)), (
         f"probed {len(p)} pairs vs brute {len(b)}"
     )
+
+
+def test_lsh_buckets_kernel_matches_catalyst_form(spark):
+    """The Arrow matmul bucket kernel must be bit-equal to the
+    Catalyst per-plane fold (the DuckDB-replayable reference) for
+    every vector and every table slice — the dd03/dd05 twin contract,
+    here for sign-LSH buckets."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table as cat_table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_bucket_prequantized,
+        lsh_buckets_kernel,
+    )
+
+    emb = cat_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    mism = q.select(
+        lsh_buckets_kernel(F.col("_qv"), n_planes=8, dim=64, n_tables=3).alias("k"),
+        F.array(
+            *[lsh_bucket_prequantized(F.col("_qv"), 8, 64, 8 * t) for t in range(3)]
+        ).alias("h"),
+    ).where(F.expr("k != h"))
+    assert mism.count() == 0

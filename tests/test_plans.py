@@ -306,7 +306,11 @@ def test_ss11_multiprobe_retrieval_equi_join_no_distinct(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_pb" in plan and "_bkt" in plan  # probe key meets index key
-    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    # The ×|masks|-exploded probe side must NEVER be a broadcast build
+    # (Catalyst's estimate misses the explode fan-out — driver OOM at
+    # sf0.1); the operator pins the shuffled hash join on the bucket.
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan
     # No dedup: a HashAggregate over (id_a, id_b) would betray a
     # distinct creeping back in for the single-table form.
     assert "keys=[id_a" not in plan

@@ -141,3 +141,37 @@ def test_sweep_tool_runs_and_reports(tmp_path):
     rec = json.loads(out.read_text())
     assert set(rec) == {"q01_pricing_summary", "pipe01_cdc_keep_latest"}
     assert all(r["hash_match"] for r in rec.values())
+
+
+def test_committed_full_sweep_artifact_is_current():
+    """Round-6 process lapse, made structural: every round must carry
+    a committed `SWEEP_FULL_r{N}.json` whose name set EQUALS the
+    registry — a query can never again land without committed oracle
+    evidence (dd14/tx17 did exactly that in round 6). The newest
+    committed artifact is the binding one; regenerate with
+    `python tools/sweep_all.py --round <N>` after any registry
+    change."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(root, "SWEEP_FULL_r*.json")))
+    assert artifacts, "no committed SWEEP_FULL_r*.json artifact"
+    newest = artifacts[-1]
+    with open(newest) as f:
+        rec = json.load(f)
+    missing = sorted(set(NAMES) - set(rec))
+    extra = sorted(set(rec) - set(NAMES))
+    assert not missing and not extra, (
+        f"{os.path.basename(newest)} is stale vs the registry "
+        f"(missing={missing}, extra={extra}) — rerun tools/sweep_all.py"
+    )
+    bad = {
+        k: r
+        for k, r in rec.items()
+        if (r["err"] not in (None, "no_oracle"))
+        or (r["err"] is None and not r["hash_match"])
+        or r["spark_rows"] == 0
+    }
+    assert not bad, f"sweep artifact records failures: {sorted(bad)}"

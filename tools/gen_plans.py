@@ -241,6 +241,41 @@ def main() -> None:
         [(0, "A", 0, 10_000_000, 9766), (1, "N", 0, 10_000_000, 9766)],
         "_task int, g string, _lo long, _hi long, _w long",
     )
+    section(
+        "dd14b_exact_substring_spans",
+        "span-grain ExactSubstr: dense_rank gap-and-islands (no "
+        "pre-distinct exchange — duplicate positions share a rank), "
+        "window + island groupBy share ONE doc-id shuffle, removed-set "
+        "broadcast into the map-only array_except rebuild",
+        [
+            ("Island window", r"dense_rank\([^\n]{0,60}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,50}"),
+            ("Rebuild join", r"BroadcastHashJoin[^\n]{0,60}"),
+        ],
+    )
+
+    from datapipeline_template_spark.operators.similarity import (
+        lsh_multi_probe_pairs,
+    )
+
+    section_df(
+        "ss11/ss12 retrieval (lsh_multi_probe_pairs)",
+        "multi-probe retrieval: Arrow bucket kernel once per row, "
+        "literal-mask explode on the probe side only, SHUFFLED hash "
+        "join on the bucket key (the ×|masks| side must never be a "
+        "broadcast build — Catalyst's estimate misses explode "
+        "fan-out), exactly-once emission so no distinct stage",
+        lsh_multi_probe_pairs(
+            _emb, "vec_id", "embedding", threshold=0.3, n_planes=8,
+            probe_bits=2,
+        ),
+        [
+            ("Bucket kernel (Arrow)", r"ArrowEvalPython[^\n]{0,60}"),
+            ("Mask explode", r"Generate explode\(\[0,1,2[^\n]{0,40}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
     section_df(
         "q26b refinement pass (_quantile_pass_counts)",
         "exact quantiles at scale: each pass broadcasts the tiny task "
