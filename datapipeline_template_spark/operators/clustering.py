@@ -1,0 +1,287 @@
+"""Deterministic k-means over quantized embeddings + SemDeDup (X10).
+
+Semantic dedup for training corpora (Abbas et al. 2023, "SemDeDup"):
+cluster document embeddings with k-means, then drop near-duplicate
+members *within* each cluster — pairwise cosine never crosses cluster
+boundaries, so the quadratic all-pairs join becomes a per-cluster
+equi-join whose cost is Σ|cluster|², bounded because k scales with the
+corpus (the paper runs k=50k on LAION-440M; cluster size stays ~1e4).
+
+Determinism contract (required for DuckDB oracle hash-parity):
+
+- Vectors quantized to exact int64 (scale 1e4, the repo convention in
+  ``functions.quantize_vec``); every distance/dot is integer math —
+  associative, order-independent, identical in any engine.
+- Init: centroids = the k vectors with the LOWEST ids (k-means|| and
+  random init are RNG-dependent; lowest-id init is replayable in SQL).
+- Assignment argmin tie-break: smallest cluster id.
+- Centroid update: per-dim integer division of sums, truncated toward
+  zero (Spark ``div`` == DuckDB ``//`` == ``_trunc_div`` here — all
+  three verified trunc-toward-zero on negatives).
+- Empty cluster: keeps its previous centroid.
+
+Scale shape (the 100-TB story):
+
+- Assignment is MAP-ONLY: centroids live on the driver (k·dim int64 —
+  8·64 here, 50k·768 = 300 MB worst case at paper scale, still a
+  broadcast) and ship to executors inside a pandas_udf closure; one
+  Arrow-batched numpy pass computes all k distances per batch
+  ((rows×dim) ⊖ (k×dim) squared-sum matmul-shaped kernel). No shuffle.
+- The update is ONE partial-agg shuffle per iteration: posexplode to
+  (cluster, dim, qv) — narrow ×dim — then groupBy(cluster, dim) with
+  map-side combine collapses to k·dim rows before the exchange (the
+  ss07 centroid-sum shape). The driver collects k·dim longs per
+  iteration — coordination only, never data (the q26b multipass
+  convention).
+- The Catalyst assignment twin (``kmeans_assign_catalyst``) is the
+  DuckDB-replayable reference form; the kernel is the corpus-scale
+  path — bit-equal by parity test (the dd03/dd05 and
+  lsh_buckets_kernel convention).
+
+Reference parity: the reference pipeline has no clustering operator
+(its silver layer stops at CDC dedup, 02_silver_processing.py); this
+family is part of the mandated LLM-training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import quantize_vec
+
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_assign_catalyst",
+    "semdedup",
+]
+
+# Assignment caps: k·dim int64 centroids are shipped in the UDF
+# closure; keep the product bounded so a misuse (huge k on a huge dim)
+# fails loudly instead of serializing gigabytes per task.
+MAX_CENTROID_CELLS = 50_000_000
+
+
+def _trunc_div(s: int, c: int) -> int:
+    """Integer division truncated toward zero — matches Spark's `div`
+    and DuckDB's `//` (both verified: -7 div 2 == -3)."""
+    q = abs(s) // c
+    return q if s >= 0 else -q
+
+
+def _assign_struct(qv: Column, centroids: list[list[int]]) -> Column:
+    """Catalyst argmin: array<struct<dist,cluster>> → array_min picks
+    (smallest dist, then smallest cluster id) by lexicographic struct
+    ordering — the documented tie-break, identical in DuckDB's
+    ROW_NUMBER(ORDER BY dist, cid) replay."""
+    structs = []
+    for cid, cv in enumerate(centroids):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+        d = F.aggregate(
+            F.zip_with(qv, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        structs.append(
+            F.struct(d.alias("dist"), F.lit(cid).cast("long").alias("cluster"))
+        )
+    return F.array_min(F.array(*structs))
+
+
+def kmeans_assign_catalyst(
+    df: DataFrame, qv_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """Reference-form assignment: adds ``cluster`` + ``dist`` columns
+    via pure Catalyst HOFs. k·dim interpreted lambda evaluations per
+    row — the DuckDB-replayable twin, not the hot path."""
+    best = _assign_struct(F.col(qv_col), centroids)
+    return df.withColumn("_best", best).select(
+        *df.columns, F.col("_best.cluster").alias("cluster"),
+        F.col("_best.dist").alias("dist"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame, qv_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """Scale-form assignment: one Arrow-batched numpy kernel computes
+    all k exact-int64 squared distances per row and the argmin
+    (np.argmin returns the FIRST minimum — smallest cluster id, the
+    same tie-break as the Catalyst/SQL forms; parity-tested).
+
+    Overflow bound: |q| ≤ 1e4 ⇒ per-dim diff² ≤ 4e8, ×dim(64) ≤
+    2.6e10 ≪ 2^63 — exact in int64 for any realistic dim/scale."""
+    C = np.asarray(centroids, dtype=np.int64)
+    if C.size > MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"centroid matrix has {C.size} cells > {MAX_CENTROID_CELLS}; "
+            "a closure this large would be re-shipped per task — stage "
+            "the centroids as a broadcast-joined table instead."
+        )
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cluster", T.LongType()),
+                T.StructField("dist", T.LongType()),
+            ]
+        )
+    )
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        X = np.stack(v.to_numpy()).astype(np.int64)  # rows × dim
+        # rows × k exact int64: ‖x‖² − 2x·c + ‖c‖² stays integer.
+        d = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        cl = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cl.astype(np.int64), "dist": d[np.arange(len(X)), cl]}
+        )
+
+    out = df.withColumn("_best", _assign(F.col(qv_col)))
+    return out.select(
+        *df.columns, F.col("_best.cluster").alias("cluster"),
+        F.col("_best.dist").alias("dist"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 4,
+    dim: int | None = None,
+) -> list[list[int]]:
+    """Lloyd's iterations over quantized vectors; returns the final
+    centroids as driver-side ``list[list[int]]`` (k·dim longs).
+
+    Each iteration: map-only kernel assignment → posexplode →
+    groupBy(cluster, dim) partial-agg → collect k·dim (sum, count)
+    rows → exact trunc-div centroid update in Python. Driver traffic
+    is k·dim longs per iteration regardless of corpus size.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"), quantize_vec(vec_col).alias("_qv")
+    )
+    init_rows = q.orderBy("_id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
+    centroids = [[int(v) for v in r["_qv"]] for r in init_rows]
+    if dim is None:
+        dim = len(centroids[0])
+
+    for _ in range(n_iter):
+        assigned = kmeans_assign(q, "_qv", centroids)
+        per_dim = (
+            assigned.select("cluster", F.posexplode("_qv").alias("dim", "qv"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in per_dim:
+            cid = int(r["cluster"])
+            sums.setdefault(cid, [0] * dim)[int(r["dim"])] = int(r["s"])
+            counts[cid] = int(r["c"])
+        centroids = [
+            [_trunc_div(s, counts[cid]) for s in sums[cid]]
+            if cid in counts
+            else centroids[cid]  # empty cluster keeps its centroid
+            for cid in range(k)
+        ]
+    return centroids
+
+
+def _cos_hof(a: Column, b: Column) -> Column:
+    """Cosine over two ALREADY-quantized int64 arrays: exact int dot &
+    norms via zip_with/aggregate (the Spark-4.1 join-codegen-fast form,
+    cf. functions.cosine_prequantized_hof), one final double divide."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda p, v: p + v
+    )
+    n2 = F.aggregate(
+        F.transform(b, lambda x: x * x), F.lit(0).cast("long"), lambda p, v: p + v
+    )
+    return dot.cast("double") / (
+        F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double"))
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 4,
+    threshold: float = 0.3,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """SemDeDup: within-cluster cosine near-dup removal.
+
+    Returns (cluster, vec_id) rows — the members to REMOVE, one row
+    per unique removed id, deterministically: for every within-cluster
+    pair with cosine ≥ ``threshold``, the member with the HIGHER
+    cosine to its cluster centroid is marked (the paper keeps the
+    lowest-centroid-similarity example to preserve diversity,
+    SemDeDup §3); exact-equal centroid similarity falls back to
+    removing the larger id.
+
+    Plan shape: centroid cosine is computed per ROW before the pair
+    join (element_at over a k-literal centroid array — map-only), so
+    the join condition is one zip_with dot per pair; the pair join is
+    an equi-join on cluster (hash-partitions across executors, never
+    all-pairs); the final dedup of marked ids is one distinct on
+    (cluster, id). Σ|cluster|² stays bounded when k grows with N.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter)
+    q = df.select(F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv"))
+    assigned = kmeans_assign(q, "_qv", centroids)
+
+    cent_arr = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in centroids]
+    )
+    with_cs = assigned.select(
+        "vec_id",
+        "cluster",
+        "_qv",
+        _cos_hof(
+            F.col("_qv"), F.element_at(cent_arr, (F.col("cluster") + 1).cast("int"))
+        ).alias("_cs"),
+    )
+
+    a = with_cs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("_qv").alias("_qa"),
+        F.col("_cs").alias("_csa"),
+    )
+    b = with_cs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("_qv").alias("_qb"),
+        F.col("_cs").alias("_csb"),
+    )
+    pairs = a.join(b, on="cluster").where(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.where(_cos_hof(F.col("_qa"), F.col("_qb")) >= F.lit(threshold))
+    marked = pairs.select(
+        "cluster",
+        F.when(F.col("_csa") > F.col("_csb"), F.col("id_a"))
+        .when(F.col("_csb") > F.col("_csa"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("vec_id"),
+    )
+    return marked.distinct()

@@ -11,7 +11,7 @@ rational arithmetic) so the DuckDB oracle can replay them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import poly_hash
@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint",
     "gopher_rules",
     "bigram_familiarity",
+    "logodds_classifier",
     "LANG_MARKERS",
 ]
 
@@ -238,4 +239,72 @@ def bigram_familiarity(
         F.when(nb == 0, F.lit(0.0))
         .otherwise(fs.cast("double") / nb.cast("double"))
         .alias("familiarity"),
+    )
+
+
+def logodds_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    positive: Column,
+) -> DataFrame:
+    """fastText-style linear quality classifier, exact-arithmetic form.
+
+    The standard LLM-curation move (GPT-3 §2.2, LLaMA, DSIR): score
+    every document against a trusted reference slice and keep
+    high-scorers. Weights are per-token log-odds SIGNS — token t gets
+    +1 when its rate in the positive slice exceeds its rate in the
+    rest, -1 when below, 0 at exact equality — and a document's score
+    is Σ count(t, doc)·w(t), i.e. a naive-Bayes vote with unit
+    log-likelihood ratios. Signs instead of float log-ratios keep
+    every comparison exact (rate comparison = cross-multiplication),
+    so DuckDB replays the whole train+score loop bit-for-bit.
+
+    Rate cross-products are computed in DECIMAL(19,0)×DECIMAL(19,0)
+    (exact to 1e38): at web scale token counts reach ~1e12 and the
+    int64 cross-product would overflow at 1e19 — ~40 exact decimal
+    digits is the scale-safe compare (DuckDB runs the same compare in
+    DECIMAL(38,0)/hugeint).
+
+    Plan shape: one explode over tokens feeds BOTH the vocabulary
+    build (groupBy token — map-side combine collapses to |vocab| rows
+    before the exchange) and per-doc term counts (groupBy id, token);
+    the score join is a token equi-join (vocab never needs to fit in
+    one executor), then one partial-agg groupBy(id). Totals are a
+    1-row aggregate crossJoined in-plan — no driver round-trip.
+
+    Returns (id_col, score, keep) with keep = score > 0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        positive.alias("_pos"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("long").alias("pos_cnt"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).cast("long").alias("neg_cnt"),
+    )
+    totals = vocab.agg(
+        F.sum("pos_cnt").alias("_tp"), F.sum("neg_cnt").alias("_tn")
+    )
+    dec = "decimal(19,0)"
+    lhs = F.col("pos_cnt").cast(dec) * F.col("_tn").cast(dec)
+    rhs = F.col("neg_cnt").cast(dec) * F.col("_tp").cast(dec)
+    weights = vocab.join(F.broadcast(totals)).select(
+        "tok",
+        F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
+        .cast("long").alias("w"),
+    )
+    per_doc = toks.groupBy("_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    scores = (
+        per_doc.join(weights, on="tok")
+        .groupBy("_id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("score"))
+    )
+    return scores.select(
+        F.col("_id").alias(id_col),
+        F.col("score").cast("long").alias("score"),
+        (F.col("score") > 0).alias("keep"),
     )

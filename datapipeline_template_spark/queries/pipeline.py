@@ -302,3 +302,147 @@ def pipe08_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         feed, ["user_id", "event_type"], ["ts", "event_id"], op_col="op"
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe09 — end-to-end corpus-curation funnel (operator composition).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_PIPE09_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents
+), flags AS (
+  SELECT doc_id, text, source,
+    CASE
+      WHEN len(list_filter(w, t -> t IN ('the','and','of','to','is'))) >= 1
+       AND len(list_filter(w, t -> t IN ('the','and','of','to','is'))) >=
+           greatest(len(list_filter(w, t -> t IN ('el','la','los','que','de'))),
+                    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))),
+                    len(list_filter(w, t -> t IN ('le','les','et','est','une'))))
+      THEN TRUE ELSE FALSE END AS f_lang,
+    (CAST(len(w) AS BIGINT) >= 30
+     AND 4 * CAST(len(w) AS BIGINT) <= CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+     AND CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) <= 12 * CAST(len(w) AS BIGINT)
+     AND 100 * CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+         >= 80 * CAST(len(w) AS BIGINT)
+     AND CAST(len(list_filter(w, x -> x IN
+        ('the','and','of','to','is','el','la','los','que','de',
+         'der','die','das','und','ist','le','les','et','est','une'))) AS BIGINT) >= 1
+    ) AS f_gopher
+  FROM base
+), ranked AS (
+  SELECT doc_id, text, source, f_lang, f_gopher,
+         (f_lang AND f_gopher) AS surv2,
+         ROW_NUMBER() OVER (
+           PARTITION BY list_aggregate(string_split(text, ' ')[1:10],
+                                       'string_agg', ' '),
+                        (f_lang AND f_gopher)
+           ORDER BY doc_id) AS rn
+  FROM flags
+), toks AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_cnt
+  FROM toks GROUP BY tok
+), tot AS (SELECT SUM(pos_cnt) AS tp, SUM(neg_cnt) AS tn FROM vocab),
+wt AS (
+  SELECT tok,
+         CASE WHEN CAST(pos_cnt AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
+                 > CAST(neg_cnt AS DECIMAL(19,0)) * CAST(tp AS DECIMAL(19,0)) THEN 1
+              WHEN CAST(pos_cnt AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
+                 < CAST(neg_cnt AS DECIMAL(19,0)) * CAST(tp AS DECIMAL(19,0)) THEN -1
+              ELSE 0 END AS w
+  FROM vocab, tot
+), dt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), sc AS (
+  SELECT doc_id, SUM(c * w) AS score FROM dt JOIN wt USING (tok) GROUP BY doc_id
+), flagged AS (
+  SELECT r.*, (r.surv2 AND r.rn = 1) AS f_dedup,
+         (r.surv2 AND r.rn = 1 AND s.score > 0) AS f_cls
+  FROM ranked r JOIN sc s USING (doc_id)
+), counts AS (
+  SELECT COUNT(*) AS n0,
+         CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN surv2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN f_cls THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flagged
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs FROM counts
+UNION ALL SELECT 1, 'language_en', n1 FROM counts
+UNION ALL SELECT 2, 'gopher_quality', n2 FROM counts
+UNION ALL SELECT 3, 'prefix_dedup', n3 FROM counts
+UNION ALL SELECT 4, 'classifier', n4 FROM counts
+ORDER BY stage_idx
+"""
+
+
+@register("pipe09_curation_funnel", oracle=_PIPE09_ORACLE)
+def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-curation pipeline as one funnel query —
+    language-ID ('en' only) → Gopher quality gate → 10-token-prefix
+    dedup (boilerplate-head copies, keep-lowest-id) → log-odds classifier keep — with per-stage
+    surviving-document counts, the drop-metrics shape every production
+    curation run reports (C4 §2.2, Gopher A1, RefinedWeb fig. 2).
+
+    Every stage reuses the registered operator (language_id,
+    gopher_rules, logodds_classifier), so this is the composition
+    proof: flags for all stages are computed in ONE pass over the
+    corpus (no per-stage rescans), the dedup rank rides a single
+    window partitioned by (text, stage-2-survivorship), the classifier
+    join is the tx19 token equi-join, and the funnel collapses to a
+    1-row aggregate unpivoted via stack(). Scale: one text-partition
+    window shuffle + the classifier's token shuffle; everything else
+    is map-side."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..operators.text import gopher_rules, language_id, logodds_classifier
+
+    docs = table(spark, sf_dir, "documents")
+    rules = gopher_rules("text")
+    gopher_ok = reduce(
+        lambda a, b: a & b,
+        [rules[k] for k in ("ok_min_words", "ok_mean_word_len",
+                            "ok_alpha_words", "ok_stopwords")],
+    )
+    flags = docs.select(
+        "doc_id",
+        "text",
+        (language_id("text") == "en").alias("f_lang"),
+        gopher_ok.alias("f_gopher"),
+    ).withColumn("surv2", F.col("f_lang") & F.col("f_gopher"))
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    w = Window.partitionBy(prefix, "surv2").orderBy("doc_id")
+    ranked = flags.withColumn("rn", F.row_number().over(w))
+
+    scores = logodds_classifier(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    )
+    full = ranked.join(scores.select("doc_id", "score"), on="doc_id").select(
+        "f_lang",
+        "surv2",
+        (F.col("surv2") & (F.col("rn") == 1)).alias("f_dedup"),
+        (F.col("surv2") & (F.col("rn") == 1) & (F.col("score") > 0)).alias("f_cls"),
+    )
+    counts = full.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("f_lang"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("surv2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("f_dedup"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("f_cls"), 1).otherwise(0)).cast("long").alias("n4"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(5, 0L, 'raw', n0, 1L, 'language_en', n1, "
+            "2L, 'gopher_quality', n2, 3L, 'prefix_dedup', n3, "
+            "4L, 'classifier', n4) AS (stage_idx, stage, n_docs)"
+        )
+    ).orderBy("stage_idx")

@@ -774,3 +774,70 @@ def ss12_production_recall_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = counts if out is None else out.unionByName(counts)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ss13 — deterministic k-means clustering (the SemDeDup backbone).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITER, _KM_DIM = 8, 4, 64
+
+
+def _ss13_oracle() -> str:
+    from ._kmeans_sql import checksum_sql, kmeans_ctes
+
+    n = _KM_ITER
+    return f"""WITH {kmeans_ctes(_KM_K, n, _KM_DIM)}
+, stats AS (
+  SELECT cid AS cluster, COUNT(*) AS n_vecs, SUM(dist) AS inertia
+  FROM a{n} GROUP BY cid
+), chk AS (
+  SELECT cid AS cluster, CAST({checksum_sql('cv')} AS BIGINT) AS checksum
+  FROM c{n}
+)
+SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(inertia AS BIGINT) AS inertia, checksum
+FROM stats JOIN chk USING (cluster) ORDER BY cluster"""
+
+
+@register("ss13_kmeans_clusters", oracle=_ss13_oracle())
+def ss13_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over quantized embeddings
+    (operators/clustering.py): lowest-id init, exact int64 distances,
+    trunc-div centroid updates — the DuckDB oracle replays all 4
+    unrolled iterations and hash-matches per-cluster size, exact
+    integer inertia, and a poly-fold checksum of every final centroid
+    coordinate, so the whole iterative computation is pinned, not just
+    the final grouping. Plan: map-only Arrow-kernel assignment
+    (centroids in the closure, no shuffle) + one (cluster, dim)
+    partial-agg exchange per iteration; driver traffic is k·dim longs
+    per iteration regardless of corpus size."""
+    from ..functions import POLY_P, quantize_vec
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
+                      dim=_KM_DIM)
+
+    def _chk(cv: list[int]) -> int:
+        acc = 0
+        for v in cv:
+            acc = (acc * 131 + ((v % POLY_P) + POLY_P) % POLY_P) % POLY_P
+        return acc
+
+    chk = spark.createDataFrame(
+        [(cid, _chk(cv)) for cid, cv in enumerate(cent)],
+        "cluster long, checksum long",
+    )
+    q = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    stats = (
+        kmeans_assign(q, "_qv", cent)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("dist").alias("inertia"))
+    )
+    return (
+        stats.join(F.broadcast(chk), on="cluster")
+        .select("cluster", "n_vecs", "inertia", "checksum")
+        .orderBy("cluster")
+    )

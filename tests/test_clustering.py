@@ -1,0 +1,111 @@
+"""k-means + SemDeDup operator tests (operators/clustering.py).
+
+Query-level oracle parity for ss13/dd15 is covered by the generic
+sf0.001 sweep in test_parity.py; these tests pin the operator
+contracts the oracle can't see: kernel↔Catalyst bit-parity, the
+trunc-div convention, empty-cluster behavior, determinism, and the
+SemDeDup removal rule on a hand-built fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_template_spark.functions import quantize_vec
+from datapipeline_template_spark.operators.clustering import (
+    MAX_CENTROID_CELLS,
+    _trunc_div,
+    kmeans_assign,
+    kmeans_assign_catalyst,
+    kmeans_fit,
+    semdedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from datapipeline_template_spark.catalog import table
+
+    return table(spark, SF, "embeddings")
+
+
+def test_trunc_div_matches_spark_and_duckdb_semantics():
+    import duckdb
+
+    cases = [(-7, 2), (7, 2), (-9, 4), (9, 4), (0, 3), (-1, 5)]
+    con = duckdb.connect()
+    for s, c in cases:
+        duck = con.execute(f"SELECT CAST({s} AS BIGINT) // {c}").fetchone()[0]
+        assert _trunc_div(s, c) == duck, (s, c)
+
+
+def test_kernel_catalyst_assignment_parity(spark):
+    emb = _emb(spark)
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=2)
+    q = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    a = kmeans_assign(q, "_qv", cent).select("vec_id", "cluster", "dist")
+    b = kmeans_assign_catalyst(q, "_qv", cent).select("vec_id", "cluster", "dist")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kmeans_fit_is_deterministic(spark):
+    emb = _emb(spark)
+    c1 = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=3)
+    c2 = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=3)
+    assert c1 == c2
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # Two tight groups far apart + k=3 with lowest-id init: the two
+    # seed centroids inside group A tie-split group A, and the third
+    # seed (first member of group B) captures all of B; after one
+    # update the duplicate-seed cluster empties and must keep its
+    # previous centroid instead of crashing or NaN-ing.
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.99, 0.0]),
+            (3, [-1.0, 0.0]), (4, [-1.0, 0.0]), (5, [-0.99, 0.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cent = kmeans_fit(df, "id", "vec", k=3, n_iter=3, dim=2)
+    assert len(cent) == 3 and all(len(c) == 2 for c in cent)
+    # cluster 1's seed was vec_id=1 (identical to seed 0): it loses
+    # every argmin tie to cluster 0 and keeps its initial centroid.
+    assert cent[1] == [10000, 0]
+
+
+def test_kmeans_k_exceeds_corpus_raises(spark):
+    df = spark.createDataFrame([(0, [1.0]), (1, [2.0])], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        kmeans_fit(df, "id", "vec", k=5, n_iter=1, dim=1)
+
+
+def test_assign_centroid_size_guard(spark):
+    df = spark.createDataFrame([(0, [1.0])], "id long, vec array<double>")
+    q = df.select("id", quantize_vec("vec").alias("_qv"))
+    dim = 1000
+    k = MAX_CENTROID_CELLS // dim + 1
+    with pytest.raises(ValueError, match="centroid matrix"):
+        kmeans_assign(q, "_qv", [[0] * dim] * k)
+
+
+def test_semdedup_removes_higher_centroid_sim_member(spark):
+    # One cluster (k=1 ⇒ centroid = mean of all). a and b are a
+    # near-dup pair; b sits closer to the centroid direction, so b is
+    # the removed member. c is orthogonal-ish and survives untouched.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # a — near-dup with b
+        (1, [0.98, 0.2, 0.0]),    # b — tilted toward centroid
+        (2, [0.0, 1.0, 0.0]),     # c — not a near-dup of anything
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = semdedup(df, "id", "vec", k=1, n_iter=1, threshold=0.9)
+    got = {(r["cluster"], r["vec_id"]) for r in out.collect()}
+    assert got == {(0, 1)}
+
+
+def test_semdedup_is_a_set_no_duplicate_marks(spark):
+    emb = _emb(spark)
+    out = semdedup(emb, "vec_id", "embedding", k=4, n_iter=2, threshold=0.3)
+    n = out.count()
+    assert n == out.select("vec_id").distinct().count()
+    assert 0 < n < emb.count()
