@@ -82,6 +82,11 @@ SECONDARY = [
     "dd14b_exact_substring_spans",
     "tx17_bigram_familiarity",
     "tx18_content_defined_chunks",
+    "ss13_kmeans_clusters",
+    "dd15_semdedup",
+    "tx19_classifier_filter",
+    "pipe09_curation_funnel",
+    "ss14_mutual_knn_graph",
 ]
 
 

@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 from ..functions import quantize_vec
 
 __all__ = [
+    "ivf_topk_kmeans",
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_assign_catalyst",
@@ -285,3 +286,81 @@ def semdedup(
         .alias("vec_id"),
     )
     return marked.distinct()
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    k: int = 5,
+    n_probe: int = 2,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate nearest neighbors over the DETERMINISTIC
+    k-means coarse quantizer — the oracle-replayable twin of
+    ``operators/similarity.ivf_topk`` (which trains Spark-ML k-means:
+    float, seeded, engine-local, hence rows-only). With integer
+    centroids from ``kmeans_fit`` every step — cell assignment, probe
+    selection, candidate scoring, ranking — is exact and identical in
+    DuckDB, so the full IVF answer is hash-pinnable.
+
+    Returns (query_id, neighbor_id, score): top-k per query by cosine
+    among vectors in the query's ``n_probe`` nearest cells (self-match
+    excluded), totally ordered (score DESC, neighbor ASC).
+
+    Plan shape: corpus cell assignment is the map-only Arrow kernel;
+    probe-cell selection is per-row Catalyst (array_sort over k
+    (dist, cell) structs — k is small by construction) followed by a
+    ×n_probe explode; candidates form on a cell equi-join that
+    hash-partitions across the cluster, each query touching
+    ~|corpus|·n_probe/k vectors — the FAISS-IVF recall/cost dial.
+    """
+    qid = query_id_col or id_col
+    q_corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("_cv")
+    )
+    assigned = kmeans_assign(q_corp, "_cv", centroids).select(
+        "neighbor_id", "_cv", "cluster"
+    )
+
+    structs = []
+    for cid, cv in enumerate(centroids):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+        d = F.aggregate(
+            F.zip_with(F.col("_qv"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        structs.append(
+            F.struct(d.alias("dist"), F.lit(cid).cast("long").alias("cluster"))
+        )
+    probes = (
+        queries.select(
+            F.col(qid).alias("query_id"), quantize_vec(vec_col).alias("_qv")
+        )
+        .withColumn(
+            "_probe",
+            F.slice(F.array_sort(F.array(*structs)), 1, n_probe),
+        )
+        .select(
+            "query_id", "_qv", F.explode("_probe.cluster").alias("cluster")
+        )
+    )
+
+    from pyspark.sql import Window
+
+    cand = probes.join(assigned, on="cluster").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    score = _cos_hof(F.col("_qv"), F.col("_cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.lit(k))
+        .select("query_id", "neighbor_id", "score")
+    )

@@ -45,6 +45,7 @@ __all__ = [
     "lsh_multi_probe_pairs",
     "lsh_multi_table_pairs",
     "lsh_pairs_for_recall",
+    "mutual_knn_edges",
     "near_dup_pairs",
     "probe_masks",
     "tables_for_recall",
@@ -674,4 +675,89 @@ def near_dup_pairs(
             sim.alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def mutual_knn_edges(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph edges by cosine similarity —
+    the symmetric kNN graph that feeds graph-based semantic
+    clustering (NN-descent refinement, HDBSCAN-style density, or the
+    repo's connected-components family on embedding space).
+
+    An edge (a, b) survives only when b is in a's top-k AND a is in
+    b's top-k — the standard mutuality filter that strips hub nodes'
+    asymmetric fan-in. Ranking is totally ordered (cosine DESC,
+    neighbor id ASC — exact-int dots make the scores engine-stable),
+    so the edge set is deterministic.
+
+    Plan: ONE blocked candidate self-join (equi-join on ``block_col``
+    — at corpus scale pass an LSH bucket or cluster assignment as the
+    block; an unblocked call is the bounded-eval-slice form), with the
+    cosine computed once per join row and BOTH edge orientations
+    exploded from it — a naive union of the reversed projection would
+    make Catalyst evaluate the join subtree twice. Per-node top-k is
+    one src-partition window (WindowGroupLimit prunes to k per
+    partition map-side before the exchange), and mutuality is a
+    pair-key groupBy counting orientations (an edge is mutual iff both
+    survive ranking — count == 2), which avoids the self-semi-join
+    that would re-derive the whole ranked subtree a second time.
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = (
+        df.select(*cols)
+        .withColumn("_qv", quantize_vec("_v"))
+        .withColumn("_n", norm_sq_prequantized(F.col("_qv")))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    sim = cosine_prequantized_hof(
+        F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n")
+    )
+    directed = (
+        a.join(b, cond)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a._id").alias("src"),
+                        F.col("b._id").alias("dst"),
+                        sim.alias("cosine"),
+                    ),
+                    F.struct(
+                        F.col("b._id").alias("src"),
+                        F.col("a._id").alias("dst"),
+                        sim.alias("cosine"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+    topk = directed.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= F.lit(k)
+    )
+    # Both orientations carry the identical double (computed once per
+    # join row), so the pair-key groupBy may carry cosine as a key.
+    return (
+        topk.select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+            "cosine",
+        )
+        .groupBy("id_a", "id_b", "cosine")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == 2)
+        .select("id_a", "id_b", "cosine")
     )

@@ -98,6 +98,8 @@ _OVERFLOW = (
     "dd15_semdedup",
     "tx19_classifier_filter",
     "pipe09_curation_funnel",
+    "ss14_mutual_knn_graph",
+    "ss15_ivf_kmeans_ann",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -841,3 +841,114 @@ def ss13_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "n_vecs", "inertia", "checksum")
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# ss14 — mutual kNN graph over embeddings.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS14_K = 3
+
+_SS14_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, embedding FROM embeddings
+), und AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+), dir AS (
+  SELECT src, dst, cosine FROM und
+  UNION ALL
+  SELECT dst AS src, src AS dst, cosine FROM und
+), rk AS (
+  SELECT src, dst, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst ASC) AS r
+  FROM dir
+), topk AS (
+  SELECT src, dst, cosine FROM rk WHERE r <= {_SS14_K}
+)
+SELECT t.src AS id_a, t.dst AS id_b, t.cosine
+FROM topk t JOIN topk u ON t.src = u.dst AND t.dst = u.src
+WHERE t.src < t.dst
+ORDER BY id_a, id_b
+"""
+
+
+@register("ss14_mutual_knn_graph", oracle=_SS14_ORACLE)
+def ss14_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph (k=3, label-blocked): an edge
+    survives only when each endpoint ranks in the other's top-k by
+    cosine — the symmetric kNN construction that seeds graph-based
+    semantic clustering. Exact-int dots make the ranking totally
+    ordered and engine-stable; the oracle replays candidate join +
+    double-orientation ranking + mutuality semi-join. Plan: one
+    blocked equi-self-join (label here; an LSH bucket or ss13 cluster
+    at corpus scale), both edge orientations derived from the same
+    join row, one src-partition window, one semi-join."""
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mutual_knn_edges(
+        emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# ss15 — IVF ANN over the deterministic k-means quantizer (hash-pinned).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS15_NPROBE, _SS15_K = 2, 5
+
+
+def _ss15_oracle() -> str:
+    from ._kmeans_sql import cos_sql, kmeans_ctes
+
+    n = _KM_ITER
+    return f"""WITH {kmeans_ctes(_KM_K, n, _KM_DIM)}
+, qry AS (
+  SELECT vec_id AS query_id, qv FROM qv WHERE vec_id < 5
+), qd AS (
+  SELECT q.query_id, q.qv, c.cid,
+         list_sum(list_transform(list_zip(q.qv, c.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist
+  FROM qry q CROSS JOIN c{n} c
+), pr AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, cid) AS rn
+    FROM qd) WHERE rn <= {_SS15_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {cos_sql('p.qv', 'a.qv')} AS score
+  FROM pr p JOIN a{n} a ON a.cid = p.cid AND a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rn
+  FROM cand) WHERE rn <= {_SS15_K}
+ORDER BY query_id, neighbor_id"""
+
+
+@register("ss15_ivf_kmeans_ann", oracle=_ss15_oracle())
+def ss15_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors with a fully DETERMINISTIC
+    coarse quantizer: ss13's exact-int k-means replaces the Spark-ML
+    trained cells of ss05, making the complete IVF answer — cell
+    assignment, probe choice, candidate scoring, ranking —
+    hash-pinnable against a DuckDB replay of the whole pipeline
+    (ss05's seeded float k-means is engine-local, hence rows-only;
+    this is its oracle-backed twin). n_probe=2 of k=8 cells: each
+    query exactly scores ~1/4 of the corpus via a cell equi-join —
+    the FAISS-IVF recall/cost dial with a deterministic index."""
+    from ..operators.clustering import ivf_topk_kmeans, kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk_kmeans(
+        emb, queries, "vec_id", "embedding", cent,
+        k=_SS15_K, n_probe=_SS15_NPROBE,
+    ).orderBy("query_id", "neighbor_id")

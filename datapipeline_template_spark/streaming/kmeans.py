@@ -1,0 +1,159 @@
+"""Streaming k-means assignment maintenance — the clustering-side
+member of the incremental-index family (MinHash signatures, sign-LSH
+vectors, rollups, chunk registries, and now cluster assignments).
+
+The production SemDeDup shape: the k-means FIT runs once over a
+bootstrap sample (``operators/clustering.kmeans_fit`` — centroids are
+k·dim longs, trivially persistable), then the full corpus streams
+through ASSIGNMENT only. Each micro-batch is quantized and assigned
+with the map-only Arrow kernel (centroids frozen in the closure; no
+shuffle, no state reads), and the (id, cluster, dist) rows are
+appended to a maintained assignment table. After any number of drains
+the table equals ``kmeans_assign`` over every vector seen — assignment
+is write-once per vector because the centroids are frozen, which is
+what makes the operator embarrassingly streamable.
+
+Exactly-once under at-least-once ``foreachBatch`` delivery: the family
+contract — per-``_batch`` dynamic-partition overwrite makes replays
+byte-idempotent, and a committed-batch marker makes them cheap no-ops.
+
+At 100 TB: the assignment table is the partition key for every
+downstream within-cluster operation (dd15's pair join, per-cluster
+survivor selection), so maintaining it incrementally means a corpus
+append never recomputes the clustering of the existing mass — the
+exact scale argument the incremental-silver path makes for dedup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import quantize_vec
+from ..operators.clustering import kmeans_assign
+
+__all__ = ["IncrementalKmeansAssign"]
+
+
+class IncrementalKmeansAssign:
+    """Maintains an (id, cluster, dist) assignment table from a stream
+    of (id, vector) rows against FROZEN centroids, one micro-batch at
+    a time."""
+
+    def __init__(
+        self,
+        store_path: str,
+        centroids: list[list[int]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.store_path = store_path
+        self.centroids = [[int(v) for v in cv] for cv in centroids]
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._persist_centroids()
+
+    # -- store layout ------------------------------------------------------
+
+    @property
+    def _assign_path(self) -> str:
+        return os.path.join(self.store_path, "assignments")
+
+    @property
+    def _centroid_path(self) -> str:
+        return os.path.join(self.store_path, "centroids.json")
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.store_path, "_commits", str(batch_id))
+
+    def _persist_centroids(self) -> None:
+        """Centroids are part of the store: a maintainer re-created
+        against an existing store must use the SAME frozen centroids
+        or every invariant silently breaks — fail loudly instead."""
+        os.makedirs(self.store_path, exist_ok=True)
+        if os.path.exists(self._centroid_path):
+            stored = json.load(open(self._centroid_path))
+            if stored != self.centroids:
+                raise ValueError(
+                    "store was built with different centroids; assignment "
+                    "is write-once only under frozen centroids — re-fit "
+                    "requires a full rebuild into a fresh store_path"
+                )
+        else:
+            json.dump(self.centroids, open(self._centroid_path, "w"))
+
+    # -- foreachBatch body -------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            return
+        q = batch.select(
+            F.col(self.id_col).alias("_id"),
+            quantize_vec(F.col(self.vec_col)).alias("_qv"),
+        )
+        assigned = kmeans_assign(q, "_qv", self.centroids).select(
+            "_id", "cluster", "dist"
+        )
+        assigned.withColumn("_batch", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("_batch").parquet(
+            self._assign_path
+        )
+        self._commit(batch_id)
+
+    def _commit(self, batch_id: int) -> None:
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        open(self._marker(batch_id), "w").close()
+
+    # -- drives ------------------------------------------------------------
+
+    def run_available_now(self, stream_df: DataFrame, checkpoint: str) -> None:
+        """Drain all pending input (AvailableNow, R21), maintaining the
+        assignment table incrementally."""
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- reads -------------------------------------------------------------
+
+    def assignments(self, spark: SparkSession) -> DataFrame:
+        """All maintained (id, cluster, dist) rows. Empty-store
+        handling gated on directory existence (family convention —
+        never a broad except)."""
+        from pyspark.sql import types as T
+
+        if os.path.isdir(self._assign_path):
+            return (
+                spark.read.parquet(self._assign_path)
+                .select(F.col("_id").alias(self.id_col), "cluster", "dist")
+            )
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(self.id_col, T.LongType()),
+                    T.StructField("cluster", T.LongType()),
+                    T.StructField("dist", T.LongType()),
+                ]
+            ),
+        )
+
+    def cluster_stats(self, spark: SparkSession) -> DataFrame:
+        """Per-cluster (n_vecs, inertia) over the maintained table —
+        the ss13 stats shape, kept current without any recompute of
+        the assigned mass."""
+        return (
+            self.assignments(spark)
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("dist").alias("inertia"),
+            )
+        )

@@ -109,3 +109,48 @@ def test_semdedup_is_a_set_no_duplicate_marks(spark):
     n = out.count()
     assert n == out.select("vec_id").distinct().count()
     assert 0 < n < emb.count()
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing ALL cells must recover the exact brute-force top-k —
+    pins that cell routing only ever PRUNES candidates and the
+    scoring/ranking path is the exact one."""
+    from datapipeline_template_spark.operators.clustering import (
+        ivf_topk_kmeans,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=2)
+    queries = emb.where("vec_id < 5")
+    ivf = ivf_topk_kmeans(
+        emb, queries, "vec_id", "embedding", cent, k=5, n_probe=4
+    )
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert got == want
+
+
+def test_ivf_partial_probe_recall_floor(spark):
+    """n_probe=2 of 4 cells must keep a sane recall vs brute force at
+    these params (deterministic fixture — exact expected overlap is
+    stable, floor pinned loosely for robustness to testdata regen)."""
+    from datapipeline_template_spark.operators.clustering import (
+        ivf_topk_kmeans,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=2)
+    queries = emb.where("vec_id < 20")
+    ivf = ivf_topk_kmeans(
+        emb, queries, "vec_id", "embedding", cent, k=5, n_probe=2
+    )
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"recall {recall:.2f} under floor"

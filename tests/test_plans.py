@@ -314,3 +314,52 @@ def test_ss11_multiprobe_retrieval_equi_join_no_distinct(spark):
     # No dedup: a HashAggregate over (id_a, id_b) would betray a
     # distinct creeping back in for the single-table form.
     assert "keys=[id_a" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """ss13's scale claim: assignment has NO exchange — centroids ride
+    the UDF closure, so the kernel stage is a pure map over the scan."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.clustering import kmeans_assign
+
+    emb = table(spark, SF, "embeddings")
+    q = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    plan = (
+        kmeans_assign(q, "_qv", [[0] * 64, [1] * 64])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # the pandas_udf kernel, Arrow-batched
+
+
+def test_dd15_pair_join_is_equi_no_cartesian(spark):
+    """SemDeDup's within-cluster pass must plan as a hash-partitioned
+    equi-join on cluster — never a cartesian/BNLJ all-pairs."""
+    plan = _plan(spark, "dd15_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ss14_mutual_knn_single_join_single_window(spark):
+    """The kNN-graph candidate join is label-blocked (equi) and
+    appears ONCE — both edge orientations explode from the same join
+    row, and mutuality is a pair-count groupBy, not a semi-join that
+    would re-derive the ranked subtree. WindowGroupLimit must prune
+    to k map-side before the ranking exchange."""
+    plan = _plan(spark, "ss14_mutual_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") == 1
+    assert plan.count("Window [row_number()") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_tx19_classifier_partial_aggs(spark):
+    """Vocabulary build and per-doc counts must map-side combine, and
+    nothing in the classifier may plan as a cartesian product (the
+    1-row totals crossJoin is a broadcast NLJ over one row, which is
+    the intended shape)."""
+    plan = _plan(spark, "tx19_classifier_filter")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

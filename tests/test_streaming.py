@@ -598,3 +598,96 @@ def test_sign_lsh_pairs_empty_store_typed(spark, tmp_path):
         ("id_a", T.LongType()),
         ("id_b", T.LongType()),
     ]
+
+
+def test_incremental_kmeans_assignment_matches_batch(spark, tmp_path, sf_dir):
+    """Clustering-side maintenance (fourth instance of the dd09
+    equivalence contract): freeze centroids from a bootstrap fit,
+    drain the corpus in TWO AvailableNow passes, and the maintained
+    assignment table must equal batch kmeans_assign over every vector
+    seen; replays are no-ops, a crash window self-repairs, and a
+    maintainer re-created with DIFFERENT centroids refuses the store."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.streaming.kmeans import (
+        IncrementalKmeansAssign,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    boot = emb.where("vec_id < 100")
+    cent = kmeans_fit(boot, "vec_id", "embedding", k=4, n_iter=2)
+
+    schema_str = "vec_id long, embedding array<float>"
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "km_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalKmeansAssign(store, cent)
+
+    batch1 = emb.where("vec_id < 150")
+    batch2 = emb.where("vec_id >= 150 AND vec_id < 250")
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    seen = emb.where("vec_id < 250")
+    q = seen.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    want = {
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in kmeans_assign(q, "_qv", cent)
+        .select("vec_id", "cluster", "dist")
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in inc.assignments(spark).collect()
+    }
+    assert got == want and len(got) == 250
+
+    # Replay safety: re-delivering batch 0 under its batch_id no-ops.
+    inc.process_batch(batch1, batch_id=0)
+    assert inc.assignments(spark).count() == 250
+
+    # Crash-window repair: marker lost after data landed → identical
+    # overwrite, no duplicates.
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(batch2, batch_id=1)
+    got2 = {
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in inc.assignments(spark).collect()
+    }
+    assert got2 == want
+
+    # Frozen-centroid guard: different centroids on an existing store
+    # must refuse instead of silently mixing assignment regimes.
+    other = [[v + 1 for v in cv] for cv in cent]
+    with pytest.raises(ValueError, match="different centroids"):
+        IncrementalKmeansAssign(store, other)
+
+    # cluster_stats equals the batch aggregate.
+    stats = {
+        (r["cluster"], r["n_vecs"], r["inertia"])
+        for r in inc.cluster_stats(spark).collect()
+    }
+    want_stats = {
+        (r["cluster"], r["n_vecs"], r["inertia"])
+        for r in kmeans_assign(q, "_qv", cent)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("dist").alias("inertia"))
+        .collect()
+    }
+    assert stats == want_stats
