@@ -229,6 +229,7 @@ def semdedup(
     n_iter: int = 4,
     threshold: float = 0.3,
     centroids: list[list[int]] | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup: within-cluster cosine near-dup removal.
 
@@ -245,12 +246,34 @@ def semdedup(
     the join condition is one zip_with dot per pair; the pair join is
     an equi-join on cluster (hash-partitions across executors, never
     all-pairs); the final dedup of marked ids is one distinct on
-    (cluster, id). Σ|cluster|² stays bounded when k grows with N.
+    (cluster, id). Σ|cluster|² stays bounded when k grows with N —
+    that scaling is the CALLER's contract (the paper's k∝N rule);
+    ``max_cluster_size`` makes it enforced instead of assumed: when
+    set, a k-row size probe (one tiny agg job) raises before a
+    quadratic hot-cluster join can run away, naming the cluster and
+    the recommended fix (re-fit with larger k).
     """
     if centroids is None:
         centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter)
     q = df.select(F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv"))
     assigned = kmeans_assign(q, "_qv", centroids)
+    if max_cluster_size is not None:
+        hot = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_cluster_size)
+            .orderBy("cluster")
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"cluster {hot[0]['cluster']} has {hot[0]['n']} members "
+                f"> max_cluster_size={max_cluster_size}; the within-cluster "
+                "pair join would go quadratic on it — re-fit with a larger "
+                "k (SemDeDup scales k with the corpus) or raise the cap "
+                "explicitly."
+            )
 
     cent_arr = F.array(
         *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in centroids]

@@ -154,3 +154,19 @@ def test_ivf_partial_probe_recall_floor(spark):
     want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, f"recall {recall:.2f} under floor"
+
+
+def test_semdedup_hot_cluster_guard(spark):
+    """max_cluster_size must refuse a quadratic hot cluster loudly
+    (the k∝N contract enforced, not assumed) and pass when sized."""
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup(
+            emb, "vec_id", "embedding", k=2, n_iter=1,
+            threshold=0.3, max_cluster_size=3,
+        )
+    out = semdedup(
+        emb, "vec_id", "embedding", k=2, n_iter=1,
+        threshold=0.3, max_cluster_size=10_000,
+    )
+    assert out.count() > 0

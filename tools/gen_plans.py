@@ -290,6 +290,73 @@ def main() -> None:
         ],
     )
 
+    from datapipeline_template_spark.functions import quantize_vec as _qv
+    from datapipeline_template_spark.operators.clustering import kmeans_assign
+
+    _embq = _table(spark, sf, "embeddings").select(
+        "vec_id", _qv("embedding").alias("_x")
+    )
+    section_df(
+        "ss13/dd15 assignment (kmeans_assign)",
+        "k-means assignment is MAP-ONLY: centroids ride the Arrow "
+        "kernel closure, no exchange anywhere — the property that "
+        "makes both the per-iteration fit pass and streaming "
+        "assignment embarrassingly parallel",
+        kmeans_assign(_embq, "_x", [[0] * 64, [1] * 64]),
+        [
+            ("Kernel (Arrow)", r"ArrowEvalPython[^\n]{0,60}"),
+            ("Exchanges", r"Exchange[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "dd15_semdedup",
+        "SemDeDup within-cluster pairs: per-row centroid cosine before "
+        "the join, pair join is an equi-join on cluster (never "
+        "all-pairs), one distinct on the marked set",
+        [
+            ("Cluster join keys", r"hashpartitioning\(cluster[^)]{0,40}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
+    section(
+        "ss14_mutual_knn_graph",
+        "mutual kNN: ONE label-blocked candidate join (both edge "
+        "orientations exploded from the same join row), "
+        "WindowGroupLimit prunes to k map-side before the ranking "
+        "exchange, mutuality is a pair-count groupBy (no semi-join "
+        "re-deriving the ranked subtree)",
+        [
+            ("Map-side top-k prune", r"WindowGroupLimit[^\n]{0,60}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+            ("Mutuality agg", r"partial_count\([^)]{0,20}"),
+        ],
+    )
+
+    section(
+        "ss15_ivf_kmeans_ann",
+        "deterministic IVF: map-only cell assignment + per-row probe "
+        "selection, candidates on a cell equi-join (each query touches "
+        "~n_probe/k of the corpus), exact rerank under one query "
+        "window",
+        [
+            ("Cell join keys", r"hashpartitioning\(cluster[^)]{0,40}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
+    section(
+        "tx19_classifier_filter",
+        "log-odds classifier: one token explode feeds vocab build and "
+        "per-doc counts (both map-side combined), score join is a "
+        "token equi-join — vocab never broadcast-required",
+        [
+            ("Partial combine", r"partial_(?:sum|count)\([^)]{0,30}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ],
+    )
+
 
 if __name__ == "__main__":
     main()
