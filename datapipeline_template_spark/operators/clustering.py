@@ -201,26 +201,6 @@ def kmeans_fit(
     return centroids
 
 
-def _cos_hof(a: Column, b: Column) -> Column:
-    """Cosine over two ALREADY-quantized int64 arrays: exact int dot &
-    norms via zip_with/aggregate (the Spark-4.1 join-codegen-fast form,
-    cf. functions.cosine_prequantized_hof), one final double divide."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    n1 = F.aggregate(
-        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda p, v: p + v
-    )
-    n2 = F.aggregate(
-        F.transform(b, lambda x: x * x), F.lit(0).cast("long"), lambda p, v: p + v
-    )
-    return dot.cast("double") / (
-        F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double"))
-    )
-
-
 def semdedup(
     df: DataFrame,
     id_col: str,
@@ -253,6 +233,8 @@ def semdedup(
     quadratic hot-cluster join can run away, naming the cluster and
     the recommended fix (re-fit with larger k).
     """
+    from ..functions import cosine_prequantized_hof, norm_sq_prequantized
+
     if centroids is None:
         centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter)
     q = df.select(F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv"))
@@ -275,15 +257,28 @@ def semdedup(
                 "explicitly."
             )
 
+    # Per-ROW precomputation (the ss01-family convention): squared
+    # norm once per vector, centroid norms as Python-computed literals
+    # — the pair-join condition then pays ONE zip_with dot per pair
+    # instead of re-deriving two norms (O(pairs·dim) waste) per pair.
     cent_arr = F.array(
         *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in centroids]
     )
-    with_cs = assigned.select(
+    cent_norms = F.array(
+        *[F.lit(sum(v * v for v in cv)).cast("long") for cv in centroids]
+    )
+    cidx = (F.col("cluster") + 1).cast("int")
+    with_n = assigned.withColumn("_n", norm_sq_prequantized(F.col("_qv")))
+    with_cs = with_n.select(
         "vec_id",
         "cluster",
         "_qv",
-        _cos_hof(
-            F.col("_qv"), F.element_at(cent_arr, (F.col("cluster") + 1).cast("int"))
+        "_n",
+        cosine_prequantized_hof(
+            F.col("_qv"),
+            F.element_at(cent_arr, cidx),
+            F.col("_n"),
+            F.element_at(cent_norms, cidx),
         ).alias("_cs"),
     )
 
@@ -291,16 +286,23 @@ def semdedup(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
         F.col("_qv").alias("_qa"),
+        F.col("_n").alias("_na"),
         F.col("_cs").alias("_csa"),
     )
     b = with_cs.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_b"),
         F.col("_qv").alias("_qb"),
+        F.col("_n").alias("_nb"),
         F.col("_cs").alias("_csb"),
     )
     pairs = a.join(b, on="cluster").where(F.col("id_a") < F.col("id_b"))
-    pairs = pairs.where(_cos_hof(F.col("_qa"), F.col("_qb")) >= F.lit(threshold))
+    pairs = pairs.where(
+        cosine_prequantized_hof(
+            F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb")
+        )
+        >= F.lit(threshold)
+    )
     marked = pairs.select(
         "cluster",
         F.when(F.col("_csa") > F.col("_csb"), F.col("id_a"))
@@ -340,12 +342,14 @@ def ivf_topk_kmeans(
     hash-partitions across the cluster, each query touching
     ~|corpus|·n_probe/k vectors — the FAISS-IVF recall/cost dial.
     """
+    from ..functions import cosine_prequantized_hof, norm_sq_prequantized
+
     qid = query_id_col or id_col
     q_corp = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm_sq_prequantized(F.col("_cv")))
     assigned = kmeans_assign(q_corp, "_cv", centroids).select(
-        "neighbor_id", "_cv", "cluster"
+        "neighbor_id", "_cv", "_cn", "cluster"
     )
 
     structs = []
@@ -367,8 +371,10 @@ def ivf_topk_kmeans(
             "_probe",
             F.slice(F.array_sort(F.array(*structs)), 1, n_probe),
         )
+        .withColumn("_qn", norm_sq_prequantized(F.col("_qv")))
         .select(
-            "query_id", "_qv", F.explode("_probe.cluster").alias("cluster")
+            "query_id", "_qv", "_qn",
+            F.explode("_probe.cluster").alias("cluster"),
         )
     )
 
@@ -377,7 +383,11 @@ def ivf_topk_kmeans(
     cand = probes.join(assigned, on="cluster").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    score = _cos_hof(F.col("_qv"), F.col("_cv"))
+    # Norms precomputed per row pre-join — the candidate scoring pays
+    # one zip_with dot per pair (the ss01-family fast form).
+    score = cosine_prequantized_hof(
+        F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
