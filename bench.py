@@ -87,6 +87,7 @@ SECONDARY = [
     "tx19_classifier_filter",
     "pipe09_curation_funnel",
     "ss14_mutual_knn_graph",
+    "ss15_ivf_kmeans_ann",
 ]
 
 
