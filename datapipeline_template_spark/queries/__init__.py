@@ -100,6 +100,7 @@ _OVERFLOW = (
     "pipe09_curation_funnel",
     "ss14_mutual_knn_graph",
     "ss15_ivf_kmeans_ann",
+    "pipe10_drop_attribution",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

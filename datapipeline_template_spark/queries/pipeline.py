@@ -383,23 +383,11 @@ ORDER BY stage_idx
 """
 
 
-@register("pipe09_curation_funnel", oracle=_PIPE09_ORACLE)
-def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed LLM-curation pipeline as one funnel query —
-    language-ID ('en' only) → Gopher quality gate → 10-token-prefix
-    dedup (boilerplate-head copies, keep-lowest-id) → log-odds classifier keep — with per-stage
-    surviving-document counts, the drop-metrics shape every production
-    curation run reports (C4 §2.2, Gopher A1, RefinedWeb fig. 2).
-
-    Every stage reuses the registered operator (language_id,
-    gopher_rules, logodds_classifier), so this is the composition
-    proof: flags for all stages are computed in ONE pass over the
-    corpus (no per-stage rescans), the dedup rank rides a single
-    window partitioned by (text, stage-2-survivorship), the classifier
-    join is the tx19 token equi-join, and the funnel collapses to a
-    1-row aggregate unpivoted via stack(). Scale: one text-partition
-    window shuffle + the classifier's token shuffle; everything else
-    is map-side."""
+def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pipe09/pipe10 stage evaluation: per-doc booleans for the
+    language gate, Gopher gate, prefix-dedup survivorship, and
+    classifier keep — all in one pass over the corpus (one
+    prefix-partition window + the tx19 token joins)."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -426,12 +414,34 @@ def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = logodds_classifier(
         docs, "doc_id", "text", F.col("source").isin("src0", "src1")
     )
-    full = ranked.join(scores.select("doc_id", "score"), on="doc_id").select(
+    return ranked.join(scores.select("doc_id", "score"), on="doc_id").select(
+        "doc_id",
         "f_lang",
+        "f_gopher",
         "surv2",
         (F.col("surv2") & (F.col("rn") == 1)).alias("f_dedup"),
         (F.col("surv2") & (F.col("rn") == 1) & (F.col("score") > 0)).alias("f_cls"),
     )
+
+
+@register("pipe09_curation_funnel", oracle=_PIPE09_ORACLE)
+def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-curation pipeline as one funnel query —
+    language-ID ('en' only) → Gopher quality gate → 10-token-prefix
+    dedup (boilerplate-head copies, keep-lowest-id) → log-odds classifier keep — with per-stage
+    surviving-document counts, the drop-metrics shape every production
+    curation run reports (C4 §2.2, Gopher A1, RefinedWeb fig. 2).
+
+    Every stage reuses the registered operator (language_id,
+    gopher_rules, logodds_classifier), so this is the composition
+    proof: flags for all stages are computed in ONE pass over the
+    corpus (no per-stage rescans), the dedup rank rides a single
+    window partitioned by (text, stage-2-survivorship), the classifier
+    join is the tx19 token equi-join, and the funnel collapses to a
+    1-row aggregate unpivoted via stack(). Scale: one text-partition
+    window shuffle + the classifier's token shuffle; everything else
+    is map-side."""
+    full = _curation_flags(spark, sf_dir)
     counts = full.agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum(F.when(F.col("f_lang"), 1).otherwise(0)).cast("long").alias("n1"),
@@ -446,3 +456,43 @@ def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "4L, 'classifier', n4) AS (stage_idx, stage, n_docs)"
         )
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# pipe10 — per-document drop attribution (curation provenance).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+# Reuses pipe09's flag CTEs verbatim up to `flagged`, then attributes
+# each document to its FIRST failing stage instead of aggregating.
+_PIPE10_ORACLE = _PIPE09_ORACLE.split("), counts AS (")[0] + """)
+SELECT doc_id,
+       CASE WHEN NOT f_lang THEN 'language_en'
+            WHEN NOT surv2 THEN 'gopher_quality'
+            WHEN NOT f_dedup THEN 'prefix_dedup'
+            WHEN NOT f_cls THEN 'classifier'
+            ELSE 'kept' END AS drop_stage
+FROM flagged
+ORDER BY doc_id
+"""
+
+
+@register("pipe10_drop_attribution", oracle=_PIPE10_ORACLE)
+def pipe10_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation provenance: the audit record production
+    pipelines keep alongside the funnel — each document labeled with
+    the FIRST stage that dropped it ('language_en', 'gopher_quality',
+    'prefix_dedup', 'classifier') or 'kept'. Shares pipe09's one-pass
+    stage evaluation (_curation_flags) and its oracle's CTE chain, so
+    funnel counts and attribution can never drift apart; the only
+    added work over pipe09 is emitting rows instead of the 1-row
+    aggregate."""
+    flags = _curation_flags(spark, sf_dir)
+    stage = (
+        F.when(~F.col("f_lang"), F.lit("language_en"))
+        .when(~F.col("surv2"), F.lit("gopher_quality"))
+        .when(~F.col("f_dedup"), F.lit("prefix_dedup"))
+        .when(~F.col("f_cls"), F.lit("classifier"))
+        .otherwise(F.lit("kept"))
+    )
+    return flags.select("doc_id", stage.alias("drop_stage")).orderBy("doc_id")
