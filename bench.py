@@ -88,6 +88,7 @@ SECONDARY = [
     "pipe09_curation_funnel",
     "ss14_mutual_knn_graph",
     "ss15_ivf_kmeans_ann",
+    "ss16_ivf_recall",
 ]
 
 

@@ -101,6 +101,7 @@ _OVERFLOW = (
     "ss14_mutual_knn_graph",
     "ss15_ivf_kmeans_ann",
     "pipe10_drop_attribution",
+    "ss16_ivf_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -952,3 +952,111 @@ def ss15_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", cent,
         k=_SS15_K, n_probe=_SS15_NPROBE,
     ).orderBy("query_id", "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
+# ss16 — IVF recall accounting over the deterministic quantizer.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS16_NQ, _SS16_K = 50, 5
+
+
+def _ss16_oracle() -> str:
+    from ._kmeans_sql import cos_sql, kmeans_ctes
+
+    n = _KM_ITER
+    # kmeans ctes run on the eval slice — swap the corpus CTE source.
+    ctes = kmeans_ctes(_KM_K, n, _KM_DIM).replace(
+        "FROM embeddings",
+        f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+        1,
+    )
+    probe_blocks, selects = [], []
+    for np_ in (1, 2, 4):
+        probe_blocks.append(f""", pr{np_} AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT t.query_id, t.qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY
+             list_sum(list_transform(list_zip(t.qv, c.cv),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM qry t CROSS JOIN c{n} c) WHERE rn <= {np_}
+), ret{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+             {cos_sql('p.qv', 'a.qv')} DESC, a.vec_id) AS rk
+    FROM pr{np_} p JOIN a{n} a ON a.cid = p.cid
+                              AND a.vec_id != p.query_id
+  ) WHERE rk <= {_SS16_K}
+), h{np_} AS (
+  SELECT COUNT(*) AS n_hit
+  FROM truth t JOIN ret{np_} r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+)""")
+        selects.append(
+            f"SELECT {np_} AS n_probe, (SELECT n_truth FROM tc) AS n_truth, "
+            f"(SELECT n_hit FROM h{np_}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{np_}) AS DOUBLE) / "
+            f"(SELECT n_truth FROM tc) AS recall"
+        )
+    body = "\nUNION ALL ".join(selects)
+    return f"""WITH {ctes}
+, qry AS (
+  SELECT vec_id AS query_id, qv FROM qv WHERE vec_id < {_SS16_NQ}
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {cos_sql('q.qv', 'e.qv')} DESC, e.vec_id) AS rk
+    FROM qry q JOIN qv e ON e.vec_id != q.query_id
+  ) WHERE rk <= {_SS16_K}
+), tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+{''.join(probe_blocks)}
+{body}
+ORDER BY n_probe"""
+
+
+@register("ss16_ivf_recall", oracle=_ss16_oracle())
+def ss16_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF accuracy accounting — completes the sketch-error family
+    (dd13 MinHash error, ss08/ss09/ss11 sign-LSH recall) for the
+    deterministic IVF index: exact brute-force top-5 truth for 50
+    queries over the fixed eval slice, scored against ss15's retrieval
+    at n_probe = 1, 2, 4 of 8 cells — the recall/cost dial measured,
+    hash-pinned, and replayed end-to-end (fit + route + probe + rank)
+    by the oracle. The slice convention (complete corpus at the sf0.01
+    gate) keeps the quadratic truth join bounded at any scale factor."""
+    from ..operators.clustering import ivf_topk_kmeans, kmeans_fit
+    from ..operators.similarity import cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    queries = emb.where(F.col("vec_id") < _SS16_NQ)
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER)
+    truth = cosine_topk(
+        emb, queries, "vec_id", "embedding", k=_SS16_K
+    ).select("query_id", "neighbor_id")
+    out = None
+    for np_ in (1, 2, 4):
+        ret = ivf_topk_kmeans(
+            emb, queries, "vec_id", "embedding", cent,
+            k=_SS16_K, n_probe=np_,
+        ).select("query_id", "neighbor_id")
+        hit = truth.join(ret, ["query_id", "neighbor_id"], "left_semi")
+        counts = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "n_truth",
+                "n_hit",
+                (
+                    F.col("n_hit").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out.orderBy("n_probe")
