@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..functions import quantize_vec
 from ..operators.clustering import kmeans_assign
 
-__all__ = ["IncrementalKmeansAssign"]
+__all__ = ["IncrementalKmeansAssign", "IncrementalSemDeDup"]
 
 
 class IncrementalKmeansAssign:
@@ -156,4 +156,178 @@ class IncrementalKmeansAssign:
                 F.count(F.lit(1)).alias("n_vecs"),
                 F.sum("dist").alias("inertia"),
             )
+        )
+
+
+class IncrementalSemDeDup(IncrementalKmeansAssign):
+    """Streaming SemDeDup maintenance: a growing embedding corpus
+    never re-pairs itself. Each micro-batch is assigned to its frozen
+    cluster (write-once, inherited machinery), joined against ONLY the
+    stored same-cluster vectors, and exactly the removal marks
+    TOUCHING the batch (new×existing and new×new) are appended. After
+    any number of drains the marked set equals batch
+    ``operators/clustering.semdedup`` over every vector seen with the
+    same frozen centroids — a pair is examined exactly once, in the
+    batch where its LATER member arrives (the IncrementalSignLsh
+    contract, applied to semantic dedup).
+
+    The removal rule is per-pair local (mark the higher
+    centroid-similarity member; exact ties mark the larger id), which
+    is what makes incremental emission equal to the batch operator:
+    no mark depends on pairs outside the one being examined.
+
+    Store layout adds a ``vectors`` table (quantized array + squared
+    norm + centroid cosine, paid once at ingest) and a ``marks`` table
+    beside the inherited assignments; exactly-once via the same
+    per-batch overwrite + marker discipline.
+    """
+
+    def __init__(
+        self,
+        store_path: str,
+        centroids: list[list[int]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.3,
+        broadcast_max_rows: int = 2_000_000,
+    ) -> None:
+        super().__init__(store_path, centroids, id_col, vec_col)
+        self.threshold = threshold
+        self.broadcast_max_rows = broadcast_max_rows
+
+    @property
+    def _vec_path(self) -> str:
+        return os.path.join(self.store_path, "vectors")
+
+    @property
+    def _marks_path(self) -> str:
+        return os.path.join(self.store_path, "marks")
+
+    def _prepare(self, batch: DataFrame) -> DataFrame:
+        """(id, vec) → (_id, cluster, _qv, _n, _cs): per-row ingest
+        work paid once — kernel assignment, squared norm, cosine to
+        the (literal-normed) frozen centroid."""
+        from ..functions import cosine_prequantized_hof, norm_sq_prequantized
+
+        q = batch.select(
+            F.col(self.id_col).alias("_id"),
+            quantize_vec(F.col(self.vec_col)).alias("_qv"),
+        )
+        assigned = kmeans_assign(q, "_qv", self.centroids)
+        cent_arr = F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("long") for v in cv])
+                for cv in self.centroids
+            ]
+        )
+        cent_norms = F.array(
+            *[F.lit(sum(v * v for v in cv)).cast("long") for cv in self.centroids]
+        )
+        cidx = (F.col("cluster") + 1).cast("int")
+        return assigned.withColumn(
+            "_n", norm_sq_prequantized(F.col("_qv"))
+        ).select(
+            "_id",
+            "cluster",
+            "dist",
+            "_qv",
+            "_n",
+            cosine_prequantized_hof(
+                F.col("_qv"),
+                F.element_at(cent_arr, cidx),
+                F.col("_n"),
+                F.element_at(cent_norms, cidx),
+            ).alias("_cs"),
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        from ..functions import cosine_prequantized_hof
+
+        if os.path.exists(self._marker(batch_id)):
+            return
+        spark = batch.sparkSession
+        new_v = self._prepare(batch).localCheckpoint(eager=True)
+        n_new = new_v.count()
+        if n_new == 0:
+            self._commit(batch_id)
+            return
+
+        if os.path.isdir(self._vec_path):
+            existing = (
+                spark.read.parquet(self._vec_path)
+                # Crash-after-write replays must not see their own rows.
+                .where(F.col("_batch") != F.lit(int(batch_id)))
+                .drop("_batch")
+            )
+        else:
+            existing = spark.createDataFrame([], new_v.schema)
+        all_v = existing.unionByName(new_v)
+
+        # Probe-side broadcast gated on the batch count already in hand
+        # (the IncrementalSignLsh discipline): a normal micro-batch
+        # broadcasts against the big stored corpus, a backfill degrades
+        # to a shuffle join instead of OOMing executors.
+        probe = (
+            F.broadcast(new_v) if n_new <= self.broadcast_max_rows else new_v
+        )
+        a = probe.alias("a")
+        b = all_v.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._id") != F.col("b._id")),
+        ).where(
+            cosine_prequantized_hof(
+                F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n")
+            )
+            >= F.lit(self.threshold)
+        )
+        # Same rule as the batch operator; new×new pairs appear in both
+        # orientations and resolve to the same mark → distinct dedups.
+        marks = pairs.select(
+            F.col("a.cluster").alias("cluster"),
+            F.when(F.col("a._cs") > F.col("b._cs"), F.col("a._id"))
+            .when(F.col("b._cs") > F.col("a._cs"), F.col("b._id"))
+            .otherwise(F.greatest("a._id", "b._id"))
+            .alias("vec_id"),
+        ).distinct()
+
+        marks.withColumn("_batch", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("_batch").parquet(
+            self._marks_path
+        )
+        new_v.withColumn("_batch", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("_batch").parquet(
+            self._vec_path
+        )
+        # Maintain the inherited assignment table too, from the SAME
+        # prepared rows — no second kernel pass over the batch.
+        new_v.select("_id", "cluster", "dist").withColumn(
+            "_batch", F.lit(int(batch_id))
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch").parquet(self._assign_path)
+        self._commit(batch_id)
+
+    def marks(self, spark: SparkSession) -> DataFrame:
+        """All maintained (cluster, vec_id) removal marks, distinct
+        across batches. Directory-existence gated (family convention)."""
+        from pyspark.sql import types as T
+
+        if os.path.isdir(self._marks_path):
+            return (
+                spark.read.parquet(self._marks_path)
+                .select("cluster", "vec_id")
+                .distinct()
+            )
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cluster", T.LongType()),
+                    T.StructField("vec_id", T.LongType()),
+                ]
+            ),
         )

@@ -691,3 +691,63 @@ def test_incremental_kmeans_assignment_matches_batch(spark, tmp_path, sf_dir):
         .collect()
     }
     assert stats == want_stats
+
+
+def test_incremental_semdedup_matches_batch(spark, tmp_path, sf_dir):
+    """Fifth instance of the dd09 equivalence contract — semantic
+    dedup: drain embeddings in TWO AvailableNow passes against frozen
+    centroids; the maintained removal marks must equal batch semdedup
+    over every vector seen, replays no-op, a crash window
+    self-repairs, and the assignment table stays current from the
+    same prepared rows."""
+    import os
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import (
+        kmeans_fit,
+        semdedup,
+    )
+    from datapipeline_template_spark.streaming.kmeans import IncrementalSemDeDup
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = kmeans_fit(
+        emb.where("vec_id < 100"), "vec_id", "embedding", k=4, n_iter=2
+    )
+
+    schema_str = "vec_id long, embedding array<float>"
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "sd_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalSemDeDup(store, cent, threshold=0.3)
+
+    batch1 = emb.where("vec_id < 150")
+    batch2 = emb.where("vec_id >= 150 AND vec_id < 250")
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    seen = emb.where("vec_id < 250")
+    want = {
+        (r["cluster"], r["vec_id"])
+        for r in semdedup(
+            seen, "vec_id", "embedding", centroids=cent, threshold=0.3
+        ).collect()
+    }
+    assert want, "fixture must produce marks"
+    got = {(r["cluster"], r["vec_id"]) for r in inc.marks(spark).collect()}
+    assert got == want
+    assert inc.assignments(spark).count() == 250
+
+    # Replay safety + crash-window repair.
+    inc.process_batch(batch1, batch_id=0)
+    assert {(r["cluster"], r["vec_id"]) for r in inc.marks(spark).collect()} == want
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(batch2, batch_id=1)
+    assert {(r["cluster"], r["vec_id"]) for r in inc.marks(spark).collect()} == want
+    assert inc.assignments(spark).count() == 250
