@@ -89,6 +89,8 @@ SECONDARY = [
     "ss14_mutual_knn_graph",
     "ss15_ivf_kmeans_ann",
     "ss16_ivf_recall",
+    "pipe10_drop_attribution",
+    "mm04_byte_chunk_features",
 ]
 
 

@@ -17,14 +17,13 @@ signatures — is real and tested.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import TYPE_CHECKING
 
+import pandas as pd  # noqa: F401 — module scope so pandas_udf type
+# hints ('pd.Series') resolve at decoration time (same pattern as
+# queries/text.py; TYPE_CHECKING-only broke byte_chunk_features).
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-if TYPE_CHECKING:  # pragma: no cover
-    import pandas as pd
 
 __all__ = [
     "MEDIA_META_SCHEMA",
@@ -34,6 +33,7 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "media_byte_stats",
+    "byte_chunk_features",
 ]
 
 # Typed metadata carried beside every media blob.
@@ -206,3 +206,38 @@ def media_byte_stats(df: DataFrame, binary_col: str, group_col: str) -> DataFram
         F.sum(F.octet_length(binary_col).cast("long")).alias("total_bytes"),
         (F.sum(F.octet_length(binary_col).cast("long")).cast("double") / n).alias("avg_bytes"),
     )
+
+
+def byte_chunk_features(
+    df: DataFrame, binary_col: str, n_chunks: int = 8
+) -> DataFrame:
+    """Deterministic feature extraction over an opaque binary column —
+    the embedding-from-media stage with the Spark plumbing real and
+    the featurizer a stand-in: the blob splits into ``n_chunks`` equal
+    byte ranges (last ranges may be short/empty) and each chunk's
+    exact byte-value sum becomes one int64 feature. A production
+    deployment swaps the per-batch numpy body for a real encoder
+    (CLIP/CLAP image or audio towers) — batch iteration, Arrow
+    transfer, output schema, and downstream consumers are unchanged,
+    which is the point of the stub.
+
+    Adds ``_feat`` (array<long>, length ``n_chunks``). Arrow-batched
+    scalar pandas_udf; map-only, no shuffle; per-row cost linear in
+    blob size with zero cross-row state, so the stage scales with
+    executor count exactly like a real featurizer."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _feats(blobs: "pd.Series") -> "pd.Series":
+        out = []
+        for b in blobs:
+            a = np.frombuffer(b if b is not None else b"", dtype=np.uint8)
+            n = len(a)
+            step = -(-n // n_chunks) if n else 1
+            out.append(
+                [int(a[i * step:(i + 1) * step].sum(dtype=np.int64))
+                 for i in range(n_chunks)]
+            )
+        return pd.Series(out)
+
+    return df.withColumn("_feat", _feats(F.col(binary_col)))

@@ -102,6 +102,7 @@ _OVERFLOW = (
     "ss15_ivf_kmeans_ann",
     "pipe10_drop_attribution",
     "ss16_ivf_recall",
+    "mm04_byte_chunk_features",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -107,3 +107,71 @@ def mm03_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("byte_offset").cast("long").alias("byte_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm04 — feature extraction over binary blobs (Arrow-batched).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_MM04_P = 1_000_000_007
+
+_MM04_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) + 7) // 8 AS step
+  FROM documents
+), per_chunk AS (
+  SELECT doc_id, n, t.i AS i,
+         COALESCE(list_sum(list_transform(
+           string_split(substring(text, CAST(t.i * step + 1 AS INT),
+                                  CAST(step AS INT)), ''),
+           ch -> CAST(ascii(ch) AS BIGINT))), 0) AS s
+  FROM b, UNNEST(range(0, 8)) AS t(i)
+), vecs AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+         list(s ORDER BY i) AS fs
+  FROM per_chunk GROUP BY doc_id
+)
+SELECT doc_id, n_bytes,
+       fs[1] AS f0, fs[4] AS f3, fs[8] AS f7,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(fs, x -> x % {_MM04_P})),
+         (acc, x) -> (acc * 131 + x) % {_MM04_P}) AS checksum
+FROM vecs
+ORDER BY doc_id
+"""
+
+
+@register("mm04_byte_chunk_features", oracle=_MM04_ORACLE)
+def mm04_byte_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-from-media featurization with the Spark plumbing
+    real: blobs (documents.text UTF-8-encoded, the mm-family binary
+    stand-in) flow through an Arrow-batched pandas_udf that emits an
+    8-dim exact-int chunk-sum feature vector per blob
+    (operators/multimodal.byte_chunk_features — a production encoder
+    swaps only the numpy body). The DuckDB oracle replays the byte
+    chunking over the same single-byte corpus, pinning every feature
+    via two probe dims + a poly-fold checksum (the ss07 scalarization
+    convention). Map-only: no shuffle anywhere before the ORDER BY."""
+    from ..functions import POLY_P
+    from ..operators.multimodal import byte_chunk_features
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    feats = byte_chunk_features(docs, "blob", n_chunks=8)
+    vals = F.transform(F.col("_feat"), lambda x: x % POLY_P)
+    checksum = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(131) + x) % F.lit(POLY_P),
+    )
+    return feats.select(
+        "doc_id",
+        F.octet_length("blob").cast("long").alias("n_bytes"),
+        F.element_at("_feat", 1).alias("f0"),
+        F.element_at("_feat", 4).alias("f3"),
+        F.element_at("_feat", 8).alias("f7"),
+        checksum.alias("checksum"),
+    ).orderBy("doc_id")
