@@ -91,6 +91,7 @@ SECONDARY = [
     "ss16_ivf_recall",
     "pipe10_drop_attribution",
     "mm04_byte_chunk_features",
+    "ss17_semantic_clusters",
 ]
 
 

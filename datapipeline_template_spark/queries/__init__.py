@@ -103,6 +103,7 @@ _OVERFLOW = (
     "pipe10_drop_attribution",
     "ss16_ivf_recall",
     "mm04_byte_chunk_features",
+    "ss17_semantic_clusters",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1060,3 +1060,73 @@ def ss16_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = counts if out is None else out.unionByName(counts)
     return out.orderBy("n_probe")
+
+
+# ---------------------------------------------------------------------------
+# ss17 — semantic clusters: connected components over the mutual-kNN
+# graph. Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS17_ORACLE = f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id, label, embedding FROM embeddings
+), und AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+), dir AS (
+  SELECT src, dst, cosine FROM und
+  UNION ALL
+  SELECT dst AS src, src AS dst, cosine FROM und
+), rk AS (
+  SELECT src, dst, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst ASC) AS r
+  FROM dir
+), topk AS (
+  SELECT src, dst FROM rk WHERE r <= {_SS14_K}
+), mutual AS (
+  SELECT t.src AS id_a, t.dst AS id_b
+  FROM topk t JOIN topk u ON t.src = u.dst AND t.dst = u.src
+  WHERE t.src < t.dst
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM mutual
+  UNION
+  SELECT id_b AS a, id_a AS b FROM mutual
+), cc AS (
+  SELECT a AS node, a AS label FROM sym
+  UNION
+  SELECT e.a AS node, cc.label FROM cc JOIN sym e ON cc.node = e.b
+), comp AS (
+  SELECT node, MIN(label) AS component FROM cc GROUP BY node
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+@register("ss17_semantic_clusters", oracle=_SS17_ORACLE)
+def ss17_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based semantic clustering, the capstone composition of
+    the embedding family: ss14's mutual-kNN edges resolved into
+    connected components (the dd06/ss06 label-propagation operator)
+    and summarized per component — the structure a corpus curator
+    inspects before choosing per-cluster survivors (dd08) or
+    diversity sampling. Mutuality pre-strips hub fan-in, so
+    components track genuine semantic groups instead of star graphs
+    around hub vectors. The oracle replays candidate join → ranking →
+    mutuality → recursive label propagation end-to-end."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = mutual_knn_edges(
+        emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("component").cast("long"), "n_nodes")
+        .orderBy("component")
+    )
