@@ -1115,15 +1115,24 @@ def ss17_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity sampling. Mutuality pre-strips hub fan-in, so
     components track genuine semantic groups instead of star graphs
     around hub vectors. The oracle replays candidate join → ranking →
-    mutuality → recursive label propagation end-to-end."""
-    from ..operators.dedup import connected_components
+    mutuality → recursive label propagation end-to-end.
+
+    Components here are CHAINS (mutual-kNN keeps degree ≤ k, so
+    clusters string together rather than forming cliques): at sf0.1
+    the longest chain exceeded 25 min-propagation hops and the label
+    propagation form raised its non-convergence guard — exactly the
+    case the large-star/small-star form (O(log n) rounds, Kiveris
+    et al.) exists for, so ss17 uses it; output contract is
+    identical (node, component = min reachable id, property-tested
+    equal to the propagation form)."""
+    from ..operators.dedup import connected_components_star
     from ..operators.similarity import mutual_knn_edges
 
     emb = table(spark, sf_dir, "embeddings")
     edges = mutual_knn_edges(
         emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
     )
-    comp = connected_components(edges, "id_a", "id_b")
+    comp = connected_components_star(edges, "id_a", "id_b")
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
