@@ -54,11 +54,13 @@ from pyspark.sql import types as T
 from ..functions import quantize_vec
 
 __all__ = [
+    "ivf_assign_corpus",
     "ivf_topk_kmeans",
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_assign_catalyst",
     "semdedup",
+    "with_centroid_cosine",
 ]
 
 # Assignment caps: k·dim int64 centroids are shipped in the UDF
@@ -201,6 +203,40 @@ def kmeans_fit(
     return centroids
 
 
+def with_centroid_cosine(
+    assigned: DataFrame, qv_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """Adds ``_n`` (squared norm, once per row) and ``_cs`` (cosine to
+    the row's cluster centroid) to an assigned frame. Centroid arrays
+    AND their norms are Python-computed literals, so the per-row cost
+    is one zip_with dot — the ss01-family precompute convention.
+
+    Shared by batch ``semdedup`` and the streaming
+    ``IncrementalSemDeDup._prepare``: their marks-equality contract
+    depends on bit-identical ``_cs``, so there is exactly one
+    implementation (a zero-norm row gets ``_cs = NaN``; pair-stage
+    consumers must exclude ``_n == 0`` rows — see ``semdedup``)."""
+    from ..functions import cosine_prequantized_hof, norm_sq_prequantized
+
+    cent_arr = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in centroids]
+    )
+    cent_norms = F.array(
+        *[F.lit(sum(v * v for v in cv)).cast("long") for cv in centroids]
+    )
+    cidx = (F.col("cluster") + 1).cast("int")
+    with_n = assigned.withColumn("_n", norm_sq_prequantized(F.col(qv_col)))
+    return with_n.withColumn(
+        "_cs",
+        cosine_prequantized_hof(
+            F.col(qv_col),
+            F.element_at(cent_arr, cidx),
+            F.col("_n"),
+            F.element_at(cent_norms, cidx),
+        ),
+    )
+
+
 def semdedup(
     df: DataFrame,
     id_col: str,
@@ -229,17 +265,28 @@ def semdedup(
     (cluster, id). Σ|cluster|² stays bounded when k grows with N —
     that scaling is the CALLER's contract (the paper's k∝N rule);
     ``max_cluster_size`` makes it enforced instead of assumed: when
-    set, a k-row size probe (one tiny agg job) raises before a
-    quadratic hot-cluster join can run away, naming the cluster and
-    the recommended fix (re-fit with larger k).
+    set, the assignment is localCheckpointed (so the guard's size agg
+    and the pair join share one kernel pass instead of recomputing
+    the most expensive map stage) and a per-cluster size agg raises
+    before a quadratic hot-cluster join can run away, naming the
+    cluster and the recommended fix (re-fit with larger k).
+
+    Zero-quantized vectors (every |x| < 1/(2·scale)) have no
+    direction — cosine against them is 0/0 = NaN, and Spark orders
+    NaN ABOVE every number, so one degenerate row would otherwise
+    pass the ``>= threshold`` filter against its whole cluster. They
+    are excluded from the pair stage (``_n > 0``); none exist in any
+    real embedding corpus, so oracles are unaffected, but the guard
+    makes the operator safe on adversarial input (tested).
     """
-    from ..functions import cosine_prequantized_hof, norm_sq_prequantized
+    from ..functions import cosine_prequantized_hof
 
     if centroids is None:
         centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter)
     q = df.select(F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv"))
     assigned = kmeans_assign(q, "_qv", centroids)
     if max_cluster_size is not None:
+        assigned = assigned.localCheckpoint(eager=True)
         hot = (
             assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -257,30 +304,9 @@ def semdedup(
                 "explicitly."
             )
 
-    # Per-ROW precomputation (the ss01-family convention): squared
-    # norm once per vector, centroid norms as Python-computed literals
-    # — the pair-join condition then pays ONE zip_with dot per pair
-    # instead of re-deriving two norms (O(pairs·dim) waste) per pair.
-    cent_arr = F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in centroids]
-    )
-    cent_norms = F.array(
-        *[F.lit(sum(v * v for v in cv)).cast("long") for cv in centroids]
-    )
-    cidx = (F.col("cluster") + 1).cast("int")
-    with_n = assigned.withColumn("_n", norm_sq_prequantized(F.col("_qv")))
-    with_cs = with_n.select(
-        "vec_id",
-        "cluster",
-        "_qv",
-        "_n",
-        cosine_prequantized_hof(
-            F.col("_qv"),
-            F.element_at(cent_arr, cidx),
-            F.col("_n"),
-            F.element_at(cent_norms, cidx),
-        ).alias("_cs"),
-    )
+    with_cs = with_centroid_cosine(assigned, "_qv", centroids).where(
+        F.col("_n") > 0
+    ).select("vec_id", "cluster", "_qv", "_n", "_cs")
 
     a = with_cs.select(
         F.col("cluster"),
@@ -313,6 +339,22 @@ def semdedup(
     return marked.distinct()
 
 
+def ivf_assign_corpus(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """The corpus side of the IVF index: quantized vector, squared
+    norm, and kernel cell assignment — one map-only pass, reusable
+    across probe settings via ``ivf_topk_kmeans(assigned=...)``."""
+    from ..functions import norm_sq_prequantized
+
+    q_corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("_cv")
+    ).withColumn("_cn", norm_sq_prequantized(F.col("_cv")))
+    return kmeans_assign(q_corp, "_cv", centroids).select(
+        "neighbor_id", "_cv", "_cn", "cluster"
+    )
+
+
 def ivf_topk_kmeans(
     corpus: DataFrame,
     queries: DataFrame,
@@ -322,6 +364,7 @@ def ivf_topk_kmeans(
     k: int = 5,
     n_probe: int = 2,
     query_id_col: str | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors over the DETERMINISTIC
     k-means coarse quantizer — the oracle-replayable twin of
@@ -341,16 +384,17 @@ def ivf_topk_kmeans(
     ×n_probe explode; candidates form on a cell equi-join that
     hash-partitions across the cluster, each query touching
     ~|corpus|·n_probe/k vectors — the FAISS-IVF recall/cost dial.
+
+    Pass ``assigned`` (the return of ``ivf_assign_corpus``, ideally
+    localCheckpointed) to reuse one quantize+assign pass across many
+    calls — an n_probe sweep (ss16) would otherwise re-run the
+    corpus-wide kernel per setting.
     """
     from ..functions import cosine_prequantized_hof, norm_sq_prequantized
 
     qid = query_id_col or id_col
-    q_corp = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("_cv")
-    ).withColumn("_cn", norm_sq_prequantized(F.col("_cv")))
-    assigned = kmeans_assign(q_corp, "_cv", centroids).select(
-        "neighbor_id", "_cv", "_cn", "cluster"
-    )
+    if assigned is None:
+        assigned = ivf_assign_corpus(corpus, id_col, vec_col, centroids)
 
     structs = []
     for cid, cv in enumerate(centroids):
@@ -380,9 +424,11 @@ def ivf_topk_kmeans(
 
     from pyspark.sql import Window
 
-    cand = probes.join(assigned, on="cluster").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    # Zero-norm rows have NaN cosine and Spark ranks NaN above every
+    # number — exclude them from scoring on both sides (see semdedup).
+    cand = probes.where(F.col("_qn") > 0).join(
+        assigned.where(F.col("_cn") > 0), on="cluster"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     # Norms precomputed per row pre-join — the candidate scoring pays
     # one zip_with dot per pair (the ss01-family fast form).
     score = cosine_prequantized_hof(

@@ -716,6 +716,9 @@ def mutual_knn_edges(
         df.select(*cols)
         .withColumn("_qv", quantize_vec("_v"))
         .withColumn("_n", norm_sq_prequantized(F.col("_qv")))
+        # Zero-norm vectors have NaN cosine, and Spark ranks NaN above
+        # every number — one degenerate row would top every ranking.
+        .where(F.col("_n") > 0)
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a._id") < F.col("b._id")

@@ -309,8 +309,15 @@ def pipe08_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registered in the registry OVERFLOW section.
 # ---------------------------------------------------------------------------
 
-_PIPE09_ORACLE = """
-WITH base AS (
+def _pipe09_flag_ctes() -> str:
+    """Shared pipe09/pipe10 oracle fragment: per-doc stage flags
+    (language, Gopher, prefix-dedup rank, classifier score) ending in
+    ``flagged``. The classifier stage composes the SAME fragment tx19
+    uses (queries/_classifier_sql.py) so the funnel and the standalone
+    classifier can never disagree."""
+    from ._classifier_sql import classifier_ctes
+
+    return f"""base AS (
   SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents
 ), flags AS (
   SELECT doc_id, text, source,
@@ -340,33 +347,16 @@ WITH base AS (
                         (f_lang AND f_gopher)
            ORDER BY doc_id) AS rn
   FROM flags
-), toks AS (
-  SELECT doc_id, source IN ('src0', 'src1') AS pos,
-         unnest(string_split(text, ' ')) AS tok
-  FROM documents
-), vocab AS (
-  SELECT tok,
-         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt,
-         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_cnt
-  FROM toks GROUP BY tok
-), tot AS (SELECT SUM(pos_cnt) AS tp, SUM(neg_cnt) AS tn FROM vocab),
-wt AS (
-  SELECT tok,
-         CASE WHEN CAST(pos_cnt AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
-                 > CAST(neg_cnt AS DECIMAL(19,0)) * CAST(tp AS DECIMAL(19,0)) THEN 1
-              WHEN CAST(pos_cnt AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
-                 < CAST(neg_cnt AS DECIMAL(19,0)) * CAST(tp AS DECIMAL(19,0)) THEN -1
-              ELSE 0 END AS w
-  FROM vocab, tot
-), dt AS (
-  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
-), sc AS (
-  SELECT doc_id, SUM(c * w) AS score FROM dt JOIN wt USING (tok) GROUP BY doc_id
-), flagged AS (
+), {classifier_ctes()}, flagged AS (
   SELECT r.*, (r.surv2 AND r.rn = 1) AS f_dedup,
          (r.surv2 AND r.rn = 1 AND s.score > 0) AS f_cls
   FROM ranked r JOIN sc s USING (doc_id)
-), counts AS (
+)"""
+
+
+def _pipe09_oracle() -> str:
+    return f"""
+WITH {_pipe09_flag_ctes()}, counts AS (
   SELECT COUNT(*) AS n0,
          CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n1,
          CAST(SUM(CASE WHEN surv2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
@@ -424,7 +414,7 @@ def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipe09_curation_funnel", oracle=_PIPE09_ORACLE)
+@register("pipe09_curation_funnel", oracle=_pipe09_oracle())
 def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-curation pipeline as one funnel query —
     language-ID ('en' only) → Gopher quality gate → 10-token-prefix
@@ -463,9 +453,9 @@ def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registered in the registry OVERFLOW section.
 # ---------------------------------------------------------------------------
 
-# Reuses pipe09's flag CTEs verbatim up to `flagged`, then attributes
-# each document to its FIRST failing stage instead of aggregating.
-_PIPE10_ORACLE = _PIPE09_ORACLE.split("), counts AS (")[0] + """)
+def _pipe10_oracle() -> str:
+    return f"""
+WITH {_pipe09_flag_ctes()}
 SELECT doc_id,
        CASE WHEN NOT f_lang THEN 'language_en'
             WHEN NOT surv2 THEN 'gopher_quality'
@@ -477,7 +467,7 @@ ORDER BY doc_id
 """
 
 
-@register("pipe10_drop_attribution", oracle=_PIPE10_ORACLE)
+@register("pipe10_drop_attribution", oracle=_pipe10_oracle())
 def pipe10_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation provenance: the audit record production
     pipelines keep alongside the funnel — each document labeled with

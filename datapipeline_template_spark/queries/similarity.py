@@ -1027,7 +1027,11 @@ def ss16_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-pinned, and replayed end-to-end (fit + route + probe + rank)
     by the oracle. The slice convention (complete corpus at the sf0.01
     gate) keeps the quadratic truth join bounded at any scale factor."""
-    from ..operators.clustering import ivf_topk_kmeans, kmeans_fit
+    from ..operators.clustering import (
+        ivf_assign_corpus,
+        ivf_topk_kmeans,
+        kmeans_fit,
+    )
     from ..operators.similarity import cosine_topk
 
     emb = table(spark, sf_dir, "embeddings").where(
@@ -1038,11 +1042,17 @@ def ss16_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = cosine_topk(
         emb, queries, "vec_id", "embedding", k=_SS16_K
     ).select("query_id", "neighbor_id")
+    # ONE quantize+assign pass shared across the probe sweep — three
+    # independent ivf_topk_kmeans calls would re-run the corpus kernel
+    # per n_probe setting.
+    assigned = ivf_assign_corpus(
+        emb, "vec_id", "embedding", cent
+    ).localCheckpoint(eager=True)
     out = None
     for np_ in (1, 2, 4):
         ret = ivf_topk_kmeans(
             emb, queries, "vec_id", "embedding", cent,
-            k=_SS16_K, n_probe=np_,
+            k=_SS16_K, n_probe=np_, assigned=assigned,
         ).select("query_id", "neighbor_id")
         hit = truth.join(ret, ["query_id", "neighbor_id"], "left_semi")
         counts = (

@@ -873,38 +873,17 @@ def tx18_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first two synthetic sources stand in as the curated slice.
 _TX19_POS_SOURCES = ("src0", "src1")
 
-_TX19_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, source IN {_TX19_POS_SOURCES!r} AS pos,
-         unnest(string_split(text, ' ')) AS tok
-  FROM documents
-), vocab AS (
-  SELECT tok,
-         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt,
-         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_cnt
-  FROM toks GROUP BY tok
-), tot AS (
-  SELECT SUM(pos_cnt) AS tp, SUM(neg_cnt) AS tn FROM vocab
-), w AS (
-  SELECT tok,
-         CASE WHEN CAST(pos_cnt AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
-                 > CAST(neg_cnt AS DECIMAL(19,0)) * CAST(tp AS DECIMAL(19,0))
-              THEN 1
-              WHEN CAST(pos_cnt AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
-                 < CAST(neg_cnt AS DECIMAL(19,0)) * CAST(tp AS DECIMAL(19,0))
-              THEN -1 ELSE 0 END AS w
-  FROM vocab, tot
-), dt AS (
-  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
-), s AS (
-  SELECT doc_id, SUM(c * w) AS score FROM dt JOIN w USING (tok) GROUP BY doc_id
-)
+def _tx19_oracle() -> str:
+    from ._classifier_sql import classifier_ctes
+
+    return f"""
+WITH {classifier_ctes(_TX19_POS_SOURCES)}
 SELECT doc_id, CAST(score AS BIGINT) AS score, score > 0 AS keep
-FROM s ORDER BY doc_id
+FROM sc ORDER BY doc_id
 """
 
 
-@register("tx19_classifier_filter", oracle=_TX19_ORACLE)
+@register("tx19_classifier_filter", oracle=_tx19_oracle())
 def tx19_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering, the GPT-3/LLaMA curation
     step, in exact arithmetic: per-token log-odds SIGN weights trained

@@ -75,7 +75,8 @@ class IncrementalKmeansAssign:
         or every invariant silently breaks — fail loudly instead."""
         os.makedirs(self.store_path, exist_ok=True)
         if os.path.exists(self._centroid_path):
-            stored = json.load(open(self._centroid_path))
+            with open(self._centroid_path) as f:
+                stored = json.load(f)
             if stored != self.centroids:
                 raise ValueError(
                     "store was built with different centroids; assignment "
@@ -83,7 +84,13 @@ class IncrementalKmeansAssign:
                     "requires a full rebuild into a fresh store_path"
                 )
         else:
-            json.dump(self.centroids, open(self._centroid_path, "w"))
+            # Atomic write (temp + rename), matching the store's crash
+            # discipline: a crash mid-dump must not leave a truncated
+            # centroids.json that bricks every future construction.
+            tmp = self._centroid_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.centroids, f)
+            os.replace(tmp, self._centroid_path)
 
     # -- foreachBatch body -------------------------------------------------
 
@@ -204,40 +211,20 @@ class IncrementalSemDeDup(IncrementalKmeansAssign):
         return os.path.join(self.store_path, "marks")
 
     def _prepare(self, batch: DataFrame) -> DataFrame:
-        """(id, vec) → (_id, cluster, _qv, _n, _cs): per-row ingest
-        work paid once — kernel assignment, squared norm, cosine to
-        the (literal-normed) frozen centroid."""
-        from ..functions import cosine_prequantized_hof, norm_sq_prequantized
+        """(id, vec) → (_id, cluster, dist, _qv, _n, _cs): per-row
+        ingest work paid once — kernel assignment, squared norm,
+        centroid cosine via the SHARED ``with_centroid_cosine`` helper
+        (the marks-equality contract with batch semdedup depends on
+        bit-identical ``_cs``, so there is exactly one implementation)."""
+        from ..operators.clustering import with_centroid_cosine
 
         q = batch.select(
             F.col(self.id_col).alias("_id"),
             quantize_vec(F.col(self.vec_col)).alias("_qv"),
         )
         assigned = kmeans_assign(q, "_qv", self.centroids)
-        cent_arr = F.array(
-            *[
-                F.array(*[F.lit(int(v)).cast("long") for v in cv])
-                for cv in self.centroids
-            ]
-        )
-        cent_norms = F.array(
-            *[F.lit(sum(v * v for v in cv)).cast("long") for cv in self.centroids]
-        )
-        cidx = (F.col("cluster") + 1).cast("int")
-        return assigned.withColumn(
-            "_n", norm_sq_prequantized(F.col("_qv"))
-        ).select(
-            "_id",
-            "cluster",
-            "dist",
-            "_qv",
-            "_n",
-            cosine_prequantized_hof(
-                F.col("_qv"),
-                F.element_at(cent_arr, cidx),
-                F.col("_n"),
-                F.element_at(cent_norms, cidx),
-            ).alias("_cs"),
+        return with_centroid_cosine(assigned, "_qv", self.centroids).select(
+            "_id", "cluster", "dist", "_qv", "_n", "_cs"
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
@@ -272,10 +259,14 @@ class IncrementalSemDeDup(IncrementalKmeansAssign):
         )
         a = probe.alias("a")
         b = all_v.alias("b")
+        # Zero-norm rows are stored/assigned but excluded from pairing
+        # (NaN cosine would pass >= threshold) — mirrors batch semdedup.
         pairs = a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a._id") != F.col("b._id")),
+            & (F.col("a._id") != F.col("b._id"))
+            & (F.col("a._n") > 0)
+            & (F.col("b._n") > 0),
         ).where(
             cosine_prequantized_hof(
                 F.col("a._qv"), F.col("b._qv"), F.col("a._n"), F.col("b._n")

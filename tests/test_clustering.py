@@ -170,3 +170,42 @@ def test_semdedup_hot_cluster_guard(spark):
         threshold=0.3, max_cluster_size=10_000,
     )
     assert out.count() > 0
+
+
+def test_zero_norm_vector_does_not_poison_pairs_or_rankings(spark):
+    """A quantized all-zero vector has NaN cosine, and Spark sorts NaN
+    ABOVE every number — unguarded, one degenerate row passes every
+    `cosine >= tau` filter and tops every ranking. The operators must
+    exclude zero-norm rows from pair/ranking stages (review finding)."""
+    from datapipeline_template_spark.operators.clustering import (
+        ivf_topk_kmeans,
+        kmeans_fit,
+        semdedup,
+    )
+    from datapipeline_template_spark.operators.similarity import mutual_knn_edges
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.98, 0.2, 0.0]),      # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.00001, 0.0, 0.0]),   # quantizes to the zero vector
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    marks = semdedup(df, "id", "vec", k=1, n_iter=1, threshold=0.9)
+    got = {r["vec_id"] for r in marks.collect()}
+    assert 3 not in got and 0 not in got and 2 not in got
+    assert got == {1}
+
+    edges = mutual_knn_edges(df, "id", "vec", k=1)
+    ids = {r["id_a"] for r in edges.collect()} | {
+        r["id_b"] for r in edges.collect()
+    }
+    assert 3 not in ids
+
+    cent = kmeans_fit(df, "id", "vec", k=1, n_iter=1)
+    topk = ivf_topk_kmeans(df, df, "id", "vec", cent, k=3, n_probe=1)
+    res = topk.collect()
+    assert all(r["neighbor_id"] != 3 for r in res)
+    assert all(r["query_id"] != 3 for r in res)
+    assert all(r["score"] == r["score"] for r in res)  # no NaN survives
