@@ -518,3 +518,44 @@ def test_dup_span_stats_matches_python_model(spark, texts):
         if covered:
             want[i] = len(covered)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment: kernel/Catalyst bit-parity on adversarial ints
+# ---------------------------------------------------------------------------
+
+# Quantized-range values incl. negatives and exact duplicates (ties).
+_qvals = st.integers(min_value=-10_000, max_value=10_000)
+_vecs = st.lists(
+    st.lists(_qvals, min_size=4, max_size=4), min_size=3, max_size=10
+)
+
+
+@given(vecs=_vecs, k=st.sampled_from([1, 2, 3]))
+@settings(**_SETTINGS)
+def test_kmeans_assignment_kernel_catalyst_parity_property(spark, vecs, k):
+    """The Arrow kernel and the Catalyst HOF assignment must agree on
+    ARBITRARY int vectors — including duplicate vectors (argmin ties,
+    which both must break toward the smallest cluster id) and
+    negative coordinates. Centroids are drawn from the data itself so
+    exact-tie distances actually occur."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_catalyst,
+    )
+
+    centroids = [vecs[i % len(vecs)] for i in range(k)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, qv array<long>"
+    )
+    a = sorted(
+        map(tuple, kmeans_assign(df, "qv", centroids)
+            .select("id", "cluster", "dist").collect())
+    )
+    b = sorted(
+        map(tuple, kmeans_assign_catalyst(df, "qv", centroids)
+            .select("id", "cluster", "dist").collect())
+    )
+    assert a == b
