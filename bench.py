@@ -92,6 +92,7 @@ SECONDARY = [
     "pipe10_drop_attribution",
     "mm04_byte_chunk_features",
     "ss17_semantic_clusters",
+    "pipe11_data_card",
 ]
 
 

@@ -104,6 +104,7 @@ _OVERFLOW = (
     "ss16_ivf_recall",
     "mm04_byte_chunk_features",
     "ss17_semantic_clusters",
+    "pipe11_data_card",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -348,7 +348,7 @@ def _pipe09_flag_ctes() -> str:
            ORDER BY doc_id) AS rn
   FROM flags
 ), {classifier_ctes()}, flagged AS (
-  SELECT r.*, (r.surv2 AND r.rn = 1) AS f_dedup,
+  SELECT r.*, s.score, (r.surv2 AND r.rn = 1) AS f_dedup,
          (r.surv2 AND r.rn = 1 AND s.score > 0) AS f_cls
   FROM ranked r JOIN sc s USING (doc_id)
 )"""
@@ -394,6 +394,8 @@ def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = docs.select(
         "doc_id",
         "text",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         (language_id("text") == "en").alias("f_lang"),
         gopher_ok.alias("f_gopher"),
     ).withColumn("surv2", F.col("f_lang") & F.col("f_gopher"))
@@ -406,6 +408,9 @@ def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.join(scores.select("doc_id", "score"), on="doc_id").select(
         "doc_id",
+        "source",
+        "n_tokens",
+        "score",
         "f_lang",
         "f_gopher",
         "surv2",
@@ -486,3 +491,55 @@ def pipe10_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     return flags.select("doc_id", stage.alias("drop_stage")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pipe11 — per-source data card (corpus report rollup).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+
+def _pipe11_oracle() -> str:
+    return f"""
+WITH {_pipe09_flag_ctes()}
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(SUM(CASE WHEN f_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+       CAST(SUM(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN f_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("pipe11_data_card", oracle=_pipe11_oracle())
+def pipe11_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the corpus report every curation run
+    publishes (Datasheets-for-Datasets practice): document and token
+    counts, language share, quality-gate pass rate, dedup-unique and
+    classifier-keep counts, and the summed classifier score, one row
+    per source. Rides the same one-pass ``_curation_flags`` evaluation
+    as pipe09/pipe10 (a third consumer of the shared fragment — the
+    three reports cannot drift apart) and collapses to a per-source
+    partial aggregate. All exact integers."""
+    flags = _curation_flags(spark, sf_dir)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("f_lang"), 1).otherwise(0)).cast("long").alias("n_en"),
+            F.sum(F.when(F.col("f_gopher"), 1).otherwise(0)).cast("long")
+            .alias("n_pass_quality"),
+            F.sum(F.when(F.col("f_dedup"), 1).otherwise(0)).cast("long")
+            .alias("n_unique"),
+            F.sum(F.when(F.col("f_cls"), 1).otherwise(0)).cast("long")
+            .alias("n_kept"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .orderBy("source")
+    )
