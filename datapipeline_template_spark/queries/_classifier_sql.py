@@ -19,8 +19,11 @@ def classifier_ctes(pos_sources: tuple[str, ...] = ("src0", "src1")) -> str:
     dec = "DECIMAL(19,0)"
     lhs = f"CAST(pos_cnt AS {dec}) * CAST(tn AS {dec})"
     rhs = f"CAST(neg_cnt AS {dec}) * CAST(tp AS {dec})"
+    # Explicit SQL list — repr() of a 1-tuple emits Python's trailing
+    # comma ("('src0',)"), a SQL syntax error.
+    in_list = "(" + ", ".join(f"'{s}'" for s in pos_sources) + ")"
     return f"""toks AS (
-  SELECT doc_id, source IN {pos_sources!r} AS pos,
+  SELECT doc_id, source IN {in_list} AS pos,
          unnest(string_split(text, ' ')) AS tok
   FROM documents
 ), vocab AS (

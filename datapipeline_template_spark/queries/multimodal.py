@@ -160,6 +160,21 @@ def mm04_byte_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").withColumn(
         "blob", F.encode(F.col("text"), "UTF-8")
     )
+    # The oracle chunks by CHARACTERS (substring + ascii) while the
+    # operator chunks by BYTES — parity holds only on a single-byte
+    # corpus. Enforce that assumption instead of assuming it: a
+    # multi-byte character after a testdata regen must fail HERE with
+    # a named cause, not as an opaque driver hash mismatch.
+    bad = docs.where(
+        F.octet_length("text") != F.length("text")
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "mm04 oracle parity requires a single-byte (ASCII) corpus: "
+            "found a document whose UTF-8 byte length differs from its "
+            "character length — re-derive the oracle with byte-accurate "
+            "SQL or exclude multi-byte documents."
+        )
     feats = byte_chunk_features(docs, "blob", n_chunks=8)
     vals = F.transform(F.col("_feat"), lambda x: x % POLY_P)
     checksum = F.aggregate(

@@ -316,27 +316,14 @@ def _pipe09_flag_ctes() -> str:
     uses (queries/_classifier_sql.py) so the funnel and the standalone
     classifier can never disagree."""
     from ._classifier_sql import classifier_ctes
+    from ._curation_sql import gopher_pass_sql, langid_case_sql
 
     return f"""base AS (
   SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents
 ), flags AS (
   SELECT doc_id, text, source,
-    CASE
-      WHEN len(list_filter(w, t -> t IN ('the','and','of','to','is'))) >= 1
-       AND len(list_filter(w, t -> t IN ('the','and','of','to','is'))) >=
-           greatest(len(list_filter(w, t -> t IN ('el','la','los','que','de'))),
-                    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))),
-                    len(list_filter(w, t -> t IN ('le','les','et','est','une'))))
-      THEN TRUE ELSE FALSE END AS f_lang,
-    (CAST(len(w) AS BIGINT) >= 30
-     AND 4 * CAST(len(w) AS BIGINT) <= CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
-     AND CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) <= 12 * CAST(len(w) AS BIGINT)
-     AND 100 * CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
-         >= 80 * CAST(len(w) AS BIGINT)
-     AND CAST(len(list_filter(w, x -> x IN
-        ('the','and','of','to','is','el','la','los','que','de',
-         'der','die','das','und','ist','le','les','et','est','une'))) AS BIGINT) >= 1
-    ) AS f_gopher
+    (({langid_case_sql()}) = 'en') AS f_lang,
+    {gopher_pass_sql('w')} AS f_gopher
   FROM base
 ), ranked AS (
   SELECT doc_id, text, source, f_lang, f_gopher,

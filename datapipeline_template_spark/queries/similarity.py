@@ -1039,12 +1039,16 @@ def ss16_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < _SS16_NQ)
     cent = kmeans_fit(emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER)
-    truth = cosine_topk(
-        emb, queries, "vec_id", "embedding", k=_SS16_K
-    ).select("query_id", "neighbor_id")
-    # ONE quantize+assign pass shared across the probe sweep — three
-    # independent ivf_topk_kmeans calls would re-run the corpus kernel
-    # per n_probe setting.
+    # The quadratic brute-force truth and the corpus assignment are
+    # each computed ONCE and checkpointed — the probe sweep otherwise
+    # re-evaluates the most expensive subtrees per n_probe setting
+    # (truth twice per iteration: the hit semi-join and the n_truth
+    # aggregate).
+    truth = (
+        cosine_topk(emb, queries, "vec_id", "embedding", k=_SS16_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     assigned = ivf_assign_corpus(
         emb, "vec_id", "embedding", cent
     ).localCheckpoint(eager=True)

@@ -107,28 +107,11 @@ def tx02_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tx03 — language identification vs labeled lang
 # ---------------------------------------------------------------------------
 
-_LANGID_SQL_EXPR = """
-  CASE
-    WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','is'))) >= 1
-     AND len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','is'))) >=
-         greatest(len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','que','de'))),
-                  len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))),
-                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))))
-    THEN 'en'
-    WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','que','de'))) >= 1
-     AND len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','que','de'))) >=
-         greatest(len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))),
-                  len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))))
-    THEN 'es'
-    WHEN len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) >= 1
-     AND len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) >=
-         len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une')))
-    THEN 'de'
-    WHEN len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','une'))) >= 1
-    THEN 'fr'
-    ELSE 'und'
-  END
-"""
+# Generated from operators.text.LANG_MARKERS — single implementation
+# shared with the pipe09/pipe10/pipe11 flag fragment (_curation_sql.py).
+from ._curation_sql import langid_case_sql as _langid_case_sql
+
+_LANGID_SQL_EXPR = _langid_case_sql()
 
 _TX03_ORACLE = f"""
 SELECT pred_lang, lang, COUNT(*) AS n

@@ -133,12 +133,24 @@ class IncrementalKmeansAssign:
     def assignments(self, spark: SparkSession) -> DataFrame:
         """All maintained (id, cluster, dist) rows. Empty-store
         handling gated on directory existence (family convention —
-        never a broad except)."""
+        never a broad except); the read carries an EXPLICIT schema
+        because a drained-but-empty batch leaves a partitioned
+        directory with zero parquet files, and schema inference on it
+        raises where the gate promises an empty typed frame (review
+        finding, reproduced + tested)."""
         from pyspark.sql import types as T
 
+        schema = T.StructType(
+            [
+                T.StructField("_id", T.LongType()),
+                T.StructField("cluster", T.LongType()),
+                T.StructField("dist", T.LongType()),
+                T.StructField("_batch", T.IntegerType()),
+            ]
+        )
         if os.path.isdir(self._assign_path):
             return (
-                spark.read.parquet(self._assign_path)
+                spark.read.schema(schema).parquet(self._assign_path)
                 .select(F.col("_id").alias(self.id_col), "cluster", "dist")
             )
         return spark.createDataFrame(
@@ -201,6 +213,30 @@ class IncrementalSemDeDup(IncrementalKmeansAssign):
         super().__init__(store_path, centroids, id_col, vec_col)
         self.threshold = threshold
         self.broadcast_max_rows = broadcast_max_rows
+        self._persist_threshold()
+
+    def _persist_threshold(self) -> None:
+        """The threshold is store state for the same reason centroids
+        are: pairs are examined exactly once, so marks accumulated
+        under a different threshold equal batch semdedup at NEITHER
+        value — refuse regime mixing loudly (the centroid guard's
+        contract, applied to the other mark-determining parameter)."""
+        path = os.path.join(self.store_path, "params.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+            if stored.get("threshold") != self.threshold:
+                raise ValueError(
+                    f"store was built with threshold={stored.get('threshold')}"
+                    f" but got {self.threshold}; marks are emitted once per "
+                    "pair, so mixing thresholds silently corrupts the "
+                    "maintained set — rebuild into a fresh store_path"
+                )
+        else:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"threshold": self.threshold}, f)
+            os.replace(tmp, path)
 
     @property
     def _vec_path(self) -> str:
@@ -304,12 +340,22 @@ class IncrementalSemDeDup(IncrementalKmeansAssign):
 
     def marks(self, spark: SparkSession) -> DataFrame:
         """All maintained (cluster, vec_id) removal marks, distinct
-        across batches. Directory-existence gated (family convention)."""
+        across batches. Directory-existence gated (family convention);
+        explicit schema because a batch with ZERO qualifying pairs
+        legitimately writes an empty marks partition, which schema
+        inference cannot read (review finding, tested)."""
         from pyspark.sql import types as T
 
+        schema = T.StructType(
+            [
+                T.StructField("cluster", T.LongType()),
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("_batch", T.IntegerType()),
+            ]
+        )
         if os.path.isdir(self._marks_path):
             return (
-                spark.read.parquet(self._marks_path)
+                spark.read.schema(schema).parquet(self._marks_path)
                 .select("cluster", "vec_id")
                 .distinct()
             )

@@ -751,3 +751,29 @@ def test_incremental_semdedup_matches_batch(spark, tmp_path, sf_dir):
     inc.process_batch(batch2, batch_id=1)
     assert {(r["cluster"], r["vec_id"]) for r in inc.marks(spark).collect()} == want
     assert inc.assignments(spark).count() == 250
+
+
+def test_incremental_semdedup_empty_marks_and_threshold_guard(spark, tmp_path):
+    """A drained batch with ZERO qualifying pairs writes an empty
+    marks partition — marks() must return the empty typed frame, not
+    an UNABLE_TO_INFER_SCHEMA error (explicit-schema read); and a
+    maintainer re-created with a different THRESHOLD must refuse the
+    store (marks are emitted once per pair — mixing thresholds
+    silently corrupts the maintained set)."""
+    import pytest
+
+    from datapipeline_template_spark.streaming.kmeans import IncrementalSemDeDup
+
+    # Orthogonal vectors: assigned, stored, but no pair >= 0.9.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "empty_store")
+    inc = IncrementalSemDeDup(store, [[10000, 0]], threshold=0.9)
+    inc.process_batch(batch, batch_id=0)
+
+    assert inc.marks(spark).count() == 0
+    assert inc.marks(spark).columns == ["cluster", "vec_id"]
+    assert inc.assignments(spark).count() == 2
+
+    with pytest.raises(ValueError, match="threshold"):
+        IncrementalSemDeDup(store, [[10000, 0]], threshold=0.5)
