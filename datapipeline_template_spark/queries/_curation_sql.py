@@ -34,28 +34,37 @@ def _in_list(words: tuple[str, ...]) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
-def _hits(lang: str, text_col: str = "text") -> str:
+def _hits(lang: str, text_col: str = "text", presplit: bool = False) -> str:
+    toks = text_col if presplit else f"string_split({text_col},' ')"
     return (
-        f"len(list_filter(string_split({text_col},' '), "
+        f"len(list_filter({toks}, "
         f"t -> t IN {_in_list(LANG_MARKERS[lang])}))"
     )
 
 
-def langid_case_sql(text_col: str = "text") -> str:
+def langid_case_sql(text_col: str = "text", presplit: bool = False) -> str:
     """The tx03 language-ID CASE: marker-count argmax with the
     operator's deterministic priority (en>es>de>fr), 'und' when no
-    markers hit — generated from LANG_MARKERS in priority order."""
+    markers hit — generated from LANG_MARKERS in priority order.
+    Pass ``presplit=True`` when ``text_col`` is already a token array
+    (the pipe09 fragment's ``w``) so the ~14 marker-hit expressions
+    reuse one split instead of re-tokenizing per expression."""
     langs = list(LANG_MARKERS)
     branches = []
     for i, lang in enumerate(langs):
         later = langs[i + 1:]
-        cond = f"{_hits(lang, text_col)} >= 1"
+        cond = f"{_hits(lang, text_col, presplit)} >= 1"
         if len(later) == 1:
-            cond += f"\n     AND {_hits(lang, text_col)} >= {_hits(later[0], text_col)}"
-        elif later:
-            others = ",\n                  ".join(_hits(x, text_col) for x in later)
             cond += (
-                f"\n     AND {_hits(lang, text_col)} >=\n"
+                f"\n     AND {_hits(lang, text_col, presplit)} >= "
+                f"{_hits(later[0], text_col, presplit)}"
+            )
+        elif later:
+            others = ",\n                  ".join(
+                _hits(x, text_col, presplit) for x in later
+            )
+            cond += (
+                f"\n     AND {_hits(lang, text_col, presplit)} >=\n"
                 f"         greatest({others})"
             )
         branches.append(f"    WHEN {cond}\n    THEN '{lang}'")

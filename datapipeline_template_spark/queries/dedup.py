@@ -945,6 +945,7 @@ def _dd15_oracle() -> str:
 , cs AS (
   SELECT a.vec_id, a.cid, a.qv, {cos_sql('a.qv', 'c.cv')} AS csim
   FROM a{n} a JOIN c{n} c USING (cid)
+  WHERE list_sum(list_transform(a.qv, x -> x * x)) > 0
 ), prs AS (
   SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
          x.csim AS csa, y.csim AS csb

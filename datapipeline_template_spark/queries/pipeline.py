@@ -322,7 +322,7 @@ def _pipe09_flag_ctes() -> str:
   SELECT doc_id, text, source, string_split(text, ' ') AS w FROM documents
 ), flags AS (
   SELECT doc_id, text, source,
-    (({langid_case_sql()}) = 'en') AS f_lang,
+    (({langid_case_sql('w', presplit=True)}) = 'en') AS f_lang,
     {gopher_pass_sql('w')} AS f_gopher
   FROM base
 ), ranked AS (

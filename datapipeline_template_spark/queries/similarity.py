@@ -857,6 +857,8 @@ WITH q AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
   FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_QNORM.format(a='a.embedding')} > 0
+    AND {_QNORM.format(a='b.embedding')} > 0
 ), dir AS (
   SELECT src, dst, cosine FROM und
   UNION ALL
@@ -924,6 +926,8 @@ def _ss15_oracle() -> str:
   SELECT p.query_id, a.vec_id AS neighbor_id,
          {cos_sql('p.qv', 'a.qv')} AS score
   FROM pr p JOIN a{n} a ON a.cid = p.cid AND a.vec_id != p.query_id
+  WHERE list_sum(list_transform(p.qv, x -> x * x)) > 0
+    AND list_sum(list_transform(a.qv, x -> x * x)) > 0
 )
 SELECT query_id, neighbor_id, score FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -988,6 +992,8 @@ def _ss16_oracle() -> str:
              {cos_sql('p.qv', 'a.qv')} DESC, a.vec_id) AS rk
     FROM pr{np_} p JOIN a{n} a ON a.cid = p.cid
                               AND a.vec_id != p.query_id
+                              AND list_sum(list_transform(p.qv, x -> x * x)) > 0
+                              AND list_sum(list_transform(a.qv, x -> x * x)) > 0
   ) WHERE rk <= {_SS16_K}
 ), h{np_} AS (
   SELECT COUNT(*) AS n_hit
@@ -1088,6 +1094,8 @@ WITH RECURSIVE q AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
   FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_QNORM.format(a='a.embedding')} > 0
+    AND {_QNORM.format(a='b.embedding')} > 0
 ), dir AS (
   SELECT src, dst, cosine FROM und
   UNION ALL

@@ -38,6 +38,19 @@ from ..operators.clustering import kmeans_assign
 __all__ = ["IncrementalKmeansAssign", "IncrementalSemDeDup"]
 
 
+def _has_parquet_files(path: str) -> bool:
+    """True when ``path`` contains at least one parquet data file —
+    the empty-store gate. Directory existence alone is not enough: a
+    dynamic-partition overwrite of an EMPTY frame creates the
+    directory with no files, and schema inference on it raises."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 class IncrementalKmeansAssign:
     """Maintains an (id, cluster, dist) assignment table from a stream
     of (id, vector) rows against FROZEN centroids, one micro-batch at
@@ -132,27 +145,21 @@ class IncrementalKmeansAssign:
 
     def assignments(self, spark: SparkSession) -> DataFrame:
         """All maintained (id, cluster, dist) rows. Empty-store
-        handling gated on directory existence (family convention —
-        never a broad except); the read carries an EXPLICIT schema
-        because a drained-but-empty batch leaves a partitioned
-        directory with zero parquet files, and schema inference on it
-        raises where the gate promises an empty typed frame (review
-        finding, reproduced + tested)."""
+        handling gated on actual FILE presence (family convention —
+        never a broad except): a drained-but-empty batch leaves a
+        partitioned directory with zero parquet files, which schema
+        inference cannot read (reproduced + tested); checking for
+        files instead of hardcoding a read schema keeps the id
+        column's caller-chosen type intact on non-empty stores."""
         from pyspark.sql import types as T
 
-        schema = T.StructType(
-            [
-                T.StructField("_id", T.LongType()),
-                T.StructField("cluster", T.LongType()),
-                T.StructField("dist", T.LongType()),
-                T.StructField("_batch", T.IntegerType()),
-            ]
-        )
-        if os.path.isdir(self._assign_path):
+        if _has_parquet_files(self._assign_path):
             return (
-                spark.read.schema(schema).parquet(self._assign_path)
+                spark.read.parquet(self._assign_path)
                 .select(F.col("_id").alias(self.id_col), "cluster", "dist")
             )
+        # Never-written (or only-empty-batches) store: the documented
+        # empty default uses the engine's bigint id convention.
         return spark.createDataFrame(
             [],
             T.StructType(
@@ -210,18 +217,34 @@ class IncrementalSemDeDup(IncrementalKmeansAssign):
         threshold: float = 0.3,
         broadcast_max_rows: int = 2_000_000,
     ) -> None:
+        pre_existing = os.path.exists(
+            os.path.join(store_path, "centroids.json")
+        )
         super().__init__(store_path, centroids, id_col, vec_col)
         self.threshold = threshold
         self.broadcast_max_rows = broadcast_max_rows
-        self._persist_threshold()
+        self._persist_threshold(pre_existing)
 
-    def _persist_threshold(self) -> None:
+    def _persist_threshold(self, pre_existing: bool) -> None:
         """The threshold is store state for the same reason centroids
         are: pairs are examined exactly once, so marks accumulated
         under a different threshold equal batch semdedup at NEITHER
         value — refuse regime mixing loudly (the centroid guard's
-        contract, applied to the other mark-determining parameter)."""
+        contract, applied to the other mark-determining parameter).
+
+        A PRE-EXISTING store with no recorded threshold is refused
+        too: silently adopting the caller's value would legitimize
+        whatever mixing already happened — the caller must state the
+        original threshold by writing params.json explicitly (or
+        rebuild)."""
         path = os.path.join(self.store_path, "params.json")
+        if pre_existing and not os.path.exists(path):
+            raise ValueError(
+                "existing store has no recorded threshold (params.json); "
+                "refusing to adopt a value silently — write "
+                '{"threshold": <original>} to params.json if it is known, '
+                "or rebuild into a fresh store_path"
+            )
         if os.path.exists(path):
             with open(path) as f:
                 stored = json.load(f)
@@ -340,22 +363,16 @@ class IncrementalSemDeDup(IncrementalKmeansAssign):
 
     def marks(self, spark: SparkSession) -> DataFrame:
         """All maintained (cluster, vec_id) removal marks, distinct
-        across batches. Directory-existence gated (family convention);
-        explicit schema because a batch with ZERO qualifying pairs
-        legitimately writes an empty marks partition, which schema
-        inference cannot read (review finding, tested)."""
+        across batches. FILE-presence gated (family convention): a
+        batch with ZERO qualifying pairs legitimately writes an empty
+        marks partition, which schema inference cannot read (review
+        finding, tested); on non-empty stores inference keeps the id
+        column's caller-chosen type."""
         from pyspark.sql import types as T
 
-        schema = T.StructType(
-            [
-                T.StructField("cluster", T.LongType()),
-                T.StructField("vec_id", T.LongType()),
-                T.StructField("_batch", T.IntegerType()),
-            ]
-        )
-        if os.path.isdir(self._marks_path):
+        if _has_parquet_files(self._marks_path):
             return (
-                spark.read.schema(schema).parquet(self._marks_path)
+                spark.read.parquet(self._marks_path)
                 .select("cluster", "vec_id")
                 .distinct()
             )
