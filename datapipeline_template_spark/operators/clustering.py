@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 from ..functions import quantize_vec
 
 __all__ = [
+    "d4_prune",
     "ivf_assign_corpus",
     "ivf_topk_kmeans",
     "kmeans_fit",
@@ -135,6 +136,15 @@ def kmeans_assign(
         )
     )
     def _assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            # np.stack raises on an empty batch; current Spark doesn't
+            # emit zero-row batches for scalar pandas_udfs — defensive.
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
         X = np.stack(v.to_numpy()).astype(np.int64)  # rows × dim
         # rows × k exact int64: ‖x‖² − 2x·c + ‖c‖² stays integer.
         d = (
@@ -246,6 +256,7 @@ def semdedup(
     threshold: float = 0.3,
     centroids: list[list[int]] | None = None,
     max_cluster_size: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup: within-cluster cosine near-dup removal.
 
@@ -278,13 +289,24 @@ def semdedup(
     are excluded from the pair stage (``_n > 0``); none exist in any
     real embedding corpus, so oracles are unaffected, but the guard
     makes the operator safe on adversarial input (tested).
+
+    Pass ``assigned`` (a ``kmeans_assign`` result over the quantized
+    corpus, columns (vec_id, _qv, cluster, ...), ideally
+    localCheckpointed) to reuse one quantize+assign kernel pass across
+    consumers — ``d4_prune`` shares a single pass between the SemDeDup
+    and prototype stages this way (the ivf_topk_kmeans convention).
     """
     from ..functions import cosine_prequantized_hof
 
     if centroids is None:
+        if assigned is not None:
+            raise ValueError("assigned= requires explicit centroids=")
         centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter)
-    q = df.select(F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv"))
-    assigned = kmeans_assign(q, "_qv", centroids)
+    if assigned is None:
+        q = df.select(
+            F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv")
+        )
+        assigned = kmeans_assign(q, "_qv", centroids)
     if max_cluster_size is not None:
         assigned = assigned.localCheckpoint(eager=True)
         hot = (
@@ -337,6 +359,72 @@ def semdedup(
         .alias("vec_id"),
     )
     return marked.distinct()
+
+
+def d4_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    threshold: float = 0.3,
+    proto_pct: int = 20,
+) -> DataFrame:
+    """D4 document pruning (Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification"):
+    SemDeDup first, then SSL-prototype pruning of the survivors —
+    per cluster, the members MOST similar to their centroid are the
+    least informative ("prototypical") and the top ``proto_pct``
+    percent of them are dropped to diversify the corpus.
+
+    Returns (cluster, vec_id, reason) — the full removal set, reason
+    'semdedup' for near-duplicate marks and 'prototype' for the
+    diversification marks (disjoint by construction: prototype ranking
+    runs on the SemDeDup survivors only). Deterministic end to end:
+    centroid cosines are exact-int dots with IEEE-identical division,
+    rank ties break on vec_id, and the per-cluster quota is the exact
+    integer floor ``(n_survivors · proto_pct) div 100``.
+
+    Plan shape: ONE quantize+assign kernel pass, localCheckpointed and
+    shared by both stages (``semdedup(assigned=...)``); the SemDeDup
+    stage is the cluster equi-join, the prototype stage adds one
+    cluster-partitioned window (row_number + count over the same
+    partitioning — a single shuffle) and one left-anti join against
+    the (small) mark set. Zero-norm rows are excluded from both stages
+    (no direction ⇒ neither near-dup nor prototypical)."""
+    q = df.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv")
+    )
+    assigned = kmeans_assign(q, "_qv", centroids).localCheckpoint(eager=True)
+    sem = semdedup(
+        df, id_col, vec_col, threshold=threshold,
+        centroids=centroids, assigned=assigned,
+    )
+
+    from pyspark.sql import Window
+
+    with_cs = with_centroid_cosine(assigned, "_qv", centroids).where(
+        F.col("_n") > 0
+    )
+    survivors = with_cs.select("cluster", "vec_id", "_cs").join(
+        sem.select("cluster", "vec_id"), on=["cluster", "vec_id"], how="left_anti"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_cs").desc(), F.col("vec_id").asc()
+    )
+    wc = Window.partitionBy("cluster")
+    proto = (
+        survivors.select(
+            "cluster",
+            "vec_id",
+            F.row_number().over(w).alias("_r"),
+            F.count(F.lit(1)).over(wc).alias("_nc"),
+        )
+        .where(F.col("_r") <= F.expr(f"(_nc * {int(proto_pct)}) div 100"))
+        .select("cluster", "vec_id")
+    )
+    return sem.withColumn("reason", F.lit("semdedup")).unionByName(
+        proto.withColumn("reason", F.lit("prototype"))
+    )
 
 
 def ivf_assign_corpus(

@@ -99,12 +99,22 @@ _OVERFLOW = (
     "tx19_classifier_filter",
     "pipe09_curation_funnel",
     "ss14_mutual_knn_graph",
-    "ss15_ivf_kmeans_ann",
     "pipe10_drop_attribution",
     "ss16_ivf_recall",
     "mm04_byte_chunk_features",
     "ss17_semantic_clusters",
     "pipe11_data_card",
+    # Round 8: the two long-carried rows-only window slots hand over to
+    # their hash-green twins (ss05 → ss15 IVF over the deterministic
+    # k-means quantizer; tx07 → tx07b integer Rényi-2 collision stats)
+    # so the driver window is 50/50 hash-eligible for the first time.
+    # Both rows-only originals stay registered here: ss05 is the
+    # Spark-ML float-k-means demo, tx07 the float-entropy pandas_udf
+    # demo — each still sweep-run for liveness every round.
+    "ss05_ivf_ann",
+    "tx07_token_entropy_pandas",
+    "dd16_d4_prune",
+    "ss14b_mutual_knn_cluster_blocked",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

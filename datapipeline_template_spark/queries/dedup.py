@@ -937,11 +937,16 @@ def dd14b_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD15_TAU = 0.3
 
 
-def _dd15_oracle() -> str:
+def _semdedup_ctes() -> str:
+    """Shared dd15/dd16 oracle fragment: kmeans replay → per-row
+    centroid cosine (``cs``, zero-norm rows excluded) → within-cluster
+    near-dup pairs (``prs``) → the DISTINCT marked set (``sem``). Both
+    oracles build on the same chain so the SemDeDup decision they
+    verify cannot drift."""
     from ._kmeans_sql import cos_sql, kmeans_ctes
 
     n = 4
-    return f"""WITH {kmeans_ctes(8, n, 64)}
+    return f"""{kmeans_ctes(8, n, 64)}
 , cs AS (
   SELECT a.vec_id, a.cid, a.qv, {cos_sql('a.qv', 'c.cv')} AS csim
   FROM a{n} a JOIN c{n} c USING (cid)
@@ -951,11 +956,17 @@ def _dd15_oracle() -> str:
          x.csim AS csa, y.csim AS csb
   FROM cs x JOIN cs y ON x.cid = y.cid AND x.vec_id < y.vec_id
   WHERE {cos_sql('x.qv', 'y.qv')} >= {_DD15_TAU}
-)
-SELECT DISTINCT cid AS cluster,
-  CASE WHEN csa > csb THEN id_a WHEN csb > csa THEN id_b
-       ELSE GREATEST(id_a, id_b) END AS vec_id
-FROM prs ORDER BY cluster, vec_id"""
+), sem AS (
+  SELECT DISTINCT cid AS cluster,
+    CASE WHEN csa > csb THEN id_a WHEN csb > csa THEN id_b
+         ELSE GREATEST(id_a, id_b) END AS vec_id
+  FROM prs
+)"""
+
+
+def _dd15_oracle() -> str:
+    return f"""WITH {_semdedup_ctes()}
+SELECT cluster, vec_id FROM sem ORDER BY cluster, vec_id"""
 
 
 @register("dd15_semdedup", oracle=_dd15_oracle())
@@ -976,4 +987,59 @@ def dd15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "embeddings")
     return semdedup(
         docs, "vec_id", "embedding", k=8, n_iter=4, threshold=_DD15_TAU
+    ).orderBy("cluster", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# dd16 — D4 pruning: SemDeDup + SSL-prototype diversification.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_DD16_PROTO_PCT = 20
+
+
+def _dd16_oracle() -> str:
+    return f"""WITH {_semdedup_ctes()}
+, rem AS (
+  SELECT c.cid, c.vec_id, c.csim FROM cs c
+  LEFT JOIN sem s ON c.cid = s.cluster AND c.vec_id = s.vec_id
+  WHERE s.vec_id IS NULL
+), rk AS (
+  SELECT cid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY csim DESC, vec_id) AS r,
+         COUNT(*) OVER (PARTITION BY cid) AS n
+  FROM rem
+), proto AS (
+  SELECT cid AS cluster, vec_id FROM rk
+  WHERE r <= (n * {_DD16_PROTO_PCT}) // 100
+)
+SELECT cluster, vec_id, 'semdedup' AS reason FROM sem
+UNION ALL
+SELECT cluster, vec_id, 'prototype' AS reason FROM proto
+ORDER BY cluster, vec_id"""
+
+
+@register("dd16_d4_prune", oracle=_dd16_oracle())
+def dd16_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 pruning (Tirumala et al. 2023) — the composition that
+    completes the semantic-curation family: dd15's SemDeDup marks
+    first, then SSL-prototype diversification over the survivors (per
+    cluster, drop the top-20% members MOST similar to their centroid —
+    the least informative examples; MinHash/SemDeDup only remove
+    copies, this removes redundancy-without-duplication). One
+    (cluster, vec_id, reason) row per removed member; the oracle
+    replays the full 4-iteration k-means fit, the SemDeDup pair
+    decision (shared CTE fragment with dd15 — they cannot drift), the
+    survivor anti-join, and the exact-integer per-cluster quota
+    ``(n · 20) div 100``. Plan: one shared assignment kernel pass
+    (localCheckpointed), the dd15 cluster equi-join, plus ONE
+    cluster-partitioned window for the prototype ranking."""
+    from ..operators.clustering import d4_prune, kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=4)
+    return d4_prune(
+        emb, "vec_id", "embedding", cent,
+        threshold=_DD15_TAU, proto_pct=_DD16_PROTO_PCT,
     ).orderBy("cluster", "vec_id")

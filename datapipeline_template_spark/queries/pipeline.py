@@ -418,7 +418,7 @@ def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     gopher_rules, logodds_classifier), so this is the composition
     proof: flags for all stages are computed in ONE pass over the
     corpus (no per-stage rescans), the dedup rank rides a single
-    window partitioned by (text, stage-2-survivorship), the classifier
+    window partitioned by (10-token prefix, stage-2 survivorship), the classifier
     join is the tx19 token equi-join, and the funnel collapses to a
     1-row aggregate unpivoted via stack(). Scale: one text-partition
     window shuffle + the classifier's token shuffle; everything else

@@ -344,6 +344,13 @@ SELECT CAST({n_planes} AS BIGINT) AS n_planes,
 """
 
 
+# Zero-norm convention note (shared with ss09): these truth CTEs are
+# THRESHOLD-based (cosine >= τ), where a zero-norm vector's NaN cosine
+# compares as greater-than-everything in BOTH Spark and DuckDB — so
+# unlike the top-k truths (ss16, which needs the explicit norm>0
+# exclusion), a degenerate row cannot silently diverge the engines
+# here; it would inflate both truth sets identically. The corpus has
+# no zero-norm vectors either way.
 _SS08_ORACLE = f"""
 WITH eval_emb AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
@@ -898,6 +905,122 @@ def ss14_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ss14b — the 100-TB block form of the mutual-kNN graph: ss13 cluster
+# assignment as the block key, recall-accounted against the exact
+# unblocked truth on the eval slice. Registered in the OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+
+def _ss14b_oracle() -> str:
+    from ._kmeans_sql import cos_sql, kmeans_ctes
+
+    n = _KM_ITER
+    ctes = kmeans_ctes(_KM_K, n, _KM_DIM).replace(
+        "FROM embeddings",
+        f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+        1,
+    )
+
+    def _knn(name: str, join_extra: str) -> str:
+        return f""", und{name} AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {cos_sql('a.qv', 'b.qv')} AS cosine
+  FROM base a JOIN base b ON a.vec_id < b.vec_id{join_extra}
+), dir{name} AS (
+  SELECT src, dst, cosine FROM und{name}
+  UNION ALL SELECT dst AS src, src AS dst, cosine FROM und{name}
+), rk{name} AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+           ORDER BY cosine DESC, dst ASC) AS r
+  FROM dir{name}
+), top{name} AS (
+  SELECT src, dst FROM rk{name} WHERE r <= {_SS14_K}
+), e{name} AS (
+  SELECT t.src AS id_a, t.dst AS id_b
+  FROM top{name} t JOIN top{name} u ON t.src = u.dst AND t.dst = u.src
+  WHERE t.src < t.dst
+)"""
+
+    return f"""WITH {ctes}
+, base AS (
+  SELECT vec_id, qv, cid FROM a{n}
+  WHERE list_sum(list_transform(qv, x -> x * x)) > 0
+){_knn('t', '')}{_knn('b', ' AND a.cid = b.cid')}
+, ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM et)
+, cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocked FROM eb)
+, ch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM eb JOIN et USING (id_a, id_b))
+SELECT (SELECT n_truth FROM ct) AS n_truth,
+       (SELECT n_blocked FROM cb) AS n_blocked,
+       (SELECT n_hit FROM ch) AS n_hit,
+       CAST((SELECT n_hit FROM ch) AS DOUBLE)
+         / (SELECT n_truth FROM ct) AS recall"""
+
+
+@register("ss14b_mutual_knn_cluster_blocked", oracle=_ss14b_oracle())
+def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale block form of ss14, registered and measured
+    instead of prose: the mutual-kNN candidate join blocked by ss13's
+    deterministic k-means cluster assignment — the block key whose
+    count GROWS with the corpus (k ∝ N keeps Σ n_block² bounded),
+    unlike ss14's fixed label set whose within-block join is quadratic
+    in corpus size. Recall is accounted the ss16 way: the exact
+    UNBLOCKED mutual-kNN graph on the fixed eval slice is the truth
+    (bounded quadratic by the slice convention), and the row reports
+    |blocked ∩ truth| / |truth| — a blocked edge can only be lost
+    when the two endpoints fall in different k-means cells. The
+    oracle replays fit + assignment + both graph constructions +
+    the intersection end-to-end.
+
+    Measured at sf0.01 (hash-pinned): 509 truth edges, 483 blocked
+    edges, 194 hits — recall 38.1% from ONE k=8 clustering. That is
+    the honest single-partition number; a production graph build
+    recovers the cross-cell edges the same way the LSH family does —
+    OR-union edges over L independent clusterings or shifted-seed
+    assignments (the ss09 multi-table construction), each union
+    member this same bounded equi-join."""
+    from ..functions import quantize_vec
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER)
+    asg = kmeans_assign(
+        emb.select("vec_id", "embedding", quantize_vec("embedding").alias("_qvk")),
+        "_qvk",
+        cent,
+    ).select("vec_id", "embedding", "cluster")
+    # Each edge set feeds two consumers (its count + the hit join) —
+    # checkpoint so the candidate joins run once (ss16 convention).
+    blocked = (
+        mutual_knn_edges(asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    hit = truth.join(blocked, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(blocked.agg(F.count(F.lit(1)).alias("n_blocked")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_blocked",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ss15 — IVF ANN over the deterministic k-means quantizer (hash-pinned).
 # Registered in the registry OVERFLOW section.
 # ---------------------------------------------------------------------------
@@ -1016,6 +1139,8 @@ def _ss16_oracle() -> str:
            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
              {cos_sql('q.qv', 'e.qv')} DESC, e.vec_id) AS rk
     FROM qry q JOIN qv e ON e.vec_id != q.query_id
+      AND list_sum(list_transform(q.qv, x -> x * x)) > 0
+      AND list_sum(list_transform(e.qv, x -> x * x)) > 0
   ) WHERE rk <= {_SS16_K}
 ), tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
 {''.join(probe_blocks)}
@@ -1050,8 +1175,19 @@ def ss16_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the most expensive subtrees per n_probe setting
     # (truth twice per iteration: the hit semi-join and the n_truth
     # aggregate).
+    # cosine_topk has no internal zero-norm exclusion: a zero-quantized
+    # vector's cosine is 0/0 = NaN, which Spark ranks ABOVE every number
+    # in the DESC ordering while DuckDB ranks it last/NULL — one
+    # degenerate row would diverge the truth sets. The corpus has none,
+    # but the guard matches the operator-family convention (semdedup,
+    # mutual_knn_edges, ivf_topk_kmeans) and the oracle truth CTE.
+    from ..functions import norm_sq_prequantized, quantize_vec
+
+    nz = norm_sq_prequantized(quantize_vec("embedding")) > 0
     truth = (
-        cosine_topk(emb, queries, "vec_id", "embedding", k=_SS16_K)
+        cosine_topk(
+            emb.where(nz), queries.where(nz), "vec_id", "embedding", k=_SS16_K
+        )
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )

@@ -45,6 +45,81 @@ def tx07_token_entropy_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_entropy(F.col("text")).alias("entropy"))
 
+
+# ---------------------------------------------------------------------------
+# tx07b — integer Rényi-2 collision statistics via pandas_udf (the
+# oracle-backed twin of tx07's float Shannon entropy)
+# ---------------------------------------------------------------------------
+
+_TX07B_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       CAST(SUM(c * c) AS DOUBLE)
+         / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS collision
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("tx07b_token_collision_pandas", oracle=_TX07B_ORACLE)
+def tx07b_token_collision_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rényi-2 (collision) token-distribution statistics through the
+    SAME Arrow-vectorized ``@pandas_udf`` surface tx07 demonstrates —
+    but hash-pinnable: per document, token count ``n`` and the sum of
+    squared per-token counts ``Σc²`` are exact integers (any engine
+    agrees), and the collision probability ``Σc²/n²`` is ONE IEEE
+    division of exactly-representable integers (the tx01 avg_tokens
+    convention). Shannon entropy (tx07) needs a transcendental log and
+    a float summation whose order differs across engines — collision
+    probability carries the same repetition signal (it is exp(-H₂))
+    with full DuckDB value-hash parity. Plan: map-only; the Python
+    work is one vectorized pandas value_counts per Arrow batch."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("sum_sq", T.LongType()),
+            ]
+        )
+    )
+    def collision_stats(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        n_out = np.empty(len(texts), dtype=np.int64)
+        sq_out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            c = pd.Series(t.split(" ")).value_counts().to_numpy(dtype=np.int64)
+            n_out[i] = int(c.sum())
+            sq_out[i] = int((c * c).sum())
+        return pd.DataFrame({"n_tokens": n_out, "sum_sq": sq_out})
+
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", collision_stats(F.col("text")).alias("_s")
+    ).select(
+        "doc_id",
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.sum_sq").alias("sum_sq"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "sum_sq",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double"))
+        ).alias("collision"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # tx01 — token statistics per language
 # ---------------------------------------------------------------------------

@@ -29,10 +29,10 @@ PINNED_WINDOW = [
     "dd01_exact_dedup_documents", "dd02_ngram_jaccard_pairs",
     "dd03_minhash_lsh_candidates", "dd05_minhash_lsh_kernel",
     "dd04_simhash_pairs", "dd06_dedup_components",
-    "ss01_cosine_topk", "ss04_cosine_topk_blas", "ss05_ivf_ann",
+    "ss01_cosine_topk", "ss04_cosine_topk_blas",
     "ss02_embedding_near_dup", "ss03_lsh_ann_pairs",
-    "ss06_embedding_dedup_clusters",
-    "tx07_token_entropy_pandas", "tx01_token_stats",
+    "ss06_embedding_dedup_clusters", "ss15_ivf_kmeans_ann",
+    "tx07b_token_collision_pandas", "tx01_token_stats",
     "tx02_quality_by_source", "tx03_language_id", "tx04_fingerprint",
     "tx06_tfidf", "tx05_top_bigrams", "tx08_regex_subwords",
     "tx09_leading_tokens", "tx10_stopword_punct_shares",
@@ -51,7 +51,7 @@ PINNED_WINDOW = [
 
 # Exact registry size, bumped DELIBERATELY with every added query —
 # a floor (`>= 82`) let accidental deregistration pass silently.
-EXPECTED_REGISTRY_SIZE = 133
+EXPECTED_REGISTRY_SIZE = 136
 
 
 def test_registry_size_stable():
@@ -59,9 +59,11 @@ def test_registry_size_stable():
 
 
 def test_window_pinned_by_name():
-    """The exact 50 names the driver sweeps (round-6 delta: pipe06's
-    slot went to its oracle-pinned twin pipe06b; pipe06 moved to
-    _OVERFLOW as the rows-only liveness check)."""
+    """The exact 50 names the driver sweeps (round-8 delta: the two
+    remaining rows-only slots went to their hash-green twins — ss05 →
+    ss15, tx07 → tx07b — taking the window to 50/50 hash-eligible;
+    both originals moved to _OVERFLOW as liveness checks, the same
+    discipline as round 6's pipe06 → pipe06b swap)."""
     assert WINDOW == PINNED_WINDOW
 
 
