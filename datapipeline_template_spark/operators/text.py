@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint",
     "gopher_rules",
     "bigram_familiarity",
+    "bpe_train",
     "logodds_classifier",
     "LANG_MARKERS",
 ]
@@ -308,3 +309,93 @@ def logodds_classifier(
         F.col("score").cast("long").alias("score"),
         (F.col("score") > 0).alias("keep"),
     )
+
+
+def bpe_merge_word(rep: Column, x: str, y: str) -> Column:
+    """Apply one learned BPE merge (x, y) to a sentinel-spaced word
+    representation (``' c1 c2 ... cn '``) via TWO literal-replace
+    passes — equivalent to the canonical left-to-right non-overlapping
+    merge (Sennrich et al. 2016) and, unlike a per-symbol fold, a pure
+    codegen'd JVM string op.
+
+    Why two passes equal LTR: a single ``replace`` scan consumes the
+    trailing space of each match, which blocks ONLY an immediately
+    following occurrence — and a blocked occurrence consumes nothing,
+    so two blocked occurrences are never adjacent. Pass 2 therefore
+    sees every survivor with its spaces restored and merges it; no new
+    occurrence can be created because the merged token ``xy`` is a
+    single (longer) symbol and symbols never contain spaces.
+    Property-tested against a Python reference fold over random
+    symbol strings (tests/test_properties.py)."""
+    pat = F.lit(f" {x} {y} ")
+    rpl = F.lit(f" {x}{y} ")
+    return F.replace(F.replace(rep, pat, rpl), pat, rpl)
+
+
+def bpe_train(
+    vocab: DataFrame, rep_col: str, freq_col: str, n_merges: int = 8
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Deterministic byte-pair-encoding merge learning over a word
+    vocabulary — the k-means of text: N rounds, each one (pair →
+    summed word frequency) partial aggregation, a deterministic argmax
+    (count DESC, then pair lexicographic ASC), and a map-only vocab
+    rewrite with the learned merge. Returns the merge table
+    ``[(x, y, count), ...]`` in learned order and the final rewritten
+    vocabulary DataFrame.
+
+    ``vocab`` must carry ``rep_col`` — the sentinel-spaced symbol
+    string ``' c1 c2 ... cn '`` (symbols contain no spaces) — and an
+    integer ``freq_col``. Determinism: pair counts are exact integers;
+    the argmax tie-break is total (cnt DESC, x ASC, y ASC — binary
+    comparison on ASCII symbols, identical in DuckDB); the rewrite is
+    the two-pass literal replace of ``bpe_merge_word``.
+
+    Scale shape (the 100-TB story): the vocabulary is the DISTINCT
+    word set (∼10⁷ rows at web scale — thousands of times smaller
+    than the corpus, which is scanned ONCE to build it); each round
+    shuffles only the (pair, count) partial aggregate — map-side
+    combine collapses each partition to its distinct adjacent pairs —
+    and ships exactly ONE winning row to the driver (coordination,
+    never data: the kmeans_fit convention). The rewrite is a narrow
+    map; the vocab is localCheckpointed per round so round i+1's scan
+    does not re-execute rounds 1..i (the connected-components
+    iterative-loop lesson: persist does NOT stop plan growth).
+    """
+    v = vocab.select(
+        F.col(rep_col).alias("rep"), F.col(freq_col).cast("long").alias("freq")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.trim(F.col("rep")), " ")
+        idx = F.when(
+            F.size(syms) > 1, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            v.select(
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda j: F.struct(
+                            F.element_at(syms, j).alias("x"),
+                            F.element_at(syms, j + 1).alias("y"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # no word has two symbols left — vocabulary exhausted
+        x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
+        merges.append((x, y, cnt))
+        v = v.select(
+            bpe_merge_word(F.col("rep"), x, y).alias("rep"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges, v

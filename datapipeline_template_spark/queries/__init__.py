@@ -115,6 +115,7 @@ _OVERFLOW = (
     "tx07_token_entropy_pandas",
     "dd16_d4_prune",
     "ss14b_mutual_knn_cluster_blocked",
+    "tx20_bpe_train",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

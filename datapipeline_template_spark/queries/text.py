@@ -397,6 +397,128 @@ def tx08_regex_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tx20 — deterministic BPE tokenizer training (iterative merge learning,
+# every round replayed by the oracle). Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_TX20_N_MERGES = 8
+_TX20_TOP = 20
+
+
+def _tx20_oracle() -> str:
+    parts = ["""w AS (
+  SELECT lower(t) AS word FROM (
+    SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
+    FROM documents)
+), v0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM w GROUP BY word
+)"""]
+    for i in range(_TX20_N_MERGES):
+        parts.append(f""", p{i} AS (
+  SELECT s[j] AS x, s[j+1] AS y, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(rep), ' ') AS s, freq FROM v{i}) r,
+       UNNEST(range(1, len(s))) AS t(j)
+  GROUP BY x, y
+), m{i} AS (
+  SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1
+), v{i + 1} AS (
+  SELECT replace(replace(v.rep,
+                         ' ' || m.x || ' ' || m.y || ' ',
+                         ' ' || m.x || m.y || ' '),
+                 ' ' || m.x || ' ' || m.y || ' ',
+                 ' ' || m.x || m.y || ' ') AS rep, v.freq
+  FROM v{i} v CROSS JOIN m{i} m
+)""")
+    n = _TX20_N_MERGES
+    merge_rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, x, y, cnt FROM m{i}"
+        for i in range(n)
+    )
+    return f"""WITH {''.join(parts)}
+, toks AS (
+  SELECT s[j] AS token, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(rep), ' ') AS s, freq FROM v{n}) r,
+       UNNEST(range(1, len(s) + 1)) AS t(j)
+  GROUP BY token
+), toprows AS (
+  SELECT CAST(-1 AS BIGINT) AS step, token AS x, '' AS y, cnt
+  FROM toks ORDER BY cnt DESC, token LIMIT {_TX20_TOP}
+)
+{merge_rows}
+UNION ALL SELECT * FROM toprows
+ORDER BY step, cnt DESC, x, y"""
+
+
+@register("tx20_bpe_train", oracle=_tx20_oracle())
+def tx20_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE tokenizer training (Sennrich et al. 2016) —
+    iterative pair-merge learning as a driver-coordinated DataFrame
+    loop, the k-means of text: each of the 8 rounds is one
+    (adjacent-pair → summed word frequency) partial aggregation, a
+    deterministic argmax (cnt DESC, pair ASC), and a map-only vocab
+    rewrite via two-pass literal replace (== canonical left-to-right
+    merge; property-tested). The oracle replays ALL unrolled rounds in
+    SQL (the queries/_kmeans_sql.py pattern), so the learned merge
+    table — not just the end state — is hash-pinned. Output: rows
+    (step 0..7, x, y, cnt) = the merge table in learned order, plus
+    (step -1, token, '', cnt) = the top-20 final-vocabulary token
+    counts. Scale: the corpus is scanned once into a distinct-word
+    vocab; per round only k-pair partial-agg rows shuffle and ONE row
+    reaches the driver (operators/text.py bpe_train docstring)."""
+    from ..operators.text import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+        ).alias("t")
+    ).select(F.lower(F.col("t")).alias("word"))
+    # Words are [a-z]+ post-lower, so '[a-z]' char extraction is the
+    # split-to-chars form that agrees with DuckDB's string_split(w, '')
+    # (F.split(w, '') keeps a trailing empty token under Java's
+    # limit=-1 semantics — not usable here).
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    merges, final_v = bpe_train(vocab, "rep", "freq", n_merges=_TX20_N_MERGES)
+    merge_df = spark.createDataFrame(
+        [(i, x, y, c) for i, (x, y, c) in enumerate(merges)],
+        "step long, x string, y string, cnt long",
+    )
+    toks = (
+        final_v.select(
+            F.explode(F.split(F.trim(F.col("rep")), " ")).alias("x"), "freq"
+        )
+        .groupBy("x")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    toprows = (
+        toks.orderBy(F.col("cnt").desc(), F.col("x").asc())
+        .limit(_TX20_TOP)
+        .select(
+            F.lit(-1).cast("long").alias("step"),
+            "x",
+            F.lit("").alias("y"),
+            "cnt",
+        )
+    )
+    return merge_df.unionByName(toprows).orderBy(
+        "step", F.col("cnt").desc(), "x", "y"
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx09 — posexplode (generator with position): leading-token stats
 # ---------------------------------------------------------------------------
 

@@ -559,3 +559,74 @@ def test_kmeans_assignment_kernel_catalyst_parity_property(spark, vecs, k):
             .select("id", "cluster", "dist").collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tx20): the two-pass literal-replace rewrite must
+# equal the canonical left-to-right non-overlapping merge, and the
+# learned merge table must be prefix-stable as rounds grow.
+# ---------------------------------------------------------------------------
+
+
+def _ltr_merge(symbols: list[str], x: str, y: str) -> list[str]:
+    """Reference left-to-right non-overlapping BPE merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == x and symbols[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "c"]), st.sampled_from(["a", "b", "ab", "c"])
+    ),
+)
+@settings(**_SETTINGS)
+def test_bpe_double_replace_equals_ltr_merge(spark, words, pair):
+    """bpe_merge_word's two-pass replace == the reference fold, on
+    adversarial symbol sequences incl. overlapping runs (a a a) and
+    symbols that are concatenations of others (ab vs a,b)."""
+    from datapipeline_template_spark.operators.text import bpe_merge_word
+
+    x, y = pair
+    df = spark.createDataFrame(
+        [(" " + " ".join(w) + " ",) for w in words], "rep string"
+    )
+    got = [
+        r["out"].strip().split(" ")
+        for r in df.select(
+            bpe_merge_word(F.col("rep"), x, y).alias("out")
+        ).collect()
+    ]
+    want = [_ltr_merge(w, x, y) for w in words]
+    assert got == want
+
+
+def test_bpe_merge_table_prefix_stable(spark):
+    """Learning N merges then N+2 merges must agree on the first N —
+    each round's argmax depends only on prior rounds (the iterative
+    contract tx20's unrolled oracle replays)."""
+    from datapipeline_template_spark.operators.text import bpe_train
+
+    rows = [
+        (" " + " ".join("banana") + " ", 5),
+        (" " + " ".join("bandana") + " ", 3),
+        (" " + " ".join("cabana") + " ", 2),
+        (" " + " ".join("an") + " ", 7),
+    ]
+    vocab = spark.createDataFrame(rows, "rep string, freq long")
+    m4, _ = bpe_train(vocab, "rep", "freq", n_merges=4)
+    m6, _ = bpe_train(vocab, "rep", "freq", n_merges=6)
+    assert m6[:4] == m4
+    assert len(m4) == 4
