@@ -120,6 +120,82 @@ def _ann_retrieval_scenarios(spark, sf_dir):
     }
 
 
+def _clustering_shared_scenario(spark, sf_dir):
+    """The production shape of the clustering family (r7 verdict note):
+    registry queries are stateless by contract, so ss13/dd15/ss15/ss16
+    each pay the identical k-means fit (~1.5 s at sf0.1) — a real
+    curation run fits ONCE and feeds every consumer from the shared
+    centroids + corpus assignment. This scenario times exactly that:
+    one fit, one checkpointed assignment kernel pass, then the
+    MARGINAL cost of each consumer, with a parity assert that the
+    shared-fit SemDeDup marks equal the standalone operator's."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.functions import (
+        norm_sq_prequantized,
+        quantize_vec,
+    )
+    from datapipeline_template_spark.operators.clustering import (
+        ivf_topk_kmeans,
+        kmeans_assign,
+        kmeans_fit,
+        semdedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    t = time.perf_counter()
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=4)
+    fit_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    q = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    assigned = kmeans_assign(q, "_qv", cent).localCheckpoint(eager=True)
+    assign_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    n_clusters = assigned.groupBy("cluster").count().count()
+    stats_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    shared_marks = semdedup(
+        emb, "vec_id", "embedding", centroids=cent, assigned=assigned
+    ).localCheckpoint(eager=True)
+    n_marks = shared_marks.count()
+    semdedup_sec = time.perf_counter() - t
+
+    # IVF corpus side derived from the SAME checkpointed assignment
+    # (rename + one narrow norm map — no second kernel pass).
+    ivf_assigned = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_qv").alias("_cv"),
+        norm_sq_prequantized(F.col("_qv")).alias("_cn"),
+        "cluster",
+    )
+    t = time.perf_counter()
+    n_ret = ivf_topk_kmeans(
+        emb, emb.where(F.col("vec_id") < 50), "vec_id", "embedding", cent,
+        k=5, n_probe=2, assigned=ivf_assigned,
+    ).count()
+    ivf_sec = time.perf_counter() - t
+
+    standalone = semdedup(emb, "vec_id", "embedding", k=8, n_iter=4)
+    parity = (
+        shared_marks.exceptAll(standalone).count() == 0
+        and standalone.exceptAll(shared_marks).count() == 0
+    )
+    return {
+        "fit_sec": round(fit_sec, 4),
+        "assign_checkpoint_sec": round(assign_sec, 4),
+        "stats_marginal_sec": round(stats_sec, 4),
+        "semdedup_marginal_sec": round(semdedup_sec, 4),
+        "ivf_retrieval_marginal_sec": round(ivf_sec, 4),
+        "n_clusters": n_clusters,
+        "n_marks": n_marks,
+        "n_retrieved": n_ret,
+        "parity": parity,
+    }
+
+
 def _incremental_silver_scenario(spark, sf_dir):
     """SURVEY §7.3's 100-TB hot path, demonstrated under the bench: a
     bulk-loaded events silver (100k rows at sf0.1), then a 1% delta —
@@ -322,6 +398,13 @@ def main() -> None:
         secondary[name] = round(best, 4)
 
     try:
+        clustering_shared = _clustering_shared_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        clustering_shared = None
+        errors["clustering_shared"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: clustering-shared scenario FAILED: {exc}", file=sys.stderr)
+
+    try:
         inc_silver = _incremental_silver_scenario(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         inc_silver = None
@@ -337,6 +420,8 @@ def main() -> None:
     }
     if secondary:
         result["secondary"] = secondary
+    if clustering_shared is not None:
+        result["clustering_shared"] = clustering_shared
     if inc_silver is not None:
         result["incremental_silver"] = inc_silver
     if errors:

@@ -116,6 +116,7 @@ _OVERFLOW = (
     "dd16_d4_prune",
     "ss14b_mutual_knn_cluster_blocked",
     "tx20_bpe_train",
+    "pipe12_curation_funnel_full",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -234,8 +234,13 @@ def dd04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd06 — duplicate clusters: connected components over LSH candidates
 # ---------------------------------------------------------------------------
 
-_DD06_ORACLE = f"""
-WITH RECURSIVE tk AS (
+# MinHash(32) → LSH bands → candidate pairs → recursive transitive
+# closure → (node, component = min id) map. ONE definition shared by
+# the dd06/dd08 oracles and the pipe12 funnel fragment (the
+# _kmeans_sql single-implementation rule): a hash-schedule or banding
+# change lands in every composing oracle at once. Requires
+# `WITH RECURSIVE` in the consuming statement.
+MINHASH_CC_CTES = f"""tk AS (
   SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
 ), sh AS (
   SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
@@ -262,10 +267,13 @@ WITH RECURSIVE tk AS (
   UNION
   SELECT e.a AS node, cc.label
   FROM cc JOIN sym e ON cc.node = e.b
-)
-SELECT node, MIN(label) AS component
-FROM cc
-GROUP BY node
+), comp AS (
+  SELECT node, MIN(label) AS component FROM cc GROUP BY node
+)"""
+
+_DD06_ORACLE = f"""
+WITH RECURSIVE {MINHASH_CC_CTES}
+SELECT node, component FROM comp
 """
 
 
@@ -355,36 +363,7 @@ def dd09_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DD08_ORACLE = f"""
-WITH RECURSIVE tk AS (
-  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
-), sh AS (
-  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
-), sig AS (
-  SELECT doc_id,
-         list_transform(range(0, 32),
-           i -> list_min(list_transform(shingles,
-                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
-  FROM sh
-), bands AS (
-  SELECT doc_id, CAST(b AS BIGINT) AS band,
-         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS bucket
-  FROM sig, unnest(range(0, 8)) AS u(b)
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), sym AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b AS a, id_a AS b FROM pairs
-), cc AS (
-  SELECT a AS node, a AS label FROM sym
-  UNION
-  SELECT e.a AS node, cc.label
-  FROM cc JOIN sym e ON cc.node = e.b
-), comp AS (
-  SELECT node, MIN(label) AS component FROM cc GROUP BY node
-), labeled AS (
+WITH RECURSIVE {MINHASH_CC_CTES}, labeled AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 ), ranked AS (

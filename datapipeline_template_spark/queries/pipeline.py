@@ -441,20 +441,185 @@ def pipe09_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pipe12 — the funnel with the EXPENSIVE dedup stages composed in:
+# MinHash near-dup survivor selection (dd08's rule) and SemDeDup
+# (dd15's marks), after the cheap gates. Registered in OVERFLOW;
+# pipe10/pipe11 ride the same extended pass.
+# ---------------------------------------------------------------------------
+
+
+def _pipe12_flag_ctes() -> str:
+    """The pipe09 flag chain extended with the corpus-level dedup mark
+    sets, ending in ``flagged2``: MinHash→LSH→CC non-keepers (dd08's
+    quality-ranked survivor rule, via the shared ``MINHASH_CC_CTES``
+    fragment) and SemDeDup marks (dd15's shared ``sem`` fragment —
+    embeddings.vec_id indexes the same documents corpus, the
+    driver-generated aligned-id convention). Consumers must open with
+    ``WITH RECURSIVE`` (the CC transitive closure)."""
+    from ._kmeans_sql import kmeans_ctes  # noqa: F401 — via _semdedup_ctes
+    from .dedup import MINHASH_CC_CTES, _semdedup_ctes
+
+    return f"""{_pipe09_flag_ctes()}, {MINHASH_CC_CTES}, {_semdedup_ctes()}
+, mh_lab AS (
+  SELECT d.doc_id, c.component, d.n_chars
+  FROM documents d JOIN comp c ON d.doc_id = c.node
+), mh_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
+             ORDER BY n_chars DESC, doc_id) AS r
+    FROM mh_lab) WHERE r > 1
+), flagged2 AS (
+  SELECT f.*, (m.doc_id IS NULL) AS mh_keep, (s.vec_id IS NULL) AS sem_keep,
+         (f.f_cls AND m.doc_id IS NULL) AS f_mh,
+         (f.f_cls AND m.doc_id IS NULL AND s.vec_id IS NULL) AS f_sem
+  FROM flagged f
+  LEFT JOIN mh_drop m ON f.doc_id = m.doc_id
+  LEFT JOIN (SELECT DISTINCT vec_id FROM sem) s ON f.doc_id = s.vec_id
+)"""
+
+
+def _curation_flags_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_curation_flags`` plus the two expensive corpus-level dedup
+    mark sets, joined in as keep-booleans and composed into the
+    stage-6/7 survivorship flags:
+
+    - ``mh_keep``: the document is not a MinHash-near-dup non-keeper
+      (dd08's rule — each LSH/CC cluster keeps its highest-quality
+      member, n_chars DESC then doc_id ASC). Computed on the clustered
+      subset only: singletons never join the component map, so the
+      ranking window shuffles the few-% pair-participating docs, not
+      the corpus (the select_survivors scale note).
+    - ``sem_keep``: the document's embedding (vec_id == doc_id, the
+      driver's aligned-id convention) is not marked by dd15's SemDeDup.
+
+    Funnel-order rationale: the cheap map-only gates (language,
+    Gopher, prefix dedup, classifier) run first so the quadratic-ish
+    dedup machinery prices on the smallest surviving set in a real
+    pipeline — but the MARK SETS here are corpus-level (computed once
+    over the whole pool, the Dolma/dd15 artifact shape), so the stage
+    flags are pure boolean composition and one shared pass serves
+    pipe10/pipe11/pipe12."""
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_fit, semdedup
+    from ..operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures_kernel,
+    )
+
+    flags = _curation_flags(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    comp = connected_components(pairs, "id_a", "id_b")
+    clustered = docs.select("doc_id", "n_chars").join(
+        comp.select(F.col("node").alias("doc_id"), "component"), on="doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    mh_drop = (
+        clustered.select("doc_id", F.row_number().over(w).alias("_r"))
+        .where(F.col("_r") > 1)
+        .select("doc_id", F.lit(True).alias("_mhd"))
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=4)
+    sem = (
+        semdedup(emb, "vec_id", "embedding", centroids=cent, threshold=0.3)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_semd", F.lit(True))
+    )
+    return (
+        flags.join(mh_drop, on="doc_id", how="left")
+        .join(sem, on="doc_id", how="left")
+        .withColumn("mh_keep", F.col("_mhd").isNull())
+        .withColumn("sem_keep", F.col("_semd").isNull())
+        .withColumn("f_mh", F.col("f_cls") & F.col("mh_keep"))
+        .withColumn(
+            "f_sem", F.col("f_cls") & F.col("mh_keep") & F.col("sem_keep")
+        )
+        .drop("_mhd", "_semd")
+    )
+
+
+def _pipe12_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_pipe12_flag_ctes()}, counts AS (
+  SELECT COUNT(*) AS n0,
+         CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN surv2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN f_cls THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(SUM(CASE WHEN f_mh THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+         CAST(SUM(CASE WHEN f_sem THEN 1 ELSE 0 END) AS BIGINT) AS n6
+  FROM flagged2
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs FROM counts
+UNION ALL SELECT 1, 'language_en', n1 FROM counts
+UNION ALL SELECT 2, 'gopher_quality', n2 FROM counts
+UNION ALL SELECT 3, 'prefix_dedup', n3 FROM counts
+UNION ALL SELECT 4, 'classifier', n4 FROM counts
+UNION ALL SELECT 5, 'minhash_neardup', n5 FROM counts
+UNION ALL SELECT 6, 'semdedup', n6 FROM counts
+ORDER BY stage_idx
+"""
+
+
+@register("pipe12_curation_funnel_full", oracle=_pipe12_oracle())
+def pipe12_curation_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE modern curation funnel (Dolma/FineWeb/RefinedWeb
+    shape): pipe09's cheap gates followed by the expensive dedup
+    stages — MinHash near-dup survivor selection (dd08's
+    quality-ranked rule over the dd03 LSH/CC graph) and SemDeDup
+    (dd15's marks) — with per-stage surviving counts, all seven stages
+    evaluated in ONE shared pass (``_curation_flags_extended``, also
+    consumed by pipe10's attribution and pipe11's data card). Every
+    stage reuses its registered operator AND its generated oracle
+    fragment (curation/classifier SQL, ``MINHASH_CC_CTES``,
+    ``_semdedup_ctes``), so the funnel cannot drift from the
+    standalone queries it composes."""
+    full = _curation_flags_extended(spark, sf_dir)
+    counts = full.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("f_lang"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("surv2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("f_dedup"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("f_cls"), 1).otherwise(0)).cast("long").alias("n4"),
+        F.sum(F.when(F.col("f_mh"), 1).otherwise(0)).cast("long").alias("n5"),
+        F.sum(F.when(F.col("f_sem"), 1).otherwise(0)).cast("long").alias("n6"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(7, 0L, 'raw', n0, 1L, 'language_en', n1, "
+            "2L, 'gopher_quality', n2, 3L, 'prefix_dedup', n3, "
+            "4L, 'classifier', n4, 5L, 'minhash_neardup', n5, "
+            "6L, 'semdedup', n6) AS (stage_idx, stage, n_docs)"
+        )
+    ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
 # pipe10 — per-document drop attribution (curation provenance).
 # Registered in the registry OVERFLOW section.
 # ---------------------------------------------------------------------------
 
 def _pipe10_oracle() -> str:
     return f"""
-WITH {_pipe09_flag_ctes()}
+WITH RECURSIVE {_pipe12_flag_ctes()}
 SELECT doc_id,
        CASE WHEN NOT f_lang THEN 'language_en'
             WHEN NOT surv2 THEN 'gopher_quality'
             WHEN NOT f_dedup THEN 'prefix_dedup'
             WHEN NOT f_cls THEN 'classifier'
+            WHEN NOT f_mh THEN 'minhash_neardup'
+            WHEN NOT f_sem THEN 'semdedup'
             ELSE 'kept' END AS drop_stage
-FROM flagged
+FROM flagged2
 ORDER BY doc_id
 """
 
@@ -464,17 +629,19 @@ def pipe10_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation provenance: the audit record production
     pipelines keep alongside the funnel — each document labeled with
     the FIRST stage that dropped it ('language_en', 'gopher_quality',
-    'prefix_dedup', 'classifier') or 'kept'. Shares pipe09's one-pass
-    stage evaluation (_curation_flags) and its oracle's CTE chain, so
-    funnel counts and attribution can never drift apart; the only
-    added work over pipe09 is emitting rows instead of the 1-row
-    aggregate."""
-    flags = _curation_flags(spark, sf_dir)
+    'prefix_dedup', 'classifier', 'minhash_neardup', 'semdedup') or
+    'kept'. Shares pipe12's one-pass extended stage evaluation
+    (_curation_flags_extended) and its oracle's CTE chain, so funnel
+    counts and attribution can never drift apart; the only added work
+    over pipe12 is emitting rows instead of the 1-row aggregate."""
+    flags = _curation_flags_extended(spark, sf_dir)
     stage = (
         F.when(~F.col("f_lang"), F.lit("language_en"))
         .when(~F.col("surv2"), F.lit("gopher_quality"))
         .when(~F.col("f_dedup"), F.lit("prefix_dedup"))
         .when(~F.col("f_cls"), F.lit("classifier"))
+        .when(~F.col("f_mh"), F.lit("minhash_neardup"))
+        .when(~F.col("f_sem"), F.lit("semdedup"))
         .otherwise(F.lit("kept"))
     )
     return flags.select("doc_id", stage.alias("drop_stage")).orderBy("doc_id")
@@ -488,7 +655,7 @@ def pipe10_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pipe11_oracle() -> str:
     return f"""
-WITH {_pipe09_flag_ctes()}
+WITH RECURSIVE {_pipe12_flag_ctes()}
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -496,8 +663,10 @@ SELECT source,
        CAST(SUM(CASE WHEN f_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
        CAST(SUM(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
        CAST(SUM(CASE WHEN f_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN f_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_kept,
+       CAST(SUM(CASE WHEN f_sem THEN 1 ELSE 0 END) AS BIGINT) AS n_semdedup_kept,
        CAST(SUM(score) AS BIGINT) AS sum_score
-FROM flagged
+FROM flagged2
 GROUP BY source
 ORDER BY source
 """
@@ -509,11 +678,12 @@ def pipe11_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes (Datasheets-for-Datasets practice): document and token
     counts, language share, quality-gate pass rate, dedup-unique and
     classifier-keep counts, and the summed classifier score, one row
-    per source. Rides the same one-pass ``_curation_flags`` evaluation
-    as pipe09/pipe10 (a third consumer of the shared fragment — the
-    three reports cannot drift apart) and collapses to a per-source
-    partial aggregate. All exact integers."""
-    flags = _curation_flags(spark, sf_dir)
+    per source. Rides the same one-pass ``_curation_flags_extended``
+    evaluation as pipe10/pipe12 (a third consumer of the shared
+    fragment — the three reports cannot drift apart), now including
+    the near-dup-survivor and SemDeDup keep counts, and collapses to
+    a per-source partial aggregate. All exact integers."""
+    flags = _curation_flags_extended(spark, sf_dir)
     return (
         flags.groupBy("source")
         .agg(
@@ -526,6 +696,10 @@ def pipe11_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unique"),
             F.sum(F.when(F.col("f_cls"), 1).otherwise(0)).cast("long")
             .alias("n_kept"),
+            F.sum(F.when(F.col("f_mh"), 1).otherwise(0)).cast("long")
+            .alias("n_neardup_kept"),
+            F.sum(F.when(F.col("f_sem"), 1).otherwise(0)).cast("long")
+            .alias("n_semdedup_kept"),
             F.sum("score").cast("long").alias("sum_score"),
         )
         .orderBy("source")
