@@ -93,6 +93,12 @@ SECONDARY = [
     "mm04_byte_chunk_features",
     "ss17_semantic_clusters",
     "pipe11_data_card",
+    # round-8 additions
+    "tx07b_token_collision_pandas",
+    "dd16_d4_prune",
+    "ss14b_mutual_knn_cluster_blocked",
+    "tx20_bpe_train",
+    "pipe12_curation_funnel_full",
 ]
 
 

@@ -750,7 +750,23 @@ def ss12_production_recall_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes the target affordable: 3 stored bucket columns + 93
     probe visits per query per table, never all-pairs. Both steps are
     emitted as rows so the oracle replays the full loop, not just the
-    happy end."""
+    happy end.
+
+    Cost side of the chooser (the recall side is the hash-pinned
+    ss08/ss09/ss11/ss12 rows; build times are the full-corpus
+    retrieval scenarios in BENCH_r07.json at sf0.1, local[32]):
+
+        construction            recall   full-corpus build
+        1 table, no probes       3.1%    (ss03 path, sub-second)
+        OR of 4 tables          11.3%    1.91 s  (ann_or4_retrieval)
+        1 table, 3-bit probes   58.8%    —  (1/3 of the probe3x3 row)
+        3 tables × 3-bit probes 82.1%    4.49 s  (ann_probe3x3_retrieval)
+
+    Probing multiplies CANDIDATE-JOIN work (×93 probe visits/table)
+    but not storage; tables multiply both. The chooser therefore
+    fixes probe_bits=3 (the largest measured single-table lever) and
+    buys the remaining recall with L — each added table costs ~1.5 s
+    of build here and one more stored bucket column at corpus scale."""
     from ..operators.similarity import lsh_multi_probe_pairs, tables_for_recall
 
     floor_l = tables_for_recall(_SS12_TARGET, _SS12_P3)

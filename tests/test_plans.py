@@ -363,3 +363,53 @@ def test_tx19_classifier_partial_aggs(spark):
     plan = _plan(spark, "tx19_classifier_filter")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ss14b_blocked_form_is_equi_join(spark):
+    """The cluster-blocked mutual-kNN operator (ss14b's scale path)
+    must plan the candidate join as an equi-join on the block key —
+    never cartesian/BNLJ. (The ss14b REGISTRY query also computes the
+    deliberately-unblocked eval-slice truth, whose theta join is a
+    bounded BNLJ by design, so the guard targets the operator form.)"""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.operators.similarity import mutual_knn_edges
+
+    emb = table(spark, SF, "embeddings")
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=1)
+    asg = kmeans_assign(
+        emb.select("vec_id", "embedding", quantize_vec("embedding").alias("_q")),
+        "_q",
+        cent,
+    ).select("vec_id", "embedding", "cluster")
+    plan = (
+        mutual_knn_edges(asg, "vec_id", "embedding", k=3, block_col="cluster")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_dd16_no_allpairs_one_proto_window(spark):
+    """D4 pruning: the SemDeDup stage stays a cluster equi-join and
+    the prototype stage adds exactly one cluster-partitioned ranking
+    window — no cartesian/BNLJ anywhere."""
+    plan = _plan(spark, "dd16_d4_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window [row_number()" in plan
+
+
+def test_pipe12_funnel_no_cartesian(spark):
+    """The 7-stage funnel composes the classifier token joins, the
+    MinHash CC survivor ranking, and the SemDeDup equi-join — none of
+    which may plan as a cartesian product."""
+    plan = _plan(spark, "pipe12_curation_funnel_full")
+    assert "CartesianProduct" not in plan

@@ -357,6 +357,113 @@ def main() -> None:
         ],
     )
 
+    section(
+        "dd16_d4_prune",
+        "D4 pruning: the SemDeDup cluster equi-join plus ONE "
+        "cluster-partitioned ranking window for the prototype quota — "
+        "survivor anti-join against the small mark set, no all-pairs "
+        "anywhere",
+        [
+            ("Cluster join keys", r"hashpartitioning\(cluster[^)]{0,40}"),
+            ("Prototype ranking", r"Window \[row_number\(\)[^\n]{0,70}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
+    from datapipeline_template_spark.operators.clustering import kmeans_fit
+    from datapipeline_template_spark.operators.similarity import mutual_knn_edges
+
+    _embf = _table(spark, sf, "embeddings").where(F.col("vec_id") < 500)
+    _cent8 = kmeans_fit(_embf, "vec_id", "embedding", k=8, n_iter=1)
+    _asg = kmeans_assign(
+        _embf.select("vec_id", "embedding", _qv("embedding").alias("_xq")),
+        "_xq",
+        _cent8,
+    ).select("vec_id", "embedding", "cluster")
+    section_df(
+        "ss14b blocked form (mutual_knn_edges on the cluster key)",
+        "the corpus-scale kNN-graph build: candidate join blocked by "
+        "the k-means cell (k ∝ N keeps Σ n_block² bounded) — equi-join "
+        "+ map-side WindowGroupLimit, never all-pairs (the ss14b "
+        "REGISTRY query also runs the deliberately-unblocked bounded "
+        "eval-slice truth, which is NOT the scale path)",
+        mutual_knn_edges(_asg, "vec_id", "embedding", k=3, block_col="cluster"),
+        [
+            ("Map-side top-k prune", r"WindowGroupLimit[^\n]{0,60}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
+    # tx20's registry query returns a driver-assembled merge table;
+    # the scale-critical plan is the per-round pair-count stage inside
+    # bpe_train — reproduce it exactly as the operator builds it.
+    _words = (
+        _table(spark, sf, "documents")
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+            ).alias("t")
+        )
+        .select(F.lower(F.col("t")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    _syms = F.split(F.trim(F.col("rep")), " ")
+    _idx = F.when(
+        F.size(_syms) > 1, F.sequence(F.lit(1), F.size(_syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    _pairs = (
+        _words.select(
+            F.explode(
+                F.transform(
+                    _idx,
+                    lambda j: F.struct(
+                        F.element_at(_syms, j).alias("x"),
+                        F.element_at(_syms, j + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy("p.x", "p.y")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    section_df(
+        "tx20 merge round (bpe_train pair counting)",
+        "BPE learning round: word vocab is a one-shuffle distinct-word "
+        "aggregate; each round's adjacent-pair count map-side combines "
+        "per partition before ONE (x, y) exchange, and only the argmax "
+        "row reaches the driver — the vocab rewrite is a narrow "
+        "literal-replace map",
+        _pairs,
+        [
+            ("Vocab + pair partial combine", r"partial_(?:sum|count)\([^)]{0,30}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,60}"),
+        ],
+    )
+
+    section(
+        "pipe12_curation_funnel_full",
+        "the 7-stage funnel: one shared flag pass (prefix window + "
+        "classifier token equi-joins) left-joined with the corpus-level "
+        "MinHash-CC non-keeper set (ranking window over the clustered "
+        "subset only) and the SemDeDup mark set — no cartesian "
+        "products, final 1-row aggregate",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+            ("Windows", r"Window \[row_number\(\)[^\n]{0,60}"),
+            ("Final partial agg", r"partial_count\([^)]{0,20}"),
+        ],
+    )
+
 
 if __name__ == "__main__":
     main()
