@@ -98,7 +98,9 @@ SECONDARY = [
     "dd16_d4_prune",
     "ss14b_mutual_knn_cluster_blocked",
     "tx20_bpe_train",
+    "tx21_bpe_encode",
     "pipe12_curation_funnel_full",
+    "ss18_mutual_knn_or_union",
 ]
 
 

@@ -171,6 +171,7 @@ def kmeans_fit(
     k: int = 8,
     n_iter: int = 4,
     dim: int | None = None,
+    init_offset: int = 0,
 ) -> list[list[int]]:
     """Lloyd's iterations over quantized vectors; returns the final
     centroids as driver-side ``list[list[int]]`` (k·dim longs).
@@ -179,13 +180,21 @@ def kmeans_fit(
     groupBy(cluster, dim) partial-agg → collect k·dim (sum, count)
     rows → exact trunc-div centroid update in Python. Driver traffic
     is k·dim longs per iteration regardless of corpus size.
+
+    ``init_offset`` shifts the deterministic init window to the
+    id-ranked rows [offset, offset+k) — offset 0 is the documented
+    lowest-id init; distinct offsets yield the INDEPENDENT
+    deterministic clusterings the ss18 OR-union composes (the
+    replayable stand-in for random restarts).
     """
     q = df.select(
         F.col(id_col).alias("_id"), quantize_vec(vec_col).alias("_qv")
     )
-    init_rows = q.orderBy("_id").limit(k).collect()
+    init_rows = q.orderBy("_id").offset(init_offset).limit(k).collect()
     if len(init_rows) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
+        raise ValueError(
+            f"k={k} at init_offset={init_offset} exceeds corpus size"
+        )
     centroids = [[int(v) for v in r["_qv"]] for r in init_rows]
     if dim is None:
         dim = len(centroids[0])

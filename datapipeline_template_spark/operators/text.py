@@ -399,3 +399,16 @@ def bpe_train(
             bpe_merge_word(F.col("rep"), x, y).alias("rep"), "freq"
         ).localCheckpoint(eager=True)
     return merges, v
+
+
+def bpe_vocab_map(final_vocab: DataFrame) -> DataFrame:
+    """Turn ``bpe_train``'s final vocabulary into the (word → n_sub,
+    rep) encode map: the sentinel-spaced rep with spaces removed IS
+    the original word (symbols are concatenations of its characters),
+    so no word column needs threading through the merge rounds.
+    Returns (word, rep, n_sub)."""
+    return final_vocab.select(
+        F.translate(F.col("rep"), " ", "").alias("word"),
+        F.trim(F.col("rep")).alias("rep"),
+        F.size(F.split(F.trim(F.col("rep")), " ")).cast("long").alias("n_sub"),
+    )

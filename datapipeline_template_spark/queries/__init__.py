@@ -117,6 +117,8 @@ _OVERFLOW = (
     "ss14b_mutual_knn_cluster_blocked",
     "tx20_bpe_train",
     "pipe12_curation_funnel_full",
+    "tx21_bpe_encode",
+    "ss18_mutual_knn_or_union",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

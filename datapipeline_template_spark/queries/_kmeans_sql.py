@@ -12,52 +12,65 @@ from __future__ import annotations
 
 P = 1_000_000_007
 
-# Exact-int quantization of the corpus + lowest-id centroid init.
-_HEAD = """qv AS (
+# Exact-int quantization of the corpus + id-ranked centroid init
+# (rows [offset, offset+k) by vec_id — offset 0 is the default
+# lowest-id init; nonzero offsets give the INDEPENDENT deterministic
+# clusterings the ss18 OR-union builds on).
+_HEAD = """{p}qv AS (
   SELECT vec_id, list_transform(embedding,
     x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
   FROM embeddings
-), c0 AS (
+), {p}c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          qv AS cv
-  FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, qv FROM {p}qv ORDER BY vec_id LIMIT {k} OFFSET {off})
 )"""
 
 # One assignment pass against centroids c{i}.
-_ASSIGN = """, sc{i} AS (
+_ASSIGN = """, {p}sc{i} AS (
   SELECT v.vec_id, v.qv, c.cid,
          list_sum(list_transform(list_zip(v.qv, c.cv),
            s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist
-  FROM qv v CROSS JOIN c{i} c
-), a{i} AS (
+  FROM {p}qv v CROSS JOIN {p}c{i} c
+), {p}a{i} AS (
   SELECT vec_id, qv, cid, dist FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                  ORDER BY dist, cid) AS rn
-    FROM sc{i}) WHERE rn = 1
+    FROM {p}sc{i}) WHERE rn = 1
 )"""
 
 # Centroid update from assignment a{i}: per-dim trunc-div means;
 # clusters with no members keep their previous centroid.
-_UPDATE = """, up{i} AS (
+_UPDATE = """, {p}up{i} AS (
   SELECT cid, t.i AS dim, SUM(qv[t.i]) AS s, COUNT(*) AS c
-  FROM a{i}, UNNEST(generate_series(1, {dim})) AS t(i)
+  FROM {p}a{i}, UNNEST(generate_series(1, {dim})) AS t(i)
   GROUP BY cid, t.i
-), nc{i} AS (
-  SELECT cid, list(s // c ORDER BY dim) AS cv FROM up{i} GROUP BY cid
-), c{inext} AS (
+), {p}nc{i} AS (
+  SELECT cid, list(s // c ORDER BY dim) AS cv FROM {p}up{i} GROUP BY cid
+), {p}c{inext} AS (
   SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
-  FROM c{i} c LEFT JOIN nc{i} n USING (cid)
+  FROM {p}c{i} c LEFT JOIN {p}nc{i} n USING (cid)
 )"""
 
 
-def kmeans_ctes(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
-    """CTE chain ending in centroids ``c{n_iter}`` and the final
-    assignment ``a{n_iter}`` (computed against those centroids)."""
-    parts = [_HEAD.format(k=k)]
+def kmeans_ctes(
+    k: int = 8,
+    n_iter: int = 4,
+    dim: int = 64,
+    prefix: str = "",
+    init_offset: int = 0,
+) -> str:
+    """CTE chain ending in centroids ``{prefix}c{n_iter}`` and the
+    final assignment ``{prefix}a{n_iter}`` (computed against those
+    centroids). ``prefix`` namespaces the chain so several independent
+    clusterings can coexist in one oracle (ss18); ``init_offset``
+    selects the id-ranked init window (must mirror the Spark call's
+    ``kmeans_fit(init_offset=...)``)."""
+    parts = [_HEAD.format(k=k, p=prefix, off=init_offset)]
     for i in range(n_iter + 1):
-        parts.append(_ASSIGN.format(i=i))
+        parts.append(_ASSIGN.format(i=i, p=prefix))
         if i < n_iter:
-            parts.append(_UPDATE.format(i=i, inext=i + 1, dim=dim))
+            parts.append(_UPDATE.format(i=i, inext=i + 1, dim=dim, p=prefix))
     return "".join(parts)
 
 

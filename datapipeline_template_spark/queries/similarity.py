@@ -992,8 +992,8 @@ def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     edges, 194 hits — recall 38.1% from ONE k=8 clustering. That is
     the honest single-partition number; a production graph build
     recovers the cross-cell edges the same way the LSH family does —
-    OR-union edges over L independent clusterings or shifted-seed
-    assignments (the ss09 multi-table construction), each union
+    OR-union edges over L independent clusterings (ss18 registers and
+    measures exactly that: 38.1→58.2→72.7% at L=1/2/3), each union
     member this same bounded equi-join."""
     from ..functions import quantize_vec
     from ..operators.clustering import kmeans_assign, kmeans_fit
@@ -1034,6 +1034,176 @@ def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ss18 — OR-union of INDEPENDENT clusterings: the kNN-graph recall
+# recovery path ss14b documents, registered and measured. In OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_SS18_L = 3
+
+
+def _ss18_oracle() -> str:
+    from ._kmeans_sql import cos_sql, kmeans_ctes
+
+    n = _KM_ITER
+    chains, edge_blocks = [], []
+    for c in range(_SS18_L):
+        p = f"u{c}"
+        chains.append(
+            kmeans_ctes(
+                _KM_K, n, _KM_DIM, prefix=p, init_offset=c * _KM_K
+            ).replace(
+                "FROM embeddings",
+                f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+                1,
+            )
+        )
+        edge_blocks.append(f""", {p}und AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {cos_sql('a.qv', 'b.qv')} AS cosine
+  FROM {p}a{n} a JOIN {p}a{n} b
+    ON a.vec_id < b.vec_id AND a.cid = b.cid
+  WHERE list_sum(list_transform(a.qv, x -> x * x)) > 0
+    AND list_sum(list_transform(b.qv, x -> x * x)) > 0
+), {p}dir AS (
+  SELECT src, dst, cosine FROM {p}und
+  UNION ALL SELECT dst AS src, src AS dst, cosine FROM {p}und
+), {p}top AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+             ORDER BY cosine DESC, dst ASC) AS r
+    FROM {p}dir) WHERE r <= {_SS14_K}
+), {p}e AS (
+  SELECT t.src AS id_a, t.dst AS id_b
+  FROM {p}top t JOIN {p}top u ON t.src = u.dst AND t.dst = u.src
+  WHERE t.src < t.dst
+)""")
+    union_blocks, selects = [], []
+    for L in range(1, _SS18_L + 1):
+        members = "\n  UNION\n  ".join(
+            f"SELECT id_a, id_b FROM u{c}e" for c in range(L)
+        )
+        union_blocks.append(f""", eu{L} AS (
+  {members}
+), h{L} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM eu{L} JOIN et USING (id_a, id_b)
+), c{L}n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM eu{L}
+)""")
+        selects.append(
+            f"SELECT CAST({L} AS BIGINT) AS n_clusterings, "
+            f"(SELECT n_truth FROM ct) AS n_truth, "
+            f"(SELECT n_edges FROM c{L}n) AS n_edges, "
+            f"(SELECT n_hit FROM h{L}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{L}) AS DOUBLE) "
+            f"/ (SELECT n_truth FROM ct) AS recall"
+        )
+    return f"""WITH {', '.join(chains)}
+{''.join(edge_blocks)}
+, tbase AS (
+  SELECT vec_id, qv FROM u0qv
+  WHERE list_sum(list_transform(qv, x -> x * x)) > 0
+), tund AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {cos_sql('a.qv', 'b.qv')} AS cosine
+  FROM tbase a JOIN tbase b ON a.vec_id < b.vec_id
+), tdir AS (
+  SELECT src, dst, cosine FROM tund
+  UNION ALL SELECT dst AS src, src AS dst, cosine FROM tund
+), ttop AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+             ORDER BY cosine DESC, dst ASC) AS r
+    FROM tdir) WHERE r <= {_SS14_K}
+), et AS (
+  SELECT t.src AS id_a, t.dst AS id_b
+  FROM ttop t JOIN ttop u ON t.src = u.dst AND t.dst = u.src
+  WHERE t.src < t.dst
+), ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM et)
+{''.join(union_blocks)}
+{' UNION ALL '.join(selects)}
+ORDER BY n_clusterings"""
+
+
+@register("ss18_mutual_knn_or_union", oracle=_ss18_oracle())
+def ss18_mutual_knn_or_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-recovery path for the cluster-blocked kNN graph
+    (ss14b's documented construction), measured instead of prose: L
+    INDEPENDENT deterministic clusterings (init windows [0,k), [k,2k),
+    [2k,3k) by id — the replayable stand-in for random restarts), each
+    building the same bounded cluster-equi-join mutual-kNN graph, with
+    edges OR-unioned — exactly ss09's multi-table LSH construction
+    applied to the k-means block key. Rows report recall vs the exact
+    unblocked eval-slice truth at L = 1..3; every fit, assignment,
+    graph, union, and intersection is replayed by the oracle. At
+    corpus scale each union member stays a map-only assignment + one
+    blocked equi-join; L multiplies build cost, never pair-join
+    degree.
+
+    Measured at sf0.01 (hash-pinned): recall 38.1% → 58.2% → 72.7%
+    at L = 1/2/3 (hits 194/296/370 of 509 truth edges) — the same
+    diminishing-OR-construction curve as the ss09 LSH family, on the
+    k-means block key."""
+    from functools import reduce
+
+    from ..functions import quantize_vec
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    truth = (
+        mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    edge_sets = []
+    for c in range(_SS18_L):
+        cent = kmeans_fit(
+            emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
+            init_offset=c * _KM_K,
+        )
+        asg = kmeans_assign(
+            emb.select(
+                "vec_id", "embedding", quantize_vec("embedding").alias("_qvk")
+            ),
+            "_qvk",
+            cent,
+        ).select("vec_id", "embedding", "cluster")
+        edge_sets.append(
+            mutual_knn_edges(
+                asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster"
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for L in range(1, _SS18_L + 1):
+        un = reduce(
+            lambda a, b: a.unionByName(b), edge_sets[:L]
+        ).distinct().localCheckpoint(eager=True)
+        hit = un.join(truth, ["id_a", "id_b"], "left_semi")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(un.agg(F.count(F.lit(1)).alias("n_edges")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(L).cast("long").alias("n_clusterings"),
+                "n_truth",
+                "n_edges",
+                "n_hit",
+                (
+                    F.col("n_hit").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_clusterings")
 
 
 # ---------------------------------------------------------------------------

@@ -405,7 +405,12 @@ _TX20_N_MERGES = 8
 _TX20_TOP = 20
 
 
-def _tx20_oracle() -> str:
+def _tx20_ctes() -> str:
+    """Shared tx20/tx21 oracle fragment: word vocab + all unrolled BPE
+    merge rounds, ending in the final vocabulary ``v{N}`` and the
+    per-round argmax CTEs ``m0..m{N-1}`` — train and encode verify the
+    same learned merges (the `_kmeans_sql` single-implementation
+    rule)."""
     parts = ["""w AS (
   SELECT lower(t) AS word FROM (
     SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
@@ -431,12 +436,16 @@ def _tx20_oracle() -> str:
                  ' ' || m.x || m.y || ' ') AS rep, v.freq
   FROM v{i} v CROSS JOIN m{i} m
 )""")
+    return "".join(parts)
+
+
+def _tx20_oracle() -> str:
     n = _TX20_N_MERGES
     merge_rows = "\nUNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS step, x, y, cnt FROM m{i}"
         for i in range(n)
     )
-    return f"""WITH {''.join(parts)}
+    return f"""WITH {_tx20_ctes()}
 , toks AS (
   SELECT s[j] AS token, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(trim(rep), ' ') AS s, freq FROM v{n}) r,
@@ -515,6 +524,92 @@ def tx20_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merge_df.unionByName(toprows).orderBy(
         "step", F.col("cnt").desc(), "x", "y"
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx21 — BPE encode: apply tx20's learned merges to the corpus and
+# report per-source tokenization statistics. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def _tx21_oracle() -> str:
+    n = _TX20_N_MERGES
+    return f"""WITH {_tx20_ctes()}
+, wmap AS (
+  SELECT replace(rep, ' ', '') AS word,
+         CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
+  FROM v{n}
+), dw AS (
+  SELECT source, lower(t) AS word FROM (
+    SELECT source, unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
+    FROM documents)
+)
+SELECT source,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(n_sub) AS DOUBLE) / COUNT(*) AS subwords_per_word,
+       CAST(SUM(len(word)) AS DOUBLE)
+         / CAST(SUM(n_sub) AS DOUBLE) AS chars_per_subword
+FROM dw JOIN wmap USING (word)
+GROUP BY source ORDER BY source"""
+
+
+@register("tx21_bpe_encode", oracle=_tx21_oracle())
+def tx21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply half of the tokenizer story: tx20's
+    learned merges apply to the corpus and the per-source tokenization
+    statistics (subwords/word fertility, chars/subword compression)
+    come out hash-pinned, sharing tx20's oracle fragment so train and
+    encode verify the same merge table. The encode map derives from
+    the final vocabulary itself (word = rep minus spaces — no word
+    column threads through the rounds), and encoding is ONE
+    word-equi-join + a per-source partial aggregate: at corpus scale
+    the vocab map is millions of rows against trillions of word
+    occurrences — a broadcast when it fits, a token equi-join
+    otherwise, map-side-combined either way. Single IEEE divisions of
+    exact integer sums (the tx01 convention) keep the two ratio
+    columns hash-eligible."""
+    from ..operators.text import bpe_train, bpe_vocab_map
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+        ).alias("t"),
+    ).select("source", F.lower(F.col("t")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    _, final_v = bpe_train(vocab, "rep", "freq", n_merges=_TX20_N_MERGES)
+    wmap = bpe_vocab_map(final_v).select("word", "n_sub")
+    return (
+        words.join(wmap, on="word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_sub").alias("n_subwords"),
+            (
+                F.sum("n_sub").cast("double") / F.count(F.lit(1))
+            ).alias("subwords_per_word"),
+            (
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_sub").cast("double")
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("source")
     )
 
 
