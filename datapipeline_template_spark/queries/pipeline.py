@@ -456,7 +456,6 @@ def _pipe12_flag_ctes() -> str:
     embeddings.vec_id indexes the same documents corpus, the
     driver-generated aligned-id convention). Consumers must open with
     ``WITH RECURSIVE`` (the CC transitive closure)."""
-    from ._kmeans_sql import kmeans_ctes  # noqa: F401 — via _semdedup_ctes
     from .dedup import MINHASH_CC_CTES, _semdedup_ctes
 
     return f"""{_pipe09_flag_ctes()}, {MINHASH_CC_CTES}, {_semdedup_ctes()}

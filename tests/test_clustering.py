@@ -209,3 +209,18 @@ def test_zero_norm_vector_does_not_poison_pairs_or_rankings(spark):
     assert all(r["neighbor_id"] != 3 for r in res)
     assert all(r["query_id"] != 3 for r in res)
     assert all(r["score"] == r["score"] for r in res)  # no NaN survives
+
+
+def test_kmeans_init_offset_selects_shifted_window(spark):
+    """init_offset must pick the id-ranked rows [offset, offset+k) —
+    distinct offsets give genuinely different deterministic inits (the
+    ss18 OR-union contract) — and an offset window past the corpus
+    raises like a too-large k does."""
+    rows = [(i, [float(i), float(-i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    c0 = kmeans_fit(df, "id", "vec", k=2, n_iter=0, dim=2)
+    c2 = kmeans_fit(df, "id", "vec", k=2, n_iter=0, dim=2, init_offset=2)
+    assert c0 == [[0, 0], [10000, -10000]]
+    assert c2 == [[20000, -20000], [30000, -30000]]
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        kmeans_fit(df, "id", "vec", k=2, n_iter=0, dim=2, init_offset=5)
