@@ -311,13 +311,18 @@ def semdedup(
         if assigned is not None:
             raise ValueError("assigned= requires explicit centroids=")
         centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter)
+    caller_assigned = assigned is not None
     if assigned is None:
         q = df.select(
             F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv")
         )
         assigned = kmeans_assign(q, "_qv", centroids)
     if max_cluster_size is not None:
-        assigned = assigned.localCheckpoint(eager=True)
+        if not caller_assigned:
+            # A caller-provided assignment is expected to be
+            # checkpointed already (the documented contract) — don't
+            # re-materialize it for the guard's size aggregate.
+            assigned = assigned.localCheckpoint(eager=True)
         hot = (
             assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -377,6 +382,7 @@ def d4_prune(
     centroids: list[list[int]],
     threshold: float = 0.3,
     proto_pct: int = 20,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """D4 document pruning (Tirumala et al. 2023, "D4: Improving LLM
     Pretraining via Document De-Duplication and Diversification"):
@@ -404,9 +410,13 @@ def d4_prune(
         F.col(id_col).alias("vec_id"), quantize_vec(vec_col).alias("_qv")
     )
     assigned = kmeans_assign(q, "_qv", centroids).localCheckpoint(eager=True)
+    # The hot-cluster guard composes through: semdedup's size check
+    # runs on the SAME checkpointed assignment, so enabling it here
+    # costs one extra aggregate, not a second kernel pass.
     sem = semdedup(
         df, id_col, vec_col, threshold=threshold,
         centroids=centroids, assigned=assigned,
+        max_cluster_size=max_cluster_size,
     )
 
     from pyspark.sql import Window
