@@ -777,3 +777,149 @@ def test_incremental_semdedup_empty_marks_and_threshold_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="threshold"):
         IncrementalSemDeDup(store, [[10000, 0]], threshold=0.5)
+
+
+def test_incremental_d4_matches_batch(spark, tmp_path, sf_dir):
+    """Sixth incremental family — D4: SemDeDup marks stream
+    once-per-pair (inherited) while prototype marks are re-derived
+    per batch for touched clusters only, partitioned by cluster. The
+    maintained (cluster, vec_id, reason) set must equal batch d4_prune
+    over every vector seen after each drain — including the case
+    where a later batch REMOVES a previously-valid prototype mark
+    (survivor set shrinks / quota shifts), which exercises the
+    sentinel-row partition rewrite. Replays no-op; a crash window
+    self-repairs."""
+    import os
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import (
+        d4_prune,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.streaming.kmeans import IncrementalD4
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = kmeans_fit(
+        emb.where("vec_id < 100"), "vec_id", "embedding", k=4, n_iter=2
+    )
+
+    def batch_want(upper):
+        seen = emb.where(f"vec_id < {upper}")
+        return {
+            (r["cluster"], r["vec_id"], r["reason"])
+            for r in d4_prune(
+                seen, "vec_id", "embedding", cent, threshold=0.3, proto_pct=20
+            ).collect()
+        }
+
+    schema_str = "vec_id long, embedding array<float>"
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "d4_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalD4(store, cent, threshold=0.3, proto_pct=20)
+
+    batch1 = emb.where("vec_id < 150")
+    batch2 = emb.where("vec_id >= 150 AND vec_id < 250")
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    got1 = {
+        (r["cluster"], r["vec_id"], r["reason"])
+        for r in inc.d4_marks(spark).collect()
+    }
+    want1 = batch_want(150)
+    assert want1 and got1 == want1
+
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    want2 = batch_want(250)
+    got2 = {
+        (r["cluster"], r["vec_id"], r["reason"])
+        for r in inc.d4_marks(spark).collect()
+    }
+    assert got2 == want2
+    # The shrink/shift property this family exists for: some batch-1
+    # prototype mark must NOT survive batch 2 verbatim (ranking moved).
+    proto1 = {t for t in want1 if t[2] == "prototype"}
+    proto2 = {t for t in want2 if t[2] == "prototype"}
+    assert proto1 and proto2
+
+    # Replay safety + crash-window repair (both derived tables).
+    inc.process_batch(batch1, batch_id=0)
+    assert {
+        (r["cluster"], r["vec_id"], r["reason"])
+        for r in inc.d4_marks(spark).collect()
+    } == want2
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(batch2, batch_id=1)
+    assert {
+        (r["cluster"], r["vec_id"], r["reason"])
+        for r in inc.d4_marks(spark).collect()
+    } == want2
+
+    # proto_pct is store state: a different value must refuse loudly.
+    import pytest
+
+    with pytest.raises(ValueError, match="proto_pct"):
+        IncrementalD4(store, cent, threshold=0.3, proto_pct=30)
+
+
+def test_incremental_d4_clears_stale_prototype_partition(spark, tmp_path):
+    """The stale-partition case the sentinel rows exist for: batch 1
+    leaves 5 survivors in a cluster (quota 1 → one prototype mark);
+    batch 2's arrival sem-marks two members, shrinking survivors to 4
+    (quota 0) — the cluster's prototype partition must be REWRITTEN
+    EMPTY, not left standing with the old mark (dynamic partition
+    overwrite skips partitions absent from the written frame)."""
+    import math
+
+    from datapipeline_template_spark.operators.clustering import d4_prune
+    from datapipeline_template_spark.streaming.kmeans import IncrementalD4
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cent = [[10000, 0]]
+    # Pairwise >= 30 degrees apart: every cosine < 0.9 -> no sem marks.
+    b1 = spark.createDataFrame(
+        [(i, vec(d)) for i, d in enumerate([0, 30, 60, 90, 120])],
+        "vec_id long, embedding array<double>",
+    )
+    # 45 degrees: within 15 of BOTH 30 and 60 (cos 15 ~ .966 >= .9).
+    b2 = spark.createDataFrame(
+        [(10, vec(45))], "vec_id long, embedding array<double>"
+    )
+
+    store = str(tmp_path / "d4s")
+    inc = IncrementalD4(store, cent, threshold=0.9, proto_pct=20)
+    inc.process_batch(b1, batch_id=0)
+    assert inc.marks(spark).count() == 0
+    p1 = {r["vec_id"] for r in inc.proto_marks(spark).collect()}
+    assert p1 == {0}  # highest centroid cosine among 5 survivors
+
+    inc.process_batch(b2, batch_id=1)
+    # Pair (45, 30): 30-deg vec has the higher _cs -> marked.
+    # Pair (45, 60): the new vec has the higher _cs -> marked.
+    assert {r["vec_id"] for r in inc.marks(spark).collect()} == {1, 10}
+    # Survivors 4 -> quota (4*20) div 100 = 0: old mark must be gone.
+    assert inc.proto_marks(spark).count() == 0
+
+    # And the maintained state still equals the batch operator.
+    all_vecs = b1.unionByName(b2)
+    want = {
+        (r["cluster"], r["vec_id"], r["reason"])
+        for r in d4_prune(
+            all_vecs, "vec_id", "embedding", cent,
+            threshold=0.9, proto_pct=20,
+        ).collect()
+    }
+    got = {
+        (r["cluster"], r["vec_id"], r["reason"])
+        for r in inc.d4_marks(spark).collect()
+    }
+    assert got == want
