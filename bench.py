@@ -101,6 +101,7 @@ SECONDARY = [
     "tx21_bpe_encode",
     "pipe12_curation_funnel_full",
     "ss18_mutual_knn_or_union",
+    "pk07_bpe_budget_packing",
 ]
 
 

@@ -119,6 +119,7 @@ _OVERFLOW = (
     "pipe12_curation_funnel_full",
     "tx21_bpe_encode",
     "ss18_mutual_knn_or_union",
+    "pk07_bpe_budget_packing",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -288,3 +288,108 @@ def pk06_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     return temperature_sample(docs, key="doc_id", stratum_col="lang", total=200)
+
+
+# ---------------------------------------------------------------------------
+# pk07 — packing under the REAL token budget: pk01's layout with
+# BPE-subword counts (tx20/tx21) as the weight. In OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def _pk07_oracle() -> str:
+    from .text import _tx20_ctes, _TX20_N_MERGES
+
+    n = _TX20_N_MERGES
+    return f"""WITH {_tx20_ctes()}
+, wmap AS (
+  SELECT replace(rep, ' ', '') AS word,
+         CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
+  FROM v{n}
+), dw AS (
+  SELECT doc_id, lower(t) AS word FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
+    FROM documents)
+), dtok AS (
+  SELECT d.doc_id, COALESCE(s.tok, 0) AS tok
+  FROM documents d LEFT JOIN (
+    SELECT dw.doc_id, CAST(SUM(m.n_sub) AS BIGINT) AS tok
+    FROM dw JOIN wmap m USING (word) GROUP BY dw.doc_id) s
+  ON d.doc_id = s.doc_id
+), keyed AS (
+  SELECT doc_id, tok,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split('42:' || CAST(doc_id AS VARCHAR), ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007
+         ) AS skey
+  FROM dtok
+), sharded AS (
+  SELECT doc_id, skey, tok, CAST(skey % 8 AS INTEGER) AS shard FROM keyed
+), packed AS (
+  SELECT doc_id, shard, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sharded
+)
+SELECT doc_id, shard,
+       CAST((cum - tok) // 256 AS BIGINT) AS seq_in_shard,
+       CAST((cum - tok) % 256 AS BIGINT) AS offset_in_seq,
+       tok AS n_tokens
+FROM packed
+"""
+
+
+@register("pk07_bpe_budget_packing", oracle=_pk07_oracle())
+def pk07_bpe_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pk01's training layout under the budget that actually fills a
+    context window: each document weighs its BPE SUBWORD count (the
+    tx20-learned tokenizer applied via the tx21 encode map) instead
+    of a whitespace proxy — the tokenizer → training-layout
+    composition every real pipeline runs, end-to-end hash-pinned (the
+    oracle replays the 8 merge rounds, the encode join, AND the
+    packing windows). Documents with no alphabetic words pack with
+    weight 0. Plan: the encode map join + one per-doc partial agg on
+    top of pk01's one-hash-shuffle/per-shard-window layout; the BPE
+    fit adds its per-round pair aggregates (operators/text.bpe_train)."""
+    from ..operators.text import bpe_train, bpe_vocab_map
+    from .text import _TX20_N_MERGES
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+        ).alias("t"),
+    ).select("doc_id", F.lower(F.col("t")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    _, final_v = bpe_train(vocab, "rep", "freq", n_merges=_TX20_N_MERGES)
+    wmap = bpe_vocab_map(final_v).select("word", "n_sub")
+    per_doc = (
+        words.join(wmap, on="word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("_tok"))
+    )
+    weighted = docs.select("doc_id").join(per_doc, on="doc_id", how="left")
+    weighted = weighted.withColumn(
+        "_tok", F.coalesce(F.col("_tok"), F.lit(0)).cast("long")
+    )
+    return pack_sequences(
+        weighted,
+        id_col="doc_id",
+        weight=F.col("_tok"),
+        n_shards=8,
+        budget=256,
+        salt="42",
+    )
