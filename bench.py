@@ -102,6 +102,7 @@ SECONDARY = [
     "pipe12_curation_funnel_full",
     "ss18_mutual_knn_or_union",
     "pk07_bpe_budget_packing",
+    "pipe13_curated_mixing",
 ]
 
 

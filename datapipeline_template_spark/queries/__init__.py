@@ -120,6 +120,7 @@ _OVERFLOW = (
     "tx21_bpe_encode",
     "ss18_mutual_knn_or_union",
     "pk07_bpe_budget_packing",
+    "pipe13_curated_mixing",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

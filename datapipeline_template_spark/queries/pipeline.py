@@ -703,3 +703,74 @@ def pipe11_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe13 — quality-aware source mixing: the curation loop closed.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_PIPE13_TOTAL = 50
+
+
+def _pipe13_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_pipe12_flag_ctes()}, mxkept AS (
+  SELECT doc_id, source FROM flagged2 WHERE f_sem
+), mxcounts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM mxkept GROUP BY source
+), mxw AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wgt
+  FROM mxcounts
+), mxtot AS (
+  SELECT CAST(SUM(wgt) AS BIGINT) AS s FROM mxw
+), mxbase AS (
+  SELECT source, wgt, ({_PIPE13_TOTAL} * wgt) // s AS q0,
+         ({_PIPE13_TOTAL} * wgt) % s AS rem
+  FROM mxw, mxtot
+), mxlo AS (
+  SELECT CAST({_PIPE13_TOTAL} - SUM(q0) AS BIGINT) AS leftover FROM mxbase
+), mxalloc AS (
+  SELECT source,
+         q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                        <= (SELECT leftover FROM mxlo)
+              THEN 1 ELSE 0 END AS quota
+  FROM mxbase
+), mxrank AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC
+         ) AS rnk
+  FROM mxkept
+)
+SELECT r.doc_id, r.source
+FROM mxrank r JOIN mxalloc a ON r.source = a.source
+WHERE r.rnk <= a.quota
+ORDER BY doc_id
+"""
+
+
+@register("pipe13_curated_mixing", oracle=_pipe13_oracle())
+def pipe13_curated_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation loop CLOSED: training-mix allocation computed from
+    the curated corpus itself — only documents surviving all seven
+    pipe12 stages enter the pool, and the 50-doc draw is
+    temperature-mixed across sources (p_s ∝ n_kept^0.5, pk06's exact
+    integer largest-remainder) so head sources are damped by their
+    post-curation mass, not their raw crawl share — the
+    data-card-to-mixing step (pipe11 → pk06) a production pipeline
+    runs between curation and packing. Sources whose kept mass
+    under-fills their quota keep every row (documented
+    temperature_allocation semantics, identical in the oracle's
+    rnk <= quota form). One extended flag pass + a stratum-count
+    collect (coordination-only) + the prefiltered quota draw — no
+    full-stratum sort anywhere."""
+    from ..operators.sampling import temperature_sample
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    kept = flags.where(F.col("f_sem")).select("doc_id", "source")
+    return temperature_sample(
+        kept, key="doc_id", stratum_col="source", total=_PIPE13_TOTAL
+    ).orderBy("doc_id")
