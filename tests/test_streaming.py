@@ -923,3 +923,91 @@ def test_incremental_d4_clears_stale_prototype_partition(spark, tmp_path):
         for r in inc.d4_marks(spark).collect()
     }
     assert got == want
+
+
+def test_incremental_bpe_vocab_matches_batch(spark, tmp_path, sf_dir):
+    """Seventh incremental family — the BPE word vocabulary: drain
+    documents in TWO AvailableNow passes; maintained word counts must
+    equal a batch count over every text seen, and merges learned from
+    the maintained vocab must equal tx20's bpe_train over the batch
+    vocab. Replays no-op; a crash window self-repairs. Also pins WHY
+    learning re-runs in full: merges learned after batch 1 alone must
+    DIFFER from the final table somewhere (counts changed ⇒ argmax
+    order changed), so patching merge tables incrementally would be
+    wrong."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.text import bpe_train
+    from datapipeline_template_spark.streaming.bpe import IncrementalBpeVocab
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where("doc_id < 60")
+    b2 = docs.where("doc_id >= 60 AND doc_id < 120")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "bpe_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalBpeVocab(store)
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        ckpt,
+    )
+    merges_after_1 = inc.learn(spark, n_merges=6)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        ckpt,
+    )
+
+    def batch_vocab(df):
+        return (
+            df.select(
+                F.explode(
+                    F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+                ).alias("t")
+            )
+            .select(F.lower(F.col("t")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+
+    seen = docs.where("doc_id < 120")
+    want_counts = {
+        (r["word"], r["freq"]) for r in batch_vocab(seen).collect()
+    }
+    got_counts = {
+        (r["word"], r["freq"]) for r in inc.word_counts(spark).collect()
+    }
+    assert want_counts and got_counts == want_counts
+
+    bvocab = batch_vocab(seen).select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "),
+            F.lit(" "),
+        ).alias("rep"),
+        "freq",
+    )
+    want_merges, _ = bpe_train(bvocab, "rep", "freq", n_merges=6)
+    assert inc.learn(spark, n_merges=6) == want_merges
+    # Counts changed between drains ⇒ the learned table is not a
+    # patchable prefix extension — full re-learn is the contract.
+    assert merges_after_1 != want_merges
+
+    # Replay no-op + crash-window repair.
+    inc.process_batch(b1, batch_id=0)
+    assert {
+        (r["word"], r["freq"]) for r in inc.word_counts(spark).collect()
+    } == want_counts
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert {
+        (r["word"], r["freq"]) for r in inc.word_counts(spark).collect()
+    } == want_counts
+    assert inc.learn(spark, n_merges=6) == want_merges
