@@ -314,19 +314,30 @@ def logodds_classifier(
 def bpe_merge_word(rep: Column, x: str, y: str) -> Column:
     """Apply one learned BPE merge (x, y) to a sentinel-spaced word
     representation (``' c1 c2 ... cn '``) via TWO literal-replace
-    passes — equivalent to the canonical left-to-right non-overlapping
-    merge (Sennrich et al. 2016) and, unlike a per-symbol fold, a pure
-    codegen'd JVM string op.
+    passes — a pure codegen'd JVM string op (no per-symbol fold).
 
-    Why two passes equal LTR: a single ``replace`` scan consumes the
-    trailing space of each match, which blocks ONLY an immediately
-    following occurrence — and a blocked occurrence consumes nothing,
-    so two blocked occurrences are never adjacent. Pass 2 therefore
-    sees every survivor with its spaces restored and merges it; no new
-    occurrence can be created because the merged token ``xy`` is a
-    single (longer) symbol and symbols never contain spaces.
-    Property-tested against a Python reference fold over random
-    symbol strings (tests/test_properties.py)."""
+    THE PINNED SPEC IS THE TWO-PASS REPLACE ITSELF, shared verbatim
+    with the DuckDB oracle (``replace(replace(rep, pat, rpl), pat,
+    rpl)``) — training (bpe_train) and encoding (tx21 / bpe_encode)
+    both apply it, so the tokenizer is self-consistent end-to-end.
+
+    Relation to canonical left-to-right merging (Sennrich et al.
+    2016), property-tested in tests/test_properties.py:
+
+    * ``x != y``: exactly equal to LTR. A single ``replace`` scan
+      consumes the trailing space of each match, which blocks ONLY an
+      immediately following occurrence — and for distinct symbols two
+      blocked occurrences are never adjacent, so pass 2 sees every
+      survivor with its spaces restored and merges it; no new
+      occurrence arises because ``xy`` is a single (longer) symbol.
+    * ``x == y`` over runs of identical symbols: equal to LTR only
+      for run length < 5. At run 5 the ORDER diverges
+      (``a a a a a`` → ``aa a aa`` here vs LTR ``aa aa a``; same
+      token multiset) and at run 6 the MULTISET diverges
+      (``a a a a a a`` → ``aa a aa a`` vs LTR ``aa aa aa``): pass 1
+      merges positions (1,2) and (3,4) leaving the singles stranded
+      between merged tokens, so pass 2 finds no adjacent pair. Both
+      regression cases are pinned in tests/test_properties.py."""
     pat = F.lit(f" {x} {y} ")
     rpl = F.lit(f" {x}{y} ")
     return F.replace(F.replace(rep, pat, rpl), pat, rpl)

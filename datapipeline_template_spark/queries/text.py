@@ -78,7 +78,14 @@ def tx07b_token_collision_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     a float summation whose order differs across engines — collision
     probability carries the same repetition signal (it is exp(-H₂))
     with full DuckDB value-hash parity. Plan: map-only; the Python
-    work is one vectorized pandas value_counts per Arrow batch."""
+    work is one pandas ``value_counts`` PER DOCUMENT inside each
+    Arrow batch (token lists are ragged, so a whole-batch vectorized
+    form would need an explode — the per-doc loop over an Arrow batch
+    is still batch-amortized, never per-row Python UDF dispatch).
+    NULL texts are dropped before the UDF — the oracle's
+    ``unnest(string_split(NULL))`` yields no rows, so the doc vanishes
+    from its output; the UDF additionally guards ``None`` with (0, 0)
+    so it cannot crash if fed an unfiltered column elsewhere."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -96,12 +103,16 @@ def tx07b_token_collision_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_out = np.empty(len(texts), dtype=np.int64)
         sq_out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
+            if t is None:
+                n_out[i] = 0
+                sq_out[i] = 0
+                continue
             c = pd.Series(t.split(" ")).value_counts().to_numpy(dtype=np.int64)
             n_out[i] = int(c.sum())
             sq_out[i] = int((c * c).sum())
         return pd.DataFrame({"n_tokens": n_out, "sum_sq": sq_out})
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     stats = docs.select(
         "doc_id", collision_stats(F.col("text")).alias("_s")
     ).select(
@@ -467,8 +478,12 @@ def tx20_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop, the k-means of text: each of the 8 rounds is one
     (adjacent-pair → summed word frequency) partial aggregation, a
     deterministic argmax (cnt DESC, pair ASC), and a map-only vocab
-    rewrite via two-pass literal replace (== canonical left-to-right
-    merge; property-tested). The oracle replays ALL unrolled rounds in
+    rewrite via two-pass literal replace (the PINNED deterministic
+    spec shared with the oracle: == canonical left-to-right merge for
+    x != y and for x == y runs < 5; longer self-pair runs diverge
+    from Sennrich LTR — see operators/text.py bpe_merge_word; train
+    and encode share the spec, so the tokenizer is self-consistent).
+    The oracle replays ALL unrolled rounds in
     SQL (the queries/_kmeans_sql.py pattern), so the learned merge
     table — not just the end state — is hash-pinned. Output: rows
     (step 0..7, x, y, cnt) = the merge table in learned order, plus

@@ -562,14 +562,16 @@ def test_kmeans_assignment_kernel_catalyst_parity_property(spark, vecs, k):
 
 
 # ---------------------------------------------------------------------------
-# BPE merge learning (tx20): the two-pass literal-replace rewrite must
-# equal the canonical left-to-right non-overlapping merge, and the
+# BPE merge learning (tx20): the PINNED contract is the two-pass
+# literal replace itself (shared verbatim with the DuckDB oracle);
+# it equals canonical LTR merging for x != y, diverges on x == y
+# runs >= 5 (order at 5, multiset at 6 — pinned below), and the
 # learned merge table must be prefix-stable as rounds grow.
 # ---------------------------------------------------------------------------
 
 
 def _ltr_merge(symbols: list[str], x: str, y: str) -> list[str]:
-    """Reference left-to-right non-overlapping BPE merge."""
+    """Canonical Sennrich left-to-right non-overlapping BPE merge."""
     out: list[str] = []
     i = 0
     while i < len(symbols):
@@ -580,6 +582,16 @@ def _ltr_merge(symbols: list[str], x: str, y: str) -> list[str]:
             out.append(symbols[i])
             i += 1
     return out
+
+
+def _two_pass_merge(symbols: list[str], x: str, y: str) -> list[str]:
+    """Python reference for the ACTUAL pinned spec: two single-scan
+    left-to-right non-overlapping literal replaces on the sentinel
+    string — str.replace has the same scan semantics as JVM
+    ``F.replace`` and DuckDB ``replace``."""
+    pat, rpl = f" {x} {y} ", f" {x}{y} "
+    s = " " + " ".join(symbols) + " "
+    return s.replace(pat, rpl).replace(pat, rpl).strip().split(" ")
 
 
 @given(
@@ -593,10 +605,41 @@ def _ltr_merge(symbols: list[str], x: str, y: str) -> list[str]:
     ),
 )
 @settings(**_SETTINGS)
-def test_bpe_double_replace_equals_ltr_merge(spark, words, pair):
-    """bpe_merge_word's two-pass replace == the reference fold, on
-    adversarial symbol sequences incl. overlapping runs (a a a) and
-    symbols that are concatenations of others (ab vs a,b)."""
+def test_bpe_double_replace_matches_python_reference(spark, words, pair):
+    """bpe_merge_word == the Python two-pass reference (the pinned
+    contract) on FULLY adversarial inputs: self-pairs (x == y),
+    overlapping runs of any length up to 8, and symbols that are
+    concatenations of others (ab vs a,b)."""
+    from datapipeline_template_spark.operators.text import bpe_merge_word
+
+    x, y = pair
+    df = spark.createDataFrame(
+        [(" " + " ".join(w) + " ",) for w in words], "rep string"
+    )
+    got = [
+        r["out"].strip().split(" ")
+        for r in df.select(
+            bpe_merge_word(F.col("rep"), x, y).alias("out")
+        ).collect()
+    ]
+    want = [_two_pass_merge(w, x, y) for w in words]
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "c"]), st.sampled_from(["a", "b", "ab", "c"])
+    ).filter(lambda p: p[0] != p[1]),
+)
+@settings(**_SETTINGS)
+def test_bpe_double_replace_equals_ltr_for_distinct_pairs(spark, words, pair):
+    """Under the documented precondition x != y, the two-pass replace
+    equals canonical LTR merging (the bpe_merge_word guarantee)."""
     from datapipeline_template_spark.operators.text import bpe_merge_word
 
     x, y = pair
@@ -611,6 +654,36 @@ def test_bpe_double_replace_equals_ltr_merge(spark, words, pair):
     ]
     want = [_ltr_merge(w, x, y) for w in words]
     assert got == want
+
+
+def test_bpe_self_pair_run_divergence_pinned(spark):
+    """The documented x == y divergence from canonical LTR, pinned
+    exactly: runs < 5 agree; run 5 diverges in ORDER only (same token
+    multiset); run 6 diverges in MULTISET (two-pass strands singles
+    that LTR would pair). This is the counterexample family that
+    makes the two-pass form a distinct (but self-consistent,
+    oracle-shared) spec rather than Sennrich LTR."""
+    from datapipeline_template_spark.operators.text import bpe_merge_word
+
+    runs = {n: ["a"] * n for n in range(1, 7)}
+    df = spark.createDataFrame(
+        [(n, " " + " ".join(w) + " ") for n, w in runs.items()], "n int, rep string"
+    )
+    got = {
+        r["n"]: r["out"].strip().split(" ")
+        for r in df.select(
+            "n", bpe_merge_word(F.col("rep"), "a", "a").alias("out")
+        ).collect()
+    }
+    for n in (1, 2, 3, 4):
+        assert got[n] == _ltr_merge(runs[n], "a", "a"), n
+        assert got[n] == _two_pass_merge(runs[n], "a", "a"), n
+    assert got[5] == ["aa", "a", "aa"]
+    assert _ltr_merge(runs[5], "a", "a") == ["aa", "aa", "a"]
+    assert sorted(got[5]) == sorted(_ltr_merge(runs[5], "a", "a"))
+    assert got[6] == ["aa", "a", "aa", "a"]
+    assert _ltr_merge(runs[6], "a", "a") == ["aa", "aa", "aa"]
+    assert sorted(got[6]) != sorted(_ltr_merge(runs[6], "a", "a"))
 
 
 def test_bpe_merge_table_prefix_stable(spark):
