@@ -89,20 +89,22 @@ SECONDARY = [
     "ss14_mutual_knn_graph",
     "ss15_ivf_kmeans_ann",
     "ss16_ivf_recall",
-    "pipe10_drop_attribution",
     "mm04_byte_chunk_features",
     "ss17_semantic_clusters",
-    "pipe11_data_card",
     # round-8 additions
     "tx07b_token_collision_pandas",
     "dd16_d4_prune",
     "ss14b_mutual_knn_cluster_blocked",
     "tx20_bpe_train",
     "tx21_bpe_encode",
+    # pipe12 is the SINGLE full-composition timing row for the
+    # extended curation pass; pipe10/pipe11/pipe13 are priced as
+    # marginals over one shared pass in the curation_shared scenario
+    # (r8 verdict: four independent recomputations of one ~5 s
+    # artifact was the wrong bench shape).
     "pipe12_curation_funnel_full",
     "ss18_mutual_knn_or_union",
     "pk07_bpe_budget_packing",
-    "pipe13_curated_mixing",
 ]
 
 
@@ -202,6 +204,62 @@ def _clustering_shared_scenario(spark, sf_dir):
         "n_clusters": n_clusters,
         "n_marks": n_marks,
         "n_retrieved": n_ret,
+        "parity": parity,
+    }
+
+
+def _curation_shared_scenario(spark, sf_dir):
+    """The production shape of the curation-report family (r8 verdict
+    note): registry queries are stateless by contract, so
+    pipe10/pipe11/pipe13 each paid the identical extended flag pass
+    (~5 s at sf0.1 — k-means fit + MinHash/LSH/CC + SemDeDup) that
+    pipe12 pays; four recomputations of one artifact was the wrong
+    bench shape. A real curation run evaluates the flags ONCE and
+    feeds every report from the checkpointed pass. This scenario
+    times exactly that: one `_curation_flags_extended` pass +
+    checkpoint, then the MARGINAL cost of attribution (pipe10), the
+    data card (pipe11) and quality-aware mixing (pipe13), with a
+    parity assert that the shared-pass data card equals the
+    standalone registry query's. pipe12 stays in SECONDARY as the
+    single full-composition timing row."""
+    from datapipeline_template_spark.queries.pipeline import (
+        _curation_flags_extended,
+        attribution_from_flags,
+        data_card_from_flags,
+        mixing_from_flags,
+        pipe11_data_card,
+    )
+
+    t = time.perf_counter()
+    flags = _curation_flags_extended(spark, sf_dir).localCheckpoint(eager=True)
+    flags_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    n_attr = attribution_from_flags(flags).count()
+    attr_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    card = data_card_from_flags(flags).localCheckpoint(eager=True)
+    n_card = card.count()
+    card_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    n_mix = mixing_from_flags(flags).count()
+    mix_sec = time.perf_counter() - t
+
+    standalone = pipe11_data_card(spark, sf_dir)
+    parity = (
+        card.exceptAll(standalone).count() == 0
+        and standalone.exceptAll(card).count() == 0
+    )
+    return {
+        "flags_checkpoint_sec": round(flags_sec, 4),
+        "attribution_marginal_sec": round(attr_sec, 4),
+        "data_card_marginal_sec": round(card_sec, 4),
+        "mixing_marginal_sec": round(mix_sec, 4),
+        "n_docs": n_attr,
+        "n_sources": n_card,
+        "n_mixed": n_mix,
         "parity": parity,
     }
 
@@ -415,6 +473,13 @@ def main() -> None:
         print(f"bench: clustering-shared scenario FAILED: {exc}", file=sys.stderr)
 
     try:
+        curation_shared = _curation_shared_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        curation_shared = None
+        errors["curation_shared"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: curation-shared scenario FAILED: {exc}", file=sys.stderr)
+
+    try:
         inc_silver = _incremental_silver_scenario(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         inc_silver = None
@@ -432,6 +497,8 @@ def main() -> None:
         result["secondary"] = secondary
     if clustering_shared is not None:
         result["clustering_shared"] = clustering_shared
+    if curation_shared is not None:
+        result["curation_shared"] = curation_shared
     if inc_silver is not None:
         result["incremental_silver"] = inc_silver
     if errors:
@@ -442,7 +509,19 @@ def main() -> None:
         result["errors"] = errors
         result["n_failed"] = len(errors)
     result["n_timed"] = len(timings)
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # The driver captures a bounded TAIL of this process's output; in
+    # round 8 that capture started mid-JSON and the recorded artifact
+    # lost the headline (`parsed: null`). Persist the full line to
+    # bench_last.json FIRST so the result survives any stream
+    # truncation, then print the contractual one-line JSON.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # noqa: BLE001 — never let the sidecar kill the print
+        print(f"bench: bench_last.json write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

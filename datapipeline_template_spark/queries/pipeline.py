@@ -632,8 +632,17 @@ def pipe10_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     'kept'. Shares pipe12's one-pass extended stage evaluation
     (_curation_flags_extended) and its oracle's CTE chain, so funnel
     counts and attribution can never drift apart; the only added work
-    over pipe12 is emitting rows instead of the 1-row aggregate."""
-    flags = _curation_flags_extended(spark, sf_dir)
+    over pipe12 is emitting rows instead of the 1-row aggregate.
+    Production shape: compute the flag pass ONCE (checkpointed) and
+    feed this + pipe11 + pipe13 from it — bench.py's
+    ``curation_shared`` scenario times exactly that marginal cost via
+    ``attribution_from_flags``."""
+    return attribution_from_flags(_curation_flags_extended(spark, sf_dir))
+
+
+def attribution_from_flags(flags: DataFrame) -> DataFrame:
+    """pipe10's consumer stage over a precomputed extended-flags
+    DataFrame — a narrow CASE projection, no recomputation."""
     stage = (
         F.when(~F.col("f_lang"), F.lit("language_en"))
         .when(~F.col("surv2"), F.lit("gopher_quality"))
@@ -681,8 +690,15 @@ def pipe11_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation as pipe10/pipe12 (a third consumer of the shared
     fragment — the three reports cannot drift apart), now including
     the near-dup-survivor and SemDeDup keep counts, and collapses to
-    a per-source partial aggregate. All exact integers."""
-    flags = _curation_flags_extended(spark, sf_dir)
+    a per-source partial aggregate. All exact integers. Marginal form
+    over a shared flag pass: ``data_card_from_flags`` (bench.py
+    ``curation_shared``)."""
+    return data_card_from_flags(_curation_flags_extended(spark, sf_dir))
+
+
+def data_card_from_flags(flags: DataFrame) -> DataFrame:
+    """pipe11's consumer stage over a precomputed extended-flags
+    DataFrame — one per-source partial aggregate."""
     return (
         flags.groupBy("source")
         .agg(
@@ -766,15 +782,22 @@ def pipe13_curated_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature_allocation semantics, identical in the oracle's
     rnk <= quota form). One extended flag pass + a stratum-count
     collect (coordination-only) + the prefiltered quota draw — no
-    full-stratum sort anywhere."""
+    full-stratum sort anywhere. Marginal form over a shared flag
+    pass: ``mixing_from_flags`` (bench.py ``curation_shared``)."""
+    return mixing_from_flags(_curation_flags_extended(spark, sf_dir))
+
+
+def mixing_from_flags(flags: DataFrame) -> DataFrame:
+    """pipe13's consumer stage over a precomputed extended-flags
+    DataFrame. temperature_sample evaluates its input three times
+    (stratum-count collect, prefilter-verify count, final rank
+    window); the kept set is corpus-curated-small, so checkpoint it
+    and pay the upstream flag plan ONCE (measured 15.8 → 10.9 s at
+    sf0.1 when the flags are unshared — the remaining cost IS the
+    single pass, cf. pipe12's 9.4 s; ~0 when fed a checkpointed
+    shared pass)."""
     from ..operators.sampling import temperature_sample
 
-    flags = _curation_flags_extended(spark, sf_dir)
-    # temperature_sample evaluates its input three times (stratum-count
-    # collect, prefilter-verify count, final rank window); the kept set
-    # is corpus-curated-small, so checkpoint it and pay the expensive
-    # extended flag pass ONCE (measured 15.8 → 10.9 s at sf0.1 — the
-    # remaining cost IS the single pass, cf. pipe12's 9.4 s).
     kept = (
         flags.where(F.col("f_sem"))
         .select("doc_id", "source")

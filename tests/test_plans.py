@@ -91,6 +91,19 @@ def test_bench_headline_names_all_registered():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"headline queries missing from registry: {missing}"
+    missing = [n for n in bench.SECONDARY if n not in REGISTRY]
+    assert not missing, f"secondary queries missing from registry: {missing}"
+    # pipe10/pipe11/pipe13 are priced as marginals in curation_shared,
+    # never as standalone secondary rows (each would recompute the
+    # shared ~5 s extended flag pass); pipe12 is the one
+    # full-composition row.
+    assert "pipe12_curation_funnel_full" in bench.SECONDARY
+    for marginal in (
+        "pipe10_drop_attribution",
+        "pipe11_data_card",
+        "pipe13_curated_mixing",
+    ):
+        assert marginal not in bench.SECONDARY
 
 
 def test_pk01_single_exchange_no_global_sort(spark):
