@@ -135,6 +135,19 @@ class Pipeline:
             if ext:
                 writer = writer.option("path", ext)
             writer.saveAsTable(fqn)
+        self._set_table_comment(
+            fqn, f"Bronze raw ingestion for {entity.name} from {src}"
+        )
+
+    def _set_table_comment(self, fqn: str, comment: str) -> None:
+        """Carry the reference's human-readable table comment onto the
+        created table (01_bronze_ingestion.py:94,
+        02_silver_processing.py:146) — Spark surfaces the ``comment``
+        table property as the Comment row of DESCRIBE TABLE EXTENDED."""
+        escaped = comment.replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {fqn} SET TBLPROPERTIES ('comment'='{escaped}')"
+        )
 
     def _evolve_table_schema(self, fqn: str, stream_schema) -> None:
         """addNewColumns evolution on the SINK (R4): a parquet table's
@@ -181,6 +194,10 @@ class Pipeline:
                 n_buckets=self.n_buckets,
                 state_dir=os.path.join(self.checkpoint_root, entity.name, "_incremental"),
             ).run()
+            self._set_table_comment(
+                self.silver_table(entity.name),
+                f"Silver deduplicated table for {entity.name}",
+            )
             return
         bronze = self.spark.read.table(self.bronze_table(entity.name))
         df = self.silver_transform(bronze, entity)
@@ -199,6 +216,8 @@ class Pipeline:
         props = {
             "engine.dataSkippingStatsColumns": ",".join(entity.skipping_indexes),
             "engine.deletedFileRetentionDuration": self.params.deleted_file_retention_duration,
+            # Reference comment parity (02_silver_processing.py:146).
+            "comment": f"Silver deduplicated table for {entity.name}",
         }
         kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
         self.spark.sql(f"ALTER TABLE {fqn} SET TBLPROPERTIES ({kv})")

@@ -114,6 +114,20 @@ def test_batch_pipeline_semantics(spark, pipeline_env):
     # rename applied
     assert "client_platform" in silver.columns and "platform" not in silver.columns
 
+    # table comment parity (01_bronze_ingestion.py:94,
+    # 02_silver_processing.py:146): DESCRIBE TABLE EXTENDED surfaces
+    # the 'comment' property as the Comment row.
+    def _comment(fqn: str) -> str:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {fqn}").collect()
+        return next(r["data_type"] for r in rows if r["col_name"] == "Comment")
+
+    assert _comment("t_bronze.bronze_app_downloads") == (
+        f"Bronze raw ingestion for app_downloads from {entity_dir}"
+    )
+    assert _comment("t_silver.silver_app_downloads") == (
+        "Silver deduplicated table for app_downloads"
+    )
+
 
 def test_batch_pipeline_soft_deletes_view(spark, pipeline_env):
     params, entity, entity_dir, _ = pipeline_env
