@@ -57,6 +57,7 @@ __all__ = [
     "d4_prune",
     "ivf_assign_corpus",
     "ivf_topk_kmeans",
+    "k_for_corpus",
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_assign_catalyst",
@@ -68,6 +69,29 @@ __all__ = [
 # closure; keep the product bounded so a misuse (huge k on a huge dim)
 # fails loudly instead of serializing gigabytes per task.
 MAX_CENTROID_CELLS = 50_000_000
+
+
+def k_for_corpus(
+    n: int, target_cluster_size: int = 64, k_min: int = 8
+) -> int:
+    """SemDeDup/D4 cluster-count policy: ``max(k_min, n div
+    target_cluster_size)``. The paper contract (Abbas et al. 2023 §3)
+    scales k WITH the corpus — clusters stay ~``target_cluster_size``
+    members, so the within-cluster pair stage does
+    Σ|cluster|² ≈ (N/64)·64² = 64·N work: LINEAR in N, which is what
+    makes SemDeDup/D4 viable at 100 TB (a fixed k=8 would make it
+    quadratic, N²/8). ``semdedup``'s ``max_cluster_size`` guard only
+    DETECTS violations; this policy prevents them. Used by
+    dd15/dd16/the extended curation pass; the DuckDB oracles are
+    generated at ``k_for_corpus(SF001_EMBEDDINGS_ROWS)`` (== k_min at
+    the sf0.01 gate — the policy changes nothing there, by design, and
+    the sf0.01 pins stay valid), and the policy values themselves are
+    pinned in tests/test_parity.py. The fit cost grows with k (n·k
+    kernel distances per iteration — one Arrow matmul), the pair join
+    shrinks quadratically: net win for any corpus past ~k_min·64."""
+    if n < 0:
+        raise ValueError(f"corpus size must be >= 0, got {n}")
+    return max(k_min, n // target_cluster_size)
 
 
 def _trunc_div(s: int, c: int) -> int:

@@ -915,17 +915,32 @@ def dd14b_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DD15_TAU = 0.3
 
+# The driver's correctness gate runs at sf0.01, where embeddings has
+# exactly this many rows (asserted against the live parquet in
+# tests/test_parity.py so drift is loud). Oracles are static SQL, so
+# the k∝N policy is materialized at THIS corpus size — which the
+# policy maps to k_min=8, keeping every sf0.01 pin valid while the
+# Spark side scales k at larger corpora.
+SF001_EMBEDDINGS_ROWS = 500
+
+
+def _semdedup_k() -> int:
+    from ..operators.clustering import k_for_corpus
+
+    return k_for_corpus(SF001_EMBEDDINGS_ROWS)
+
 
 def _semdedup_ctes() -> str:
     """Shared dd15/dd16 oracle fragment: kmeans replay → per-row
     centroid cosine (``cs``, zero-norm rows excluded) → within-cluster
     near-dup pairs (``prs``) → the DISTINCT marked set (``sem``). Both
     oracles build on the same chain so the SemDeDup decision they
-    verify cannot drift."""
+    verify cannot drift. k comes from the same ``k_for_corpus`` policy
+    the Spark queries apply (at the sf0.01 gate size)."""
     from ._kmeans_sql import cos_sql, kmeans_ctes
 
     n = 4
-    return f"""{kmeans_ctes(8, n, 64)}
+    return f"""{kmeans_ctes(_semdedup_k(), n, 64)}
 , cs AS (
   SELECT a.vec_id, a.cid, a.qv, {cos_sql('a.qv', 'c.cv')} AS csim
   FROM a{n} a JOIN c{n} c USING (cid)
@@ -960,12 +975,15 @@ def dd15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup decision set is hash-pinned. Plan: centroid cosine is
     computed per row BEFORE the pair join; pairs form via an equi-join
     on cluster (hash-partitioned, never all-pairs — Σ|cluster|² stays
-    bounded because k scales with the corpus per the paper)."""
-    from ..operators.clustering import semdedup
+    LINEAR in N because k scales with the corpus per the paper:
+    ``k_for_corpus`` picks k = max(8, n div 64), the policy the oracle
+    replays at the sf0.01 gate size where it resolves to 8)."""
+    from ..operators.clustering import k_for_corpus, semdedup
 
     docs = table(spark, sf_dir, "embeddings")
+    k = k_for_corpus(docs.count())
     return semdedup(
-        docs, "vec_id", "embedding", k=8, n_iter=4, threshold=_DD15_TAU
+        docs, "vec_id", "embedding", k=k, n_iter=4, threshold=_DD15_TAU
     ).orderBy("cluster", "vec_id")
 
 
@@ -1013,11 +1031,14 @@ def dd16_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor anti-join, and the exact-integer per-cluster quota
     ``(n · 20) div 100``. Plan: one shared assignment kernel pass
     (localCheckpointed), the dd15 cluster equi-join, plus ONE
-    cluster-partitioned window for the prototype ranking."""
-    from ..operators.clustering import d4_prune, kmeans_fit
+    cluster-partitioned window for the prototype ranking. k follows
+    the ``k_for_corpus`` policy (shared with dd15's oracle CTE)."""
+    from ..operators.clustering import d4_prune, k_for_corpus, kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings")
-    cent = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=4)
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=k_for_corpus(emb.count()), n_iter=4
+    )
     return d4_prune(
         emb, "vec_id", "embedding", cent,
         threshold=_DD15_TAU, proto_pct=_DD16_PROTO_PCT,

@@ -500,7 +500,7 @@ def _curation_flags_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe10/pipe11/pipe12."""
     from pyspark.sql import Window
 
-    from ..operators.clustering import kmeans_fit, semdedup
+    from ..operators.clustering import k_for_corpus, kmeans_fit, semdedup
     from ..operators.dedup import (
         connected_components,
         lsh_candidate_pairs,
@@ -526,7 +526,9 @@ def _curation_flags_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(True).alias("_mhd"))
     )
     emb = table(spark, sf_dir, "embeddings")
-    cent = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=4)
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=k_for_corpus(emb.count()), n_iter=4
+    )
     sem = (
         semdedup(emb, "vec_id", "embedding", centroids=cent, threshold=0.3)
         .select(F.col("vec_id").alias("doc_id"))

@@ -164,3 +164,34 @@ def test_pinned_recall_constants_match_measurement(spark):
         f"ss11 3-bit recall {ss11[3]:.4f} drifted from pinned "
         f"_SS12_P3={_SS12_P3} — re-measure and update ss12's constant+oracle"
     )
+
+
+def test_k_for_corpus_policy_pinned(spark):
+    """The SemDeDup/D4 k∝N policy (Abbas et al. §3): pinned values,
+    monotonicity, the linear-pair-work shape, and — critically — that
+    the sf0.01 oracle-gate corpus size maps to the SAME k the static
+    DuckDB oracles were generated with (so Spark query and oracle can
+    never disagree on k at the correctness gate)."""
+    from datapipeline_template_spark.operators.clustering import k_for_corpus
+    from datapipeline_template_spark.queries.dedup import (
+        SF001_EMBEDDINGS_ROWS,
+        _semdedup_k,
+    )
+
+    # Pinned policy values.
+    assert k_for_corpus(0) == 8
+    assert k_for_corpus(500) == 8          # sf0.01 gate -> k_min
+    assert k_for_corpus(512) == 8
+    assert k_for_corpus(5000) == 78        # sf0.1 bench corpus
+    assert k_for_corpus(64_000_000) == 1_000_000
+    with pytest.raises(ValueError):
+        k_for_corpus(-1)
+    # Monotone non-decreasing in n.
+    ks = [k_for_corpus(n) for n in range(0, 4096, 37)]
+    assert ks == sorted(ks)
+    # The oracle-generation constant matches the LIVE testdata corpus
+    # (drift in the driver-generated parquet must fail loudly, not
+    # silently desync the oracle's k from the Spark query's).
+    live = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    assert live == SF001_EMBEDDINGS_ROWS
+    assert _semdedup_k() == k_for_corpus(live) == 8
