@@ -121,6 +121,8 @@ _OVERFLOW = (
     "ss18_mutual_knn_or_union",
     "pk07_bpe_budget_packing",
     "pipe13_curated_mixing",
+    # Round 9:
+    "ss19_or_union_chooser",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1044,12 +1044,18 @@ def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFr
 _SS18_L = 3
 
 
-def _ss18_oracle() -> str:
+def _or_union_base_ctes(n_clusterings: int) -> str:
+    """Shared ss18/ss19 oracle base: ``n_clusterings`` independent
+    k-means replays (init windows offset by c·k), each one's blocked
+    mutual-kNN edge set ``u{c}e``, plus the exact unblocked eval-slice
+    truth ``et`` and its count ``ct``. Callers append their own union
+    blocks and SELECTs — the chooser (ss19) and the L-sweep (ss18)
+    verify the same construction and cannot drift."""
     from ._kmeans_sql import cos_sql, kmeans_ctes
 
     n = _KM_ITER
     chains, edge_blocks = [], []
-    for c in range(_SS18_L):
+    for c in range(n_clusterings):
         p = f"u{c}"
         chains.append(
             kmeans_ctes(
@@ -1080,28 +1086,7 @@ def _ss18_oracle() -> str:
   FROM {p}top t JOIN {p}top u ON t.src = u.dst AND t.dst = u.src
   WHERE t.src < t.dst
 )""")
-    union_blocks, selects = [], []
-    for L in range(1, _SS18_L + 1):
-        members = "\n  UNION\n  ".join(
-            f"SELECT id_a, id_b FROM u{c}e" for c in range(L)
-        )
-        union_blocks.append(f""", eu{L} AS (
-  {members}
-), h{L} AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
-  FROM eu{L} JOIN et USING (id_a, id_b)
-), c{L}n AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM eu{L}
-)""")
-        selects.append(
-            f"SELECT CAST({L} AS BIGINT) AS n_clusterings, "
-            f"(SELECT n_truth FROM ct) AS n_truth, "
-            f"(SELECT n_edges FROM c{L}n) AS n_edges, "
-            f"(SELECT n_hit FROM h{L}) AS n_hit, "
-            f"CAST((SELECT n_hit FROM h{L}) AS DOUBLE) "
-            f"/ (SELECT n_truth FROM ct) AS recall"
-        )
-    return f"""WITH {', '.join(chains)}
+    return f"""{', '.join(chains)}
 {''.join(edge_blocks)}
 , tbase AS (
   SELECT vec_id, qv FROM u0qv
@@ -1122,7 +1107,81 @@ def _ss18_oracle() -> str:
   SELECT t.src AS id_a, t.dst AS id_b
   FROM ttop t JOIN ttop u ON t.src = u.dst AND t.dst = u.src
   WHERE t.src < t.dst
-), ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM et)
+), ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM et)"""
+
+
+def _or_union_block(L: int) -> str:
+    """The eu{L}/h{L}/c{L}n union-and-score block over the first L
+    ``u{c}e`` edge sets of ``_or_union_base_ctes``."""
+    members = "\n  UNION\n  ".join(
+        f"SELECT id_a, id_b FROM u{c}e" for c in range(L)
+    )
+    return f""", eu{L} AS (
+  {members}
+), h{L} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM eu{L} JOIN et USING (id_a, id_b)
+), c{L}n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM eu{L}
+)"""
+
+
+def _or_union_truth_and_edges(
+    spark: SparkSession, sf_dir: str, n_clusterings: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Spark twin of ``_or_union_base_ctes``: the exact unblocked
+    eval-slice truth plus ``n_clusterings`` independent cluster-blocked
+    mutual-kNN edge sets (init windows offset by c·k), every
+    DataFrame localCheckpointed so downstream unions reuse the builds.
+    Shared by ss18 (the L-sweep) and ss19 (the chooser)."""
+    from ..functions import quantize_vec
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    truth = (
+        mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    edge_sets = []
+    for c in range(n_clusterings):
+        cent = kmeans_fit(
+            emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
+            init_offset=c * _KM_K,
+        )
+        asg = kmeans_assign(
+            emb.select(
+                "vec_id", "embedding", quantize_vec("embedding").alias("_qvk")
+            ),
+            "_qvk",
+            cent,
+        ).select("vec_id", "embedding", "cluster")
+        edge_sets.append(
+            mutual_knn_edges(
+                asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster"
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    return truth, edge_sets
+
+
+def _ss18_oracle() -> str:
+    union_blocks, selects = [], []
+    for L in range(1, _SS18_L + 1):
+        union_blocks.append(_or_union_block(L))
+        selects.append(
+            f"SELECT CAST({L} AS BIGINT) AS n_clusterings, "
+            f"(SELECT n_truth FROM ct) AS n_truth, "
+            f"(SELECT n_edges FROM c{L}n) AS n_edges, "
+            f"(SELECT n_hit FROM h{L}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{L}) AS DOUBLE) "
+            f"/ (SELECT n_truth FROM ct) AS recall"
+        )
+    return f"""WITH {_or_union_base_ctes(_SS18_L)}
 {''.join(union_blocks)}
 {' UNION ALL '.join(selects)}
 ORDER BY n_clusterings"""
@@ -1149,38 +1208,7 @@ def ss18_mutual_knn_or_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means block key."""
     from functools import reduce
 
-    from ..functions import quantize_vec
-    from ..operators.clustering import kmeans_assign, kmeans_fit
-    from ..operators.similarity import mutual_knn_edges
-
-    emb = table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < _SS_EVAL_SLICE
-    )
-    truth = (
-        mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    edge_sets = []
-    for c in range(_SS18_L):
-        cent = kmeans_fit(
-            emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
-            init_offset=c * _KM_K,
-        )
-        asg = kmeans_assign(
-            emb.select(
-                "vec_id", "embedding", quantize_vec("embedding").alias("_qvk")
-            ),
-            "_qvk",
-            cent,
-        ).select("vec_id", "embedding", "cluster")
-        edge_sets.append(
-            mutual_knn_edges(
-                asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster"
-            )
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
+    truth, edge_sets = _or_union_truth_and_edges(spark, sf_dir, _SS18_L)
     out = None
     for L in range(1, _SS18_L + 1):
         un = reduce(
@@ -1204,6 +1232,98 @@ def ss18_mutual_knn_or_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_clusterings")
+
+
+# ---------------------------------------------------------------------------
+# ss19 — recall-targeted OR-union chooser: ss18's loop closed the way
+# ss12 closed ss09's. Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS19_TARGET = 0.70
+# ss18's measured single-clustering (L=1) recall at the sf0.01 gate
+# (194/509) — the chooser input, cross-checked against the live ss18
+# measurement in tests/test_parity.py so a clustering/k change can't
+# silently stale it.
+_SS19_P1 = 0.3811
+
+
+def _ss19_chosen_l() -> int:
+    from ..operators.similarity import tables_for_recall
+
+    return tables_for_recall(_SS19_TARGET, _SS19_P1)
+
+
+def _ss19_predicted() -> float:
+    """Independence-assumption prediction 1-(1-p)^L as ONE Python
+    float, injected as the same literal into Spark and the oracle —
+    pow() is not correctly rounded across libms, so neither engine
+    computes it."""
+    return 1.0 - (1.0 - _SS19_P1) ** _ss19_chosen_l()
+
+
+def _ss19_oracle() -> str:
+    L = _ss19_chosen_l()
+    pred = _ss19_predicted()
+    rec = "CAST((SELECT n_hit FROM h{L}) AS DOUBLE) / (SELECT n_truth FROM ct)".format(L=L)
+    return f"""WITH {_or_union_base_ctes(L)}
+{_or_union_block(L)}
+SELECT CAST({_SS19_TARGET} AS DOUBLE) AS target_recall,
+       CAST({_SS19_P1} AS DOUBLE) AS p_single,
+       CAST({L} AS BIGINT) AS chosen_l,
+       CAST({pred!r} AS DOUBLE) AS predicted_recall,
+       (SELECT n_truth FROM ct) AS n_truth,
+       (SELECT n_edges FROM c{L}n) AS n_edges,
+       (SELECT n_hit FROM h{L}) AS n_hit,
+       {rec} AS recall,
+       {rec} >= CAST({_SS19_TARGET} AS DOUBLE) AS target_met,
+       CAST({pred!r} AS DOUBLE) - {rec} AS undershoot"""
+
+
+@register("ss19_or_union_chooser", oracle=_ss19_oracle())
+def ss19_or_union_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-graph recall loop CLOSED the way ss12 closed the LSH
+    family's: target 70% edge recall; the chooser sizes the OR-union
+    of independent clusterings from ss18's MEASURED single-clustering
+    recall — tables_for_recall(0.70, 0.3811) = 3 — then the chosen
+    build is re-measured against the exact unblocked eval-slice truth
+    and lands 0.7269 ≥ 0.70 (370/509 edges): the floor MEETS the
+    target here, unlike ss12's LSH case where it missed and bumped.
+    The honest-undershoot accounting is still emitted: the
+    independence assumption predicts 1-(1-0.3811)³ = 0.7629, and the
+    measured 0.7269 undershoots it by 0.036 — independent init
+    windows over ONE corpus produce correlated clusterings (nearby
+    vectors tend to co-locate in every fit), exactly the correlation
+    the tables_for_recall docstring warns makes the formula a floor.
+    Chooser constants, the chosen-L build, the measurement, and the
+    undershoot are all one hash-pinned row; _SS19_P1 is cross-checked
+    against ss18's live L=1 measurement in tests/test_parity.py.
+    Scale shape: identical to ss18's (L map-only assignments + L
+    blocked equi-joins; the truth pass is eval-slice-bounded)."""
+    from functools import reduce
+
+    L = _ss19_chosen_l()
+    pred = _ss19_predicted()
+    truth, edge_sets = _or_union_truth_and_edges(spark, sf_dir, L)
+    un = reduce(lambda a, b: a.unionByName(b), edge_sets).distinct()
+    hit = un.join(truth, ["id_a", "id_b"], "left_semi")
+    recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(un.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit(_SS19_TARGET).cast("double").alias("target_recall"),
+            F.lit(_SS19_P1).cast("double").alias("p_single"),
+            F.lit(L).cast("long").alias("chosen_l"),
+            F.lit(pred).cast("double").alias("predicted_recall"),
+            "n_truth",
+            "n_edges",
+            "n_hit",
+            recall.alias("recall"),
+            (recall >= F.lit(_SS19_TARGET)).alias("target_met"),
+            (F.lit(pred) - recall).alias("undershoot"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

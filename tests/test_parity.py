@@ -195,3 +195,21 @@ def test_k_for_corpus_policy_pinned(spark):
     live = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
     assert live == SF001_EMBEDDINGS_ROWS
     assert _semdedup_k() == k_for_corpus(live) == 8
+
+
+def test_ss19_chooser_constant_matches_ss18_measurement(spark):
+    """_SS19_P1 (the chooser's single-clustering recall input) must
+    equal ss18's LIVE L=1 measurement at the sf0.01 gate — the ss12
+    pattern: a clustering/k/eval-slice change can't silently stale the
+    pinned constant."""
+    from datapipeline_template_spark.queries.similarity import _SS19_P1
+
+    sf = "/root/testdata/sf0.01"
+    ss18 = {
+        r["n_clusterings"]: r["recall"]
+        for r in REGISTRY["ss18_mutual_knn_or_union"].fn(spark, sf).collect()
+    }
+    assert abs(ss18[1] - _SS19_P1) < 5e-4, (
+        f"ss18 L=1 recall {ss18[1]:.4f} drifted from pinned "
+        f"_SS19_P1={_SS19_P1} — re-measure and update ss19's constant+oracle"
+    )
