@@ -105,6 +105,10 @@ SECONDARY = [
     "pipe12_curation_funnel_full",
     "ss18_mutual_knn_or_union",
     "pk07_bpe_budget_packing",
+    # round-9 additions
+    "ss19_or_union_chooser",
+    "tx20b_bpe_train_bytes",
+    "tx21b_bpe_encode_bytes",
 ]
 
 

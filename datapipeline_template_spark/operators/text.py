@@ -344,7 +344,11 @@ def bpe_merge_word(rep: Column, x: str, y: str) -> Column:
 
 
 def bpe_train(
-    vocab: DataFrame, rep_col: str, freq_col: str, n_merges: int = 8
+    vocab: DataFrame,
+    rep_col: str,
+    freq_col: str,
+    n_merges: int = 8,
+    vocab_size: int | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Deterministic byte-pair-encoding merge learning over a word
     vocabulary — the k-means of text: N rounds, each one (pair →
@@ -371,12 +375,34 @@ def bpe_train(
     map; the vocab is localCheckpointed per round so round i+1's scan
     does not re-execute rounds 1..i (the connected-components
     iterative-loop lesson: persist does NOT stop plan growth).
+
+    ``vocab_size`` switches to the GPT-2-style stop rule: before each
+    round the DISTINCT symbol count of the current vocabulary is
+    measured (one countDistinct aggregate — coordination, like the
+    argmax row) and training stops once it reaches ``vocab_size``;
+    ``n_merges`` then acts as the safety cap. A merge adds at most one
+    new symbol but can also REMOVE symbols (when every occurrence of
+    x or y is consumed), so the executed round count is data-dependent
+    — callers that need a replayable round count (tx20b's unrolled
+    oracle) pin the measured count and cross-check it in a test.
     """
+
+    def _distinct_symbols(df: DataFrame) -> int:
+        return int(
+            df.select(
+                F.explode(F.split(F.trim(F.col("rep")), " ")).alias("s")
+            )
+            .agg(F.countDistinct("s").alias("c"))
+            .collect()[0]["c"]
+        )
+
     v = vocab.select(
         F.col(rep_col).alias("rep"), F.col(freq_col).cast("long").alias("freq")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
+        if vocab_size is not None and _distinct_symbols(v) >= vocab_size:
+            break
         syms = F.split(F.trim(F.col("rep")), " ")
         idx = F.when(
             F.size(syms) > 1, F.sequence(F.lit(1), F.size(syms) - 1)

@@ -123,6 +123,8 @@ _OVERFLOW = (
     "pipe13_curated_mixing",
     # Round 9:
     "ss19_or_union_chooser",
+    "tx20b_bpe_train_bytes",
+    "tx21b_bpe_encode_bytes",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -416,22 +416,24 @@ _TX20_N_MERGES = 8
 _TX20_TOP = 20
 
 
-def _tx20_ctes() -> str:
-    """Shared tx20/tx21 oracle fragment: word vocab + all unrolled BPE
-    merge rounds, ending in the final vocabulary ``v{N}`` and the
-    per-round argmax CTEs ``m0..m{N-1}`` — train and encode verify the
-    same learned merges (the `_kmeans_sql` single-implementation
-    rule)."""
-    parts = ["""w AS (
-  SELECT lower(t) AS word FROM (
-    SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
-    FROM documents)
-), v0 AS (
-  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep,
-         CAST(COUNT(*) AS BIGINT) AS freq
-  FROM w GROUP BY word
-)"""]
-    for i in range(_TX20_N_MERGES):
+def _bpe_round_ctes(n_rounds: int) -> str:
+    """The unrolled BPE merge rounds shared by every BPE oracle
+    (tx20/tx21 word-level, tx20b/tx21b byte-level): each round is one
+    adjacent-pair aggregate ``p{i}``, the deterministic argmax
+    ``m{i}`` (cnt DESC, x, y), and the two-pass-replace vocabulary
+    rewrite ``v{i+1}`` — replaying ``operators.text.bpe_train``
+    exactly, starting from whatever ``v0`` the caller prepends.
+
+    Every ``v{{i+1}}`` is ``AS MATERIALIZED``: each round references
+    its predecessor twice (through the pair aggregate and through the
+    rewrite), so DuckDB's default CTE inlining makes the plan tree
+    grow 2^rounds — 8 rounds (tx20) merely wasted work, 17 rounds
+    (tx20b) exhausted the process's file descriptors re-opening the
+    corpus parquet ~2^17 times. Materializing pins each round to one
+    evaluation, the exact analogue of the Spark side's per-round
+    localCheckpoint."""
+    parts = []
+    for i in range(n_rounds):
         parts.append(f""", p{i} AS (
   SELECT s[j] AS x, s[j+1] AS y, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(trim(rep), ' ') AS s, freq FROM v{i}) r,
@@ -439,7 +441,7 @@ def _tx20_ctes() -> str:
   GROUP BY x, y
 ), m{i} AS (
   SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1
-), v{i + 1} AS (
+), v{i + 1} AS MATERIALIZED (
   SELECT replace(replace(v.rep,
                          ' ' || m.x || ' ' || m.y || ' ',
                          ' ' || m.x || m.y || ' '),
@@ -448,6 +450,24 @@ def _tx20_ctes() -> str:
   FROM v{i} v CROSS JOIN m{i} m
 )""")
     return "".join(parts)
+
+
+def _tx20_ctes() -> str:
+    """Shared tx20/tx21 oracle fragment: word vocab + all unrolled BPE
+    merge rounds, ending in the final vocabulary ``v{N}`` and the
+    per-round argmax CTEs ``m0..m{N-1}`` — train and encode verify the
+    same learned merges (the `_kmeans_sql` single-implementation
+    rule)."""
+    head = """w AS (
+  SELECT lower(t) AS word FROM (
+    SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
+    FROM documents)
+), v0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM w GROUP BY word
+)"""
+    return head + _bpe_round_ctes(_TX20_N_MERGES)
 
 
 def _tx20_oracle() -> str:
@@ -623,6 +643,262 @@ def tx21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.length("word")).cast("double")
                 / F.sum("n_sub").cast("double")
             ).alias("chars_per_subword"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx20b — BYTE-level BPE training (GPT-2 style): byte init vocab +
+# vocab-size-driven stop. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+# GPT-2-style target alphabet size: init symbols are the DISTINCT
+# UTF-8 bytes present in the pre-tokenized corpus (24 at the sf0.01
+# gate), training runs until the alphabet reaches 36 symbols.
+_TX20B_VOCAB_SIZE = 36
+# The MEASURED number of merge rounds the vocab-size stop executes at
+# the sf0.01 gate — oracles are static SQL and must unroll a fixed
+# round count, so the data-dependent stop is pinned here and
+# cross-checked against the live stop rule in tests/test_operators.py
+# (a merge adds at most one symbol but can also REMOVE exhausted
+# symbols, so rounds > vocab_size - init_size: 17 > 36 - 24).
+_TX20B_ROUNDS = 17
+_TX20B_CAP = 64  # bpe_train safety cap when the stop rule drives
+
+
+def _tx20b_ctes() -> str:
+    """Shared tx20b/tx21b oracle fragment: GPT-2-style byte-level
+    ``v0`` — pre-tokenize with the tx08 word shape (letter runs /
+    digit runs / single punctuation, NO lowercasing), then represent
+    each word as its UTF-8 bytes, one two-hex-digit symbol per byte
+    (both engines emit uppercase hex; merged symbols concatenate to
+    4, 6, ... hex digits, unambiguous at fixed width) — plus the
+    ``_TX20B_ROUNDS`` unrolled merge rounds."""
+    head = """w AS (
+  SELECT t AS word FROM (
+    SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS t
+    FROM documents)
+), v0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(hex(encode(word)), '..'), ' ') || ' ' AS rep,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM w GROUP BY word
+)"""
+    return head + _bpe_round_ctes(_TX20B_ROUNDS)
+
+
+def _sym_count_cte(name: str, v: str) -> str:
+    """CTE counting DISTINCT symbols of a vocabulary ``v`` — the
+    alphabet-size accounting the vocab-size stop is judged by."""
+    return f"""{name} AS (
+  SELECT CAST(COUNT(DISTINCT s[j]) AS BIGINT) AS c
+  FROM (SELECT string_split(trim(rep), ' ') AS s FROM {v}) r,
+       UNNEST(range(1, len(s) + 1)) AS t(j)
+)"""
+
+
+def _tx20b_oracle() -> str:
+    n = _TX20B_ROUNDS
+    merge_rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, x, y, cnt FROM m{i}"
+        for i in range(n)
+    )
+    return f"""WITH {_tx20b_ctes()}
+, toks AS (
+  SELECT s[j] AS token, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(rep), ' ') AS s, freq FROM v{n}) r,
+       UNNEST(range(1, len(s) + 1)) AS t(j)
+  GROUP BY token
+), toprows AS (
+  SELECT CAST(-1 AS BIGINT) AS step, token AS x, '' AS y, cnt
+  FROM toks ORDER BY cnt DESC, token LIMIT {_TX20_TOP}
+), {_sym_count_cte('isym', 'v0')}, {_sym_count_cte('fsym', f'v{n}')}
+SELECT CAST(-2 AS BIGINT) AS step, 'init_symbols' AS x, '' AS y, c AS cnt FROM isym
+UNION ALL SELECT CAST(-2 AS BIGINT), 'final_symbols', '', c FROM fsym
+UNION ALL {merge_rows}
+UNION ALL SELECT * FROM toprows
+ORDER BY step, cnt DESC, x, y"""
+
+
+@register("tx20b_bpe_train_bytes", oracle=_tx20b_oracle())
+def tx20b_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE training, GPT-2 style (Radford et al. 2019):
+    the init vocabulary is the corpus's distinct UTF-8 BYTES (each a
+    two-hex-digit symbol — no unknown-token problem, any input is
+    representable), pre-tokenization is tx08's GPT-2-ish word shape
+    (letter runs / digit runs / single punctuation, case preserved),
+    and training stops when the alphabet reaches
+    ``_TX20B_VOCAB_SIZE`` symbols — the vocab-size-driven stop real
+    tokenizers use, instead of tx20's fixed round count. The stop is
+    data-dependent (merges can also REMOVE exhausted symbols, so 17
+    rounds are needed for +12 alphabet growth here); the measured
+    round count is pinned as ``_TX20B_ROUNDS`` for the unrolled
+    oracle and cross-checked against the live stop rule in
+    tests/test_operators.py. Output adds step -2 alphabet-accounting
+    rows (init/final distinct-symbol counts — the stop's evidence) to
+    tx20's merge-table + top-20 shape. Same scale shape as tx20: the
+    corpus is scanned once into a distinct-word vocab; per round one
+    pair partial-agg + one argmax row to the driver + a map-only
+    rewrite, plus one countDistinct coordination aggregate for the
+    stop."""
+    from ..operators.text import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(
+                "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+            )
+        ).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.expr(
+                        "regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)"
+                    ),
+                    " ",
+                ),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    merges, final_v = bpe_train(
+        vocab, "rep", "freq", n_merges=_TX20B_CAP, vocab_size=_TX20B_VOCAB_SIZE
+    )
+    merge_df = spark.createDataFrame(
+        [(i, x, y, c) for i, (x, y, c) in enumerate(merges)],
+        "step long, x string, y string, cnt long",
+    )
+    toks = (
+        final_v.select(
+            F.explode(F.split(F.trim(F.col("rep")), " ")).alias("x"), "freq"
+        )
+        .groupBy("x")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    toprows = (
+        toks.orderBy(F.col("cnt").desc(), F.col("x").asc())
+        .limit(_TX20_TOP)
+        .select(
+            F.lit(-1).cast("long").alias("step"),
+            "x",
+            F.lit("").alias("y"),
+            "cnt",
+        )
+    )
+
+    def _sym_count(v, label):
+        return (
+            v.select(F.explode(F.split(F.trim(F.col("rep")), " ")).alias("s"))
+            .agg(F.countDistinct("s").cast("long").alias("cnt"))
+            .select(
+                F.lit(-2).cast("long").alias("step"),
+                F.lit(label).alias("x"),
+                F.lit("").alias("y"),
+                "cnt",
+            )
+        )
+
+    return (
+        _sym_count(vocab, "init_symbols")
+        .unionByName(_sym_count(final_v, "final_symbols"))
+        .unionByName(merge_df)
+        .unionByName(toprows)
+        .orderBy("step", F.col("cnt").desc(), "x", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx21b — encode over the byte-level vocabulary. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def _tx21b_oracle() -> str:
+    n = _TX20B_ROUNDS
+    return f"""WITH {_tx20b_ctes()}
+, wmap AS (
+  SELECT replace(rep, ' ', '') AS hword,
+         CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
+  FROM v{n}
+), dw AS (
+  SELECT source, hex(encode(t)) AS hword FROM (
+    SELECT source,
+           unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS t
+    FROM documents)
+)
+SELECT source,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(hword) // 2) AS BIGINT) AS n_bytes,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(n_sub) AS DOUBLE) / COUNT(*) AS subwords_per_word,
+       CAST(SUM(len(hword) // 2) AS DOUBLE)
+         / CAST(SUM(n_sub) AS DOUBLE) AS bytes_per_subword
+FROM dw JOIN wmap USING (hword)
+GROUP BY source ORDER BY source"""
+
+
+@register("tx21b_bpe_encode_bytes", oracle=_tx21b_oracle())
+def tx21b_bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode with tx20b's BYTE-level vocabulary: per-source fertility
+    (subwords/word) and compression (bytes/subword), sharing tx20b's
+    oracle fragment so train and encode verify the same learned
+    merges. The encode map keys on the word's HEX byte string (the
+    byte-level rep minus spaces IS hex(word) — bpe_vocab_map's
+    word-recovery property, byte flavor), so the corpus side is one
+    hex(encode(word)) map + the same word-equi-join + per-source
+    partial aggregate as tx21. All ratio columns are single IEEE
+    divisions of exact integer sums (the tx01 convention)."""
+    from ..operators.text import bpe_train, bpe_vocab_map
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+            )
+        ).alias("word"),
+    ).select(
+        "source", F.hex(F.encode(F.col("word"), "UTF-8")).alias("hword")
+    )
+    vocab = (
+        words.groupBy("hword")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.expr("regexp_extract_all(hword, '..', 0)"), " "),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    _, final_v = bpe_train(
+        vocab, "rep", "freq", n_merges=_TX20B_CAP, vocab_size=_TX20B_VOCAB_SIZE
+    )
+    wmap = bpe_vocab_map(final_v).select(
+        F.col("word").alias("hword"), "n_sub"
+    )
+    n_bytes = (F.length("hword") / 2).cast("long")
+    return (
+        words.join(wmap, on="hword")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(n_bytes).cast("long").alias("n_bytes"),
+            F.sum("n_sub").alias("n_subwords"),
+            (
+                F.sum("n_sub").cast("double") / F.count(F.lit(1))
+            ).alias("subwords_per_word"),
+            (
+                F.sum(n_bytes).cast("double") / F.sum("n_sub").cast("double")
+            ).alias("bytes_per_subword"),
         )
         .orderBy("source")
     )

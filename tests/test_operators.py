@@ -1547,3 +1547,55 @@ def test_lsh_buckets_kernel_matches_catalyst_form(spark):
         ).alias("h"),
     ).where(F.expr("k != h"))
     assert mism.count() == 0
+
+
+def test_tx20b_pinned_rounds_match_live_stop_rule(spark):
+    """tx20b's oracle unrolls _TX20B_ROUNDS merge rounds (static SQL
+    cannot replay a data-dependent stop); this cross-checks the pin
+    against the LIVE vocab-size stop at the sf0.01 gate — if the
+    corpus, the pre-tokenization, or the stop rule changes, the
+    executed round count moves and this fails loudly."""
+    from datapipeline_template_spark.queries import load_all
+    from datapipeline_template_spark.queries.text import (
+        _TX20B_ROUNDS,
+        _TX20B_VOCAB_SIZE,
+    )
+
+    rows = (
+        load_all()["tx20b_bpe_train_bytes"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    merges = [r for r in rows if r["step"] >= 0]
+    acct = {r["x"]: r["cnt"] for r in rows if r["step"] == -2}
+    assert len(merges) == _TX20B_ROUNDS
+    assert [r["step"] for r in sorted(merges, key=lambda r: r["step"])] == list(
+        range(_TX20B_ROUNDS)
+    )
+    # The stop's evidence: the alphabet reached the target exactly when
+    # training stopped, growing from the corpus's 24 distinct bytes.
+    assert acct["init_symbols"] == 24
+    assert acct["final_symbols"] == _TX20B_VOCAB_SIZE == 36
+
+
+def test_bpe_vocab_size_stop_equals_fixed_count(spark):
+    """The vocab-size stop must execute exactly the merges a fixed
+    n_merges run of the same length would — the stop changes WHEN
+    training ends, never WHAT each round learns — including rounds
+    where the alphabet stays flat (a merged pair whose parts are
+    exhausted removes symbols)."""
+    from datapipeline_template_spark.operators.text import bpe_train
+
+    rows = [
+        (" " + " ".join("aaaa") + " ", 10),
+        (" " + " ".join("aabb") + " ", 7),
+        (" " + " ".join("ab") + " ", 5),
+    ]
+    vocab = spark.createDataFrame(rows, "rep string, freq long")
+    stopped, _ = bpe_train(vocab, "rep", "freq", n_merges=16, vocab_size=4)
+    fixed, _ = bpe_train(vocab, "rep", "freq", n_merges=len(stopped))
+    assert stopped == fixed
+    assert len(stopped) >= 2  # alphabet {a,b} -> needs growth to 4
+    # Cap respected: with an unreachable target the safety cap stops it.
+    capped, _ = bpe_train(vocab, "rep", "freq", n_merges=3, vocab_size=99)
+    assert len(capped) == 3
