@@ -268,6 +268,81 @@ def _curation_shared_scenario(spark, sf_dir):
     }
 
 
+def _streaming_curation_scenario(spark, sf_dir):
+    """The eighth incremental family under the bench: maintain the
+    seven-stage curated set across a corpus append instead of
+    recomputing the extended flag pass. Bootstrap = frozen artifacts
+    (k-means centroids + classifier weights from the full corpus, the
+    production bootstrap stand-in) + a bulk drain of 95% of the
+    corpus (untimed — it happens once). Timed: (a) incremental = the
+    5% delta drain + a survivors() read over the maintained state,
+    (b) full = the batch seven-stage recompute over the grown corpus.
+    Parity asserts the two survivor sets are identical. Single-shot
+    timings (the scenario mutates state) — treat the ratio as the
+    signal on this shared box."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.clustering import (
+        k_for_corpus,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.operators.text import logodds_weights
+    from datapipeline_template_spark.streaming.curation import (
+        StreamingCuration,
+        batch_survivors,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    full = docs.join(emb, on="doc_id").localCheckpoint(eager=True)
+    n = full.count()
+    split = int(n * 0.95)
+    cent = kmeans_fit(emb, "doc_id", "embedding", k=k_for_corpus(n), n_iter=4)
+    weights = logodds_weights(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    ).localCheckpoint(eager=True)
+
+    root = tempfile.mkdtemp(prefix="bench_curation_")
+    try:
+        inc = StreamingCuration(os.path.join(root, "store"), cent, weights)
+        inc.process_batch(full.where(F.col("doc_id") < split), batch_id=0)
+
+        t = time.perf_counter()
+        inc.process_batch(full.where(F.col("doc_id") >= split), batch_id=1)
+        streamed = inc.survivors(spark).localCheckpoint(eager=True)
+        n_inc = streamed.count()
+        inc_sec = time.perf_counter() - t
+
+        t = time.perf_counter()
+        batch = batch_survivors(docs, emb, cent, weights).localCheckpoint(
+            eager=True
+        )
+        n_full = batch.count()
+        full_sec = time.perf_counter() - t
+
+        parity = (
+            n_inc == n_full
+            and streamed.exceptAll(batch).count() == 0
+            and batch.exceptAll(streamed).count() == 0
+        )
+        return {
+            "delta_rows": n - split,
+            "incremental_sec": round(inc_sec, 4),
+            "full_recompute_sec": round(full_sec, 4),
+            "n_survivors": n_inc,
+            "parity": parity,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _incremental_silver_scenario(spark, sf_dir):
     """SURVEY §7.3's 100-TB hot path, demonstrated under the bench: a
     bulk-loaded events silver (100k rows at sf0.1), then a 1% delta —
@@ -490,6 +565,13 @@ def main() -> None:
         errors["incremental_silver"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"bench: incremental-silver scenario FAILED: {exc}", file=sys.stderr)
 
+    try:
+        streaming_curation = _streaming_curation_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        streaming_curation = None
+        errors["streaming_curation"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: streaming-curation scenario FAILED: {exc}", file=sys.stderr)
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -505,6 +587,8 @@ def main() -> None:
         result["curation_shared"] = curation_shared
     if inc_silver is not None:
         result["incremental_silver"] = inc_silver
+    if streaming_curation is not None:
+        result["streaming_curation"] = streaming_curation
     if errors:
         # A failed query is DROPPED from `value`, so a red run would
         # otherwise read as a speedup in cross-run comparisons; the

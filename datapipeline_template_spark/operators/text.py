@@ -26,8 +26,22 @@ __all__ = [
     "bigram_familiarity",
     "bpe_train",
     "logodds_classifier",
+    "logodds_weights",
+    "score_with_weights",
+    "CURATION_GOPHER_KEYS",
     "LANG_MARKERS",
 ]
+
+# The gopher_rules subset the curation funnel gates on — shared by the
+# batch flag pass (queries/pipeline._curation_flags), its generated
+# oracle fragment, and the streaming maintainer (streaming/curation.py)
+# so the three can never disagree on which rules constitute "quality".
+CURATION_GOPHER_KEYS = (
+    "ok_min_words",
+    "ok_mean_word_len",
+    "ok_alpha_words",
+    "ok_stopwords",
+)
 
 
 def tokenize(text: Column | str) -> Column:
@@ -281,21 +295,7 @@ def logodds_classifier(
         positive.alias("_pos"),
         F.explode(tokenize(text_col)).alias("tok"),
     )
-    vocab = toks.groupBy("tok").agg(
-        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("long").alias("pos_cnt"),
-        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).cast("long").alias("neg_cnt"),
-    )
-    totals = vocab.agg(
-        F.sum("pos_cnt").alias("_tp"), F.sum("neg_cnt").alias("_tn")
-    )
-    dec = "decimal(19,0)"
-    lhs = F.col("pos_cnt").cast(dec) * F.col("_tn").cast(dec)
-    rhs = F.col("neg_cnt").cast(dec) * F.col("_tp").cast(dec)
-    weights = vocab.join(F.broadcast(totals)).select(
-        "tok",
-        F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
-        .cast("long").alias("w"),
-    )
+    weights = _weights_from_toks(toks)
     per_doc = toks.groupBy("_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -308,6 +308,70 @@ def logodds_classifier(
         F.col("_id").alias(id_col),
         F.col("score").cast("long").alias("score"),
         (F.col("score") > 0).alias("keep"),
+    )
+
+
+def _weights_from_toks(toks: DataFrame) -> DataFrame:
+    """(_id, _pos, tok) exploded rows → the (tok, w) sign-weight table
+    (the ``logodds_classifier`` training half, factored so both the
+    combined operator and ``logodds_weights`` build weights from ONE
+    implementation)."""
+    vocab = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("long").alias("pos_cnt"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).cast("long").alias("neg_cnt"),
+    )
+    totals = vocab.agg(
+        F.sum("pos_cnt").alias("_tp"), F.sum("neg_cnt").alias("_tn")
+    )
+    dec = "decimal(19,0)"
+    lhs = F.col("pos_cnt").cast(dec) * F.col("_tn").cast(dec)
+    rhs = F.col("neg_cnt").cast(dec) * F.col("_tp").cast(dec)
+    return vocab.join(F.broadcast(totals)).select(
+        "tok",
+        F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
+        .cast("long").alias("w"),
+    )
+
+
+def logodds_weights(
+    df: DataFrame, id_col: str, text_col: str, positive: Column
+) -> DataFrame:
+    """The classifier's (tok, w) weight table alone — the FREEZABLE
+    training artifact a streaming curation run derives once from a
+    bootstrap/reference corpus and then scores every micro-batch
+    against (``streaming/curation.py``), exactly like frozen k-means
+    centroids. Same arithmetic as ``logodds_classifier`` (one shared
+    implementation)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        positive.alias("_pos"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    )
+    return _weights_from_toks(toks)
+
+
+def score_with_weights(
+    df: DataFrame, id_col: str, text_col: str, weights: DataFrame
+) -> DataFrame:
+    """Score documents against a FROZEN (tok, w) weight table:
+    Σ count(t, doc)·w(t) — the inference half of the classifier,
+    map-only plus one token equi-join (identical join shape to the
+    combined operator, so scores over the training corpus are
+    bit-equal to ``logodds_classifier``'s). Documents with NO vocab
+    token produce no row (the combined operator's inner-join
+    semantics)."""
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("tok")
+        )
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        per_doc.join(weights, on="tok")
+        .groupBy("_id")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("score"))
+        .select(F.col("_id").alias(id_col), "score")
     )
 
 

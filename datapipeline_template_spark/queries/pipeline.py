@@ -369,14 +369,17 @@ def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from ..operators.text import gopher_rules, language_id, logodds_classifier
+    from ..operators.text import (
+        CURATION_GOPHER_KEYS,
+        gopher_rules,
+        language_id,
+        logodds_classifier,
+    )
 
     docs = table(spark, sf_dir, "documents")
     rules = gopher_rules("text")
     gopher_ok = reduce(
-        lambda a, b: a & b,
-        [rules[k] for k in ("ok_min_words", "ok_mean_word_len",
-                            "ok_alpha_words", "ok_stopwords")],
+        lambda a, b: a & b, [rules[k] for k in CURATION_GOPHER_KEYS]
     )
     flags = docs.select(
         "doc_id",

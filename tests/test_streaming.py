@@ -1011,3 +1011,138 @@ def test_incremental_bpe_vocab_matches_batch(spark, tmp_path, sf_dir):
         (r["word"], r["freq"]) for r in inc.word_counts(spark).collect()
     } == want_counts
     assert inc.learn(spark, n_merges=6) == want_merges
+
+
+def test_streaming_curation_matches_batch_pipe12(spark, tmp_path, sf_dir):
+    """EIGHTH incremental family — the curation funnel composed from
+    the others: drain (doc, embedding) rows in two AvailableNow
+    passes; after every drain the maintained survivor set must equal
+    the batch seven-stage set under the same frozen artifacts
+    (batch_survivors), and at the final drain — where the seen corpus
+    IS the artifact-deriving corpus — it must equal pipe12's f_sem
+    survivor set verbatim. Replays no-op; a crash window (top marker
+    AND a sub-maintainer marker lost) self-repairs."""
+    import os
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import (
+        k_for_corpus,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.operators.text import logodds_weights
+    from datapipeline_template_spark.queries.pipeline import (
+        _curation_flags_extended,
+    )
+    from datapipeline_template_spark.streaming.curation import (
+        StreamingCuration,
+        batch_survivors,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    full = docs.join(emb, on="doc_id").localCheckpoint(eager=True)
+
+    # Frozen artifacts, derived from the full corpus exactly as pipe12
+    # derives them internally (deterministic fit + sign weights).
+    cent = kmeans_fit(
+        emb, "doc_id", "embedding", k=k_for_corpus(emb.count()), n_iter=4
+    )
+    weights = logodds_weights(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    ).localCheckpoint(eager=True)
+
+    schema_str = (
+        "doc_id long, text string, source string, n_chars long, "
+        "embedding array<float>"
+    )
+    src = tmp_path / "rows"
+    src.mkdir()
+    store = str(tmp_path / "cur_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = StreamingCuration(store, cent, weights)
+
+    batch1 = full.where("doc_id < 30")
+    batch2 = full.where("doc_id >= 30")
+
+    def _ids(df):
+        return {(r["doc_id"], r["source"]) for r in df.collect()}
+
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    want_mid = _ids(
+        batch_survivors(
+            batch1.select("doc_id", "text", "source", "n_chars"),
+            batch1.select("doc_id", "embedding"),
+            cent,
+            weights,
+        )
+    )
+    assert want_mid, "mid-drain fixture must produce survivors"
+    assert _ids(inc.survivors(spark)) == want_mid
+
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    want_full = _ids(
+        batch_survivors(
+            docs, emb, cent, weights
+        )
+    )
+    got_full = _ids(inc.survivors(spark))
+    assert got_full == want_full
+
+    # The seen corpus now IS the artifact-deriving corpus: the
+    # maintained set equals the registry pipe12 pass verbatim.
+    pipe12 = _ids(
+        _curation_flags_extended(spark, sf_dir)
+        .where(F.col("f_sem"))
+        .select("doc_id", "source")
+    )
+    assert got_full == pipe12
+    # The expensive stages must have actually fired on this fixture.
+    assert inc.lsh.pairs(spark).count() > 0
+    assert inc.sem.marks(spark).count() > 0
+    assert len(got_full) < full.count()
+
+    # Replay no-op, then a crash window: the composer's marker AND one
+    # sub-maintainer's marker lost — the replay repairs both.
+    inc.process_batch(batch1, batch_id=0)
+    assert _ids(inc.survivors(spark)) == want_full
+    os.remove(os.path.join(store, "_commits", "1"))
+    os.remove(os.path.join(store, "lsh", "_commits", "1"))
+    inc.process_batch(batch2, batch_id=1)
+    assert _ids(inc.survivors(spark)) == want_full
+
+
+def test_streaming_curation_weight_regime_guard(spark, tmp_path, sf_dir):
+    """A maintainer re-created over an existing store with a DIFFERENT
+    classifier weight table must refuse loudly (scores are written
+    once per doc — mixing weight regimes corrupts the set)."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import kmeans_fit
+    from datapipeline_template_spark.operators.text import logodds_weights
+    from datapipeline_template_spark.streaming.curation import StreamingCuration
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=2)
+    w1 = logodds_weights(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    )
+    w2 = logodds_weights(
+        docs, "doc_id", "text", F.col("source").isin("src2")
+    )
+    import pytest
+
+    store = str(tmp_path / "guard_store")
+    StreamingCuration(store, cent, w1)
+    StreamingCuration(store, cent, w1)  # same regime: fine
+    with pytest.raises(ValueError, match="different classifier weight"):
+        StreamingCuration(store, cent, w2)
