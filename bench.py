@@ -109,6 +109,7 @@ SECONDARY = [
     "ss19_or_union_chooser",
     "tx20b_bpe_train_bytes",
     "tx21b_bpe_encode_bytes",
+    "ss20_pq_adc_recall",
 ]
 
 

@@ -61,6 +61,9 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_assign_catalyst",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
     "semdedup",
     "with_centroid_cosine",
 ]
@@ -574,3 +577,137 @@ def ivf_topk_kmeans(
         .where(F.col("_rk") <= F.lit(k))
         .select("query_id", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ANN. Jégou et al. 2011.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    sub_dim: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 2,
+) -> list[list[list[int]]]:
+    """Train the ``m`` per-subspace codebooks of a product quantizer
+    (Jégou et al. 2011 §II): the vector splits into ``m`` contiguous
+    ``sub_dim``-dim subvectors and each subspace gets its own
+    deterministic k-means fit (``kmeans_fit`` — lowest-id init, exact
+    int64 arithmetic, total tie-breaks, so DuckDB replays every fit).
+    Returns ``m`` codebooks of ``k_sub`` centroids each.
+
+    Why PQ is the 100 TB memory story: a 64-dim float32 embedding is
+    256 bytes; its PQ code is ``m`` small integers (m=8, k_sub=16 →
+    8 codes ≤ 1 byte each: 32× compression), so a corpus whose raw
+    embeddings need a cluster's aggregate RAM fits per-executor as
+    codes — the standard FAISS IVF-PQ layout (IVF routes, PQ scores).
+    Driver traffic: m·k_sub·sub_dim longs of codebook — constants."""
+    if m * sub_dim <= 0:
+        raise ValueError("m and sub_dim must be positive")
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("_sv"),
+        )
+        books.append(kmeans_fit(sub, "vec_id", "_sv", k=k_sub, n_iter=n_iter))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Encode the corpus against trained codebooks: (id, c0..c{m-1})
+    — each code the exact-int nearest sub-centroid (``kmeans_assign``
+    kernel, tie → lower code). ``m`` chained map-only Arrow passes in
+    ONE stage (no shuffle anywhere); the encode is write-once per
+    vector because codebooks are frozen — the same property that
+    makes assignment streamable (streaming/kmeans.py)."""
+    m = len(codebooks)
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            quantize_vec(
+                F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+            ).alias(f"_q{j}")
+            for j in range(m)
+        ],
+    )
+    for j, cb in enumerate(codebooks):
+        out = (
+            kmeans_assign(out, f"_q{j}", cb)
+            .withColumnRenamed("cluster", f"c{j}")
+            .drop("dist")
+        )
+    return out.select("vec_id", *[f"c{j}" for j in range(m)])
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    sub_dim: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query,
+    precompute the k_sub-entry distance TABLE to every sub-centroid
+    (exact int squared L2 — m·k_sub zip_with folds per QUERY row,
+    interpreted HOFs but query-side-bounded), then score each corpus
+    code with m array lookups + adds — no per-pair vector math at
+    all, the PQ trade. Returns (query_id, neighbor_id, adc) rows,
+    k per query, self-matches excluded, totally ordered (adc ASC,
+    neighbor_id ASC ties).
+
+    The candidate join here is query × codes — BOUNDED-EVAL usage
+    (recall harnesses); at corpus scale compose with IVF routing
+    (``ivf_topk_kmeans``'s probe-cell join) so ADC scores only the
+    probed cells' codes: IVF bounds candidates, PQ bounds bytes."""
+    from functools import reduce as _reduce
+
+    m = len(codebooks)
+    dtabs = []
+    for j, cb in enumerate(codebooks):
+        qs = quantize_vec(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim))
+        entries = [
+            F.aggregate(
+                F.zip_with(
+                    qs,
+                    F.array(*[F.lit(int(v)) for v in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cv in cb
+        ]
+        dtabs.append(F.array(*entries).alias(f"_dt{j}"))
+    q = queries.select(F.col(id_col).alias("query_id"), *dtabs)
+    joined = q.join(codes, F.col("query_id") != F.col("vec_id"))
+    adc = _reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"_dt{j}"), F.col(f"c{j}").cast("int") + 1)
+            for j in range(m)
+        ],
+    )
+    from pyspark.sql import Window
+
+    scored = joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= k
+    ).drop("_r")

@@ -125,6 +125,7 @@ _OVERFLOW = (
     "ss19_or_union_chooser",
     "tx20b_bpe_train_bytes",
     "tx21b_bpe_encode_bytes",
+    "ss20_pq_adc_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1327,6 +1327,210 @@ def ss19_or_union_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ss20 — product-quantization ADC recall: the memory-compressed ANN
+# path (Jégou et al. 2011), recall-accounted at two code budgets.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+# (m subspaces, sub_dim) over the 64-dim embeddings; k_sub=16 codes
+# per subspace. m=4 → 4 codes/vector (vs 256 raw float32 bytes),
+# m=8 → 8 codes — the accuracy-vs-bytes ladder the rows report.
+_SS20_CONFIGS = ((4, 16), (8, 8))
+_SS20_KSUB, _SS20_ITER, _SS20_K, _SS20_NQ = 16, 2, 5, 50
+
+
+def _ss20_oracle() -> str:
+    from ._kmeans_sql import kmeans_ctes
+
+    n = _SS20_ITER
+    chains, blocks, selects = [], [], []
+    for m, sub_dim in _SS20_CONFIGS:
+        dists, joins, adc_terms = [], [], []
+        code_cols = ", ".join(
+            f"s{j}.cid AS c{j}" for j in range(m)
+        )
+        code_joins = " ".join(
+            f"JOIN m{m}s{j}a{n} s{j} USING (vec_id)" for j in range(1, m)
+        )
+        for j in range(m):
+            p = f"m{m}s{j}"
+            a, b = j * sub_dim + 1, (j + 1) * sub_dim
+            chains.append(
+                kmeans_ctes(_SS20_KSUB, n, sub_dim, prefix=p)
+                .replace(
+                    "list_transform(embedding,",
+                    f"list_transform(embedding[{a}:{b}],",
+                    1,
+                )
+                .replace(
+                    "FROM embeddings",
+                    f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+                    1,
+                )
+            )
+            dists.append(f""", d{m}_{j} AS (
+  SELECT q.query_id, c.cid,
+         list_sum(list_transform(list_zip(q.qv[{a}:{b}], c.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM qry q CROSS JOIN {p}c{n} c
+)""")
+            if j == 0:
+                joins.append(f"JOIN d{m}_0 ON d{m}_0.cid = x.c0")
+            else:
+                joins.append(
+                    f"JOIN d{m}_{j} ON d{m}_{j}.cid = x.c{j} "
+                    f"AND d{m}_{j}.query_id = d{m}_0.query_id"
+                )
+            adc_terms.append(f"d{m}_{j}.d")
+        blocks.append(f""", codes{m} AS (
+  SELECT s0.vec_id, {code_cols}
+  FROM m{m}s0a{n} s0 {code_joins}
+){''.join(dists)}, adc{m} AS (
+  SELECT d{m}_0.query_id, x.vec_id AS neighbor_id,
+         {' + '.join(adc_terms)} AS adc
+  FROM codes{m} x {' '.join(joins)}
+  WHERE x.vec_id != d{m}_0.query_id
+), ret{m} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rk
+    FROM adc{m}) WHERE rk <= {_SS20_K}
+), h{m} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN ret{m} r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+)""")
+        selects.append(
+            f"SELECT CAST({m} AS BIGINT) AS m, "
+            f"CAST({sub_dim} AS BIGINT) AS sub_dim, "
+            f"(SELECT n_truth FROM tc) AS n_truth, "
+            f"(SELECT n_hit FROM h{m}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{m}) AS DOUBLE) / "
+            f"(SELECT n_truth FROM tc) AS recall"
+        )
+    sql = f"""WITH {', '.join(chains)}
+, pqqv AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), qry AS (
+  SELECT vec_id AS query_id, qv FROM pqqv WHERE vec_id < {_SS20_NQ}
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.qv, e.qv),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))), e.vec_id) AS rk
+    FROM qry q JOIN pqqv e ON e.vec_id != q.query_id
+  ) WHERE rk <= {_SS20_K}
+), tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+{''.join(blocks)}
+{' UNION ALL '.join(selects)}
+ORDER BY m"""
+    # 12 unmaterialized chains + the scalar-subquery selects made
+    # DuckDB's CTE inlining re-expand the whole fit tree per reference
+    # — the query spilled >80 GB of temp before erroring (the tx20b
+    # lesson at larger scale). MATERIALIZED pins every CTE to one
+    # evaluation; results are identical, runtime ~2 s.
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss20_pq_adc_recall", oracle=_ss20_oracle())
+def ss20_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the MEMORY side of
+    the 100 TB ANN story, recall-accounted: per config (m subspaces ×
+    sub_dim dims, 16 codes each), train deterministic per-subspace
+    codebooks (``pq_codebooks`` — m independent exact-int k-means
+    fits, every iteration oracle-replayed), encode the eval corpus as
+    m small codes (``pq_encode``, map-only kernel passes), score with
+    asymmetric distance (``pq_adc_topk`` — per query one k_sub-entry
+    distance table per subspace, then m array lookups + adds per
+    candidate, NO per-pair vector math), and report top-5 recall vs
+    the exact int-L2 truth. Measured hash-pinned at sf0.01: 38 / 63
+    of 250 truth hits (15.2% / 25.2%) at m=4 / m=8 — the
+    accuracy-vs-bytes ladder (4 vs 8 codes against 256 raw float32
+    bytes; with 4-bit packing 2/4 bytes → 128×/64× compression), low
+    in absolute terms because these synthetic embeddings have little
+    cluster structure for 16-entry codebooks to exploit (the honest
+    ss08-style accounting; real corpora and k_sub=256 land far
+    higher). Truth uses L2, not cosine, so
+    the rows isolate PQ quantization error from metric mismatch. At
+    corpus scale ADC composes with IVF routing (ss15) — IVF bounds
+    candidates, PQ bounds bytes; the eval here scores the full slice
+    to measure pure PQ error."""
+    from functools import reduce as _reduce
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    queries = emb.where(F.col("vec_id") < _SS20_NQ)
+
+    from ..functions import dot_expanded
+
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    q = qv.where(F.col("vec_id") < _SS20_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    dist = (
+        F.col("_qn") + F.col("_n")
+        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        q.join(qv, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("_d")
+        )
+        .withColumn("_r", F.row_number().over(wt))
+        .where(F.col("_r") <= _SS20_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for m, sub_dim in _SS20_CONFIGS:
+        books = pq_codebooks(
+            emb, "vec_id", "embedding", m=m, sub_dim=sub_dim,
+            k_sub=_SS20_KSUB, n_iter=_SS20_ITER,
+        )
+        codes = pq_encode(
+            emb, "vec_id", "embedding", books, sub_dim=sub_dim
+        ).localCheckpoint(eager=True)
+        ret = pq_adc_topk(
+            codes, queries, "vec_id", "embedding", books,
+            sub_dim=sub_dim, k=_SS20_K,
+        ).select("query_id", "neighbor_id")
+        hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(m).cast("long").alias("m"),
+                F.lit(sub_dim).cast("long").alias("sub_dim"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("m")
+
+
+# ---------------------------------------------------------------------------
 # ss15 — IVF ANN over the deterministic k-means quantizer (hash-pinned).
 # Registered in the registry OVERFLOW section.
 # ---------------------------------------------------------------------------
