@@ -224,3 +224,51 @@ def test_kmeans_init_offset_selects_shifted_window(spark):
     assert c2 == [[20000, -20000], [30000, -30000]]
     with pytest.raises(ValueError, match="exceeds corpus size"):
         kmeans_fit(df, "id", "vec", k=2, n_iter=0, dim=2, init_offset=5)
+
+
+def test_pq_adc_exact_on_codebook_vectors(spark):
+    """PQ identity property: when every corpus vector IS a
+    concatenation of sub-centroids, encoding is lossless and the ADC
+    distance equals the exact squared L2 distance — so the ADC top-k
+    equals the brute-force top-k exactly. Built with 4 vectors over 2
+    subspaces of 2 dims, k_sub=2 (each subspace sees exactly its own
+    two distinct subvectors as clusters after the deterministic
+    fit)."""
+    from datapipeline_template_spark.operators.clustering import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    # Subspace 0 values: [0,0] or [8,8]; subspace 1: [0,4] or [6,0].
+    rows = [
+        (0, [0.0, 0.0, 0.0, 4.0]),
+        (1, [0.0, 0.0, 6.0, 0.0]),
+        (2, [8.0, 8.0, 0.0, 4.0]),
+        (3, [8.0, 8.0, 6.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    books = pq_codebooks(
+        df, "vec_id", "emb", m=2, sub_dim=2, k_sub=2, n_iter=2
+    )
+    codes = pq_encode(df, "vec_id", "emb", books, sub_dim=2)
+    got_codes = {r["vec_id"]: (r["c0"], r["c1"]) for r in codes.collect()}
+    # Lossless: the 4 vectors are the 4 code combinations.
+    assert len(set(got_codes.values())) == 4
+
+    ret = pq_adc_topk(
+        codes, df, "vec_id", "emb", books, sub_dim=2, k=3
+    ).collect()
+    # ADC == exact L2 here; verify every returned distance against the
+    # Python-exact quantized distance and the full ranking order.
+    import itertools
+
+    qv = {i: [round(x * 10000) for x in v] for i, v in rows}
+    want = {}
+    for qid, nid in itertools.permutations(qv, 2):
+        want[(qid, nid)] = sum(
+            (a - b) ** 2 for a, b in zip(qv[qid], qv[nid])
+        )
+    assert len(ret) == 4 * 3
+    for r in ret:
+        assert r["adc"] == want[(r["query_id"], r["neighbor_id"])]
