@@ -658,11 +658,15 @@ def tx21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate), training runs until the alphabet reaches 36 symbols.
 _TX20B_VOCAB_SIZE = 36
 # The MEASURED number of merge rounds the vocab-size stop executes at
-# the sf0.01 gate — oracles are static SQL and must unroll a fixed
-# round count, so the data-dependent stop is pinned here and
-# cross-checked against the live stop rule in tests/test_operators.py
-# (a merge adds at most one symbol but can also REMOVE exhausted
-# symbols, so rounds > vocab_size - init_size: 17 > 36 - 24).
+# the sf0.01 gate (a merge adds at most one symbol but can also REMOVE
+# exhausted symbols, so rounds > vocab_size - init_size: 17 > 36 - 24).
+# Both the registered queries AND the unrolled oracle train exactly
+# this many rounds — a data-dependent stop cannot be replayed by
+# static SQL, and parity checks run at MULTIPLE scale factors where
+# the stop would diverge (sf0.001 stops earlier; found by the sf0.001
+# pytest parity sweep). tests/test_operators.py re-derives this count
+# from the live stop rule at the gate corpus so the pin fails loudly
+# when stale.
 _TX20B_ROUNDS = 17
 _TX20B_CAP = 64  # bpe_train safety cap when the stop rule drives
 
@@ -697,6 +701,38 @@ def _sym_count_cte(name: str, v: str) -> str:
 )"""
 
 
+def _tx20b_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-level word vocabulary (sentinel-spaced hex-pair rep +
+    frequency) — shared by tx20b, tx21b and the live stop-rule
+    cross-check in tests/test_operators.py (one construction, no
+    drift)."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(
+                "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+            )
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.expr(
+                        "regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)"
+                    ),
+                    " ",
+                ),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+
+
 def _tx20b_oracle() -> str:
     n = _TX20B_ROUNDS
     merge_rows = "\nUNION ALL ".join(
@@ -727,50 +763,27 @@ def tx20b_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-hex-digit symbol — no unknown-token problem, any input is
     representable), pre-tokenization is tx08's GPT-2-ish word shape
     (letter runs / digit runs / single punctuation, case preserved),
-    and training stops when the alphabet reaches
-    ``_TX20B_VOCAB_SIZE`` symbols — the vocab-size-driven stop real
-    tokenizers use, instead of tx20's fixed round count. The stop is
-    data-dependent (merges can also REMOVE exhausted symbols, so 17
-    rounds are needed for +12 alphabet growth here); the measured
-    round count is pinned as ``_TX20B_ROUNDS`` for the unrolled
-    oracle and cross-checked against the live stop rule in
-    tests/test_operators.py. Output adds step -2 alphabet-accounting
-    rows (init/final distinct-symbol counts — the stop's evidence) to
-    tx20's merge-table + top-20 shape. Same scale shape as tx20: the
-    corpus is scanned once into a distinct-word vocab; per round one
-    pair partial-agg + one argmax row to the driver + a map-only
-    rewrite, plus one countDistinct coordination aggregate for the
-    stop."""
+    sized by the vocab-size-driven stop real tokenizers use: at the
+    sf0.01 GATE corpus, ``bpe_train(vocab_size=_TX20B_VOCAB_SIZE)``
+    stops after exactly ``_TX20B_ROUNDS`` merges (data-dependent —
+    merges can also REMOVE exhausted symbols, so 17 rounds for +12
+    alphabet growth). The registered query then trains with THAT
+    pinned round count — an unrolled-CTE oracle cannot replay a
+    data-dependent stop, and the driver/pytest parity checks run at
+    different scale factors where the stop would diverge (found the
+    hard way: sf0.001 stops earlier, and the round-count mismatch
+    broke sf0.001 parity). The stop rule itself is exercised LIVE at
+    the gate corpus in tests/test_operators.py, which re-derives the
+    round count from vocab_size and fails loudly if the pin goes
+    stale. Output adds step -2 alphabet-accounting rows (init/final
+    distinct-symbol counts) to tx20's merge-table + top-20 shape.
+    Same scale shape as tx20: the corpus is scanned once into a
+    distinct-word vocab; per round one pair partial-agg + one argmax
+    row to the driver + a map-only rewrite."""
     from ..operators.text import bpe_train
 
-    docs = table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(
-            F.expr(
-                "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
-            )
-        ).alias("word")
-    )
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(
-            F.concat(
-                F.lit(" "),
-                F.array_join(
-                    F.expr(
-                        "regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)"
-                    ),
-                    " ",
-                ),
-                F.lit(" "),
-            ).alias("rep"),
-            "freq",
-        )
-    )
-    merges, final_v = bpe_train(
-        vocab, "rep", "freq", n_merges=_TX20B_CAP, vocab_size=_TX20B_VOCAB_SIZE
-    )
+    vocab = _tx20b_vocab(spark, sf_dir)
+    merges, final_v = bpe_train(vocab, "rep", "freq", n_merges=_TX20B_ROUNDS)
     merge_df = spark.createDataFrame(
         [(i, x, y, c) for i, (x, y, c) in enumerate(merges)],
         "step long, x string, y string, cnt long",
@@ -879,9 +892,7 @@ def tx21b_bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
         )
     )
-    _, final_v = bpe_train(
-        vocab, "rep", "freq", n_merges=_TX20B_CAP, vocab_size=_TX20B_VOCAB_SIZE
-    )
+    _, final_v = bpe_train(vocab, "rep", "freq", n_merges=_TX20B_ROUNDS)
     wmap = bpe_vocab_map(final_v).select(
         F.col("word").alias("hword"), "n_sub"
     )

@@ -1550,16 +1550,38 @@ def test_lsh_buckets_kernel_matches_catalyst_form(spark):
 
 
 def test_tx20b_pinned_rounds_match_live_stop_rule(spark):
-    """tx20b's oracle unrolls _TX20B_ROUNDS merge rounds (static SQL
-    cannot replay a data-dependent stop); this cross-checks the pin
-    against the LIVE vocab-size stop at the sf0.01 gate — if the
-    corpus, the pre-tokenization, or the stop rule changes, the
-    executed round count moves and this fails loudly."""
+    """tx20b/tx21b train a PINNED _TX20B_ROUNDS merges (a
+    data-dependent stop can't be replayed by static SQL, and parity
+    runs at multiple scale factors where the stop diverges — sf0.001
+    stops earlier). This re-derives the pin from the LIVE
+    vocab-size stop at the sf0.01 GATE corpus: if the corpus, the
+    pre-tokenization, or the stop rule changes, the executed round
+    count moves and this fails loudly. Also pins that the pinned-count
+    run reproduces the stopped run's merges exactly, and the query's
+    alphabet accounting rows."""
+    from datapipeline_template_spark.operators.text import bpe_train
     from datapipeline_template_spark.queries import load_all
     from datapipeline_template_spark.queries.text import (
+        _TX20B_CAP,
         _TX20B_ROUNDS,
         _TX20B_VOCAB_SIZE,
+        _tx20b_vocab,
     )
+
+    vocab = _tx20b_vocab(spark, "/root/testdata/sf0.01").localCheckpoint(
+        eager=True
+    )
+    stopped, _ = bpe_train(
+        vocab, "rep", "freq", n_merges=_TX20B_CAP,
+        vocab_size=_TX20B_VOCAB_SIZE,
+    )
+    assert len(stopped) == _TX20B_ROUNDS, (
+        f"vocab-size stop executed {len(stopped)} rounds at the gate "
+        f"corpus but _TX20B_ROUNDS pins {_TX20B_ROUNDS} — re-measure and "
+        "update the pin + re-derive the oracle"
+    )
+    pinned, _ = bpe_train(vocab, "rep", "freq", n_merges=_TX20B_ROUNDS)
+    assert pinned == stopped
 
     rows = (
         load_all()["tx20b_bpe_train_bytes"]
@@ -1569,9 +1591,8 @@ def test_tx20b_pinned_rounds_match_live_stop_rule(spark):
     merges = [r for r in rows if r["step"] >= 0]
     acct = {r["x"]: r["cnt"] for r in rows if r["step"] == -2}
     assert len(merges) == _TX20B_ROUNDS
-    assert [r["step"] for r in sorted(merges, key=lambda r: r["step"])] == list(
-        range(_TX20B_ROUNDS)
-    )
+    assert [(r["x"], r["y"], r["cnt"]) for r in
+            sorted(merges, key=lambda r: r["step"])] == stopped
     # The stop's evidence: the alphabet reached the target exactly when
     # training stopped, growing from the corpus's 24 distinct bytes.
     assert acct["init_symbols"] == 24
