@@ -302,10 +302,18 @@ def _streaming_curation_scenario(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    full = docs.join(emb, on="doc_id").localCheckpoint(eager=True)
+    # LEFT join: at sf0.1 only 40% of documents carry an embedding —
+    # unembedded docs stream through the text stages and are never
+    # sem-marked (the batch pass's left-join semantics; a first cut
+    # inner-joined here and the batch side saw 3000 docs the stream
+    # never did — parity caught it).
+    full = docs.join(emb, on="doc_id", how="left").localCheckpoint(eager=True)
     n = full.count()
     split = int(n * 0.95)
-    cent = kmeans_fit(emb, "doc_id", "embedding", k=k_for_corpus(n), n_iter=4)
+    n_emb = emb.count()
+    cent = kmeans_fit(
+        emb, "doc_id", "embedding", k=k_for_corpus(n_emb), n_iter=4
+    )
     weights = logodds_weights(
         docs, "doc_id", "text", F.col("source").isin("src0", "src1")
     ).localCheckpoint(eager=True)

@@ -102,6 +102,12 @@ class StreamingCuration:
     """Maintains the seven-stage curated set from a stream of
     (doc_id, text, source, n_chars, embedding) rows — documents and
     their embeddings arrive together under the aligned-id convention.
+    A NULL embedding is legitimate (at sf0.1 only 40% of documents
+    carry one, and real multimodal corpora are never fully embedded):
+    such documents pass through every text stage normally and are
+    simply never SemDeDup-marked — exactly the batch pass's left-join
+    semantics, where a doc absent from the embeddings table keeps
+    ``sem_keep``.
     """
 
     def __init__(
@@ -218,7 +224,12 @@ class StreamingCuration:
                 "_batch"
             ).parquet(self._docs_path)
         self.lsh.process_batch(batch.select("doc_id", "text"), batch_id)
-        self.sem.process_batch(batch.select("doc_id", "embedding"), batch_id)
+        self.sem.process_batch(
+            batch.where(F.col("embedding").isNotNull()).select(
+                "doc_id", "embedding"
+            ),
+            batch_id,
+        )
         self._commit(batch_id)
 
     def _commit(self, batch_id: int) -> None:

@@ -1146,3 +1146,45 @@ def test_streaming_curation_weight_regime_guard(spark, tmp_path, sf_dir):
     StreamingCuration(store, cent, w1)  # same regime: fine
     with pytest.raises(ValueError, match="different classifier weight"):
         StreamingCuration(store, cent, w2)
+
+
+def test_streaming_curation_null_embeddings(spark, tmp_path, sf_dir):
+    """Documents without an embedding (at sf0.1 only 40% carry one)
+    must stream through the text stages and never be sem-marked —
+    the batch pass's left-join semantics. Streamed survivors over a
+    half-embedded corpus must equal batch_survivors fed the full doc
+    set and the embedded subset."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import kmeans_fit
+    from datapipeline_template_spark.operators.text import logodds_weights
+    from datapipeline_template_spark.streaming.curation import (
+        StreamingCuration,
+        batch_survivors,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).where("doc_id % 2 = 0")  # synthetic half-embedded corpus
+    full = docs.join(emb, on="doc_id", how="left").localCheckpoint(eager=True)
+    cent = kmeans_fit(emb, "doc_id", "embedding", k=8, n_iter=2)
+    weights = logodds_weights(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    ).localCheckpoint(eager=True)
+
+    inc = StreamingCuration(str(tmp_path / "null_store"), cent, weights)
+    inc.process_batch(full.where("doc_id < 25"), batch_id=0)
+    inc.process_batch(full.where("doc_id >= 25"), batch_id=1)
+
+    got = {(r["doc_id"], r["source"]) for r in inc.survivors(spark).collect()}
+    want = {
+        (r["doc_id"], r["source"])
+        for r in batch_survivors(docs, emb, cent, weights).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce survivors"
+    # Unembedded docs are never sem-marked.
+    marked = {r["vec_id"] for r in inc.sem.marks(spark).collect()}
+    assert all(v % 2 == 0 for v in marked)
