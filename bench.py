@@ -110,6 +110,7 @@ SECONDARY = [
     "tx20b_bpe_train_bytes",
     "tx21b_bpe_encode_bytes",
     "ss20_pq_adc_recall",
+    "ss21_ivfpq_recall",
 ]
 
 

@@ -54,8 +54,10 @@ from pyspark.sql import types as T
 from ..functions import quantize_vec
 
 __all__ = [
+    "coarse_probe_expr",
     "d4_prune",
     "ivf_assign_corpus",
+    "ivf_pq_adc_topk",
     "ivf_topk_kmeans",
     "k_for_corpus",
     "kmeans_fit",
@@ -489,6 +491,27 @@ def ivf_assign_corpus(
     )
 
 
+def coarse_probe_expr(qv: Column, centroids: list[list[int]]) -> Column:
+    """The IVF routing primitive: an ``array_sort`` over k
+    (exact-int L2 dist, cell) structs against a quantized query
+    vector — ``slice(..., 1, n_probe)`` of the result is the probe
+    set. Per-row Catalyst, k small by construction; shared by
+    ``ivf_topk_kmeans`` (raw-vector rerank) and ``ivf_pq_adc_topk``
+    (PQ-code rerank)."""
+    structs = []
+    for cid, cv in enumerate(centroids):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+        d = F.aggregate(
+            F.zip_with(qv, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        structs.append(
+            F.struct(d.alias("dist"), F.lit(cid).cast("long").alias("cluster"))
+        )
+    return F.array_sort(F.array(*structs))
+
+
 def ivf_topk_kmeans(
     corpus: DataFrame,
     queries: DataFrame,
@@ -530,24 +553,13 @@ def ivf_topk_kmeans(
     if assigned is None:
         assigned = ivf_assign_corpus(corpus, id_col, vec_col, centroids)
 
-    structs = []
-    for cid, cv in enumerate(centroids):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
-        d = F.aggregate(
-            F.zip_with(F.col("_qv"), arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        structs.append(
-            F.struct(d.alias("dist"), F.lit(cid).cast("long").alias("cluster"))
-        )
     probes = (
         queries.select(
             F.col(qid).alias("query_id"), quantize_vec(vec_col).alias("_qv")
         )
         .withColumn(
             "_probe",
-            F.slice(F.array_sort(F.array(*structs)), 1, n_probe),
+            F.slice(coarse_probe_expr(F.col("_qv"), centroids), 1, n_probe),
         )
         .withColumn("_qn", norm_sq_prequantized(F.col("_qv")))
         .select(
@@ -675,23 +687,10 @@ def pq_adc_topk(
     from functools import reduce as _reduce
 
     m = len(codebooks)
-    dtabs = []
-    for j, cb in enumerate(codebooks):
-        qs = quantize_vec(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim))
-        entries = [
-            F.aggregate(
-                F.zip_with(
-                    qs,
-                    F.array(*[F.lit(int(v)) for v in cv]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for cv in cb
-        ]
-        dtabs.append(F.array(*entries).alias(f"_dt{j}"))
-    q = queries.select(F.col(id_col).alias("query_id"), *dtabs)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *_pq_distance_tables(quantize_vec(vec_col), codebooks, sub_dim),
+    )
     joined = q.join(codes, F.col("query_id") != F.col("vec_id"))
     adc = _reduce(
         lambda a, b: a + b,
@@ -711,3 +710,103 @@ def pq_adc_topk(
     return scored.withColumn("_r", F.row_number().over(w)).where(
         F.col("_r") <= k
     ).drop("_r")
+
+
+def _pq_distance_tables(
+    qv: Column, codebooks: list[list[list[int]]], sub_dim: int
+) -> list[Column]:
+    """Per-query ADC distance tables: for each subspace j, the
+    k_sub-entry array of exact-int squared L2 distances from the
+    query's j-th subvector to every sub-centroid. Interpreted HOFs,
+    but QUERY-side-bounded — computed once per query row, before any
+    candidate join."""
+    dtabs = []
+    for j, cb in enumerate(codebooks):
+        qs = F.slice(qv, j * sub_dim + 1, sub_dim)
+        entries = [
+            F.aggregate(
+                F.zip_with(
+                    qs,
+                    F.array(*[F.lit(int(v)) for v in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cv in cb
+        ]
+        dtabs.append(F.array(*entries).alias(f"_dt{j}"))
+    return dtabs
+
+
+def ivf_pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    sub_dim: int = 8,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style corpus-scale ANN composition —
+    IVF routing bounds CANDIDATES, PQ codes bound BYTES (Jégou et al.
+    2011 §IV). ``codes`` must carry the coarse cell (``cluster``)
+    alongside the m PQ codes (``c0..c{m-1}``): join ``pq_encode``'s
+    output with a ``kmeans_assign`` cell column once, checkpoint, and
+    reuse across probe settings (the ``ivf_assign_corpus`` pattern).
+
+    Per query: pick the ``n_probe`` nearest coarse cells
+    (``coarse_probe_expr`` — per-row Catalyst over k structs),
+    precompute the m ADC distance tables (query-side, before any
+    join), then candidates form on a CLUSTER EQUI-JOIN — each query
+    scores only the probed cells' codes, ~|corpus|·n_probe/k rows,
+    each costing m array lookups + adds. Unlike ``pq_adc_topk``'s
+    bounded-eval theta join, this shape hash-partitions across the
+    cluster and survives a corpus that only fits as codes. Returns
+    (query_id, neighbor_id, adc), top-k per query, self-matches
+    excluded, totally ordered (adc ASC, neighbor_id ASC)."""
+    from functools import reduce as _reduce
+
+    m = len(codebooks)
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("_qv")
+    )
+    probes = (
+        q0.select(
+            "query_id",
+            *_pq_distance_tables(F.col("_qv"), codebooks, sub_dim),
+            F.slice(
+                coarse_probe_expr(F.col("_qv"), coarse_centroids), 1, n_probe
+            ).alias("_probe"),
+        )
+        .select(
+            "query_id",
+            *[f"_dt{j}" for j in range(m)],
+            F.explode("_probe.cluster").alias("cluster"),
+        )
+    )
+    joined = probes.join(codes, on="cluster").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    adc = _reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"_dt{j}"), F.col(f"c{j}").cast("int") + 1)
+            for j in range(m)
+        ],
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )

@@ -126,6 +126,7 @@ _OVERFLOW = (
     "tx20b_bpe_train_bytes",
     "tx21b_bpe_encode_bytes",
     "ss20_pq_adc_recall",
+    "ss21_ivfpq_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries
