@@ -426,3 +426,82 @@ def test_pipe12_funnel_no_cartesian(spark):
     which may plan as a cartesian product."""
     plan = _plan(spark, "pipe12_curation_funnel_full")
     assert "CartesianProduct" not in plan
+
+def test_pq_encode_is_map_only_no_shuffle(spark):
+    """ss20's memory-compression claim: the m chained PQ code kernels
+    all live in ONE map stage — zero exchanges between the embedding
+    scan and the (vec_id, c0..c{m-1}) codes, so the 32× byte shrink
+    costs no shuffle. Each pass is the Arrow-batched kmeans_assign
+    kernel, never a row-at-a-time UDF."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import pq_encode
+
+    emb = table(spark, SF, "embeddings")
+    books = [[[0] * 8, [1] * 8] for _ in range(8)]
+    plan = (
+        pq_encode(emb, "vec_id", "embedding", books, sub_dim=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_adc_distance_tables_are_query_side(spark):
+    """ADC scoring: the k_sub-entry distance tables (the only
+    interpreted-HOF work) are computed on the QUERY side BEFORE the
+    candidate join — the per-candidate cost is m array lookups + adds.
+    The query×codes theta join is bounded-eval by contract (compose
+    with IVF cell routing at corpus scale, see pq_adc_topk docstring);
+    top-k is one query-partitioned ranking window."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    books = [[[0] * 8, [1] * 8] for _ in range(8)]
+    codes = pq_encode(emb, "vec_id", "embedding", books, sub_dim=8)
+    plan = (
+        pq_adc_topk(codes, emb.limit(5), "vec_id", "embedding", books,
+                    sub_dim=8, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window [row_number()" in plan
+    # The join condition itself must carry no vector math — only the
+    # code-column lookups; zip_with/aggregate appear in the query-side
+    # projection, not in the join predicate line.
+    join_lines = [
+        ln for ln in plan.splitlines() if "NestedLoopJoin" in ln or "Join" in ln
+    ]
+    assert join_lines and all("zip_with" not in ln for ln in join_lines)
+
+
+def test_tx20b_byte_vocab_one_exchange(spark):
+    """Byte-level BPE's word-vocab build (shared by tx20b/tx21b): the
+    byte-symbol rep aggregate map-side combines per partition before a
+    single word exchange — same one-shuffle shape tx20's word-level
+    vocab pins."""
+    from datapipeline_template_spark.queries.text import _tx20b_vocab
+
+    plan = (
+        _tx20b_vocab(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+def test_ss21_ivfpq_candidates_on_cluster_equijoin(spark):
+    """IVF-PQ's corpus-scale claim: candidates form on a CLUSTER
+    equi-join between routed queries and cell-tagged codes — never
+    the bounded-eval theta join ss20 uses for pure-PQ accounting. The
+    recall/hit joins against the eval-slice truth are the only
+    BNLJ-eligible pieces and must not appear as cartesian products."""
+    plan = _plan(spark, "ss21_ivfpq_recall")
+    assert "CartesianProduct" not in plan
+    # The probe→codes join keys on cluster (hash-partitioned).
+    assert "hashpartitioning(cluster" in plan or (
+        "BroadcastHashJoin [cluster" in plan
+    )

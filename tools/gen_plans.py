@@ -450,6 +450,72 @@ def main() -> None:
         ],
     )
 
+    from datapipeline_template_spark.operators.clustering import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    _embp = _table(spark, sf, "embeddings")
+    _books = [[[0] * 8, [1] * 8] for _ in range(8)]
+    _codes = pq_encode(_embp, "vec_id", "embedding", _books, sub_dim=8)
+    section_df(
+        "ss20 encode stage (pq_encode)",
+        "product quantization's memory story: all m code kernels chain "
+        "inside ONE map stage — zero exchanges between the embedding "
+        "scan and the 32×-smaller codes; each pass is the Arrow-batched "
+        "assignment kernel",
+        _codes,
+        [
+            ("Arrow kernel passes", r"ArrowEvalPython[^\n]{0,40}"),
+            ("Exchanges (none expected)", r"Exchange [a-z]+"),
+        ],
+    )
+    section_df(
+        "ss20 ADC scoring (pq_adc_topk)",
+        "asymmetric-distance top-k: the per-query distance TABLES (the "
+        "only HOF work) are projected on the query side BEFORE the "
+        "candidate join, so each candidate costs m array lookups + adds "
+        "— the query×codes join is bounded-eval by contract (at corpus "
+        "scale IVF routing bounds candidates, PQ bounds bytes)",
+        pq_adc_topk(
+            _codes, _embp.limit(5), "vec_id", "embedding", _books,
+            sub_dim=8, k=3,
+        ),
+        [
+            ("Top-k ranking", r"Window \[row_number\(\)[^\n]{0,60}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"),
+        ],
+    )
+
+    section(
+        "ss21_ivfpq_recall",
+        "IVF-PQ composed: routed queries meet cell-tagged PQ codes on "
+        "a CLUSTER equi-join (each query scores ~n_probe/k of the "
+        "corpus as codes, not vectors) — the corpus-scale retrieval "
+        "shape; the only BNLJ-eligible joins are the eval-slice truth "
+        "hits",
+        [
+            ("Cell join keys", r"(?:hashpartitioning\(cluster|BroadcastHashJoin \[cluster)[^)\]]{0,40}"),
+            ("Top-k ranking", r"Window \[row_number\(\)[^\n]{0,60}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)"),
+        ],
+    )
+
+    from datapipeline_template_spark.queries.text import _tx20b_vocab
+
+    section_df(
+        "tx20b byte vocab (shared tx20b/tx21b base)",
+        "byte-level BPE's word vocab: the byte-symbol rep aggregate "
+        "map-side combines per partition before a single word exchange "
+        "— the per-round merge learning then reuses tx20's pair-count "
+        "shape over this compact vocab",
+        _tx20b_vocab(spark, sf),
+        [
+            ("Partial combine", r"partial_(?:sum|count)\([^)]{0,30}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,60}"),
+        ],
+    )
+
     section(
         "pipe12_curation_funnel_full",
         "the 7-stage funnel: one shared flag pass (prefix window + "
