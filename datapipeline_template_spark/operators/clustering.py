@@ -620,14 +620,25 @@ def pq_codebooks(
     Driver traffic: m·k_sub·sub_dim longs of codebook — constants."""
     if m * sub_dim <= 0:
         raise ValueError("m and sub_dim must be positive")
-    books = []
-    for j in range(m):
+
+    # The m fits are INDEPENDENT (disjoint subvector views, no shared
+    # state) but each is a chain of small driver-blocking jobs
+    # (assignment + update per iteration); run them on concurrent
+    # driver threads so the jobs interleave on the executor pool —
+    # Spark job submission is thread-safe, and determinism is
+    # unaffected because no fit reads another's output (A/B at sf0.1,
+    # best-of-2: ss20 12.0 → 8.5 s, ss21 20.6 → 17.6 s).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(j: int) -> list[list[int]]:
         sub = df.select(
             F.col(id_col).alias("vec_id"),
             F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("_sv"),
         )
-        books.append(kmeans_fit(sub, "vec_id", "_sv", k=k_sub, n_iter=n_iter))
-    return books
+        return kmeans_fit(sub, "vec_id", "_sv", k=k_sub, n_iter=n_iter)
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def pq_encode(

@@ -1692,8 +1692,15 @@ def ss21_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
-    emb = table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < _SS_EVAL_SLICE
+    # One eager checkpoint of the 500-row eval slice: the 9 fits
+    # (coarse + 8 sub-codebooks), truth, encode and routing all
+    # re-read it; caching saves the repeated parquet re-plan (~1 s at
+    # sf0.1 — the bigger win was threading the sub-fits, see
+    # pq_codebooks: 20.6 → 17.6 s best-of-2 combined).
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
     )
     queries = emb.where(F.col("vec_id") < _SS21_NQ)
     cent = kmeans_fit(

@@ -1188,3 +1188,107 @@ def test_streaming_curation_null_embeddings(spark, tmp_path, sf_dir):
     # Unembedded docs are never sem-marked.
     marked = {r["vec_id"] for r in inc.sem.marks(spark).collect()}
     assert all(v % 2 == 0 for v in marked)
+
+def test_incremental_ivfpq_matches_batch(spark, tmp_path, sf_dir):
+    """Ninth instance of the dd09 equivalence contract — ANN-index
+    maintenance: freeze a coarse quantizer + PQ codebooks from a
+    bootstrap slice, drain the corpus in TWO AvailableNow passes, and
+    the maintained IVF-PQ index must equal the batch-built index over
+    every vector seen; SEARCH over the maintained index must equal
+    ivf_pq_adc_topk over the batch index (the read the index exists
+    for); replays no-op, a crash window self-repairs, and a maintainer
+    re-created with different frozen artifacts refuses the store."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.clustering import (
+        ivf_pq_adc_topk,
+        kmeans_assign,
+        kmeans_fit,
+        pq_codebooks,
+        pq_encode,
+    )
+    from datapipeline_template_spark.streaming.ivfpq import IncrementalIvfPq
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    boot = emb.where("vec_id < 100")
+    cent = kmeans_fit(boot, "vec_id", "embedding", k=4, n_iter=2)
+    books = pq_codebooks(
+        boot, "vec_id", "embedding", m=4, sub_dim=16, k_sub=8, n_iter=1
+    )
+
+    schema_str = "vec_id long, embedding array<float>"
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "pq_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalIvfPq(store, cent, books, sub_dim=16)
+
+    batch1 = emb.where("vec_id < 150")
+    batch2 = emb.where("vec_id >= 150 AND vec_id < 250")
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    seen = emb.where("vec_id < 250")
+    cells = kmeans_assign(
+        seen.select("vec_id", quantize_vec("embedding").alias("_cq")),
+        "_cq",
+        cent,
+    ).select("vec_id", "cluster")
+    batch_index = pq_encode(
+        seen, "vec_id", "embedding", books, sub_dim=16
+    ).join(cells, "vec_id")
+    cols = ["vec_id", "cluster", "c0", "c1", "c2", "c3"]
+    want = {tuple(r[c] for c in cols) for r in batch_index.collect()}
+    got = {tuple(r[c] for c in cols) for r in inc.index(spark).collect()}
+    assert got == want and len(got) == 250
+
+    # Search parity: the maintained index answers retrieval exactly
+    # like the batch-built one.
+    qs = emb.where("vec_id < 5")
+    want_ret = {
+        (r["query_id"], r["neighbor_id"], r["adc"])
+        for r in ivf_pq_adc_topk(
+            batch_index, qs, "vec_id", "embedding", cent, books,
+            sub_dim=16, k=3, n_probe=2,
+        ).collect()
+    }
+    got_ret = {
+        (r["query_id"], r["neighbor_id"], r["adc"])
+        for r in inc.search(spark, qs, k=3, n_probe=2).collect()
+    }
+    assert got_ret == want_ret and len(got_ret) == 15
+
+    # Replay safety: re-delivering batch 0 under its batch_id no-ops.
+    inc.process_batch(batch1, batch_id=0)
+    assert inc.index(spark).count() == 250
+
+    # Crash-window repair: marker lost after data landed → identical
+    # overwrite, no duplicates.
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(batch2, batch_id=1)
+    got2 = {tuple(r[c] for c in cols) for r in inc.index(spark).collect()}
+    assert got2 == want
+
+    # Frozen-artifact guard: different codebooks on an existing store
+    # must refuse instead of silently mixing encoding regimes.
+    other = [[[v + 1 for v in cv] for cv in cb] for cb in books]
+    with pytest.raises(ValueError, match="different frozen artifacts"):
+        IncrementalIvfPq(store, cent, other, sub_dim=16)
+
+    # Empty store: typed empty frame, never a schema-inference read.
+    empty = IncrementalIvfPq(
+        str(tmp_path / "fresh"), cent, books, sub_dim=16
+    )
+    assert empty.index(spark).count() == 0
+    assert empty.index(spark).columns == cols
