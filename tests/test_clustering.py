@@ -272,3 +272,54 @@ def test_pq_adc_exact_on_codebook_vectors(spark):
     assert len(ret) == 4 * 3
     for r in ret:
         assert r["adc"] == want[(r["query_id"], r["neighbor_id"])]
+
+
+def test_ivfpq_full_probe_equals_full_adc(spark):
+    """IVF-PQ identity property (the ss15 full-probe == brute-force
+    convention): with n_probe == the number of coarse cells, every
+    query scores the ENTIRE corpus, so cell routing must change
+    nothing — ivf_pq_adc_topk equals pq_adc_topk row-for-row on the
+    same codes. Pins the composition's only new moving part (the
+    routed candidate join) against the already-pinned pure-ADC form."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.clustering import (
+        ivf_pq_adc_topk,
+        kmeans_assign,
+        kmeans_fit,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = (
+        table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .where("vec_id < 200")
+    )
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=1)
+    books = pq_codebooks(
+        emb, "vec_id", "embedding", m=4, sub_dim=16, k_sub=8, n_iter=1
+    )
+    codes = pq_encode(emb, "vec_id", "embedding", books, sub_dim=16)
+    cells = kmeans_assign(
+        emb.select("vec_id", quantize_vec("embedding").alias("_cq")),
+        "_cq",
+        cent,
+    ).select("vec_id", "cluster")
+    qs = emb.where("vec_id < 5")
+
+    want = {
+        (r["query_id"], r["neighbor_id"], r["adc"])
+        for r in pq_adc_topk(
+            codes, qs, "vec_id", "embedding", books, sub_dim=16, k=5
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc"])
+        for r in ivf_pq_adc_topk(
+            codes.join(cells, "vec_id"), qs, "vec_id", "embedding",
+            cent, books, sub_dim=16, k=5, n_probe=4,
+        ).collect()
+    }
+    assert got == want and len(got) == 25
