@@ -405,19 +405,21 @@ def _ivfpq_index_scenario(spark, sf_dir):
         inc.process_batch(emb.where(F.col("vec_id") >= split), batch_id=1)
         delta_sec = time.perf_counter() - t
 
+        # The full arm materializes through the SAME parquet-write
+        # shape the delta arm pays (a localCheckpoint here would
+        # understate the full-rebuild cost it is compared against).
         t = time.perf_counter()
         cells = kmeans_assign(
             emb.select("vec_id", quantize_vec("embedding").alias("_cq")),
             "_cq",
             cent,
         ).select("vec_id", "cluster")
-        full_index = (
-            pq_encode(emb, "vec_id", "embedding", books, sub_dim=8)
-            .join(cells, "vec_id")
-            .localCheckpoint(eager=True)
-        )
-        full_index.count()
+        full_path = os.path.join(root, "full_index")
+        pq_encode(emb, "vec_id", "embedding", books, sub_dim=8).join(
+            cells, "vec_id"
+        ).write.mode("overwrite").parquet(full_path)
         full_sec = time.perf_counter() - t
+        full_index = spark.read.parquet(full_path)
 
         t = time.perf_counter()
         got = (

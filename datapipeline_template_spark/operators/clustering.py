@@ -620,6 +620,15 @@ def pq_codebooks(
     Driver traffic: m·k_sub·sub_dim longs of codebook — constants."""
     if m * sub_dim <= 0:
         raise ValueError("m and sub_dim must be positive")
+    # Fail fast BEFORE fanning out: the common misuse (corpus smaller
+    # than k_sub) would otherwise surface from inside a thread only
+    # after all m concurrent fit chains ran to completion — one tiny
+    # limit-count job restores the sequential form's early error.
+    if df.select(id_col).limit(k_sub).count() < k_sub:
+        raise ValueError(
+            f"k_sub={k_sub} exceeds corpus size; every subspace "
+            "codebook needs at least k_sub vectors"
+        )
 
     # The m fits are INDEPENDENT (disjoint subvector views, no shared
     # state) but each is a chain of small driver-blocking jobs

@@ -1379,6 +1379,25 @@ def _ss_l2_truth(emb: DataFrame, nq: int, k: int):
     )
 
 
+def _ss_l2_truth_sql(qv_cte: str, nq: int, k: int) -> str:
+    """The oracle twin of ``_ss_l2_truth``: qry/truth/tc CTE block
+    (exact int-L2 top-k ground truth, self-matches excluded, total
+    tie-break) over an existing quantized-vector CTE (vec_id, qv).
+    Shared by ss20 and ss21 so the two PQ recall harnesses can never
+    diverge on the truth definition."""
+    return f""", qry AS (
+  SELECT vec_id AS query_id, qv FROM {qv_cte} WHERE vec_id < {nq}
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.qv, e.qv),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))), e.vec_id) AS rk
+    FROM qry q JOIN {qv_cte} e ON e.vec_id != q.query_id
+  ) WHERE rk <= {k}
+), tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)"""
+
+
 def _ss20_oracle() -> str:
     from ._kmeans_sql import kmeans_ctes
 
@@ -1454,17 +1473,7 @@ def _ss20_oracle() -> str:
   SELECT vec_id, list_transform(embedding,
     x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
   FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
-), qry AS (
-  SELECT vec_id AS query_id, qv FROM pqqv WHERE vec_id < {_SS20_NQ}
-), truth AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.query_id, e.vec_id AS neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-             list_sum(list_transform(list_zip(q.qv, e.qv),
-               s -> (s[1] - s[2]) * (s[1] - s[2]))), e.vec_id) AS rk
-    FROM qry q JOIN pqqv e ON e.vec_id != q.query_id
-  ) WHERE rk <= {_SS20_K}
-), tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+){_ss_l2_truth_sql('pqqv', _SS20_NQ, _SS20_K)}
 {''.join(blocks)}
 {' UNION ALL '.join(selects)}
 ORDER BY m"""
@@ -1635,18 +1644,7 @@ def _ss21_oracle() -> str:
             f"CAST((SELECT n_hit FROM h{np_}) AS DOUBLE) / "
             f"(SELECT n_truth FROM tc) AS recall"
         )
-    sql = f"""WITH {', '.join(chains)}
-, qry AS (
-  SELECT vec_id AS query_id, qv FROM qv WHERE vec_id < {_SS21_NQ}
-), truth AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.query_id, e.vec_id AS neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-             list_sum(list_transform(list_zip(q.qv, e.qv),
-               s -> (s[1] - s[2]) * (s[1] - s[2]))), e.vec_id) AS rk
-    FROM qry q JOIN qv e ON e.vec_id != q.query_id
-  ) WHERE rk <= {_SS21_K}
-), tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+    sql = f"""WITH {', '.join(chains)}{_ss_l2_truth_sql('qv', _SS21_NQ, _SS21_K)}
 , codes AS (
   SELECT s0.vec_id, {code_cols}
   FROM pq0a{n} s0 {code_joins}
@@ -1727,6 +1725,11 @@ def ss21_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for np_ in _SS21_PROBES:
+        # n_cand re-derives the routing rather than sharing the
+        # operator's internal frame; both sides evaluate the SAME
+        # deterministic coarse_probe_expr(cent) so the counted and the
+        # scored candidate sets cannot diverge (50 routed rows — the
+        # duplicate evaluation is noise at any scale factor).
         pr = qp.withColumn(
             "_probe", F.slice(coarse_probe_expr(F.col("_qv"), cent), 1, np_)
         ).select("query_id", F.explode("_probe.cluster").alias("cluster"))

@@ -155,25 +155,27 @@ class IncrementalIvfPq:
 
     # -- reads -------------------------------------------------------------
 
-    def index(self, spark: SparkSession) -> DataFrame:
-        """All maintained (id, cluster, c0..c{m-1}) rows. Empty-store
-        handling gated on actual FILE presence (family convention)."""
+    def _read_index(self, spark: SparkSession) -> DataFrame:
+        """Internal read with the store's own column names (vec_id +
+        cluster + codes). Empty-store handling gated on actual FILE
+        presence (family convention)."""
         from pyspark.sql import types as T
 
         m = len(self.codebooks)
         cols = ["vec_id", "cluster", *[f"c{j}" for j in range(m)]]
         if _has_parquet_files(self._index_path):
-            out = spark.read.parquet(self._index_path).select(*cols)
-            if self.id_col != "vec_id":
-                out = out.withColumnRenamed("vec_id", self.id_col)
-            return out
+            return spark.read.parquet(self._index_path).select(*cols)
         return spark.createDataFrame(
-            [],
-            T.StructType(
-                [T.StructField(self.id_col, T.LongType())]
-                + [T.StructField(c, T.LongType()) for c in cols[1:]]
-            ),
+            [], T.StructType([T.StructField(c, T.LongType()) for c in cols])
         )
+
+    def index(self, spark: SparkSession) -> DataFrame:
+        """All maintained (id, cluster, c0..c{m-1}) rows, with the id
+        column under the caller's ``id_col`` name."""
+        out = self._read_index(spark)
+        if self.id_col != "vec_id":
+            out = out.withColumnRenamed("vec_id", self.id_col)
+        return out
 
     def search(
         self,
@@ -186,11 +188,8 @@ class IncrementalIvfPq:
         the index exists for, with zero recompute of the indexed mass.
         ``queries`` carries (id_col, vec_col) rows; the routed
         candidate join and scoring are exactly ``ivf_pq_adc_topk``."""
-        codes = self.index(spark)
-        if self.id_col != "vec_id":
-            codes = codes.withColumnRenamed(self.id_col, "vec_id")
         return ivf_pq_adc_topk(
-            codes,
+            self._read_index(spark),
             queries,
             self.id_col,
             self.vec_col,
