@@ -54,9 +54,11 @@ from pyspark.sql import types as T
 from ..functions import quantize_vec
 
 __all__ = [
+    "centroids_to_df",
     "coarse_probe_expr",
     "d4_prune",
     "ivf_assign_corpus",
+    "kmeans_assign_join",
     "ivf_pq_adc_topk",
     "ivf_topk_kmeans",
     "k_for_corpus",
@@ -125,6 +127,73 @@ def _assign_struct(qv: Column, centroids: list[list[int]]) -> Column:
     return F.array_min(F.array(*structs))
 
 
+def centroids_to_df(spark, centroids: list[list[int]]) -> DataFrame:
+    """Stage driver-side centroids as a (cid, cv) table — the input
+    shape ``kmeans_assign_join`` broadcasts when k·dim exceeds the
+    UDF-closure cap (``MAX_CENTROID_CELLS``)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("cv", T.ArrayType(T.LongType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(i), [int(v) for v in cv]) for i, cv in enumerate(centroids)],
+        schema,
+    )
+
+
+def kmeans_assign_join(
+    df: DataFrame, id_col: str, qv_col: str, centroids_df: DataFrame
+) -> DataFrame:
+    """Huge-k assignment: the path the ``MAX_CENTROID_CELLS`` guard
+    points at. The kernel form ships k·dim int64 centroids inside a
+    UDF closure — perfect until the k∝N policy (``k_for_corpus``)
+    pushes k·dim past what a per-task closure should carry (50M cells
+    ≈ 400 MB; Abbas et al. run k=50k on 768-dim LAION, 38M cells —
+    one corpus doubling past the cap). Here centroids stay a TABLE:
+    broadcast-nested-loop join fans each row out to its k (row,
+    centroid) pairs IN-TASK, the exact-int distance folds per pair,
+    and ``min(struct(dist, cid))`` argmins with the family tie-break
+    (smallest dist, then smallest cid — lexicographic struct order,
+    bit-equal to the kernel/Catalyst/DuckDB forms, parity-tested).
+
+    Cost shape vs the kernel: the k-fan-out never materializes (the
+    per-id partial ``min`` collapses each row's k pairs map-side
+    before the exchange, so the shuffle carries N rows, not N·k), but
+    there IS one exchange on ``id_col`` where the kernel is map-only
+    — the price of unbounded k. Returns df's id column plus
+    ``cluster`` and ``dist``; callers needing more columns join back
+    on ``id_col``."""
+    from pyspark.sql.functions import broadcast
+
+    d = F.aggregate(
+        F.zip_with(
+            F.col(qv_col), F.col("cv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        df.select(id_col, qv_col)
+        .crossJoin(broadcast(centroids_df))
+        .select(
+            id_col,
+            F.struct(d.alias("dist"), F.col("cid").alias("cluster")).alias(
+                "_dc"
+            ),
+        )
+    )
+    best = pairs.groupBy(id_col).agg(F.min("_dc").alias("_best"))
+    return best.select(
+        id_col,
+        F.col("_best.cluster").alias("cluster"),
+        F.col("_best.dist").alias("dist"),
+    )
+
+
 def kmeans_assign_catalyst(
     df: DataFrame, qv_col: str, centroids: list[list[int]]
 ) -> DataFrame:
@@ -152,8 +221,8 @@ def kmeans_assign(
     if C.size > MAX_CENTROID_CELLS:
         raise ValueError(
             f"centroid matrix has {C.size} cells > {MAX_CENTROID_CELLS}; "
-            "a closure this large would be re-shipped per task — stage "
-            "the centroids as a broadcast-joined table instead."
+            "a closure this large would be re-shipped per task — use "
+            "kmeans_assign_join (broadcast centroid table) instead."
         )
 
     @F.pandas_udf(
