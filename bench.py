@@ -224,10 +224,14 @@ def _curation_shared_scenario(spark, sf_dir):
     feeds every report from the checkpointed pass. This scenario
     times exactly that: one `_curation_flags_extended` pass +
     checkpoint, then the MARGINAL cost of attribution (pipe10), the
-    data card (pipe11) and quality-aware mixing (pipe13), with a
+    data card (pipe11), quality-aware mixing (pipe13) and the
+    training manifest (pipe14: curated-set BPE fit + packing), with a
     parity assert that the shared-pass data card equals the
     standalone registry query's. pipe12 stays in SECONDARY as the
     single full-composition timing row."""
+    from datapipeline_template_spark.queries.packing import (
+        manifest_from_flags,
+    )
     from datapipeline_template_spark.queries.pipeline import (
         _curation_flags_extended,
         attribution_from_flags,
@@ -253,6 +257,10 @@ def _curation_shared_scenario(spark, sf_dir):
     n_mix = mixing_from_flags(flags).count()
     mix_sec = time.perf_counter() - t
 
+    t = time.perf_counter()
+    n_manifest = manifest_from_flags(spark, sf_dir, flags).count()
+    manifest_sec = time.perf_counter() - t
+
     standalone = pipe11_data_card(spark, sf_dir)
     parity = (
         card.exceptAll(standalone).count() == 0
@@ -263,9 +271,11 @@ def _curation_shared_scenario(spark, sf_dir):
         "attribution_marginal_sec": round(attr_sec, 4),
         "data_card_marginal_sec": round(card_sec, 4),
         "mixing_marginal_sec": round(mix_sec, 4),
+        "manifest_marginal_sec": round(manifest_sec, 4),
         "n_docs": n_attr,
         "n_sources": n_card,
         "n_mixed": n_mix,
+        "n_manifest": n_manifest,
         "parity": parity,
     }
 

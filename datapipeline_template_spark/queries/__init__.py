@@ -127,6 +127,7 @@ _OVERFLOW = (
     "tx21b_bpe_encode_bytes",
     "ss20_pq_adc_recall",
     "ss21_ivfpq_recall",
+    "pipe14_training_manifest",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

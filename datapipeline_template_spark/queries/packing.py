@@ -393,3 +393,161 @@ def pk07_bpe_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=256,
         salt="42",
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe14 — the END-TO-END training manifest: raw corpus → 7-stage
+# curation → BPE tokenizer trained ON the curated set → token-budget
+# shard packing. The one call whose output ships to a trainer.
+# Registered in the registry OVERFLOW section. Lives in THIS module
+# (not queries/pipeline.py) deliberately: building its oracle at
+# decoration time imports the text fragment chain, and packing is the
+# LAST module in load_all's order — from pipeline.py the same import
+# hoisted every tx registration ahead of dd/ss and silently reshuffled
+# the driver's pinned 50-entry window (caught by
+# test_window_pinned_by_name).
+# ---------------------------------------------------------------------------
+
+_PIPE14_SHARDS, _PIPE14_BUDGET, _PIPE14_SALT = 8, 256, "42"
+
+
+def _pipe14_oracle() -> str:
+    from .pipeline import _pipe12_flag_ctes
+    from .text import _TX20_N_MERGES, _tx20_ctes
+
+    n = _TX20_N_MERGES
+    # The tokenizer trains on the CURATED corpus: point the tx20
+    # chain's word source at kept_docs (its single `FROM documents`
+    # occurrence — the other chains keep their full-corpus reads).
+    tx = _tx20_ctes().replace("FROM documents)", "FROM kept_docs)", 1)
+    return f"""
+WITH RECURSIVE {_pipe12_flag_ctes()}, kept_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN flagged2 f ON d.doc_id = f.doc_id WHERE f.f_sem
+), {tx}
+, wmap AS (
+  SELECT replace(rep, ' ', '') AS word,
+         CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
+  FROM v{n}
+), dw AS (
+  SELECT doc_id, lower(t) AS word FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
+    FROM kept_docs)
+), dtok AS (
+  SELECT k.doc_id, COALESCE(s.tok, 0) AS tok
+  FROM kept_docs k LEFT JOIN (
+    SELECT dw.doc_id, CAST(SUM(m.n_sub) AS BIGINT) AS tok
+    FROM dw JOIN wmap m USING (word) GROUP BY dw.doc_id) s
+  ON k.doc_id = s.doc_id
+), keyed AS (
+  SELECT doc_id, tok,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split('{_PIPE14_SALT}:' || CAST(doc_id AS VARCHAR), ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007
+         ) AS skey
+  FROM dtok
+), sharded AS (
+  SELECT doc_id, skey, tok,
+         CAST(skey % {_PIPE14_SHARDS} AS INTEGER) AS shard FROM keyed
+), packed AS (
+  SELECT doc_id, shard, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sharded
+)
+SELECT doc_id, shard,
+       CAST((cum - tok) // {_PIPE14_BUDGET} AS BIGINT) AS seq_in_shard,
+       CAST((cum - tok) % {_PIPE14_BUDGET} AS BIGINT) AS offset_in_seq,
+       tok AS n_tokens
+FROM packed
+ORDER BY doc_id
+"""
+
+
+@register("pipe14_training_manifest", oracle=_pipe14_oracle())
+def pipe14_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end artifact: one call from raw corpus to the
+    training layout a trainer consumes. Composes the full stack this
+    engine built — the 7-stage curation funnel
+    (``_curation_flags_extended``: gates → MinHash survivors →
+    SemDeDup), a BPE tokenizer trained ON the curated set (the order
+    real pipelines use: tokenize clean text, not the rejects), and
+    pk07's token-budget shard packing over the curated documents'
+    subword counts. Every stage reuses its registered operator AND
+    its generated oracle fragment, so the manifest can never drift
+    from the standalone queries it composes; the whole chain —
+    curation marks, 8 merge rounds, encode join, packing windows — is
+    replayed by DuckDB and hash-pinned. Returns one row per curated
+    document: (doc_id, shard, seq_in_shard, offset_in_seq, n_tokens).
+
+    Cost shape: the extended flag pass (pipe12's, priced there and as
+    curation_shared marginals), one BPE fit over the ~20%-surviving
+    corpus (smaller than tx20's full-corpus fit), one encode join,
+    and pk01's one-shuffle/per-shard-window layout."""
+    from .pipeline import _curation_flags_extended
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    return manifest_from_flags(spark, sf_dir, flags)
+
+
+def manifest_from_flags(
+    spark: SparkSession, sf_dir: str, flags: DataFrame
+) -> DataFrame:
+    """pipe14's consumer stage over a precomputed extended-flags
+    DataFrame — tokenizer fit + encode join + packing only (the
+    curation_shared marginal). The kept set is checkpointed once: the
+    BPE fit re-reads its vocab per merge round and the packing reads
+    it again."""
+    from ..operators.packing import pack_sequences
+    from ..operators.text import bpe_train, bpe_vocab_map
+    from .text import _TX20_N_MERGES
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = (
+        docs.join(
+            flags.where(F.col("f_sem")).select("doc_id"), on="doc_id"
+        )
+        .localCheckpoint(eager=True)
+    )
+    words = kept.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+        ).alias("t"),
+    ).select("doc_id", F.lower(F.col("t")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "
+                ),
+                F.lit(" "),
+            ).alias("rep"),
+            "freq",
+        )
+    )
+    _, final_v = bpe_train(vocab, "rep", "freq", n_merges=_TX20_N_MERGES)
+    wmap = bpe_vocab_map(final_v).select("word", "n_sub")
+    per_doc = (
+        words.join(wmap, on="word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("_tok"))
+    )
+    weighted = (
+        kept.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .withColumn("_tok", F.coalesce(F.col("_tok"), F.lit(0)).cast("long"))
+    )
+    return pack_sequences(
+        weighted,
+        id_col="doc_id",
+        weight=F.col("_tok"),
+        n_shards=_PIPE14_SHARDS,
+        budget=_PIPE14_BUDGET,
+        salt=_PIPE14_SALT,
+    ).orderBy("doc_id")

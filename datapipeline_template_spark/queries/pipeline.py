@@ -811,3 +811,4 @@ def mixing_from_flags(flags: DataFrame) -> DataFrame:
     return temperature_sample(
         kept, key="doc_id", stratum_col="source", total=_PIPE13_TOTAL
     ).orderBy("doc_id")
+
