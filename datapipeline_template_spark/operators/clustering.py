@@ -58,6 +58,7 @@ __all__ = [
     "coarse_probe_expr",
     "d4_prune",
     "ivf_assign_corpus",
+    "kmeans_assign_broadcast",
     "kmeans_assign_join",
     "ivf_pq_adc_topk",
     "ivf_topk_kmeans",
@@ -131,8 +132,6 @@ def centroids_to_df(spark, centroids: list[list[int]]) -> DataFrame:
     """Stage driver-side centroids as a (cid, cv) table — the input
     shape ``kmeans_assign_join`` broadcasts when k·dim exceeds the
     UDF-closure cap (``MAX_CENTROID_CELLS``)."""
-    from pyspark.sql import types as T
-
     schema = T.StructType(
         [
             T.StructField("cid", T.LongType()),
@@ -148,27 +147,31 @@ def centroids_to_df(spark, centroids: list[list[int]]) -> DataFrame:
 def kmeans_assign_join(
     df: DataFrame, id_col: str, qv_col: str, centroids_df: DataFrame
 ) -> DataFrame:
-    """Huge-k assignment: the path the ``MAX_CENTROID_CELLS`` guard
-    points at. The kernel form ships k·dim int64 centroids inside a
-    UDF closure — perfect until the k∝N policy (``k_for_corpus``)
-    pushes k·dim past what a per-task closure should carry (50M cells
-    ≈ 400 MB; Abbas et al. run k=50k on 768-dim LAION, 38M cells —
-    one corpus doubling past the cap). Here centroids stay a TABLE:
-    broadcast-nested-loop join fans each row out to its k (row,
+    """Huge-k assignment as a PURE-DataFrame plan — the SQL-expressible
+    twin of ``kmeans_assign_broadcast`` (which is the hot path: same
+    Arrow kernel, centroids on a broadcast variable). Use this form
+    when the assignment must stay inside Catalyst — an oracle replay,
+    a SQL-only consumer, an engine without Python UDFs. Centroids stay
+    a TABLE: a broadcast-nested-loop join fans each row to its k (row,
     centroid) pairs IN-TASK, the exact-int distance folds per pair,
     and ``min(struct(dist, cid))`` argmins with the family tie-break
     (smallest dist, then smallest cid — lexicographic struct order,
     bit-equal to the kernel/Catalyst/DuckDB forms, parity-tested).
 
-    Cost shape vs the kernel: the k-fan-out never materializes (the
-    per-id partial ``min`` collapses each row's k pairs map-side
-    before the exchange, so the shuffle carries N rows, not N·k), but
-    there IS one exchange on ``id_col`` where the kernel is map-only
-    — the price of unbounded k. Returns df's id column plus
-    ``cluster`` and ``dist``; callers needing more columns join back
-    on ``id_col``."""
-    from pyspark.sql.functions import broadcast
+    Cost shape vs the kernel: the N·k pairs DO materialize in-task
+    (per pair: one interpreted zip_with fold — dim lambda evals),
+    but never shuffle: the partial ``min`` collapses each group's k
+    pairs map-side, so the one exchange carries ~N rows. The kernel
+    forms do one numpy matmul per Arrow batch with no exchange —
+    prefer them whenever Python UDFs are available.
 
+    Grouping key is (id, vector), NOT id alone: with duplicate ids
+    carrying different vectors a bare id groupBy would min over
+    distances of DIFFERENT vectors and emit an assignment belonging
+    to neither. One row per DISTINCT (id, vector) comes back (exact
+    duplicate rows collapse); callers joining extra columns back on
+    ``id_col`` should keep ids unique per vector, the corpus
+    convention."""
     d = F.aggregate(
         F.zip_with(
             F.col(qv_col), F.col("cv"), lambda x, y: (x - y) * (x - y)
@@ -178,15 +181,16 @@ def kmeans_assign_join(
     )
     pairs = (
         df.select(id_col, qv_col)
-        .crossJoin(broadcast(centroids_df))
+        .crossJoin(F.broadcast(centroids_df))
         .select(
             id_col,
+            qv_col,
             F.struct(d.alias("dist"), F.col("cid").alias("cluster")).alias(
                 "_dc"
             ),
         )
     )
-    best = pairs.groupBy(id_col).agg(F.min("_dc").alias("_best"))
+    best = pairs.groupBy(id_col, qv_col).agg(F.min("_dc").alias("_best"))
     return best.select(
         id_col,
         F.col("_best.cluster").alias("cluster"),
@@ -207,23 +211,10 @@ def kmeans_assign_catalyst(
     )
 
 
-def kmeans_assign(
-    df: DataFrame, qv_col: str, centroids: list[list[int]]
-) -> DataFrame:
-    """Scale-form assignment: one Arrow-batched numpy kernel computes
-    all k exact-int64 squared distances per row and the argmin
-    (np.argmin returns the FIRST minimum — smallest cluster id, the
-    same tie-break as the Catalyst/SQL forms; parity-tested).
-
-    Overflow bound: |q| ≤ 1e4 ⇒ per-dim diff² ≤ 4e8, ×dim(64) ≤
-    2.6e10 ≪ 2^63 — exact in int64 for any realistic dim/scale."""
-    C = np.asarray(centroids, dtype=np.int64)
-    if C.size > MAX_CENTROID_CELLS:
-        raise ValueError(
-            f"centroid matrix has {C.size} cells > {MAX_CENTROID_CELLS}; "
-            "a closure this large would be re-shipped per task — use "
-            "kmeans_assign_join (broadcast centroid table) instead."
-        )
+def _assign_kernel_udf(get_C):
+    """The shared Arrow assignment kernel, parameterized over how each
+    executor obtains the centroid matrix: a captured array (the
+    closure form) or a Spark broadcast handle (the huge-k form)."""
 
     @F.pandas_udf(
         T.StructType(
@@ -243,6 +234,7 @@ def kmeans_assign(
                     "dist": pd.Series([], dtype="int64"),
                 }
             )
+        C = get_C()
         X = np.stack(v.to_numpy()).astype(np.int64)  # rows × dim
         # rows × k exact int64: ‖x‖² − 2x·c + ‖c‖² stays integer.
         d = (
@@ -255,7 +247,51 @@ def kmeans_assign(
             {"cluster": cl.astype(np.int64), "dist": d[np.arange(len(X)), cl]}
         )
 
-    out = df.withColumn("_best", _assign(F.col(qv_col)))
+    return _assign
+
+
+def kmeans_assign(
+    df: DataFrame, qv_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """Scale-form assignment: one Arrow-batched numpy kernel computes
+    all k exact-int64 squared distances per row and the argmin
+    (np.argmin returns the FIRST minimum — smallest cluster id, the
+    same tie-break as the Catalyst/SQL forms; parity-tested).
+
+    Overflow bound: |q| ≤ 1e4 ⇒ per-dim diff² ≤ 4e8, ×dim(64) ≤
+    2.6e10 ≪ 2^63 — exact in int64 for any realistic dim/scale."""
+    C = np.asarray(centroids, dtype=np.int64)
+    if C.size > MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"centroid matrix has {C.size} cells > {MAX_CENTROID_CELLS}; "
+            "a closure this large would be re-shipped per task — use "
+            "kmeans_assign_broadcast (broadcast-variable kernel, the "
+            "hot path) or kmeans_assign_join (SQL-expressible twin)."
+        )
+
+    out = df.withColumn("_best", _assign_kernel_udf(lambda: C)(F.col(qv_col)))
+    return out.select(
+        *df.columns, F.col("_best.cluster").alias("cluster"),
+        F.col("_best.dist").alias("dist"),
+    )
+
+
+def kmeans_assign_broadcast(df: DataFrame, qv_col: str, centroids_bc) -> DataFrame:
+    """The huge-k HOT PATH past ``MAX_CENTROID_CELLS``: the identical
+    Arrow kernel, but the centroid matrix rides a Spark BROADCAST
+    VARIABLE — torrent-shipped ONCE per executor and fetched inside
+    the UDF, never re-serialized into each task's closure. Map-only
+    like ``kmeans_assign`` and bit-equal to it (parity-tested); this,
+    not the join form, is what a 50k×768-centroid SemDeDup assignment
+    should run.
+
+    ``centroids_bc`` = ``spark.sparkContext.broadcast(
+    np.asarray(centroids, dtype=np.int64))`` — the caller owns the
+    handle (create once, ``unpersist()`` when done)."""
+    out = df.withColumn(
+        "_best",
+        _assign_kernel_udf(lambda: centroids_bc.value)(F.col(qv_col)),
+    )
     return out.select(
         *df.columns, F.col("_best.cluster").alias("cluster"),
         F.col("_best.dist").alias("dist"),

@@ -23,20 +23,28 @@ from ..operators.packing import (
 )
 from . import register
 
-_PK01_ORACLE = """
-WITH keyed AS (
-  SELECT doc_id,
+def _pack_sql(
+    tok_src: str, salt: str = "42", n_shards: int = 8, budget: int = 256
+) -> str:
+    """The keyed/sharded/packed CTE chain + final SELECT replaying
+    ``operators.packing.pack_sequences`` over ``tok_src`` — any
+    relation/CTE exposing (doc_id, tok). The SINGLE packing-SQL
+    implementation (poly-hash shuffle key, shard = skey % n_shards,
+    per-shard running token sum, budget DIV/MOD layout) shared by
+    pk01, pk07 and pipe14 so a packing-spec change can never drift
+    between their oracles."""
+    return f""", keyed AS (
+  SELECT doc_id, tok,
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
-             list_transform(string_split('42:' || CAST(doc_id AS VARCHAR), ''),
+             list_transform(string_split('{salt}:' || CAST(doc_id AS VARCHAR), ''),
                             ch -> CAST(ascii(ch) AS BIGINT))),
            (acc, x) -> (acc * 131 + x) % 1000000007
-         ) AS skey,
-         COALESCE(CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT),
-                  0) AS tok
-  FROM documents
+         ) AS skey
+  FROM {tok_src}
 ), sharded AS (
-  SELECT doc_id, skey, tok, CAST(skey % 8 AS INTEGER) AS shard FROM keyed
+  SELECT doc_id, skey, tok,
+         CAST(skey % {n_shards} AS INTEGER) AS shard FROM keyed
 ), packed AS (
   SELECT doc_id, shard, tok,
          SUM(tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
@@ -44,10 +52,19 @@ WITH keyed AS (
   FROM sharded
 )
 SELECT doc_id, shard,
-       CAST((cum - tok) // 256 AS BIGINT) AS seq_in_shard,
-       CAST((cum - tok) % 256 AS BIGINT) AS offset_in_seq,
+       CAST((cum - tok) // {budget} AS BIGINT) AS seq_in_shard,
+       CAST((cum - tok) % {budget} AS BIGINT) AS offset_in_seq,
        tok AS n_tokens
-FROM packed
+FROM packed"""
+
+
+_PK01_ORACLE = f"""
+WITH tok01 AS (
+  SELECT doc_id,
+         COALESCE(CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT),
+                  0) AS tok
+  FROM documents
+){_pack_sql('tok01')}
 """
 
 
@@ -296,47 +313,37 @@ def pk06_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pk07_oracle() -> str:
-    from .text import _tx20_ctes, _TX20_N_MERGES
+def _bpe_tok_sql(doc_src: str) -> str:
+    """wmap/dw/dtok: the trained-vocabulary map (reading ``v{N}``
+    from a prepended ``_tx20_ctes`` chain) and the per-document BPE
+    subword counts over ``doc_src`` (doc_id, text). The single
+    encode-count SQL shared by pk07 (full corpus) and pipe14 (curated
+    corpus); docs with no alphabetic words count 0."""
+    from .text import _TX20_N_MERGES
 
     n = _TX20_N_MERGES
-    return f"""WITH {_tx20_ctes()}
-, wmap AS (
+    return f""", wmap AS (
   SELECT replace(rep, ' ', '') AS word,
          CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
   FROM v{n}
 ), dw AS (
   SELECT doc_id, lower(t) AS word FROM (
     SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
-    FROM documents)
+    FROM {doc_src})
 ), dtok AS (
   SELECT d.doc_id, COALESCE(s.tok, 0) AS tok
-  FROM documents d LEFT JOIN (
+  FROM {doc_src} d LEFT JOIN (
     SELECT dw.doc_id, CAST(SUM(m.n_sub) AS BIGINT) AS tok
     FROM dw JOIN wmap m USING (word) GROUP BY dw.doc_id) s
   ON d.doc_id = s.doc_id
-), keyed AS (
-  SELECT doc_id, tok,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(string_split('42:' || CAST(doc_id AS VARCHAR), ''),
-                            ch -> CAST(ascii(ch) AS BIGINT))),
-           (acc, x) -> (acc * 131 + x) % 1000000007
-         ) AS skey
-  FROM dtok
-), sharded AS (
-  SELECT doc_id, skey, tok, CAST(skey % 8 AS INTEGER) AS shard FROM keyed
-), packed AS (
-  SELECT doc_id, shard, tok,
-         SUM(tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum
-  FROM sharded
-)
-SELECT doc_id, shard,
-       CAST((cum - tok) // 256 AS BIGINT) AS seq_in_shard,
-       CAST((cum - tok) % 256 AS BIGINT) AS offset_in_seq,
-       tok AS n_tokens
-FROM packed
+)"""
+
+
+def _pk07_oracle() -> str:
+    from .text import _tx20_ctes
+
+    return f"""WITH {_tx20_ctes()}
+{_bpe_tok_sql('documents')}{_pack_sql('dtok')}
 """
 
 
@@ -352,10 +359,26 @@ def pk07_bpe_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight 0. Plan: the encode map join + one per-doc partial agg on
     top of pk01's one-hash-shuffle/per-shard-window layout; the BPE
     fit adds its per-round pair aggregates (operators/text.bpe_train)."""
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(
+        _bpe_token_weights(docs),
+        id_col="doc_id",
+        weight=F.col("_tok"),
+        n_shards=8,
+        budget=256,
+        salt="42",
+    )
+
+
+def _bpe_token_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, _tok): train the tx20-spec BPE tokenizer on ``docs``
+    (doc_id, text) and weigh every document by its subword count; no
+    alphabetic words → 0. The single Spark encode-count
+    implementation shared by pk07 (full corpus) and pipe14's manifest
+    (curated corpus) — the DataFrame twin of ``_bpe_tok_sql``."""
     from ..operators.text import bpe_train, bpe_vocab_map
     from .text import _TX20_N_MERGES
 
-    docs = table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
         F.explode(
@@ -381,17 +404,10 @@ def pk07_bpe_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_sub").alias("_tok"))
     )
-    weighted = docs.select("doc_id").join(per_doc, on="doc_id", how="left")
-    weighted = weighted.withColumn(
-        "_tok", F.coalesce(F.col("_tok"), F.lit(0)).cast("long")
-    )
-    return pack_sequences(
-        weighted,
-        id_col="doc_id",
-        weight=F.col("_tok"),
-        n_shards=8,
-        budget=256,
-        salt="42",
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .withColumn("_tok", F.coalesce(F.col("_tok"), F.lit(0)).cast("long"))
     )
 
 
@@ -413,55 +429,18 @@ _PIPE14_SHARDS, _PIPE14_BUDGET, _PIPE14_SALT = 8, 256, "42"
 
 def _pipe14_oracle() -> str:
     from .pipeline import _pipe12_flag_ctes
-    from .text import _TX20_N_MERGES, _tx20_ctes
+    from .text import _tx20_ctes
 
-    n = _TX20_N_MERGES
-    # The tokenizer trains on the CURATED corpus: point the tx20
-    # chain's word source at kept_docs (its single `FROM documents`
-    # occurrence — the other chains keep their full-corpus reads).
-    tx = _tx20_ctes().replace("FROM documents)", "FROM kept_docs)", 1)
+    # The tokenizer trains on the CURATED corpus: the tx20 chain's
+    # word source is a fragment PARAMETER (the other chains keep
+    # their full-corpus reads).
     return f"""
 WITH RECURSIVE {_pipe12_flag_ctes()}, kept_docs AS (
   SELECT d.doc_id, d.text FROM documents d
   JOIN flagged2 f ON d.doc_id = f.doc_id WHERE f.f_sem
-), {tx}
-, wmap AS (
-  SELECT replace(rep, ' ', '') AS word,
-         CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
-  FROM v{n}
-), dw AS (
-  SELECT doc_id, lower(t) AS word FROM (
-    SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
-    FROM kept_docs)
-), dtok AS (
-  SELECT k.doc_id, COALESCE(s.tok, 0) AS tok
-  FROM kept_docs k LEFT JOIN (
-    SELECT dw.doc_id, CAST(SUM(m.n_sub) AS BIGINT) AS tok
-    FROM dw JOIN wmap m USING (word) GROUP BY dw.doc_id) s
-  ON k.doc_id = s.doc_id
-), keyed AS (
-  SELECT doc_id, tok,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(string_split('{_PIPE14_SALT}:' || CAST(doc_id AS VARCHAR), ''),
-                            ch -> CAST(ascii(ch) AS BIGINT))),
-           (acc, x) -> (acc * 131 + x) % 1000000007
-         ) AS skey
-  FROM dtok
-), sharded AS (
-  SELECT doc_id, skey, tok,
-         CAST(skey % {_PIPE14_SHARDS} AS INTEGER) AS shard FROM keyed
-), packed AS (
-  SELECT doc_id, shard, tok,
-         SUM(tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum
-  FROM sharded
-)
-SELECT doc_id, shard,
-       CAST((cum - tok) // {_PIPE14_BUDGET} AS BIGINT) AS seq_in_shard,
-       CAST((cum - tok) % {_PIPE14_BUDGET} AS BIGINT) AS offset_in_seq,
-       tok AS n_tokens
-FROM packed
+), {_tx20_ctes(source="kept_docs")}
+{_bpe_tok_sql('kept_docs')}{_pack_sql('dtok', salt=_PIPE14_SALT,
+            n_shards=_PIPE14_SHARDS, budget=_PIPE14_BUDGET)}
 ORDER BY doc_id
 """
 
@@ -500,51 +479,12 @@ def manifest_from_flags(
     curation_shared marginal). The kept set is checkpointed once: the
     BPE fit re-reads its vocab per merge round and the packing reads
     it again."""
-    from ..operators.packing import pack_sequences
-    from ..operators.text import bpe_train, bpe_vocab_map
-    from .text import _TX20_N_MERGES
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    kept = (
-        docs.join(
-            flags.where(F.col("f_sem")).select("doc_id"), on="doc_id"
-        )
-        .localCheckpoint(eager=True)
-    )
-    words = kept.select(
-        "doc_id",
-        F.explode(
-            F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
-        ).alias("t"),
-    ).select("doc_id", F.lower(F.col("t")).alias("word"))
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(
-            F.concat(
-                F.lit(" "),
-                F.array_join(
-                    F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "
-                ),
-                F.lit(" "),
-            ).alias("rep"),
-            "freq",
-        )
-    )
-    _, final_v = bpe_train(vocab, "rep", "freq", n_merges=_TX20_N_MERGES)
-    wmap = bpe_vocab_map(final_v).select("word", "n_sub")
-    per_doc = (
-        words.join(wmap, on="word")
-        .groupBy("doc_id")
-        .agg(F.sum("n_sub").alias("_tok"))
-    )
-    weighted = (
-        kept.select("doc_id")
-        .join(per_doc, on="doc_id", how="left")
-        .withColumn("_tok", F.coalesce(F.col("_tok"), F.lit(0)).cast("long"))
-    )
+    kept = docs.join(
+        flags.where(F.col("f_sem")).select("doc_id"), on="doc_id"
+    ).localCheckpoint(eager=True)
     return pack_sequences(
-        weighted,
+        _bpe_token_weights(kept),
         id_col="doc_id",
         weight=F.col("_tok"),
         n_shards=_PIPE14_SHARDS,

@@ -811,4 +811,3 @@ def mixing_from_flags(flags: DataFrame) -> DataFrame:
     return temperature_sample(
         kept, key="doc_id", stratum_col="source", total=_PIPE13_TOTAL
     ).orderBy("doc_id")
-

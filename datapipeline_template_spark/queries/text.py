@@ -431,7 +431,17 @@ def _bpe_round_ctes(n_rounds: int) -> str:
     (tx20b) exhausted the process's file descriptors re-opening the
     corpus parquet ~2^17 times. Materializing pins each round to one
     evaluation, the exact analogue of the Spark side's per-round
-    localCheckpoint."""
+    localCheckpoint.
+
+    The rewrite joins ``LEFT JOIN m{{i}} ON TRUE`` with a COALESCE
+    fallback, not CROSS JOIN: on a pair-EXHAUSTED round (no adjacent
+    pairs anywhere — every word fully merged) ``m{{i}}`` is empty, and
+    a cross join would silently EMPTY the vocabulary where the Spark
+    loop ``break``s and keeps it; the left join carries the vocab
+    forward unchanged, the same fixpoint. Composed oracles over small
+    curated subsets (pipe14) sit much closer to exhaustion than the
+    full-corpus chains. Mirror-tested against bpe_train on an
+    exhausting corpus in tests/test_operators.py."""
     parts = []
     for i in range(n_rounds):
         parts.append(f""", p{i} AS (
@@ -442,26 +452,31 @@ def _bpe_round_ctes(n_rounds: int) -> str:
 ), m{i} AS (
   SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1
 ), v{i + 1} AS MATERIALIZED (
-  SELECT replace(replace(v.rep,
-                         ' ' || m.x || ' ' || m.y || ' ',
-                         ' ' || m.x || m.y || ' '),
-                 ' ' || m.x || ' ' || m.y || ' ',
-                 ' ' || m.x || m.y || ' ') AS rep, v.freq
-  FROM v{i} v CROSS JOIN m{i} m
+  SELECT COALESCE(
+           replace(replace(v.rep,
+                           ' ' || m.x || ' ' || m.y || ' ',
+                           ' ' || m.x || m.y || ' '),
+                   ' ' || m.x || ' ' || m.y || ' ',
+                   ' ' || m.x || m.y || ' '),
+           v.rep) AS rep, v.freq
+  FROM v{i} v LEFT JOIN m{i} m ON TRUE
 )""")
     return "".join(parts)
 
 
-def _tx20_ctes() -> str:
+def _tx20_ctes(source: str = "documents") -> str:
     """Shared tx20/tx21 oracle fragment: word vocab + all unrolled BPE
     merge rounds, ending in the final vocabulary ``v{N}`` and the
     per-round argmax CTEs ``m0..m{N-1}`` — train and encode verify the
     same learned merges (the `_kmeans_sql` single-implementation
-    rule)."""
-    head = """w AS (
+    rule). ``source`` names the (doc_id, text) relation the word vocab
+    reads — a CTE name for composed oracles (pipe14 trains on the
+    curated ``kept_docs``), the raw table by default; a PARAMETER, not
+    caller-side string surgery on the fragment."""
+    head = f"""w AS (
   SELECT lower(t) AS word FROM (
     SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t
-    FROM documents)
+    FROM {source})
 ), v0 AS (
   SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep,
          CAST(COUNT(*) AS BIGINT) AS freq

@@ -371,3 +371,51 @@ def test_kmeans_assign_join_matches_kernel(spark):
         tie, "vec_id", "_qv", centroids_to_df(spark, cents)
     ).collect()[0]
     assert (k["cluster"], k["dist"]) == (j["cluster"], j["dist"]) == (0, 4)
+
+
+def test_kmeans_assign_broadcast_matches_closure_kernel(spark):
+    """The broadcast-VARIABLE kernel (the huge-k hot path) is the same
+    Arrow kernel as the closure form — every (id, cluster, dist)
+    bit-equal, including the argmin-tie row (np.argmin first-minimum
+    == smallest cid in both, since both run the identical code)."""
+    import numpy as np
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_broadcast,
+        kmeans_fit,
+    )
+
+    emb = (
+        table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .where("vec_id < 300")
+    )
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
+    q = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    want = {
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in kmeans_assign(q, "_qv", cent).collect()
+    }
+    bc = spark.sparkContext.broadcast(np.asarray(cent, dtype=np.int64))
+    try:
+        got = {
+            (r["vec_id"], r["cluster"], r["dist"])
+            for r in kmeans_assign_broadcast(q, "_qv", bc).collect()
+        }
+    finally:
+        bc.unpersist()
+    assert got == want and len(got) == 300
+
+    # The tie row: equidistant point lands on the smaller cid.
+    tie = spark.createDataFrame([(0, [0])], "vec_id long, _qv array<long>")
+    bc2 = spark.sparkContext.broadcast(
+        np.asarray([[-2], [2]], dtype=np.int64)
+    )
+    try:
+        b = kmeans_assign_broadcast(tie, "_qv", bc2).collect()[0]
+    finally:
+        bc2.unpersist()
+    assert (b["cluster"], b["dist"]) == (0, 4)

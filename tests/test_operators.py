@@ -1620,3 +1620,39 @@ def test_bpe_vocab_size_stop_equals_fixed_count(spark):
     # Cap respected: with an unreachable target the safety cap stops it.
     capped, _ = bpe_train(vocab, "rep", "freq", n_merges=3, vocab_size=99)
     assert len(capped) == 3
+
+
+def test_bpe_oracle_round_fragment_survives_pair_exhaustion(spark):
+    """Oracle/Spark fixpoint parity when merges EXHAUST before the
+    pinned round count: bpe_train breaks and keeps the vocabulary;
+    the unrolled DuckDB rounds must carry it forward unchanged — a
+    CROSS JOIN against the empty argmax CTE silently EMPTIED it (the
+    pipe14 risk: composed oracles over small curated subsets sit
+    close to exhaustion). Both engines run the same 8-round spec over
+    a corpus whose only pair merges in round one."""
+    import duckdb
+
+    from datapipeline_template_spark.operators.text import bpe_train
+    from datapipeline_template_spark.queries.text import _tx20_ctes
+
+    # Words: 'ab' ×3, 'a' ×2 — round 0 merges (a,b); afterwards no
+    # adjacent pairs exist anywhere.
+    vocab = spark.createDataFrame(
+        [(" a b ", 3), (" a ", 2)], "rep string, freq long"
+    )
+    merges, final_v = bpe_train(vocab, "rep", "freq", n_merges=8)
+    assert merges == [("a", "b", 3)]
+    got = {(r["rep"], r["freq"]) for r in final_v.collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents(text VARCHAR);"
+        "INSERT INTO documents VALUES ('ab ab ab a a')"
+    )
+    rows = con.sql(
+        f"WITH {_tx20_ctes()} SELECT rep, freq FROM v8"
+    ).fetchall()
+    assert {(r, f) for r, f in rows} == got == {(" ab ", 3), (" a ", 2)}
+    # The exhausted rounds' argmax CTEs are empty — the merge-table
+    # rows only exist for executed rounds, matching Spark's break.
+    assert con.sql(f"WITH {_tx20_ctes()} SELECT * FROM m1").fetchall() == []
