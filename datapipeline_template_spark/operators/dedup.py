@@ -52,6 +52,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "select_survivors",
+    "duplicate_discount_weights",
     "remove_dup_spans",
     "content_defined_chunks",
 ]
@@ -1102,3 +1103,60 @@ def content_defined_chunks(
             F.concat(acc["done"], F.array(acc["cur"]))
         ),
     )
+
+
+def duplicate_discount_weights(
+    docs: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates (the
+    ``select_survivors`` policy), keep every copy but down-weight it
+    to ``1 / cluster_size`` so each duplicate cluster contributes one
+    document's worth of sampling mass — the duplicate-discounting
+    used when curators want dedup's distributional effect without
+    losing any rephrasing/formatting diversity the copies carry
+    (cf. the soft-dedup variants studied around SemDeDup/D4; the
+    weights feed straight into epoch mixing, pk02/pipe13).
+
+    ``components`` is a (node, component) labeling over candidate-pair
+    participants (``connected_components``/``_star`` output); absent
+    documents are singletons. Emits one row per document:
+    (id, component, cluster_size, weight) with weight = 1.0 /
+    cluster_size as IEEE double (bit-identical across engines) —
+    sum(weight) == number of clusters, the "effective corpus size".
+
+    Scale shape (the ``select_survivors`` split): only documents in
+    the component map — the few-% that appeared in any candidate pair
+    — are shuffled on ``component`` for the size window; the singleton
+    mass bypasses the exchange entirely with a literal
+    (size 1, weight 1.0) via one broadcast anti-join. No driver
+    involvement."""
+    from pyspark.sql import Window
+
+    lab = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("_comp")
+    )
+    clustered = (
+        docs.select(id_col)
+        .join(lab, id_col, "inner")
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("_comp")),
+        )
+        .select(
+            id_col,
+            F.col("_comp").alias("component"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+        )
+    )
+    singletons = (
+        docs.select(id_col)
+        .join(lab.select(id_col), id_col, "left_anti")
+        .select(
+            id_col,
+            F.col(id_col).alias("component"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    return clustered.unionByName(singletons)

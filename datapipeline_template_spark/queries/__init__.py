@@ -128,6 +128,8 @@ _OVERFLOW = (
     "ss20_pq_adc_recall",
     "ss21_ivfpq_recall",
     "pipe14_training_manifest",
+    "ss22_pq_rerank_recall",
+    "dd17_duplicate_discount",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

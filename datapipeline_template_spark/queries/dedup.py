@@ -1043,3 +1043,57 @@ def dd16_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", cent,
         threshold=_DD15_TAU, proto_pct=_DD16_PROTO_PCT,
     ).orderBy("cluster", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# dd17 — duplicate-discount weights: SOFT dedup over the MinHash CC
+# clusters. Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_DD17_ORACLE = f"""
+WITH RECURSIVE {MINHASH_CC_CTES}, labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), sized AS (
+  SELECT doc_id, component,
+         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+           AS cluster_size
+  FROM labeled
+)
+SELECT doc_id, component, cluster_size,
+       CAST(1 AS DOUBLE) / cluster_size AS weight
+FROM sized
+"""
+
+
+@register("dd17_duplicate_discount", oracle=_DD17_ORACLE)
+def dd17_duplicate_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — the policy BETWEEN keep-everything and dd08's
+    drop-all-but-one: every document stays in the corpus but carries
+    sampling weight 1/cluster_size over its dd06 near-dup cluster, so
+    each cluster contributes exactly one document's worth of training
+    mass while keeping whatever formatting/rephrasing diversity the
+    copies carry. sum(weight) == cluster count == the effective corpus
+    size dd08 would keep; the weights feed epoch mixing (pk02/pipe13)
+    as duplicate-discounted sampling rates. The oracle replays
+    MinHash → LSH → recursive transitive closure (the shared
+    MINHASH_CC_CTES spec) then one size window; weight is a single
+    IEEE double divide, bit-identical across engines.
+
+    Scale shape (operators.dedup.duplicate_discount_weights): only
+    pair-participating docs shuffle on component for the size window;
+    the singleton mass — the overwhelming share of a deduplicated
+    corpus — bypasses the exchange via one broadcast anti-join with
+    literal (1, 1.0) columns."""
+    from ..operators.dedup import (
+        connected_components,
+        duplicate_discount_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return duplicate_discount_weights(docs, comp, "doc_id")

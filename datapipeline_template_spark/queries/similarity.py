@@ -2039,3 +2039,200 @@ def ss17_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("component").cast("long"), "n_nodes")
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# ss22 — ADC shortlist + exact re-rank: the two-stage retrieval shape
+# production PQ systems actually serve (shortlist cheap, re-rank exact).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_SS22_M, _SS22_SUBDIM, _SS22_KSUB, _SS22_ITER = 8, 8, 16, 2
+_SS22_NQ, _SS22_K = 50, 5
+# Shortlist depths: 5 = no re-rank headroom (the ss20 pure-ADC row),
+# then 5× and 10× over-retrieve.
+_SS22_DEPTHS = (5, 25, 50)
+
+
+def _ss22_oracle() -> str:
+    from ._kmeans_sql import kmeans_ctes
+
+    n, m, sd = _SS22_ITER, _SS22_M, _SS22_SUBDIM
+    chains, dists, adc_terms = [], [], []
+    for j in range(m):
+        a, b = j * sd + 1, (j + 1) * sd
+        chains.append(
+            kmeans_ctes(_SS22_KSUB, n, sd, prefix=f"r{j}")
+            .replace(
+                "list_transform(embedding,",
+                f"list_transform(embedding[{a}:{b}],",
+                1,
+            )
+            .replace(
+                "FROM embeddings",
+                f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+                1,
+            )
+        )
+        dists.append(f""", d{j} AS (
+  SELECT q.query_id, c.cid,
+         list_sum(list_transform(list_zip(q.qv[{a}:{b}], c.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM qry q CROSS JOIN r{j}c{n} c
+)""")
+        adc_terms.append(f"d{j}.d")
+    code_cols = ", ".join(f"s{j}.cid AS c{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN r{j}a{n} s{j} USING (vec_id)" for j in range(1, m)
+    )
+    adc_joins = ["JOIN d0 ON d0.cid = x.c0"] + [
+        f"JOIN d{j} ON d{j}.cid = x.c{j} AND d{j}.query_id = d0.query_id"
+        for j in range(1, m)
+    ]
+    depth_blocks, selects = [], []
+    for r in _SS22_DEPTHS:
+        depth_blocks.append(f""", sh{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rk
+    FROM adc) WHERE rk <= {r}
+), rr{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.qv, e.qv),
+               t -> (t[1] - t[2]) * (t[1] - t[2]))), s.neighbor_id) AS rk
+    FROM sh{r} s JOIN qry q ON q.query_id = s.query_id
+                 JOIN pqqv e ON e.vec_id = s.neighbor_id
+  ) WHERE rk <= {_SS22_K}
+), h{r} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN rr{r} r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS rerank_depth, "
+            f"(SELECT n_truth FROM tc) AS n_truth, "
+            f"(SELECT n_hit FROM h{r}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{r}) AS DOUBLE) / "
+            f"(SELECT n_truth FROM tc) AS recall"
+        )
+    sql = f"""WITH {', '.join(chains)}
+, pqqv AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+){_ss_l2_truth_sql('pqqv', _SS22_NQ, _SS22_K)}
+, codes AS (
+  SELECT s0.vec_id, {code_cols}
+  FROM r0a{n} s0 {code_joins}
+){''.join(dists)}, adc AS (
+  SELECT d0.query_id, x.vec_id AS neighbor_id,
+         {' + '.join(adc_terms)} AS adc
+  FROM codes x {' '.join(adc_joins)}
+  WHERE x.vec_id != d0.query_id
+){''.join(depth_blocks)}
+{' UNION ALL '.join(selects)}
+ORDER BY rerank_depth"""
+    # The ss20 DuckDB lesson: unmaterialized fit chains + scalar
+    # subqueries re-expand per reference and spill; MATERIALIZED pins
+    # one evaluation per CTE.
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss22_pq_rerank_recall", oracle=_ss22_oracle())
+def ss22_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist → EXACT re-rank, recall-accounted per shortlist
+    depth — the two-stage serving shape every production PQ system
+    runs (Jégou et al. 2011 §V-C): the compressed index proposes a
+    cheap over-retrieved shortlist (depth R per query, m array
+    lookups + adds per candidate), then ONLY those R rows' raw
+    vectors are fetched and re-scored with the exact int-L2 distance.
+    Recall is bounded above by shortlist COVERAGE (a truth neighbor
+    ADC-ranked past R is unrecoverable) — the rows quantify exactly
+    how much over-retrieval buys back the PQ quantization error that
+    ss20 measures: at depth 5 re-ranking cannot help (the shortlist
+    IS the answer set, ss20's m=8 row), at 5×/10× over-retrieval the
+    exact pass recovers the truth neighbors PQ mis-ranked within the
+    widened shortlist. Measured hash-pinned at sf0.01 (truth = exact
+    int-L2 top-5, 250 pairs): depth 5/25/50 → recall 25.2% / 56.8% /
+    74.4% — a 10×-over-retrieve exact re-rank buys back 3× the
+    recall of raw ADC at a per-query cost of 50 distance evals.
+
+    Scale shape: the shortlist stage is ss20's bounded-eval ADC here
+    (compose with IVF routing per ss21 at corpus scale); the re-rank
+    stage joins nq·R shortlist rows — NOT the corpus — to the raw
+    vectors on their ids, so its cost is per-query-constant at any
+    corpus size: exactly why serving systems can afford an exact
+    re-rank pass over a 100 TB index. Every stage (8 sub-codebook
+    fits, encode, ADC ranking, exact re-rank) is exact-int and
+    DuckDB-replayed; recalls are hash-pinned."""
+    from ..functions import dot_expanded, norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import pq_adc_topk, pq_codebooks, pq_encode
+    from pyspark.sql import Window
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    queries = emb.where(F.col("vec_id") < _SS22_NQ)
+    books = pq_codebooks(
+        emb, "vec_id", "embedding", m=_SS22_M, sub_dim=_SS22_SUBDIM,
+        k_sub=_SS22_KSUB, n_iter=_SS22_ITER,
+    )
+    codes = pq_encode(
+        emb, "vec_id", "embedding", books, sub_dim=_SS22_SUBDIM
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS22_NQ, _SS22_K)
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    qside = qv.where(F.col("vec_id") < _SS22_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    nside = qv.select(
+        F.col("vec_id").alias("neighbor_id"), "_qv", "_n"
+    )
+    exact = (
+        F.col("_qn") + F.col("_n")
+        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for depth in _SS22_DEPTHS:
+        short = pq_adc_topk(
+            codes, queries, "vec_id", "embedding", books,
+            sub_dim=_SS22_SUBDIM, k=depth,
+        ).select("query_id", "neighbor_id")
+        rer = (
+            short.join(qside, "query_id")
+            .join(nside, "neighbor_id")
+            .select("query_id", "neighbor_id", exact.alias("_d"))
+            .withColumn("_r", F.row_number().over(wt))
+            .where(F.col("_r") <= _SS22_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = rer.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = (
+            F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        )
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(depth).cast("long").alias("rerank_depth"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rerank_depth")

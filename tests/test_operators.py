@@ -1656,3 +1656,29 @@ def test_bpe_oracle_round_fragment_survives_pair_exhaustion(spark):
     # The exhausted rounds' argmax CTEs are empty — the merge-table
     # rows only exist for executed rounds, matching Spark's break.
     assert con.sql(f"WITH {_tx20_ctes()} SELECT * FROM m1").fetchall() == []
+
+
+def test_duplicate_discount_weights(spark):
+    """Soft-dedup weights: clustered docs get 1/cluster_size, docs
+    absent from the component map are singletons at weight 1.0, and
+    sum(weight) equals the cluster count (the effective corpus size
+    select_survivors would keep)."""
+    from datapipeline_template_spark.operators.dedup import (
+        duplicate_discount_weights,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # {1,2,3} one cluster, {4,5} another, 6 a singleton.
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "node long, component long"
+    )
+    rows = {
+        r["doc_id"]: (r["component"], r["cluster_size"], r["weight"])
+        for r in duplicate_discount_weights(docs, comp, "doc_id").collect()
+    }
+    third = 1.0 / 3
+    assert rows == {
+        1: (1, 3, third), 2: (1, 3, third), 3: (1, 3, third),
+        4: (4, 2, 0.5), 5: (4, 2, 0.5), 6: (6, 1, 1.0),
+    }
+    assert abs(sum(w for _, _, w in rows.values()) - 3.0) < 1e-12
