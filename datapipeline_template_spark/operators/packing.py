@@ -34,6 +34,7 @@ from .sampling import sample_hash_bucket
 
 __all__ = [
     "pack_sequences",
+    "pack_sequences_nosplit",
     "whitespace_token_count",
     "mix_sources",
     "train_split",
@@ -191,3 +192,71 @@ def mix_sources(
         .where((F.col("epoch") < F.col("_k")) | (bucket < F.col("_ft")))
         .drop("_k", "_ft")
     )
+
+
+def pack_sequences_nosplit(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n_shards: int,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """NO-SPLIT packing: the pack_sequences layout (same poly-hash
+    shuffle key, same shard assignment, same per-shard order) but a
+    document never crosses a sequence boundary — when the current
+    sequence lacks room, the doc opens a fresh one at offset 0 (the
+    shelf/greedy bin packing every instruction-tuning pipeline uses,
+    where splitting an example mid-document corrupts it; contrast
+    pretraining's contiguous-concat pack_sequences). An oversize doc
+    (weight > budget) still gets placed, alone, at offset 0 of its own
+    overflowing sequence; the NEXT doc always opens a new one. The
+    price of whole documents is padding: (budget - fill) dead tokens
+    wherever a boundary forces a break — pk08 accounts for it.
+
+    Placement is inherently SEQUENTIAL within a shard (each doc's
+    offset depends on every prior doc's), so this is the sanctioned
+    Arrow path: one ``applyInPandas`` over the shard — the PARALLEL
+    grain stays the shard exactly as in pack_sequences (at 100 TB you
+    raise n_shards, not the per-task algorithm; a shard's rows already
+    had to fit one task's window sort there). The per-shard loop is a
+    numpy-backed linear scan. DuckDB replays it with a recursive CTE
+    stepping row-rank in lockstep across shards (pk08's oracle), so
+    the layout stays engine-portable despite being non-window SQL."""
+    import pandas as pd
+
+    if n_shards <= 0 or budget <= 0:
+        raise ValueError("n_shards and budget must be positive")
+    skey = poly_hash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    staged = (
+        df.select(F.col(id_col), skey.alias("_skey"), weight.cast("long").alias("_tok"))
+        .withColumn("shard", (F.col("_skey") % n_shards).cast("int"))
+    )
+
+    schema = (
+        f"{id_col} long, shard int, seq_in_shard long, "
+        "offset_in_seq long, n_tokens long"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_skey", id_col], kind="mergesort")
+        toks = pdf["_tok"].to_numpy()
+        seqs, offs = [], []
+        seq, cum = 0, 0
+        for t in toks:
+            if cum > 0 and cum + t > budget:
+                seq, cum = seq + 1, 0
+            seqs.append(seq)
+            offs.append(cum)
+            cum += t
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "seq_in_shard": seqs,
+                "offset_in_seq": offs,
+                "n_tokens": toks,
+            }
+        )
+
+    return staged.groupBy("shard").applyInPandas(_pack, schema)

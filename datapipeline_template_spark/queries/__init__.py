@@ -131,6 +131,7 @@ _OVERFLOW = (
     "ss22_pq_rerank_recall",
     "dd17_duplicate_discount",
     "tx22_source_overlap",
+    "pk08_nosplit_packing",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

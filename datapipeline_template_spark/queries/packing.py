@@ -23,16 +23,11 @@ from ..operators.packing import (
 )
 from . import register
 
-def _pack_sql(
-    tok_src: str, salt: str = "42", n_shards: int = 8, budget: int = 256
-) -> str:
-    """The keyed/sharded/packed CTE chain + final SELECT replaying
-    ``operators.packing.pack_sequences`` over ``tok_src`` — any
-    relation/CTE exposing (doc_id, tok). The SINGLE packing-SQL
-    implementation (poly-hash shuffle key, shard = skey % n_shards,
-    per-shard running token sum, budget DIV/MOD layout) shared by
-    pk01, pk07 and pipe14 so a packing-spec change can never drift
-    between their oracles."""
+def _keyed_sharded_sql(tok_src: str, salt: str, n_shards: int) -> str:
+    """keyed/sharded: the poly-hash shuffle key + shard assignment over
+    ``tok_src`` (doc_id, tok) — the layout spec every packing oracle
+    shares (split policies differ downstream: pk01's running-sum
+    spill-across vs pk08's no-split shelf)."""
     return f""", keyed AS (
   SELECT doc_id, tok,
          list_reduce(
@@ -45,7 +40,20 @@ def _pack_sql(
 ), sharded AS (
   SELECT doc_id, skey, tok,
          CAST(skey % {n_shards} AS INTEGER) AS shard FROM keyed
-), packed AS (
+)"""
+
+
+def _pack_sql(
+    tok_src: str, salt: str = "42", n_shards: int = 8, budget: int = 256
+) -> str:
+    """The keyed/sharded/packed CTE chain + final SELECT replaying
+    ``operators.packing.pack_sequences`` over ``tok_src`` — any
+    relation/CTE exposing (doc_id, tok). The SINGLE packing-SQL
+    implementation (poly-hash shuffle key, shard = skey % n_shards,
+    per-shard running token sum, budget DIV/MOD layout) shared by
+    pk01, pk07 and pipe14 so a packing-spec change can never drift
+    between their oracles."""
+    return f"""{_keyed_sharded_sql(tok_src, salt, n_shards)}, packed AS (
   SELECT doc_id, shard, tok,
          SUM(tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
                         ROWS UNBOUNDED PRECEDING) AS cum
@@ -58,13 +66,17 @@ SELECT doc_id, shard,
 FROM packed"""
 
 
-_PK01_ORACLE = f"""
-WITH tok01 AS (
+# Whitespace token weights over documents — the (doc_id, tok) source
+# CTE shared by the pk01 and pk08 packing oracles.
+_WS_TOK_CTE = """tok01 AS (
   SELECT doc_id,
          COALESCE(CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT),
                   0) AS tok
   FROM documents
-){_pack_sql('tok01')}
+)"""
+
+_PK01_ORACLE = f"""
+WITH {_WS_TOK_CTE}{_pack_sql('tok01')}
 """
 
 
@@ -491,3 +503,69 @@ def manifest_from_flags(
         budget=_PIPE14_BUDGET,
         salt=_PIPE14_SALT,
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pk08 — no-split (shelf) sequence packing: whole documents only.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_PK08_BUDGET = 256
+
+_PK08_ORACLE = f"""
+WITH RECURSIVE {_WS_TOK_CTE}{_keyed_sharded_sql('tok01', '42', 8)}, ord AS (
+  SELECT doc_id, shard, tok,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS rn
+  FROM sharded
+), rec AS (
+  SELECT shard, rn, doc_id, tok,
+         CAST(0 AS BIGINT) AS seq,
+         CAST(0 AS BIGINT) AS off,
+         tok AS cum_after
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.tok,
+         CASE WHEN r.cum_after > 0 AND r.cum_after + o.tok > {_PK08_BUDGET}
+              THEN r.seq + 1 ELSE r.seq END,
+         CASE WHEN r.cum_after > 0 AND r.cum_after + o.tok > {_PK08_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE r.cum_after END,
+         CASE WHEN r.cum_after > 0 AND r.cum_after + o.tok > {_PK08_BUDGET}
+              THEN o.tok ELSE r.cum_after + o.tok END
+  FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, shard, seq AS seq_in_shard, off AS offset_in_seq,
+       tok AS n_tokens
+FROM rec
+"""
+
+
+@register("pk08_nosplit_packing", oracle=_PK08_ORACLE)
+def pk08_nosplit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-document packing — pk01's layout with the one rule
+    instruction-tuning corpora need: a document never crosses a
+    sequence boundary (splitting an example mid-text corrupts it), so
+    when the current sequence lacks room the doc opens a fresh one and
+    the gap is padding. Same shuffle key, shard assignment and
+    per-shard order as pk01 (the shared ``_keyed_sharded_sql`` spec);
+    only the split policy differs.
+
+    This is the engine's sanctioned-Python showcase: per-shard
+    placement is inherently SEQUENTIAL (each offset depends on every
+    prior doc), inexpressible as a window — so the operator
+    (``pack_sequences_nosplit``) runs ONE Arrow-batched
+    ``applyInPandas`` per shard, the parallel grain staying the shard
+    exactly as in pk01 (at 100 TB raise n_shards, not the per-task
+    algorithm). The DuckDB oracle replays the same recurrence with a
+    RECURSIVE CTE stepping row-rank in lockstep across shards —
+    hash-green, so even the non-window policy stays engine-portable."""
+    from ..operators.packing import pack_sequences_nosplit
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences_nosplit(
+        docs.select("doc_id", whitespace_token_count("text").alias("_tok")),
+        id_col="doc_id",
+        weight=F.col("_tok"),
+        n_shards=8,
+        budget=_PK08_BUDGET,
+        salt="42",
+    )

@@ -1682,3 +1682,56 @@ def test_duplicate_discount_weights(spark):
         4: (4, 2, 0.5), 5: (4, 2, 0.5), 6: (6, 1, 1.0),
     }
     assert abs(sum(w for _, _, w in rows.values()) - 3.0) < 1e-12
+
+
+def test_pack_sequences_nosplit_semantics(spark):
+    """No-split shelf packing: docs never cross a sequence boundary;
+    a doc that doesn't fit opens a fresh sequence at offset 0; an
+    OVERSIZE doc (> budget) sits alone in its own overflowing
+    sequence without leaving an empty one behind; and the layout
+    matches a hand-computed recurrence on one shard."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    # One shard (n_shards=1): order is by (skey, id). Weights chosen
+    # so with budget 10: fit/fit/break/oversize/fresh patterns occur.
+    df = spark.createDataFrame(
+        [(1, 4), (2, 5), (3, 3), (4, 25), (5, 2)], "doc_id long, w long"
+    )
+    out = {
+        r["doc_id"]: (r["seq_in_shard"], r["offset_in_seq"], r["n_tokens"])
+        for r in pack_sequences_nosplit(
+            df, "doc_id", F.col("w"), n_shards=1, budget=10, salt="t"
+        ).collect()
+    }
+    # Recompute the expected layout with the same recurrence over the
+    # same (skey, id) order the operator uses.
+    from datapipeline_template_spark.functions import POLY_BASE, POLY_P
+
+    def _ph(text):
+        acc = 0
+        for ch in text:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+        return acc
+
+    order = sorted(out, key=lambda d: (_ph(f"t:{d}"), d))
+    weights = dict((r["doc_id"], r["w"]) for r in df.collect())
+    seq = cum = 0
+    expect = {}
+    for d in order:
+        t = weights[d]
+        if cum > 0 and cum + t > 10:
+            seq, cum = seq + 1, 0
+        expect[d] = (seq, cum, t)
+        cum += t
+    assert out == expect
+    # Structural invariants: no non-oversize doc crosses a boundary,
+    # every oversize doc sits at offset 0.
+    for d, (s, off, t) in out.items():
+        if t <= 10:
+            assert off + t <= 10
+        else:
+            assert off == 0
