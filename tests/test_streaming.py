@@ -1292,3 +1292,65 @@ def test_incremental_ivfpq_matches_batch(spark, tmp_path, sf_dir):
     )
     assert empty.index(spark).count() == 0
     assert empty.index(spark).columns == cols
+
+
+def test_incremental_source_overlap_matches_batch_tx22(spark, tmp_path, sf_dir):
+    """Tenth incremental family: drain the documents corpus in TWO
+    AvailableNow passes, then the maintained overlap matrix must equal
+    the batch tx22 matrix over every document seen — |A|, |B| and
+    |A ∩ B| are additive over never-seen (source, shingle) rows, with
+    each pair contribution emitted in the batch where its LATER member
+    arrives. Replays are marker-skip no-ops; a lost marker with data
+    landed self-repairs via the per-batch overwrite."""
+    import os
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.queries import load_all
+    from datapipeline_template_spark.streaming.overlap import (
+        IncrementalSourceOverlap,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    schema_str = "doc_id long, source string, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "ovl_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    inc = IncrementalSourceOverlap(store)
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    def key(rows):
+        return {
+            (r["src_a"], r["src_b"]): (
+                r["n_a"], r["n_b"], r["n_shared"], r["jaccard"]
+            )
+            for r in rows
+        }
+
+    want = key(
+        load_all()["tx22_source_overlap"].fn(spark, sf_dir).collect()
+    )
+    assert want, "fixture must produce overlapping source pairs"
+    got = key(inc.overlap(spark).collect())
+    assert got == want
+
+    # Replay safety: same batch_id is a marker-skip no-op.
+    inc.process_batch(b1, batch_id=0)
+    assert key(inc.overlap(spark).collect()) == want
+
+    # Crash window: marker for batch 1 lost after data landed —
+    # reprocessing overwrites identical bytes, deltas unchanged.
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert key(inc.overlap(spark).collect()) == want
