@@ -111,6 +111,14 @@ SECONDARY = [
     "tx21b_bpe_encode_bytes",
     "ss20_pq_adc_recall",
     "ss21_ivfpq_recall",
+    # pipe14 composes the same extended curation pass pipe12 already
+    # prices in full; its manifest stage is timed as a MARGINAL in the
+    # curation_shared scenario (the r8 rule: one full-composition row,
+    # everything else marginal) — no standalone row.
+    "ss22_pq_rerank_recall",
+    "dd17_duplicate_discount",
+    "tx22_source_overlap",
+    "pk08_nosplit_packing",
 ]
 
 

@@ -1127,9 +1127,11 @@ def duplicate_discount_weights(
     Scale shape (the ``select_survivors`` split): only documents in
     the component map — the few-% that appeared in any candidate pair
     — are shuffled on ``component`` for the size window; the singleton
-    mass bypasses the exchange entirely with a literal
-    (size 1, weight 1.0) via one broadcast anti-join. No driver
-    involvement."""
+    mass never enters that exchange, exiting through an id anti-join
+    with literal (size 1, weight 1.0) columns instead. The anti-join
+    itself is left to Catalyst/AQE: the component map is the clustered
+    few-% of the corpus — broadcastable at test scale, a plain id
+    shuffle when it isn't. No driver involvement."""
     from pyspark.sql import Window
 
     lab = components.select(

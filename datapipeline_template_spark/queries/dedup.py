@@ -1083,8 +1083,10 @@ def dd17_duplicate_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (operators.dedup.duplicate_discount_weights): only
     pair-participating docs shuffle on component for the size window;
     the singleton mass — the overwhelming share of a deduplicated
-    corpus — bypasses the exchange via one broadcast anti-join with
-    literal (1, 1.0) columns."""
+    corpus — never enters that exchange, exiting through an id
+    anti-join with literal (1, 1.0) columns (join strategy left to
+    Catalyst/AQE: broadcast when the component map fits, id shuffle
+    when it doesn't)."""
     from ..operators.dedup import (
         connected_components,
         duplicate_discount_weights,

@@ -530,3 +530,48 @@ def test_kmeans_assign_join_partial_min_and_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_min" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ss22_rerank_stage_no_cartesian(spark):
+    """Two-stage retrieval plan shape: the exact re-rank joins the
+    nq·depth shortlist to raw vectors on their ids — equi-joins only,
+    never a cartesian re-expansion of the corpus. (The ADC shortlist
+    itself is ss20's bounded-eval theta join, which Spark plans as
+    broadcast nested loop — bounded by the eval slice, not corpus²;
+    what must never appear is an unconstrained CartesianProduct.)"""
+    plan = _plan(spark, "ss22_pq_rerank_recall")
+    assert "CartesianProduct" not in plan
+    # The re-rank top-k runs as a rank window, not a global sort+limit.
+    assert "row_number" in plan
+
+
+def test_dd17_singletons_skip_component_shuffle(spark):
+    """Soft-dedup plan shape: only pair-participating docs reach the
+    component-partitioned size window (exactly ONE exchange on the
+    window key); the singleton mass exits through an id LEFT ANTI
+    join with literal columns and never touches that exchange."""
+    plan = _plan(spark, "dd17_duplicate_discount")
+    assert "LeftAnti" in plan
+    # Exactly one hash exchange on the component window key (_comp) —
+    # the clustered subset; the anti-join branch adds none.
+    assert plan.count("Exchange hashpartitioning(_comp") == 1
+
+
+def test_tx22_pairs_without_shingle_self_join(spark):
+    """Source-overlap plan shape: pair construction explodes each
+    shingle's sorted source set in-task — no shingle self-join, no
+    cartesian; the only joins are the two broadcast attaches of the
+    per-source totals."""
+    plan = _plan(spark, "tx22_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # totals broadcast; no big join
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_pk08_single_shard_exchange_into_pandas(spark):
+    """No-split packing plan shape: ONE hash exchange on shard feeding
+    one Arrow-batched FlatMapGroupsInPandas — the sequential placement
+    never widens past its shard, and nothing else shuffles."""
+    plan = _plan(spark, "pk08_nosplit_packing")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -530,6 +530,54 @@ def main() -> None:
         ],
     )
 
+    section(
+        "ss22_pq_rerank_recall",
+        "two-stage retrieval: the exact re-rank joins the nq·depth ADC "
+        "shortlist to raw vectors on their ids (equi-joins) and ranks "
+        "inside a per-query window — per-query-constant cost at any "
+        "corpus size; no CartesianProduct anywhere",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)"),
+            ("Re-rank window", r"Window \[row_number\(\)[^\n]{0,60}"),
+        ],
+    )
+
+    section(
+        "dd17_duplicate_discount",
+        "soft dedup: the size window shuffles only pair-participating "
+        "docs on the component key; the singleton mass exits through "
+        "an id LEFT ANTI join with literal (1, 1.0) columns and never "
+        "touches that exchange",
+        [
+            ("Singleton anti-join", r"(?:SortMergeJoin|BroadcastHashJoin) [^\n]{0,60}LeftAnti"),
+            ("Component-window exchange", r"Exchange hashpartitioning\(_comp[^)]{0,40}"),
+        ],
+    )
+
+    section(
+        "tx22_source_overlap",
+        "source-overlap matrix: pairs are built by exploding each "
+        "shingle's sorted source set in-task (a hot shingle costs "
+        "|sources|², never corpus²) — no shingle self-join; the only "
+        "joins are two broadcast total attaches",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)"),
+            ("Distinct + per-shingle aggs", r"Exchange hashpartitioning\([^)]{0,50}"),
+        ],
+    )
+
+    section(
+        "pk08_nosplit_packing",
+        "no-split shelf packing: ONE hash exchange on shard into one "
+        "Arrow-batched FlatMapGroupsInPandas — the inherently "
+        "sequential placement stays inside its shard, the parallel "
+        "grain at 100 TB",
+        [
+            ("Arrow group map", r"FlatMapGroupsInPandas[^\n]{0,60}"),
+            ("Single exchange", r"Exchange hashpartitioning\(shard[^)]{0,30}"),
+        ],
+    )
+
 
 if __name__ == "__main__":
     main()
