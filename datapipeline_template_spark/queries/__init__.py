@@ -132,6 +132,7 @@ _OVERFLOW = (
     "dd17_duplicate_discount",
     "tx22_source_overlap",
     "pk08_nosplit_packing",
+    "ss23_filtered_ann",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -575,3 +575,13 @@ def test_pk08_single_shard_exchange_into_pandas(spark):
     plan = _plan(spark, "pk08_nosplit_packing")
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ss23_label_filter_pushed_to_scan(spark):
+    """Filtered-ANN plan shape: the pre-filter predicate reaches the
+    parquet scan (PushedFilters EqualTo(label,3)) so matching rows are
+    pruned BEFORE the cell join at any corpus size, and nothing plans
+    as a cartesian product."""
+    plan = _plan(spark, "ss23_filtered_ann")
+    assert "EqualTo(label,3)" in plan
+    assert "CartesianProduct" not in plan

@@ -567,6 +567,18 @@ def main() -> None:
     )
 
     section(
+        "ss23_filtered_ann",
+        "filtered vector search: the pre-filter predicate is pushed "
+        "into the parquet scan (EqualTo(label,3)) so matching rows "
+        "prune BEFORE the cell equi-join — query-time filtering inside "
+        "the frozen index, no rebuild, no post-hoc recall loss",
+        [
+            ("Predicate pushdown", r"PushedFilters: \[[^\]]*EqualTo\(label[^\]]*\]"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)"),
+        ],
+    )
+
+    section(
         "pk08_nosplit_packing",
         "no-split shelf packing: ONE hash exchange on shard into one "
         "Arrow-batched FlatMapGroupsInPandas — the inherently "
