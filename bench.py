@@ -119,6 +119,7 @@ SECONDARY = [
     "dd17_duplicate_discount",
     "tx22_source_overlap",
     "pk08_nosplit_packing",
+    "ss23_filtered_ann",
 ]
 
 

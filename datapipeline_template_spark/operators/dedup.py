@@ -1119,7 +1119,12 @@ def duplicate_discount_weights(
 
     ``components`` is a (node, component) labeling over candidate-pair
     participants (``connected_components``/``_star`` output); absent
-    documents are singletons. Emits one row per document:
+    documents are singletons. INVARIANT: component labels must be
+    member node ids (CC output guarantees label = min member id) —
+    a relabeled map whose labels collide with ABSENT doc_ids would
+    make a singleton's (component = own id) row ambiguous against a
+    cluster's, where the oracle's single COALESCE window would merge
+    them. Emits one row per document:
     (id, component, cluster_size, weight) with weight = 1.0 /
     cluster_size as IEEE double (bit-identical across engines) —
     sum(weight) == number of clusters, the "effective corpus size".

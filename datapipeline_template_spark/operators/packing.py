@@ -26,6 +26,7 @@ but REPRODUCIBLE order. Three properties matter at 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -219,10 +220,13 @@ def pack_sequences_nosplit(
     Arrow path: one ``applyInPandas`` over the shard — the PARALLEL
     grain stays the shard exactly as in pack_sequences (at 100 TB you
     raise n_shards, not the per-task algorithm; a shard's rows already
-    had to fit one task's window sort there). The per-shard loop is a
-    numpy-backed linear scan. DuckDB replays it with a recursive CTE
-    stepping row-rank in lockstep across shards (pk08's oracle), so
-    the layout stays engine-portable despite being non-window SQL."""
+    had to fit one task's window sort there). The recurrence itself is
+    an interpreted per-row Python loop — unavoidable, it IS the
+    sequential dependency — over numpy in/out arrays; size n_shards so
+    a shard's row count keeps that loop's share of task time small.
+    DuckDB replays it with a recursive CTE stepping row-rank in
+    lockstep across shards (pk08's oracle), so the layout stays
+    engine-portable despite being non-window SQL."""
     import pandas as pd
 
     if n_shards <= 0 or budget <= 0:
@@ -241,13 +245,14 @@ def pack_sequences_nosplit(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_skey", id_col], kind="mergesort")
         toks = pdf["_tok"].to_numpy()
-        seqs, offs = [], []
+        seqs = np.empty(len(toks), dtype=np.int64)
+        offs = np.empty(len(toks), dtype=np.int64)
         seq, cum = 0, 0
-        for t in toks:
+        for i, t in enumerate(toks):
             if cum > 0 and cum + t > budget:
                 seq, cum = seq + 1, 0
-            seqs.append(seq)
-            offs.append(cum)
+            seqs[i] = seq
+            offs[i] = cum
             cum += t
         return pd.DataFrame(
             {

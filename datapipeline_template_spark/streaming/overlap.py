@@ -178,37 +178,51 @@ class IncrementalSourceOverlap:
 
     # -- reads -------------------------------------------------------------
 
+    def _read_or_empty(
+        self, spark: SparkSession, path: str, schema_str: str
+    ) -> DataFrame:
+        """Read a delta table, or a typed empty frame when the store
+        legitimately has no rows yet (no drain, or every batch wrote
+        an empty delta — dynamic-partition overwrite of an empty frame
+        creates NO files, so the directory may be absent or
+        footerless). The absence check is explicit (isdir), never a
+        broad except that would also swallow real read errors."""
+        from pyspark.sql import types as T
+
+        empty = spark.createDataFrame([], T._parse_datatype_string(schema_str))
+        if not os.path.isdir(path):
+            return empty
+        try:
+            return spark.read.schema(
+                T._parse_datatype_string(schema_str + ", _batch int")
+            ).parquet(path).drop("_batch")
+        except Exception as exc:  # pragma: no cover - footerless dir
+            # partitionBy of an all-empty delta can leave a directory
+            # with no parquet footers; an explicit schema read usually
+            # handles it, so anything else is a REAL error.
+            if "PATH_NOT_FOUND" in str(exc) or "Unable to infer" in str(exc):
+                return empty
+            raise
+
     def overlap(self, spark: SparkSession) -> DataFrame:
         """The tx22 matrix over every document seen: per source pair
         (src_a < src_b) with any sharing, distinct-shingle sizes,
         shared count, exact Jaccard — a SUM over the maintained deltas,
-        never a recomputation."""
+        never a recomputation. Before any drain (or after only
+        zero-shingle batches) the matrix is legitimately EMPTY."""
         tot = (
-            spark.read.parquet(self._tot_path)
+            self._read_or_empty(spark, self._tot_path, "source string, d long")
             .groupBy("source")
             .agg(F.sum("d").cast("long").alias("n"))
         )
-        try:
-            shared = (
-                spark.read.parquet(self._pairs_path)
-                .groupBy("src_a", "src_b")
-                .agg(F.sum("d").cast("long").alias("n_shared"))
+        shared = (
+            self._read_or_empty(
+                spark, self._pairs_path,
+                "src_a string, src_b string, d long",
             )
-        except Exception:
-            # Legitimate state: no batch has produced a shared shingle
-            # yet — an empty matrix, not a read error.
-            from pyspark.sql import types as T
-
-            shared = spark.createDataFrame(
-                [],
-                T.StructType(
-                    [
-                        T.StructField("src_a", T.StringType()),
-                        T.StructField("src_b", T.StringType()),
-                        T.StructField("n_shared", T.LongType()),
-                    ]
-                ),
-            )
+            .groupBy("src_a", "src_b")
+            .agg(F.sum("d").cast("long").alias("n_shared"))
+        )
         ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
         tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
         jac = F.col("n_shared").cast("double") / (

@@ -1354,3 +1354,39 @@ def test_incremental_source_overlap_matches_batch_tx22(spark, tmp_path, sf_dir):
     os.remove(os.path.join(store, "_commits", "1"))
     inc.process_batch(b2, batch_id=1)
     assert key(inc.overlap(spark).collect()) == want
+
+
+def test_incremental_source_overlap_empty_states(spark, tmp_path):
+    """overlap() before ANY drain is a typed empty matrix (no store
+    directories yet), and a drained batch whose texts produce no
+    k-shingles leaves the matrix empty rather than erroring on a
+    footerless delta directory."""
+    from datapipeline_template_spark.streaming.overlap import (
+        IncrementalSourceOverlap,
+    )
+
+    inc = IncrementalSourceOverlap(str(tmp_path / "empty_store"))
+    out = inc.overlap(spark)
+    assert out.columns == [
+        "src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard",
+    ]
+    assert out.count() == 0
+
+    # One-word docs tokenize below k=3 -> zero shingles... actually
+    # shingle_tokens pads short docs to ONE shingle, so use empty text
+    # (tokenize('') -> [''] -> one hash) — the real zero-delta case is
+    # a batch whose every (source, shingle) row is already stored:
+    # drain the same batch twice under two batch ids.
+    docs = spark.createDataFrame(
+        [(1, "srcA", "alpha beta gamma delta")],
+        "doc_id long, source string, text string",
+    )
+    inc.process_batch(docs, batch_id=0)
+    first = {
+        (r["src_a"], r["src_b"]) for r in inc.overlap(spark).collect()
+    }
+    assert first == set()  # single source: totals exist, no pairs
+    # Re-delivery under a NEW batch id: all rows already stored ->
+    # empty deltas everywhere; overlap() must still read cleanly.
+    inc.process_batch(docs, batch_id=1)
+    assert inc.overlap(spark).count() == 0
