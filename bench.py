@@ -109,13 +109,13 @@ SECONDARY = [
     "ss19_or_union_chooser",
     "tx20b_bpe_train_bytes",
     "tx21b_bpe_encode_bytes",
-    "ss20_pq_adc_recall",
+    # ss20/ss22 refit the same PQ codebooks ss21 fits; they are priced
+    # as MARGINALS in the pq_shared scenario (the curation_shared rule:
+    # one full-composition row per shared artifact) — ss21, the
+    # corpus-scale IVF-PQ shape, is that row. Same rule keeps pipe14
+    # out: its manifest stage is a curation_shared marginal; pipe12 is
+    # the curation family's full-composition row.
     "ss21_ivfpq_recall",
-    # pipe14 composes the same extended curation pass pipe12 already
-    # prices in full; its manifest stage is timed as a MARGINAL in the
-    # curation_shared scenario (the r8 rule: one full-composition row,
-    # everything else marginal) — no standalone row.
-    "ss22_pq_rerank_recall",
     "dd17_duplicate_discount",
     "tx22_source_overlap",
     "pk08_nosplit_packing",
@@ -219,6 +219,136 @@ def _clustering_shared_scenario(spark, sf_dir):
         "n_clusters": n_clusters,
         "n_marks": n_marks,
         "n_retrieved": n_ret,
+        "parity": parity,
+    }
+
+
+def _pq_shared_scenario(spark, sf_dir):
+    """The production shape of the PQ family (the curation_shared rule
+    applied to retrieval): registry queries are stateless by contract,
+    so ss20/ss21/ss22 each refit the SAME 8 sub-codebooks and re-encode
+    the corpus. A real index fits ONCE (FAISS train()), encodes ONCE
+    (add()), and serves every consumer from the shared artifact. This
+    scenario prices exactly that: one codebook fit, one checkpointed
+    encode, then the MARGINAL cost of each consumer — full-ADC
+    shortlist (the ss20 core), exact re-rank over the shortlist (the
+    ss22 core), and cell-routed IVF-PQ search (the ss21 core; its
+    marginal includes the coarse quantizer fit, which is part of that
+    consumer, not of PQ). Parity: a fresh standalone fit must equal
+    the shared codebooks bit-for-bit (the determinism that makes the
+    sharing safe). ss21 stays in SECONDARY as the single
+    full-composition timing row; ss20/ss22 are priced here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.functions import (
+        dot_expanded,
+        norm_sq_prequantized,
+        quantize_vec,
+    )
+    from datapipeline_template_spark.operators.clustering import (
+        ivf_pq_adc_topk,
+        kmeans_assign,
+        kmeans_fit,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from datapipeline_template_spark.queries.similarity import _SS_EVAL_SLICE
+
+    m, sub_dim, k_sub, n_iter = 8, 8, 16, 2
+    nq, k, depth, n_probe, coarse_k = 50, 5, 50, 2, 8
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    queries = emb.where(F.col("vec_id") < nq)
+
+    t = time.perf_counter()
+    books = pq_codebooks(
+        emb, "vec_id", "embedding", m=m, sub_dim=sub_dim,
+        k_sub=k_sub, n_iter=n_iter,
+    )
+    fit_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    codes = pq_encode(
+        emb, "vec_id", "embedding", books, sub_dim=sub_dim
+    ).localCheckpoint(eager=True)
+    encode_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        pq_adc_topk(
+            codes, queries, "vec_id", "embedding", books,
+            sub_dim=sub_dim, k=depth,
+        )
+        .withColumn("_rk", F.row_number().over(wadc))
+        .select("query_id", "neighbor_id", "_rk")
+        .localCheckpoint(eager=True)
+    )
+    n_short = short.count()
+    adc_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    )
+    qside = qv.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
+    exact = (
+        F.col("_qn") + F.col("_n")
+        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    n_rerank = (
+        short.join(qside, "query_id")
+        .join(nside, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("_d"))
+        .withColumn("_r", F.row_number().over(wt))
+        .where(F.col("_r") <= k)
+        .count()
+    )
+    rerank_sec = time.perf_counter() - t
+
+    t = time.perf_counter()
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=coarse_k, n_iter=n_iter)
+    cells = kmeans_assign(
+        emb.select("vec_id", quantize_vec("embedding").alias("_cq")),
+        "_cq", cent,
+    ).select("vec_id", "cluster")
+    n_ivfpq = ivf_pq_adc_topk(
+        codes.join(cells, "vec_id"), queries, "vec_id", "embedding",
+        cent, books, sub_dim=sub_dim, k=k, n_probe=n_probe,
+    ).count()
+    ivfpq_sec = time.perf_counter() - t
+
+    # Shared-artifact safety: a standalone refit is bit-identical.
+    parity = pq_codebooks(
+        emb, "vec_id", "embedding", m=m, sub_dim=sub_dim,
+        k_sub=k_sub, n_iter=n_iter,
+    ) == books
+    return {
+        "fit_sec": round(fit_sec, 4),
+        "encode_checkpoint_sec": round(encode_sec, 4),
+        "adc_shortlist_marginal_sec": round(adc_sec, 4),
+        "rerank_marginal_sec": round(rerank_sec, 4),
+        "ivfpq_marginal_sec": round(ivfpq_sec, 4),
+        "n_shortlist": n_short,
+        "n_reranked": n_rerank,
+        "n_ivfpq": n_ivfpq,
         "parity": parity,
     }
 
@@ -685,6 +815,13 @@ def main() -> None:
         print(f"bench: curation-shared scenario FAILED: {exc}", file=sys.stderr)
 
     try:
+        pq_shared = _pq_shared_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        pq_shared = None
+        errors["pq_shared"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: pq-shared scenario FAILED: {exc}", file=sys.stderr)
+
+    try:
         inc_silver = _incremental_silver_scenario(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         inc_silver = None
@@ -718,6 +855,8 @@ def main() -> None:
         result["clustering_shared"] = clustering_shared
     if curation_shared is not None:
         result["curation_shared"] = curation_shared
+    if pq_shared is not None:
+        result["pq_shared"] = pq_shared
     if inc_silver is not None:
         result["incremental_silver"] = inc_silver
     if streaming_curation is not None:

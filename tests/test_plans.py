@@ -104,6 +104,16 @@ def test_bench_headline_names_all_registered():
         "pipe13_curated_mixing",
     ):
         assert marginal not in bench.SECONDARY
+    # Same rule for the PQ family: ss21 is the single full-composition
+    # row; ss20/ss22 (and pipe14) are priced as shared-artifact
+    # marginals in the pq_shared / curation_shared scenarios.
+    assert "ss21_ivfpq_recall" in bench.SECONDARY
+    for marginal in (
+        "ss20_pq_adc_recall",
+        "ss22_pq_rerank_recall",
+        "pipe14_training_manifest",
+    ):
+        assert marginal not in bench.SECONDARY
 
 
 def test_pk01_single_exchange_no_global_sort(spark):
