@@ -703,3 +703,103 @@ def test_bpe_merge_table_prefix_stable(spark):
     m6, _ = bpe_train(vocab, "rep", "freq", n_merges=6)
     assert m6[:4] == m4
     assert len(m4) == 4
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=25
+    ),
+    budget=st.integers(min_value=1, max_value=16),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_nosplit_packing_matches_python_model(spark, weights, budget, n_shards):
+    """pack_sequences_nosplit == the sequential shelf recurrence,
+    replayed per shard in the operator's own (skey, id) order, over
+    adversarial weights (zeros, oversize docs, budget-exact fits).
+    Structural invariants: a fitting doc never crosses its sequence
+    boundary; an oversize doc sits alone at offset 0."""
+    from datapipeline_template_spark.functions import POLY_BASE, POLY_P
+    from datapipeline_template_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: (
+            r["shard"], r["seq_in_shard"], r["offset_in_seq"], r["n_tokens"]
+        )
+        for r in pack_sequences_nosplit(
+            df, "doc_id", F.col("w"), n_shards=n_shards, budget=budget,
+            salt="p",
+        ).collect()
+    }
+
+    def ph(text):
+        acc = 0
+        for ch in text:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+        return acc
+
+    expect = {}
+    for shard in range(n_shards):
+        members = sorted(
+            (d for d, _ in rows if ph(f"p:{d}") % n_shards == shard),
+            key=lambda d: (ph(f"p:{d}"), d),
+        )
+        seq = cum = 0
+        for d in members:
+            t = weights[d]
+            if cum > 0 and cum + t > budget:
+                seq, cum = seq + 1, 0
+            expect[d] = (shard, seq, cum, t)
+            cum += t
+    assert got == expect
+    for _, (_, _, off, t) in got.items():
+        if t <= budget:
+            assert off + t <= budget
+        else:
+            assert off == 0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        max_size=15,
+    ),
+    n_docs=st.integers(min_value=13, max_value=20),
+)
+@settings(**_SETTINGS)
+def test_duplicate_discount_weights_properties(spark, edges, n_docs):
+    """Over arbitrary candidate graphs: every doc appears exactly once,
+    weights are exactly 1/cluster_size, and sum(weight) == number of
+    clusters (singletons included) — the effective-corpus-size
+    identity soft dedup exists to provide."""
+    from datapipeline_template_spark.operators.dedup import (
+        connected_components,
+        duplicate_discount_weights,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n_docs)], "doc_id long"
+    )
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        comp = connected_components(pairs, "id_a", "id_b")
+    else:
+        comp = spark.createDataFrame([], "node long, component long")
+    rows = duplicate_discount_weights(docs, comp, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(n_docs))
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for members in by_comp.values():
+        for r in members:
+            assert r["cluster_size"] == len(members)
+            assert r["weight"] == 1.0 / len(members)
+    assert abs(sum(r["weight"] for r in rows) - len(by_comp)) < 1e-9
