@@ -120,6 +120,7 @@ SECONDARY = [
     "tx22_source_overlap",
     "pk08_nosplit_packing",
     "ss23_filtered_ann",
+    "mm05_media_simhash_pairs",
 ]
 
 

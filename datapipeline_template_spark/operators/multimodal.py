@@ -34,6 +34,7 @@ __all__ = [
     "sample_frames",
     "media_byte_stats",
     "byte_chunk_features",
+    "byte_simhash",
 ]
 
 # Typed metadata carried beside every media blob.
@@ -241,3 +242,56 @@ def byte_chunk_features(
         return pd.Series(out)
 
     return df.withColumn("_feat", _feats(F.col(binary_col)))
+
+
+def byte_simhash(
+    df: DataFrame,
+    binary_col: str,
+    k: int = 4,
+    bits: int = 30,
+    p: int = 1_000_000_007,
+) -> DataFrame:
+    """SimHash over byte k-grams of an opaque binary column — the
+    media near-dup fingerprint (re-encoded/truncated/metadata-tweaked
+    copies of a blob share most byte k-grams, so their simhashes sit
+    a few bits apart; contrast exact content-hash dedup, which any
+    single-byte change defeats). Works on RAW BYTES: no tokenizer, no
+    text assumption — the form that applies to real image/audio blobs
+    unchanged.
+
+    Per gram the hash is the Horner fold (…((b0·131 + b1) mod p)·131
+    … + b{k-1}) mod p — byte-level twin of ``shingle_tokens``'s
+    schedule, intermediates < p·131 + 255 so exact in int64; blobs
+    shorter than k yield ONE gram with missing positions as 0 (the
+    shingle_tokens convention; an empty blob hashes to simhash 0).
+    Bit j of the simhash is set iff the majority of grams have bit j
+    set (the dd04 rule; default 30 bits because gram hashes are < 2^30
+    — wider settings only add zero bits).
+
+    Adds ``simhash`` (long). Arrow-batched pandas_udf, map-only, the
+    per-blob numpy body vectorized over the gram axis; cost linear in
+    blob bytes with zero cross-row state — scales with executor count
+    like any featurizer. Pair generation happens OUTSIDE (blocked
+    XOR/popcount join, see mm05)."""
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def _sh(blobs: "pd.Series") -> "pd.Series":
+        out = []
+        for b in blobs:
+            a = np.frombuffer(b if b is not None else b"", dtype=np.uint8)
+            a = a.astype(np.int64)
+            n = len(a)
+            m = max(n - k + 1, 1)
+            pad = np.concatenate([a, np.zeros(k - 1, dtype=np.int64)])
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h * 131 + pad[j:j + m]) % p
+            sh = 0
+            for bit in range(bits):
+                if 2 * int(((h >> bit) & 1).sum()) > m:
+                    sh |= 1 << bit
+            out.append(sh)
+        return pd.Series(out)
+
+    return df.withColumn("simhash", _sh(F.col(binary_col)))

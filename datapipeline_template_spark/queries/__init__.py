@@ -133,6 +133,7 @@ _OVERFLOW = (
     "tx22_source_overlap",
     "pk08_nosplit_packing",
     "ss23_filtered_ann",
+    "mm05_media_simhash_pairs",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

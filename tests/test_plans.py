@@ -595,3 +595,13 @@ def test_ss23_label_filter_pushed_to_scan(spark):
     plan = _plan(spark, "ss23_filtered_ann")
     assert "EqualTo(label,3)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mm05_quadratic_stage_is_catalyst_only(spark):
+    """Media near-dup plan shape: the Arrow fingerprint pass runs once
+    (checkpointed before the self-join, so no Python node appears in
+    the executed pair plan at all), and the pair stage is a blocked
+    equi-join with XOR+popcount in codegen — no cartesian product."""
+    plan = _plan(spark, "mm05_media_simhash_pairs")
+    assert "ArrowEvalPython" not in plan  # fingerprints materialized
+    assert "CartesianProduct" not in plan

@@ -590,6 +590,18 @@ def main() -> None:
         ],
     )
 
+    section(
+        "mm05_media_simhash_pairs",
+        "media near-dup: the Arrow byte-fingerprint pass runs once "
+        "(checkpointed — no Python node in the executed pair plan); "
+        "the quadratic stage is a blocked equi-join with XOR+popcount "
+        "in whole-stage codegen",
+        [
+            ("Pair join", r"(BroadcastHashJoin|SortMergeJoin)[^\n]{0,60}"),
+            ("Codegen popcount filter", r"bit_count[^\n]{0,60}"),
+        ],
+    )
+
 
 if __name__ == "__main__":
     main()
