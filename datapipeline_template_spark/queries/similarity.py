@@ -2346,6 +2346,67 @@ SELECT 'pre' AS strategy,
 ORDER BY strategy"""
 
 
+def _ss23_frames(spark: SparkSession, sf_dir: str):
+    """(truth, pre, post) as LAZY frames — the filtered exact truth
+    and the two strategies' (query_id, neighbor_id) answer sets. Kept
+    un-checkpointed so the plan-shape guard can inspect the real
+    scans (the query checkpoints the returned frames before its
+    double-referenced aggregates; a checkpoint here would hide the
+    label-pushdown scan the guard pins). The one internal checkpoint
+    is the corpus-wide quantize+assign kernel pass, shared by both
+    strategies (the ss16 ``assigned=`` convention) — the pre-filter is
+    an id semi-join against the label slice, never a second kernel
+    pass."""
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import (
+        ivf_assign_corpus,
+        ivf_topk_kmeans,
+        kmeans_fit,
+    )
+
+    lbl, nq, k, np_ = _SS23_LABEL, _SS23_NQ, _SS23_K, _SS23_NPROBE
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, dim=_KM_DIM
+    )
+    qn = norm_sq_prequantized(quantize_vec("embedding"))
+    queries = emb.where((F.col("vec_id") < nq) & (qn > 0))
+    truth = cosine_topk(
+        emb.where((F.col("label") == lbl) & (qn > 0)),
+        queries,
+        "vec_id",
+        "embedding",
+        k=k,
+    ).select("query_id", "neighbor_id")
+    assigned = ivf_assign_corpus(
+        emb, "vec_id", "embedding", cent
+    ).localCheckpoint(eager=True)
+    assigned_pre = assigned.join(
+        emb.where(F.col("label") == lbl).select(
+            F.col("vec_id").alias("neighbor_id")
+        ),
+        "neighbor_id",
+        "left_semi",
+    )
+    pre = ivf_topk_kmeans(
+        emb, queries, "vec_id", "embedding", cent,
+        k=k, n_probe=np_, assigned=assigned_pre,
+    ).select("query_id", "neighbor_id")
+    post = (
+        ivf_topk_kmeans(
+            emb, queries, "vec_id", "embedding", cent,
+            k=k, n_probe=np_, assigned=assigned,
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .where(F.col("label") == lbl)
+        .select("query_id", "neighbor_id")
+    )
+    return truth, pre, post
+
+
 @register("ss23_filtered_ann", oracle=_ss23_oracle())
 def ss23_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search — ANN under a metadata predicate
@@ -2373,67 +2434,12 @@ def ss23_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned-corpus scan, so the filter prunes BEFORE the join at any
     corpus size (the reason vector stores co-locate metadata with the
     index instead of round-tripping an external filter service)."""
-    from ..functions import norm_sq_prequantized, quantize_vec
-    from ..operators.clustering import (
-        ivf_assign_corpus,
-        ivf_topk_kmeans,
-        kmeans_fit,
-    )
-
-    lbl, nq, k, np_ = _SS23_LABEL, _SS23_NQ, _SS23_K, _SS23_NPROBE
-    emb = table(spark, sf_dir, "embeddings")
-    cent = kmeans_fit(
-        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, dim=_KM_DIM
-    )
-    qn = norm_sq_prequantized(quantize_vec("embedding"))
-    queries = emb.where((F.col("vec_id") < nq) & (qn > 0))
-    truth = (
-        cosine_topk(
-            emb.where((F.col("label") == lbl) & (qn > 0)),
-            queries,
-            "vec_id",
-            "embedding",
-            k=k,
-        )
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    # ONE corpus-wide quantize+assign kernel pass, checkpointed and
-    # shared by both strategies (the ss16 `assigned=` convention);
-    # the pre-filter is an id join against the label slice of that
-    # frame, never a second kernel pass. Results are tiny (≤ nq·k
-    # rows) but each is referenced twice below — checkpoint them too.
-    assigned = ivf_assign_corpus(
-        emb, "vec_id", "embedding", cent
-    ).localCheckpoint(eager=True)
-    assigned_pre = assigned.join(
-        emb.where(F.col("label") == lbl).select(
-            F.col("vec_id").alias("neighbor_id")
-        ),
-        "neighbor_id",
-        "left_semi",
-    )
-    pre = (
-        ivf_topk_kmeans(
-            emb, queries, "vec_id", "embedding", cent,
-            k=k, n_probe=np_, assigned=assigned_pre,
-        )
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    post = (
-        ivf_topk_kmeans(
-            emb, queries, "vec_id", "embedding", cent,
-            k=k, n_probe=np_, assigned=assigned,
-        )
-        .join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
-            "neighbor_id",
-        )
-        .where(F.col("label") == lbl)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    truth, pre, post = _ss23_frames(spark, sf_dir)
+    # Results are tiny (≤ nq·k rows) but each is referenced twice in
+    # the hit/count aggregates — checkpoint all three.
+    truth = truth.localCheckpoint(eager=True)
+    pre = pre.localCheckpoint(eager=True)
+    post = post.localCheckpoint(eager=True)
 
     def _row(name: str, ret: DataFrame) -> DataFrame:
         hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")

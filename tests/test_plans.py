@@ -590,11 +590,20 @@ def test_pk08_single_shard_exchange_into_pandas(spark):
 def test_ss23_label_filter_pushed_to_scan(spark):
     """Filtered-ANN plan shape: the pre-filter predicate reaches the
     parquet scan (PushedFilters EqualTo(label,3)) so matching rows are
-    pruned BEFORE the cell join at any corpus size, and nothing plans
-    as a cartesian product."""
-    plan = _plan(spark, "ss23_filtered_ann")
-    assert "EqualTo(label,3)" in plan
-    assert "CartesianProduct" not in plan
+    pruned BEFORE the cell join at any corpus size, and neither
+    strategy plans a cartesian product. Inspected via the LAZY
+    strategy frames (_ss23_frames) — the registry query checkpoints
+    its result sets, which hides the scans from ITS executed plan
+    (this guard originally asserted on that plan and passed only
+    because it predated the checkpoints)."""
+    from datapipeline_template_spark.queries.similarity import _ss23_frames
+
+    _, pre, post = _ss23_frames(spark, SF)
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    post_plan = post._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(label,3)" in pre_plan
+    assert "CartesianProduct" not in pre_plan
+    assert "CartesianProduct" not in post_plan
 
 
 def test_mm05_quadratic_stage_is_catalyst_only(spark):

@@ -566,12 +566,18 @@ def main() -> None:
         ],
     )
 
-    section(
-        "ss23_filtered_ann",
+    from datapipeline_template_spark.queries.similarity import _ss23_frames
+
+    _, _ss23_pre, _ = _ss23_frames(spark, sf)
+    section_df(
+        "ss23_filtered_ann (pre-filter strategy frame)",
         "filtered vector search: the pre-filter predicate is pushed "
         "into the parquet scan (EqualTo(label,3)) so matching rows "
         "prune BEFORE the cell equi-join — query-time filtering inside "
-        "the frozen index, no rebuild, no post-hoc recall loss",
+        "the frozen index, no rebuild, no post-hoc recall loss "
+        "(inspected on the lazy strategy frame; the registry query "
+        "checkpoints its result sets)",
+        _ss23_pre,
         [
             ("Predicate pushdown", r"PushedFilters: \[[^\]]*EqualTo\(label[^\]]*\]"),
             ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)"),
