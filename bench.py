@@ -401,6 +401,14 @@ def _curation_shared_scenario(spark, sf_dir):
     n_manifest = manifest_from_flags(spark, sf_dir, flags).count()
     manifest_sec = time.perf_counter() - t
 
+    from datapipeline_template_spark.queries.packing import (
+        decontaminated_manifest_from_flags,
+    )
+
+    t = time.perf_counter()
+    n_decon = decontaminated_manifest_from_flags(spark, sf_dir, flags).count()
+    decon_manifest_sec = time.perf_counter() - t
+
     standalone = pipe11_data_card(spark, sf_dir)
     parity = (
         card.exceptAll(standalone).count() == 0
@@ -412,10 +420,12 @@ def _curation_shared_scenario(spark, sf_dir):
         "data_card_marginal_sec": round(card_sec, 4),
         "mixing_marginal_sec": round(mix_sec, 4),
         "manifest_marginal_sec": round(manifest_sec, 4),
+        "decon_manifest_marginal_sec": round(decon_manifest_sec, 4),
         "n_docs": n_attr,
         "n_sources": n_card,
         "n_mixed": n_mix,
         "n_manifest": n_manifest,
+        "n_decon_manifest": n_decon,
         "parity": parity,
     }
 

@@ -134,6 +134,7 @@ _OVERFLOW = (
     "pk08_nosplit_packing",
     "ss23_filtered_ann",
     "mm05_media_simhash_pairs",
+    "pipe15_decontaminated_manifest",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -569,3 +569,120 @@ def pk08_nosplit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_PK08_BUDGET,
         salt="42",
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe15 — the DECONTAMINATED training manifest: pipe14 with the dd07
+# eval-overlap gate composed in (the step a real pipeline runs between
+# curation and tokenization). Registered in the registry OVERFLOW
+# section; lives here for the same load-order reason as pipe14.
+# ---------------------------------------------------------------------------
+
+
+def _pipe15_oracle() -> str:
+    from .dedup import _SHINGLES_K5_FROM_TH_SQL
+    from .pipeline import _pipe12_flag_ctes
+    from .text import _tx20_ctes
+
+    # Decontamination at k=5 (dd10's GPT-3-style wide shingles) built
+    # on the flag chain's EXISTING `tk` token-hash CTE, so the gate
+    # shares the token schedule with dd03/dd10 by construction. A k=3
+    # gate (dd07's demo width) was measured first: on this corpus it
+    # left 4 of 90 survivors — every document shares some common
+    # trigram with the eval source, exactly the false-positive blowup
+    # wide decontamination n-grams exist to avoid (GPT-3 used 13).
+    return f"""
+WITH RECURSIVE {_pipe12_flag_ctes()}, sh5 AS (
+  SELECT doc_id, {_SHINGLES_K5_FROM_TH_SQL} AS shingles FROM tk
+), evg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(sh5.shingles) AS g
+    FROM sh5 JOIN documents d ON d.doc_id = sh5.doc_id
+    WHERE d.source = 'src0')
+), candg AS (
+  SELECT sh5.doc_id, unnest(sh5.shingles) AS g
+  FROM sh5 JOIN documents d ON d.doc_id = sh5.doc_id
+  WHERE d.source <> 'src0'
+), contam AS (
+  SELECT DISTINCT doc_id FROM candg JOIN evg USING (g)
+), kept_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN flagged2 f ON d.doc_id = f.doc_id
+  WHERE f.f_sem AND d.source <> 'src0'
+    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+), {_tx20_ctes(source="kept_docs")}
+{_bpe_tok_sql('kept_docs')}{_pack_sql('dtok', salt=_PIPE14_SALT,
+            n_shards=_PIPE14_SHARDS, budget=_PIPE14_BUDGET)}
+ORDER BY doc_id
+"""
+
+
+@register("pipe15_decontaminated_manifest", oracle=_pipe15_oracle())
+def pipe15_decontaminated_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pipe14 with the step no production pipeline may skip composed
+    in: benchmark DECONTAMINATION between curation and tokenization.
+    Treating source='src0' as the held-out eval set (the dd07/dd10
+    convention), the curated survivors drop (a) the eval documents
+    themselves and (b) every document sharing ANY 5-gram shingle with
+    them (dd10's GPT-3-style width — a 3-gram gate was measured to
+    leave 4 of 90 survivors on this corpus, the false-positive blowup
+    wide n-grams exist to avoid) — then the BPE tokenizer trains on
+    the DECONTAMINATED set and the packing lays it out. Measured at
+    sf0.01: 90 f_sem survivors → 82 non-eval → 81 decontaminated.
+    Ordering matters and is the one real pipelines use:
+    decontaminating after tokenizer training would leave eval n-grams
+    baked into the merge table even though the documents are gone.
+
+    Every stage reuses its registered operator and oracle fragment —
+    the gate rides `decontaminate_flags` over `shingle_tokens(k=5)` on
+    the Spark side and dd10's k=5 fragment over the flag chain's
+    existing `tk` token hashes on the oracle side, so the
+    contamination definition is single-sourced with dd03/dd10. The
+    whole chain (7 curation stages, overlap gate, merge rounds,
+    encode, packing) is DuckDB-replayed and hash-pinned.
+
+    Scale shape: the eval shingle set broadcasts (benchmarks are tiny
+    vs a 100 TB corpus — the dd07 story); the anti-join on doc_id is
+    the only addition over pipe14's plan."""
+    from .pipeline import _curation_flags_extended
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    return decontaminated_manifest_from_flags(spark, sf_dir, flags)
+
+
+def decontaminated_manifest_from_flags(
+    spark: SparkSession, sf_dir: str, flags: DataFrame
+) -> DataFrame:
+    """pipe15's consumer stage over a precomputed extended-flags
+    DataFrame — 5-gram eval-overlap gate + tokenizer fit + encode +
+    packing (the curation_shared marginal form, like
+    ``manifest_from_flags`` for pipe14)."""
+    from ..operators.dedup import decontaminate_flags, shingle_tokens
+    from ..operators.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source",
+        shingle_tokens(tokenize("text"), k=5).alias("sh"),
+    )
+    contam = decontaminate_flags(
+        sh.where(F.col("source") != "src0"),
+        sh.where(F.col("source") == "src0"),
+        "doc_id",
+        "sh",
+    ).select("doc_id")
+    keep_ids = (
+        flags.where(F.col("f_sem"))
+        .select("doc_id")
+        .join(
+            docs.where(F.col("source") != "src0").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .join(contam, "doc_id", "left_anti")
+    )
+    return manifest_from_flags(
+        spark, sf_dir, keep_ids.withColumn("f_sem", F.lit(True))
+    )

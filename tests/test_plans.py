@@ -112,6 +112,7 @@ def test_bench_headline_names_all_registered():
         "ss20_pq_adc_recall",
         "ss22_pq_rerank_recall",
         "pipe14_training_manifest",
+        "pipe15_decontaminated_manifest",
     ):
         assert marginal not in bench.SECONDARY
 
