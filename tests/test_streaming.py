@@ -1390,3 +1390,77 @@ def test_incremental_source_overlap_empty_states(spark, tmp_path):
     # empty deltas everywhere; overlap() must still read cleanly.
     inc.process_batch(docs, batch_id=1)
     assert inc.overlap(spark).count() == 0
+
+
+def test_incremental_decon_matches_batch_flags(spark, tmp_path, sf_dir):
+    """Eleventh incremental family: with the eval set FROZEN (src0
+    docs) and the corpus drained in TWO AvailableNow passes, the
+    maintained flags must equal batch decontaminate_flags over every
+    document seen — per-doc overlap counts depend only on the doc and
+    the frozen eval set, so flags are purely additive. Replays are
+    marker-skip no-ops; a lost marker self-repairs; a maintainer
+    opened against a DIFFERENT eval set refuses."""
+    import os
+
+    import pytest as _pytest
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.dedup import (
+        decontaminate_flags,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+    from datapipeline_template_spark.streaming.decon import IncrementalDecon
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ev_docs = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    corpus = docs.where(F.col("source") != "src0").select("doc_id", "text")
+
+    schema_str = "doc_id long, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "decon_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    inc = IncrementalDecon(store, eval_docs=ev_docs, k=5)
+
+    b1 = corpus.where(F.col("doc_id") % 2 == 0)
+    b2 = corpus.where(F.col("doc_id") % 2 == 1)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    sh = lambda d: d.select(  # noqa: E731
+        "doc_id", shingle_tokens(tokenize("text"), k=5).alias("_sh")
+    )
+    want = {
+        (r["doc_id"], r["n_shared"])
+        for r in decontaminate_flags(
+            sh(corpus), sh(ev_docs), "doc_id", "_sh"
+        ).collect()
+    }
+    assert want, "fixture must produce contaminated docs at k=5"
+    got = {(r["doc_id"], r["n_shared"]) for r in inc.flags(spark).collect()}
+    assert got == want
+
+    # Replay: marker-skip no-op.
+    inc.process_batch(b1, batch_id=0)
+    assert {(r["doc_id"], r["n_shared"]) for r in inc.flags(spark).collect()} == want
+    # Crash window: lost marker, data landed -> overwrite repairs.
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert {(r["doc_id"], r["n_shared"]) for r in inc.flags(spark).collect()} == want
+
+    # Frozen-artifact guard: a different eval set (or width) refuses.
+    other = docs.where(F.col("source") == "src1").select("doc_id", "text")
+    with _pytest.raises(ValueError, match="different"):
+        IncrementalDecon(store, eval_docs=other, k=5)
+    with _pytest.raises(ValueError, match="different"):
+        IncrementalDecon(store, eval_docs=ev_docs, k=3)
+    # Reopening WITHOUT eval_docs (the normal resume path) is fine.
+    assert IncrementalDecon(store).flags(spark).count() == len(want)
