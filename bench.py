@@ -121,6 +121,8 @@ SECONDARY = [
     "pk08_nosplit_packing",
     "ss23_filtered_ann",
     "mm05_media_simhash_pairs",
+    "q43_kmv_distinct",
+    "tx23_surprisal_bands",
 ]
 
 

@@ -41,7 +41,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["certified_topk"]
+__all__ = [
+    "certified_topk",
+    "KMV_P",
+    "kmv_hash",
+    "kmv_sketch",
+    "kmv_sketch_partial",
+    "kmv_merge",
+    "kmv_estimate",
+]
 
 
 def certified_topk(
@@ -331,3 +339,165 @@ def exact_grouped_quantiles(
             vals.append(float(vf) + (h - f) * (float(vc) - float(vf)))
         out[g] = vals
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — deterministic,
+# mergeable, DuckDB-replayable
+# ---------------------------------------------------------------------------
+#
+# HyperLogLog (q19) is the classic constant-memory cardinality sketch,
+# but its register values are engine-internal, so the repo can only
+# rows-only-check it. KMV (Bar-Yossef et al. 2002, "Counting distinct
+# elements in a data stream") gives the same O(k)-memory mergeable
+# estimate from plain integer math: keep the k smallest values of a
+# uniform hash over the distinct items; with m = k-th minimum over a
+# hash range of P, distinct ≈ (k-1) * P / m. Every piece — the hash,
+# the k-minimum set, the integer-division estimator — is exact integer
+# arithmetic that DuckDB replays verbatim, so the sketch itself is
+# hash-green against the oracle (q43), the shadowing pattern that gave
+# ss05/tx07 their verified twins.
+#
+# Hash: a quadratic map mod the Mersenne prime P = 2^31 - 1,
+#   h(x) = (A * x0^2 + B * x0 + C) mod P  with x0 = ((x mod P)+P) mod P,
+# computed stepwise so every int64 intermediate stays in range in BOTH
+# engines (x0^2 < 2^62; each product < 2^62 after reduction; Spark longs
+# and DuckDB BIGINTs never overflow — DuckDB would raise, Spark under
+# ANSI too). A quadratic residue map mixes far better than an affine
+# one (affine maps sequential keys to an arithmetic progression).
+#
+# Mergeability is exact, not approximate: the k smallest of a union is
+# the k smallest of the union of per-part k-smallest sets, so partial
+# sketches combine associatively/commutatively/idempotently — the
+# property the streaming maintainer (streaming/kmv.py) and the
+# map-side-combined batch form both rest on.
+
+KMV_P = 2_147_483_647  # 2^31 - 1
+KMV_A = 1_000_003
+KMV_B = 998_244_353
+KMV_C = 12_345
+
+
+def kmv_hash(col):
+    """Deterministic quadratic hash of a LONG column into [0, KMV_P).
+
+    Mirrors the oracle SQL exactly (same stepwise reductions); string
+    keys should go through functions.poly_hash first.
+    """
+    from pyspark.sql import Column
+
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("long")
+    p = F.lit(KMV_P).cast("long")
+    x0 = ((c % p) + p) % p
+    t1 = ((x0 * x0) % p * F.lit(KMV_A)) % p
+    t2 = (x0 * F.lit(KMV_B)) % p
+    return (t1 + t2 + F.lit(KMV_C)) % p
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch — Catalyst form.
+
+    dedup the (group, hash) pairs (one shuffle, the same cardinality a
+    COUNT(DISTINCT) pays), rank hashes per group, keep the k smallest.
+    Output: group cols + ``kmv array<long>`` (sorted ascending,
+    size = min(k, distinct hashes)). NULL values are ignored, matching
+    COUNT(DISTINCT) semantics. The value of the sketch over the exact
+    count is what you KEEP: an O(k) mergeable summary you can persist
+    per partition/day/source and combine later without re-scanning —
+    see kmv_merge / streaming/kmv.py.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("need k > 0")
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    dist = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gs, kmv_hash(value_col).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*gs).orderBy("_h")
+    return (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*gs)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_sketch_partial(
+    df: DataFrame, group_cols, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch — map-side-combined scale form.
+
+    The Catalyst form's dedup shuffles one row per DISTINCT value; at
+    100 TB that shuffle dwarfs the k-value answer. Here each Arrow
+    batch reduces locally to its k smallest distinct hashes per group
+    (``mapInPandas``, narrow), so the shuffle carries at most
+    k·batches rows per group; the final merge flattens the partial
+    sketches and re-takes the k minimum — EXACT by the k-min-of-union
+    identity, verified equal to kmv_sketch by test. This is the
+    certified_topk local/merge shape applied to cardinality.
+    """
+    from pyspark.sql import types as T
+
+    if k <= 0:
+        raise ValueError("need k > 0")
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    pre = df.where(F.col(value_col).isNotNull()).select(
+        *gs, kmv_hash(value_col).alias("_h")
+    )
+    fields = [pre.schema[g] for g in gs]
+    out_schema = T.StructType(
+        fields + [T.StructField("_kmv_part", T.ArrayType(T.LongType()))]
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, s in pdf.groupby(gs, sort=False, dropna=False)["_h"]:
+                u = np.unique(s.to_numpy(dtype="int64"))  # sorted unique
+                key_t = key if isinstance(key, tuple) else (key,)
+                rows.append((*key_t, u[:k].tolist()))
+            yield pd.DataFrame(rows, columns=[*gs, "_kmv_part"])
+
+    part = pre.mapInPandas(partials, schema=out_schema)
+    return part.groupBy(*gs).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_kmv_part")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+
+
+def kmv_merge(a, b, k: int):
+    """Column expression merging two KMV sketch arrays: k smallest of
+    the distinct union — exact, associative, commutative, idempotent."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_distinct(F.concat(ca, cb))), 1, k)
+
+
+def kmv_estimate(sketch_col, k: int):
+    """Distinct-count estimate from a KMV sketch array (long).
+
+    size < k ⇒ the sketch holds EVERY distinct hash: return the exact
+    size. Otherwise (k-1)·P div m_k via the overflow-safe exact form
+    (num - num % m) / m — the double quotient is exact because it is
+    an integer ≤ (k-1)·P < 2^53. F.get is 0-indexed and null-safe, so
+    the untaken branch never faults under ANSI.
+    """
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    num = F.lit((k - 1) * KMV_P).cast("long")
+    m = F.get(c, k - 1)
+    est = ((num - (num % m)) / m).cast("long")
+    return F.when(F.size(c) < k, F.size(c).cast("long")).otherwise(est)

@@ -30,6 +30,7 @@ __all__ = [
     "score_with_weights",
     "CURATION_GOPHER_KEYS",
     "LANG_MARKERS",
+    "unigram_surprisal",
 ]
 
 # The gopher_rules subset the curation funnel gates on — shared by the
@@ -512,4 +513,50 @@ def bpe_vocab_map(final_vocab: DataFrame) -> DataFrame:
         F.translate(F.col("rep"), " ", "").alias("word"),
         F.trim(F.col("rep")).alias("rep"),
         F.size(F.split(F.trim(F.col("rep")), " ")).cast("long").alias("n_sub"),
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the deterministic form of
+    CCNet-style LM/perplexity filtering (Wenzek et al. 2020 bucket
+    documents by LM perplexity and keep the head/middle).
+
+    A full KenLM is out of scope, but the unigram LM trained on the
+    corpus ITSELF already carries the signal the filter needs: a
+    document whose tokens are corpus-typical scores low (head), one
+    full of rare tokens scores high (tail). Surprisal of token w is
+    log2(T/c_w) = log2 T − log2 c_w, computed in exact integer
+    MILLIBITS via functions.milli_log2 (binary-length + interpolation
+    — no libm, so DuckDB replays it bit-for-bit; the float-entropy
+    twin of this idea is tx07, rows-only for exactly that reason).
+
+    Plan shape: explode tokens → one groupBy(w) for counts (partial
+    agg) → per-DISTINCT-token surprisal (the milli_log2 expressions
+    run once per vocab entry, not per occurrence) → equi-join back to
+    the token stream → one groupBy(doc). Two shuffles keyed on w, one
+    on doc id; nothing quadratic, no Python. The 1-row total attaches
+    via broadcast crossJoin.
+
+    Returns (id_col, n_tokens long, sum_mb long) — mean = sum_mb div
+    n_tokens is left to the caller so downstream math stays integer.
+    """
+    from ..functions import milli_log2
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("w")
+    )
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    surp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w", (milli_log2("t") - milli_log2("c")).alias("surp")
+    )
+    return (
+        tok.join(surp, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("surp").cast("long").alias("sum_mb"),
+        )
     )

@@ -135,6 +135,8 @@ _OVERFLOW = (
     "ss23_filtered_ann",
     "mm05_media_simhash_pairs",
     "pipe15_decontaminated_manifest",
+    "q43_kmv_distinct",
+    "tx23_surprisal_bands",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

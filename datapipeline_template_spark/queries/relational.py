@@ -1060,3 +1060,89 @@ def q42_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         rev.alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — KMV distinct-count sketch, the hash-green approx-distinct twin
+# of q19's rows-only HLL (the ss05→ss15 shadowing pattern applied to
+# cardinality estimation)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    """Oracle GENERATED from the operator constants (the
+    _classifier_sql discipline): hash, rank and estimator replay the
+    exact integer math of operators/sketch.py kmv_hash/kmv_estimate."""
+    from ..operators.sketch import KMV_A, KMV_B, KMV_C, KMV_P
+
+    k, p = _KMV_K, KMV_P
+    num = (k - 1) * p  # fits BIGINT; DuckDB parses the literal as INT64
+    return f"""
+WITH x AS (
+  SELECT o_orderpriority AS pri,
+         ((o_custkey % {p}) + {p}) % {p} AS x0
+  FROM orders WHERE o_custkey IS NOT NULL
+), h AS (
+  SELECT DISTINCT pri,
+    ( ((x0*x0) % {p}) * {KMV_A} % {p}
+      + (x0 * {KMV_B}) % {p}
+      + {KMV_C} ) % {p} AS h
+  FROM x
+), r AS (
+  SELECT pri, h,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY h) AS rn,
+         COUNT(*)    OVER (PARTITION BY pri) AS nd
+  FROM h
+), s AS (
+  SELECT pri,
+         MAX(nd) AS nd,
+         MAX(CASE WHEN rn = {k} THEN h END) AS m_k
+  FROM r WHERE rn <= {k} GROUP BY pri
+), e AS (
+  SELECT o_orderpriority AS pri,
+         COUNT(DISTINCT o_custkey) AS exact_customers
+  FROM orders GROUP BY 1
+)
+SELECT s.pri AS o_orderpriority,
+       e.exact_customers,
+       CASE WHEN s.nd < {k} THEN s.nd ELSE {num} // s.m_k END
+         AS kmv_customers,
+       CAST(ABS(CASE WHEN s.nd < {k} THEN s.nd ELSE {num} // s.m_k END
+                - e.exact_customers) AS DOUBLE) / e.exact_customers
+         AS rel_err
+FROM s JOIN e USING (pri)
+"""
+
+
+@register("q43_kmv_distinct", oracle=_kmv_oracle())
+def q43_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per order priority via the KMV
+    k-minimum-values sketch (operators/sketch.py) — deterministic
+    integer hashing + integer-division estimator, so unlike q19's HLL
+    the approximate path itself is DuckDB-hash-verified. The exact
+    count rides along for the honest rel_err column (both engines
+    derive it from identical integers, so the double division is
+    IEEE-identical — the q09 avg pattern). k=64 ⇒ ~12% expected
+    relative error at O(k) memory per group; the sketch is mergeable
+    (kmv_merge), which is what makes it the 100 TB shape: persist one
+    64-long array per group per day/source, combine without re-scan
+    (streaming/kmv.py maintains exactly that)."""
+    from ..operators.sketch import kmv_estimate, kmv_sketch
+
+    orders = table(spark, sf_dir, "orders")
+    sk = kmv_sketch(orders, "o_orderpriority", "o_custkey", k=_KMV_K)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    est = kmv_estimate("kmv", _KMV_K)
+    return sk.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_customers",
+        est.alias("kmv_customers"),
+        (
+            F.abs(est - F.col("exact_customers")).cast("double")
+            / F.col("exact_customers")
+        ).alias("rel_err"),
+    )

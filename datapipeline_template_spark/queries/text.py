@@ -1591,3 +1591,84 @@ def tx22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_a", "src_b", "n_a", "n_b", "n_shared", jac.alias("jaccard"))
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx23 — CCNet-style perplexity-proxy banding (deterministic unigram
+# surprisal, integer millibits)
+# ---------------------------------------------------------------------------
+
+# Band thresholds PINNED from the live sf0.01 tercile measurement
+# (ntile(3) over mean millibit surprisal; boundaries = min mean of
+# terciles 2 and 3) — the ss12/ss19 chooser discipline: measure once,
+# pin the constant, cross-check pin-vs-measurement in
+# tests/test_parity.py. Absolute thresholds keep the QUERY free of any
+# global sort/ntile (a single-partition window over per-doc stats is
+# the shape that dies at 100 TB docs); re-derive when the corpus
+# changes.
+TX23_HEAD_MB = 4886  # mean_mb <  this → 'head'   (most corpus-typical)
+TX23_TAIL_MB = 4894  # mean_mb >= this → 'tail'   (rare-token heavy)
+
+
+def _milli_log2_sql(x: str) -> str:
+    """DuckDB twin of functions.milli_log2, GENERATED next to its user
+    so the two integer-log specs cannot drift: 1000·⌊log2 x⌋ from the
+    binary-string length plus the interpolated fraction via << and //."""
+    f = f"(length(printf('%b', {x})) - 1)"
+    p = f"(1::BIGINT << {f})"
+    return f"(1000*{f} + (({x} - {p}) * 1000) // {p})"
+
+
+def _tx23_oracle() -> str:
+    surp = f"({_milli_log2_sql('t.t')} - {_milli_log2_sql('c.c')})"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok
+), surp AS (
+  SELECT w, {surp} AS surp FROM cnt c CROSS JOIN tot t
+), d AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(surp) AS BIGINT) AS sum_mb
+  FROM tok JOIN surp USING (w) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_mb,
+       sum_mb // n_tokens AS mean_mb,
+       CASE WHEN sum_mb // n_tokens < {TX23_HEAD_MB} THEN 'head'
+            WHEN sum_mb // n_tokens < {TX23_TAIL_MB} THEN 'middle'
+            ELSE 'tail' END AS band
+FROM d
+"""
+
+
+@register("tx23_surprisal_bands", oracle=_tx23_oracle())
+def tx23_surprisal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality banding, the missing CCNet stage of the
+    curation stack (Wenzek et al. 2020: bucket documents by LM
+    perplexity into head/middle/tail; training sets keep head+middle).
+    The LM here is the corpus's own unigram model and the score is
+    exact integer millibit surprisal (operators.text.unigram_surprisal
+    over functions.milli_log2) — so unlike float-entropy tx07 the whole
+    path is DuckDB-hash-verified. Bands come from ABSOLUTE pinned
+    thresholds (live sf0.01 tercile boundaries, cross-checked against
+    measurement in tests/test_parity.py), keeping the plan a pure
+    map-reduce: no global ntile sort over per-doc stats, the shape
+    that would single-task at 100 TB docs."""
+    from ..operators.text import unigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    d = unigram_surprisal(docs, "doc_id", "text")
+    mean_mb = F.expr("sum_mb DIV n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "sum_mb",
+        mean_mb.alias("mean_mb"),
+        F.when(mean_mb < TX23_HEAD_MB, "head")
+        .when(mean_mb < TX23_TAIL_MB, "middle")
+        .otherwise("tail")
+        .alias("band"),
+    )

@@ -213,3 +213,39 @@ def test_ss19_chooser_constant_matches_ss18_measurement(spark):
         f"ss18 L=1 recall {ss18[1]:.4f} drifted from pinned "
         f"_SS19_P1={_SS19_P1} — re-measure and update ss19's constant+oracle"
     )
+
+
+def test_tx23_pinned_terciles_match_measurement():
+    """tx23 bands on ABSOLUTE pinned thresholds (so the query plan has
+    no global ntile sort); the pins are the live sf0.01 tercile
+    boundaries. A corpus or tokenizer change must fail HERE, not
+    silently skew the bands. Pure-DuckDB re-measurement (the oracle's
+    own spec), no Spark needed."""
+    import duckdb
+
+    from datapipeline_template_spark.queries.text import (
+        TX23_HEAD_MB,
+        TX23_TAIL_MB,
+        _milli_log2_sql,
+    )
+
+    surp = f"({_milli_log2_sql('t.t')} - {_milli_log2_sql('c.c')})"
+    q = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+), cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+surp AS (SELECT w, {surp} AS surp FROM cnt c CROSS JOIN tot t),
+d AS (SELECT doc_id, CAST(SUM(surp) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_mb
+      FROM tok JOIN surp USING (w) GROUP BY doc_id),
+n AS (SELECT mean_mb, ntile(3) OVER (ORDER BY mean_mb, doc_id) AS trc FROM d)
+SELECT MIN(CASE WHEN trc = 2 THEN mean_mb END) AS t1,
+       MIN(CASE WHEN trc = 3 THEN mean_mb END) AS t2
+FROM n
+"""
+    t1, t2 = duckdb.sql(q).fetchone()
+    assert (t1, t2) == (TX23_HEAD_MB, TX23_TAIL_MB), (
+        f"live tercile boundaries ({t1},{t2}) drifted from pinned "
+        f"({TX23_HEAD_MB},{TX23_TAIL_MB}) — re-measure and update tx23"
+    )

@@ -615,3 +615,23 @@ def test_mm05_quadratic_stage_is_catalyst_only(spark):
     plan = _plan(spark, "mm05_media_simhash_pairs")
     assert "ArrowEvalPython" not in plan  # fingerprints materialized
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_partial_form_is_map_side_combined(spark):
+    """KMV scale-form plan shape: the per-batch reduction is an Arrow
+    MapInPandas (narrow — no exchange between the scan and the local
+    sketch), and the only wide stage is the final per-group merge of
+    k-long partial arrays. The Catalyst form (q43's) pays the
+    distinct-cardinality shuffle instead; the partial form is the one
+    that survives a 100 TB value column."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import kmv_sketch_partial
+
+    orders = table(spark, SF, "orders")
+    df = kmv_sketch_partial(orders, "o_orderpriority", "o_custkey", k=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # Exactly one exchange: the group merge AFTER the local reduction.
+    assert plan.count("Exchange hashpartitioning") == 1
+    # The exchange carries the partial arrays, not raw rows.
+    assert "_kmv_part" in plan

@@ -1464,3 +1464,92 @@ def test_incremental_decon_matches_batch_flags(spark, tmp_path, sf_dir):
         IncrementalDecon(store, eval_docs=ev_docs, k=3)
     # Reopening WITHOUT eval_docs (the normal resume path) is fine.
     assert IncrementalDecon(store).flags(spark).count() == len(want)
+
+
+def test_incremental_kmv_matches_batch_sketch(spark, tmp_path, sf_dir):
+    """Twelfth incremental family: drain events in TWO AvailableNow
+    passes; the maintained per-event_type sketches and estimates must
+    equal the batch kmv_sketch/kmv_estimate over every row seen — the
+    k-min-of-union identity makes the merge EXACT, not approximate.
+    Replays are marker-skip no-ops; a crash-after-write replay rewrites
+    the identical partition (partials are pure functions of the batch)."""
+    import os
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from datapipeline_template_spark.streaming.kmv import IncrementalKmv
+
+    k = 8  # sf0.001 has 15 distinct users per type: k=8 exercises the
+    # estimator branch (size == k), not the exact small-set branch
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    src = tmp_path / "ev"
+    src.mkdir()
+    store = str(tmp_path / "kmv_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalKmv(store, group_col="event_type", value_col="user_id", k=k)
+
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    schema_str = "event_id long, event_type string, user_id long"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    want_sk = {
+        r["event_type"]: r["kmv"]
+        for r in kmv_sketch(ev, "event_type", "user_id", k=k).collect()
+    }
+    assert want_sk and all(len(v) == k for v in want_sk.values())
+    got_sk = {r["event_type"]: r["kmv"] for r in inc.sketches(spark).collect()}
+    assert got_sk == want_sk
+
+    want_est = {
+        r["event_type"]: r["e"]
+        for r in kmv_sketch(ev, "event_type", "user_id", k=k)
+        .select("event_type", kmv_estimate("kmv", k).alias("e"))
+        .collect()
+    }
+    got_est = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in inc.estimates(spark).collect()
+    }
+    assert got_est == want_est
+
+    # Replay safety: same batch id is a marker-skip no-op.
+    inc.process_batch(b1, batch_id=0)
+    assert {r["event_type"]: r["kmv"] for r in inc.sketches(spark).collect()} == want_sk
+
+    # Crash window: marker for batch 1 lost after data landed —
+    # reprocessing rewrites the identical partial partition.
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert {r["event_type"]: r["kmv"] for r in inc.sketches(spark).collect()} == want_sk
+
+
+def test_incremental_kmv_param_guard_and_empty_state(spark, tmp_path):
+    """A maintainer pointed at an existing store must present the SAME
+    (k, group_col, value_col) or refuse; before any drain the
+    sketches/estimates are typed empties."""
+    import pytest
+
+    from datapipeline_template_spark.streaming.kmv import IncrementalKmv
+
+    store = str(tmp_path / "kmv_store")
+    inc = IncrementalKmv(store, group_col="g", value_col="v", k=8)
+    assert inc.sketches(spark).columns == ["g", "kmv"]
+    assert inc.estimates(spark).count() == 0
+
+    with pytest.raises(ValueError, match="different parameters|built with"):
+        IncrementalKmv(store, group_col="g", value_col="v", k=9)
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalKmv(store, group_col="other", value_col="v", k=8)
+    # Same params re-attach cleanly.
+    IncrementalKmv(store, group_col="g", value_col="v", k=8)

@@ -609,5 +609,30 @@ def main() -> None:
     )
 
 
+    from datapipeline_template_spark.operators.sketch import kmv_sketch_partial
+
+    section_df(
+        "kmv_sketch_partial (q43's scale form)",
+        "KMV distinct-count sketch, map-side combined: each Arrow batch "
+        "reduces locally to k minimum hashes per group (MapInPandas, "
+        "narrow), so the ONLY exchange carries k-long partial arrays — "
+        "never one row per distinct value (the Catalyst twin q43 uses "
+        "pays that dedup shuffle; equality of the two forms is "
+        "test-pinned)",
+        kmv_sketch_partial(
+            __import__(
+                "datapipeline_template_spark.catalog", fromlist=["table"]
+            ).table(spark, sf, "orders"),
+            "o_orderpriority",
+            "o_custkey",
+            k=64,
+        ),
+        [
+            ("Arrow local reduce", r"MapInPandas[^\n]{0,60}"),
+            ("Single merge exchange", r"Exchange hashpartitioning\(o_orderpriority[^)]{0,40}"),
+        ],
+    )
+
+
 if __name__ == "__main__":
     main()
