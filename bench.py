@@ -123,6 +123,7 @@ SECONDARY = [
     "mm05_media_simhash_pairs",
     "q43_kmv_distinct",
     "tx23_surprisal_bands",
+    "ss24_sq_recall",
 ]
 
 

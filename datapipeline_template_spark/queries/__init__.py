@@ -137,6 +137,7 @@ _OVERFLOW = (
     "pipe15_decontaminated_manifest",
     "q43_kmv_distinct",
     "tx23_surprisal_bands",
+    "ss24_sq_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

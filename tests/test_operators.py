@@ -1840,3 +1840,30 @@ def test_kmv_estimate_accuracy_at_k(spark, sf_dir):
     exact = orders.select("o_custkey").distinct().count()
     assert exact > 64  # the estimator branch, not the exact branch
     assert abs(est - exact) / exact < 3 / (63 ** 0.5)
+
+
+def test_sq_encode_codes_bounded_and_affine(spark):
+    """SQ codes land in [0, levels] with min→0 and max→levels per
+    dimension; constant dimensions (rng clamp) encode to 0."""
+    from datapipeline_template_spark.operators.similarity import (
+        sq_dim_stats,
+        sq_encode,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0, 10, 7]),
+            (2, [100, 10, -3]),
+            (3, [50, 10, 2]),
+        ],
+        "vec_id long, _qv array<long>",
+    )
+    stats = sq_dim_stats(df, dim=3)
+    row = stats.first()
+    assert row["lo_l"] == [0, 10, -3] and row["rng_l"] == [100, 1, 10]
+    codes = {
+        r["vec_id"]: r["cv"] for r in sq_encode(df, stats, 255).collect()
+    }
+    assert codes[1] == [0, 0, 255]  # mins -> 0; max of dim 3 -> 255
+    assert codes[2] == [255, 0, 0]
+    assert codes[3] == [127, 0, 127]  # (50*255)//100, const, (5*255)//10

@@ -635,3 +635,27 @@ def test_kmv_partial_form_is_map_side_combined(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # The exchange carries the partial arrays, not raw rows.
     assert "_kmv_part" in plan
+
+
+def test_sq_encode_is_map_only(spark):
+    """SQ plan shape: training is a 64-group min/max agg; ENCODING is
+    map-only — the 1-row stats frame broadcasts onto the scan and no
+    hash exchange touches the corpus (the pq_encode contract, without
+    even a codebook join). At 100 TB the encode pass costs one scan."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.similarity import (
+        sq_dim_stats,
+        sq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF, "embeddings")
+    qv = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    stats = sq_dim_stats(qv).localCheckpoint(eager=True)
+    plan = (
+        sq_encode(qv, stats, 255)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Broadcast" in plan  # the 1-row stats attach
