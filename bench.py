@@ -412,6 +412,33 @@ def _curation_shared_scenario(spark, sf_dir):
     n_decon = decontaminated_manifest_from_flags(spark, sf_dir, flags).count()
     decon_manifest_sec = time.perf_counter() - t
 
+    # pipe16's marginal: the CCNet band gate + manifest over the same
+    # shared flags pass (the band LM pass itself is tx23's, timed in
+    # the secondary set).
+    from datapipeline_template_spark.queries.packing import (
+        pipe16_banded_manifest,
+    )
+    from datapipeline_template_spark.queries.packing import _decon_keep_ids
+    from datapipeline_template_spark.operators.text import unigram_surprisal
+    from datapipeline_template_spark.queries.text import TX23_TAIL_MB
+    from datapipeline_template_spark.catalog import table as _table
+    from pyspark.sql import functions as F
+
+    t = time.perf_counter()
+    _band = (
+        unigram_surprisal(_table(spark, sf_dir, "documents"), "doc_id", "text")
+        .where(F.expr("sum_mb DIV n_tokens") < TX23_TAIL_MB)
+        .select("doc_id")
+    )
+    from datapipeline_template_spark.queries.packing import manifest_from_flags
+    _keep16 = _decon_keep_ids(spark, sf_dir, flags).join(
+        _band, "doc_id", "left_semi"
+    )
+    n_banded = manifest_from_flags(
+        spark, sf_dir, _keep16.withColumn("f_sem", F.lit(True))
+    ).count()
+    banded_manifest_sec = time.perf_counter() - t
+
     standalone = pipe11_data_card(spark, sf_dir)
     parity = (
         card.exceptAll(standalone).count() == 0
@@ -428,7 +455,9 @@ def _curation_shared_scenario(spark, sf_dir):
         "n_sources": n_card,
         "n_mixed": n_mix,
         "n_manifest": n_manifest,
+        "banded_manifest_marginal_sec": round(banded_manifest_sec, 4),
         "n_decon_manifest": n_decon,
+        "n_banded_manifest": n_banded,
         "parity": parity,
     }
 

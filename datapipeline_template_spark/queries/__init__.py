@@ -138,6 +138,7 @@ _OVERFLOW = (
     "q43_kmv_distinct",
     "tx23_surprisal_bands",
     "ss24_sq_recall",
+    "pipe16_banded_manifest",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -579,7 +579,12 @@ def pk08_nosplit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pipe15_oracle() -> str:
+def _decon_manifest_sql(extra_ctes: str = "", kept_extra: str = "") -> str:
+    """The pipe15 chain (flags → 5-gram decon → BPE fit → encode →
+    pack) with two insertion points so compositions (pipe16's CCNet
+    band gate) extend it instead of forking it: ``extra_ctes`` lands
+    after the contamination CTE, ``kept_extra`` is AND-ed into the
+    kept_docs predicate."""
     from .dedup import _SHINGLES_K5_FROM_TH_SQL
     from .pipeline import _pipe12_flag_ctes
     from .text import _tx20_ctes
@@ -605,16 +610,21 @@ WITH RECURSIVE {_pipe12_flag_ctes()}, sh5 AS (
   WHERE d.source <> 'src0'
 ), contam AS (
   SELECT DISTINCT doc_id FROM candg JOIN evg USING (g)
-), kept_docs AS (
+){extra_ctes}, kept_docs AS (
   SELECT d.doc_id, d.text FROM documents d
   JOIN flagged2 f ON d.doc_id = f.doc_id
   WHERE f.f_sem AND d.source <> 'src0'
     AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+    {kept_extra}
 ), {_tx20_ctes(source="kept_docs")}
 {_bpe_tok_sql('kept_docs')}{_pack_sql('dtok', salt=_PIPE14_SALT,
             n_shards=_PIPE14_SHARDS, budget=_PIPE14_BUDGET)}
 ORDER BY doc_id
 """
+
+
+def _pipe15_oracle() -> str:
+    return _decon_manifest_sql()
 
 
 @register("pipe15_decontaminated_manifest", oracle=_pipe15_oracle())
@@ -652,13 +662,11 @@ def pipe15_decontaminated_manifest(
     return decontaminated_manifest_from_flags(spark, sf_dir, flags)
 
 
-def decontaminated_manifest_from_flags(
+def _decon_keep_ids(
     spark: SparkSession, sf_dir: str, flags: DataFrame
 ) -> DataFrame:
-    """pipe15's consumer stage over a precomputed extended-flags
-    DataFrame — 5-gram eval-overlap gate + tokenizer fit + encode +
-    packing (the curation_shared marginal form, like
-    ``manifest_from_flags`` for pipe14)."""
+    """pipe15's survivor set (f_sem ∧ non-eval ∧ non-contaminated) —
+    shared by pipe15 and pipe16 so the decon spec stays single-sourced."""
     from ..operators.dedup import decontaminate_flags, shingle_tokens
     from ..operators.text import tokenize
 
@@ -673,7 +681,7 @@ def decontaminated_manifest_from_flags(
         "doc_id",
         "sh",
     ).select("doc_id")
-    keep_ids = (
+    return (
         flags.where(F.col("f_sem"))
         .select("doc_id")
         .join(
@@ -682,6 +690,72 @@ def decontaminated_manifest_from_flags(
             "left_semi",
         )
         .join(contam, "doc_id", "left_anti")
+    )
+
+
+def decontaminated_manifest_from_flags(
+    spark: SparkSession, sf_dir: str, flags: DataFrame
+) -> DataFrame:
+    """pipe15's consumer stage over a precomputed extended-flags
+    DataFrame — 5-gram eval-overlap gate + tokenizer fit + encode +
+    packing (the curation_shared marginal form, like
+    ``manifest_from_flags`` for pipe14)."""
+    keep_ids = _decon_keep_ids(spark, sf_dir, flags)
+    return manifest_from_flags(
+        spark, sf_dir, keep_ids.withColumn("f_sem", F.lit(True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe16 — the CCNet-banded manifest: pipe15 with tx23's perplexity
+# band gate composed in (drop the 'tail' band before tokenizer fit).
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+
+def _pipe16_oracle() -> str:
+    from .text import TX23_TAIL_MB, _tx23_ctes
+
+    return _decon_manifest_sql(
+        extra_ctes=f""", {_tx23_ctes()}, sp_keep AS (
+  SELECT doc_id FROM sp_doc WHERE sum_mb // n_tokens < {TX23_TAIL_MB}
+)""",
+        kept_extra="AND EXISTS (SELECT 1 FROM sp_keep s WHERE s.doc_id = d.doc_id)",
+    )
+
+
+@register("pipe16_banded_manifest", oracle=_pipe16_oracle())
+def pipe16_banded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe15 with the CCNet stage composed in: tx23's deterministic
+    perplexity-proxy bands gate the decontaminated survivors (keep
+    head+middle, drop 'tail' — Wenzek et al. 2020's recipe) BEFORE the
+    tokenizer fits, so rare-token-heavy documents neither shape the
+    merge table nor enter the packed manifest. The band LM always
+    trains on the FULL corpus (the fixed reference, tx23's spec) while
+    the gate applies to the kept set — gates therefore commute with
+    the decon stage and the composition stays hash-replayable
+    end-to-end via the shared ``_decon_manifest_sql`` insertion points
+    + ``_tx23_ctes`` fragment (nothing forked). Funnel at sf0.01:
+    90 f_sem → 82 non-eval → 81 decontaminated → 62 in-band.
+
+    Scale shape: adds ONE doc-keyed semi join over pipe15's plan; the
+    band pass itself is tx23's two w-keyed shuffles (shared across any
+    number of consumers at 100 TB by persisting the per-doc scores —
+    the curation_shared pricing rule applies and pipe16 is costed as
+    a marginal, pipe12 remaining the full-composition bench row)."""
+    from ..operators.text import unigram_surprisal
+    from .pipeline import _curation_flags_extended
+    from .text import TX23_TAIL_MB
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    band_keep = (
+        unigram_surprisal(docs, "doc_id", "text")
+        .where(F.expr("sum_mb DIV n_tokens") < TX23_TAIL_MB)
+        .select("doc_id")
+    )
+    keep_ids = _decon_keep_ids(spark, sf_dir, flags).join(
+        band_keep, "doc_id", "left_semi"
     )
     return manifest_from_flags(
         spark, sf_dir, keep_ids.withColumn("f_sem", F.lit(True))

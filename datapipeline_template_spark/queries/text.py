@@ -1619,28 +1619,38 @@ def _milli_log2_sql(x: str) -> str:
     return f"(1000*{f} + (({x} - {p}) * 1000) // {p})"
 
 
-def _tx23_oracle() -> str:
+def _tx23_ctes(prefix: str = "sp_") -> str:
+    """tx23's per-doc surprisal spec as a PREFIXED CTE block
+    (…tok/…cnt/…tot/…surp/…doc), shareable into composition oracles
+    (pipe16 gates the curated manifest on the band this block
+    produces). The LM always trains on the FULL documents table — the
+    fixed reference corpus — regardless of what the composer keeps."""
+    p = prefix
     surp = f"({_milli_log2_sql('t.t')} - {_milli_log2_sql('c.c')})"
-    return f"""
-WITH tok AS (
+    return f"""{p}tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-), cnt AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
-), tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok
-), surp AS (
-  SELECT w, {surp} AS surp FROM cnt c CROSS JOIN tot t
-), d AS (
+), {p}cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM {p}tok GROUP BY w
+), {p}tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM {p}tok
+), {p}surp AS (
+  SELECT w, {surp} AS surp FROM {p}cnt c CROSS JOIN {p}tot t
+), {p}doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          CAST(SUM(surp) AS BIGINT) AS sum_mb
-  FROM tok JOIN surp USING (w) GROUP BY doc_id
-)
+  FROM {p}tok JOIN {p}surp USING (w) GROUP BY doc_id
+)"""
+
+
+def _tx23_oracle() -> str:
+    return f"""
+WITH {_tx23_ctes()}
 SELECT doc_id, n_tokens, sum_mb,
        sum_mb // n_tokens AS mean_mb,
        CASE WHEN sum_mb // n_tokens < {TX23_HEAD_MB} THEN 'head'
             WHEN sum_mb // n_tokens < {TX23_TAIL_MB} THEN 'middle'
             ELSE 'tail' END AS band
-FROM d
+FROM sp_doc
 """
 
 
