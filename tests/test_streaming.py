@@ -1553,3 +1553,77 @@ def test_incremental_kmv_param_guard_and_empty_state(spark, tmp_path):
         IncrementalKmv(store, group_col="other", value_col="v", k=8)
     # Same params re-attach cleanly.
     IncrementalKmv(store, group_col="g", value_col="v", k=8)
+
+
+def test_incremental_surprisal_matches_batch_tx23(spark, tmp_path, sf_dir):
+    """Thirteenth incremental family: drain documents in TWO
+    AvailableNow passes; the maintained scores must equal batch
+    unigram_surprisal over every document seen, and bands() must equal
+    tx23's banding — the LM counts are additive and stored doc-token
+    profiles re-score via ONE join (no re-tokenize). Replays are
+    marker-skip no-ops; crash-after-write replays rewrite identical
+    partitions (pure functions of the batch)."""
+    import os
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.text import unigram_surprisal
+    from datapipeline_template_spark.streaming.surprisal import (
+        IncrementalSurprisal,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "sp_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalSurprisal(store)
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    schema_str = "doc_id long, text string"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    mid = {r["doc_id"]: (r["n_tokens"], r["sum_mb"]) for r in inc.scores(spark).collect()}
+    want_mid = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in unigram_surprisal(b1).collect()
+    }
+    assert mid == want_mid  # LM over batch-1 corpus only
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in unigram_surprisal(docs).collect()
+    }
+    got = {r["doc_id"]: (r["n_tokens"], r["sum_mb"]) for r in inc.scores(spark).collect()}
+    assert got == want
+    # Old docs' scores REFRESHED against the grown LM (not frozen).
+    changed = [d for d in mid if mid[d] != got[d]]
+    assert changed, "corpus growth must shift at least one stored score"
+
+    # bands() == tx23's spec over the same corpus.
+    from datapipeline_template_spark.queries import load_all
+
+    want_bands = {
+        r["doc_id"]: r["band"]
+        for r in load_all()["tx23_surprisal_bands"].fn(spark, sf_dir).collect()
+    }
+    got_bands = {r["doc_id"]: r["band"] for r in inc.bands(spark).collect()}
+    assert got_bands == want_bands
+
+    # Replay safety + crash window.
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    got2 = {r["doc_id"]: (r["n_tokens"], r["sum_mb"]) for r in inc.scores(spark).collect()}
+    assert got2 == want
+
+    # Empty state: typed empties before any drain.
+    fresh = IncrementalSurprisal(str(tmp_path / "fresh"))
+    assert fresh.scores(spark).columns == ["doc_id", "n_tokens", "sum_mb"]
+    assert fresh.bands(spark).count() == 0
