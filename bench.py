@@ -124,6 +124,9 @@ SECONDARY = [
     "q43_kmv_distinct",
     "tx23_surprisal_bands",
     "ss24_sq_recall",
+    # IVF-SQ is its own composition row (the ss21 rule: one
+    # full-composition row per deployment shape).
+    "ss25_ivfsq_recall",
 ]
 
 

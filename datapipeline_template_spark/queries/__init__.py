@@ -139,6 +139,7 @@ _OVERFLOW = (
     "tx23_surprisal_bands",
     "ss24_sq_recall",
     "pipe16_banded_manifest",
+    "ss25_ivfsq_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

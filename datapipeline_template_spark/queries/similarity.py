@@ -2580,3 +2580,186 @@ def ss24_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("bits")
+
+
+# ---------------------------------------------------------------------------
+# ss25 — IVF-SQ: coarse routing composed with scalar-quantized scoring
+# (the FAISS "IVF,SQ8" production shape, parallel to ss21's IVF-PQ)
+# ---------------------------------------------------------------------------
+
+_SS25_LEVELS = 255  # SQ8 — the production config (ss24's top rung)
+
+
+def _ss25_oracle() -> str:
+    from ._kmeans_sql import kmeans_ctes
+
+    n = _SS21_ITER
+    # Coarse chain (unprefixed): qv / c{n} / a{n} over the eval slice —
+    # the SAME fragment ss21 routes with, so the two compositions can
+    # never diverge on routing.
+    coarse = kmeans_ctes(_SS21_CK, n, 64).replace(
+        "FROM embeddings",
+        f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+        1,
+    )
+    probe_blocks, selects = [], []
+    for np_ in _SS21_PROBES:
+        probe_blocks.append(f""", pr{np_} AS (
+  SELECT query_id, cid FROM (
+    SELECT t.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY
+             list_sum(list_transform(list_zip(t.qv, c.cv),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM qry t CROSS JOIN c{n} c) WHERE rn <= {np_}
+), cand{np_} AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM pr{np_} p JOIN a{n} a ON a.cid = p.cid AND a.vec_id != p.query_id
+), cc{np_} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand{np_}
+), sd{np_} AS (
+  SELECT cnd.query_id, cnd.neighbor_id,
+         list_sum(list_transform(list_zip(qc.cv, xc.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM cand{np_} cnd
+  JOIN scodes xc ON xc.vec_id = cnd.neighbor_id
+  JOIN scodes qc ON qc.vec_id = cnd.query_id
+), ret{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d, neighbor_id) AS rk
+    FROM sd{np_}) WHERE rk <= {_SS21_K}
+), h{np_} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN ret{np_} r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+)""")
+        selects.append(
+            f"SELECT CAST({np_} AS BIGINT) AS n_probe, "
+            f"(SELECT n_cand FROM cc{np_}) AS n_cand, "
+            f"(SELECT n_truth FROM tc) AS n_truth, "
+            f"(SELECT n_hit FROM h{np_}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{np_}) AS DOUBLE) / "
+            f"(SELECT n_truth FROM tc) AS recall"
+        )
+    sql = f"""WITH {coarse}{_ss_l2_truth_sql('qv', _SS21_NQ, _SS21_K)}
+, sdims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM qv, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), sstats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM sdims
+), scodes AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * {_SS25_LEVELS}) // s[3]) AS cv
+  FROM qv CROSS JOIN sstats
+){''.join(probe_blocks)}
+{' UNION ALL '.join(selects)}
+ORDER BY n_probe"""
+    # Same DuckDB lesson as ss20/ss21: MATERIALIZED pins one
+    # evaluation per CTE instead of re-expansion per reference.
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss25_ivfsq_recall", oracle=_ss25_oracle())
+def ss25_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ — coarse k-means routing composed with scalar-quantized
+    scoring, the FAISS "IVF,SQ8" deployment shape and ss21's sibling
+    on the compression ladder: candidates bound by IVF
+    (~|corpus|·n_probe/k per query, the explicit n_cand column),
+    bytes bound by SQ8 (64 codes = 4× vs float32; vs PQ's 64× at far
+    lower recall). Routing reuses ss21's EXACT coarse fragment
+    (kmeans_ctes, coarse_probe_expr) and scoring reuses ss24's
+    codes — both compositions share truth via _ss_l2_truth_sql, so
+    the retrieval matrix (routing × compression) is single-sourced.
+    SQ distance is symmetric (both sides coded), matching ss24's
+    metric. Measured hash-pinned at sf0.01 (truth = exact int-L2
+    top-5, 250 pairs; full corpus pairs ≈ 24,950): n_probe 1/2/4 →
+    n_cand 3,138 / 6,290 / 12,608 with recall 37.2% / 55.2% / 72.4%,
+    climbing toward ss24's 83.6% full-scan SQ8 ceiling while scoring
+    an eighth/quarter/half of the corpus — routing loss dominates
+    here (ss16's IVF-alone ladder is 42/60/81%), quantization loss is
+    the small residual, the opposite split from IVF-PQ where PQ error
+    capped recall at 25%. The cell-routed scoring is a CLUSTER
+    EQUI-JOIN, never a theta join (the plan-guarded ss21 shape)."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import (
+        coarse_probe_expr,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from ..operators.similarity import sq_dim_stats, sq_encode
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
+    )
+    cells = kmeans_assign(
+        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
+    ).select("vec_id", "cluster")
+    stats = sq_dim_stats(qv)
+    codes = (
+        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
+        .join(cells, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    qp = qv.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), "_qv"
+    )
+    qcodes = codes.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
+    )
+    out = None
+    for np_ in _SS21_PROBES:
+        pr = qp.withColumn(
+            "_probe", F.slice(coarse_probe_expr(F.col("_qv"), cent), 1, np_)
+        ).select("query_id", F.explode("_probe.cluster").alias("cluster"))
+        cand = (
+            pr.join(codes, "cluster")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "cv")
+        )
+        n_cand_df = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        dist = F.aggregate(
+            F.zip_with("_qc", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d").asc(), F.col("neighbor_id").asc()
+        )
+        ret = (
+            cand.join(qcodes, "query_id")
+            .withColumn("_d", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _SS21_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .crossJoin(n_cand_df)
+            .select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "n_cand",
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")
