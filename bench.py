@@ -127,6 +127,7 @@ SECONDARY = [
     # IVF-SQ is its own composition row (the ss21 rule: one
     # full-composition row per deployment shape).
     "ss25_ivfsq_recall",
+    "tx24_source_divergence",
 ]
 
 

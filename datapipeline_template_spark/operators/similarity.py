@@ -773,7 +773,7 @@ def mutual_knn_edges(
 # ---------------------------------------------------------------------------
 
 
-def sq_dim_stats(qv_df: DataFrame, vec_col: str = "_qv", dim: int = 64) -> DataFrame:
+def sq_dim_stats(qv_df: DataFrame, vec_col: str = "_qv") -> DataFrame:
     """Per-dimension (lo, range) over a PRE-QUANTIZED int64 vector
     column, gathered into one row of two dim-long arrays (lo_l, rng_l)
     ordered by dimension — the training artifact of scalar

@@ -140,6 +140,7 @@ _OVERFLOW = (
     "ss24_sq_recall",
     "pipe16_banded_manifest",
     "ss25_ivfsq_recall",
+    "tx24_source_divergence",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -96,8 +96,20 @@ class IncrementalKmv:
         construction."""
         if os.path.exists(self._marker(batch_id)):
             return
+        from pyspark.sql import types as T
+
         from ..operators.sketch import kmv_sketch
 
+        gtype = batch.schema[self.group_col].dataType
+        if not isinstance(gtype, T.StringType):
+            # The read side pins `group string` in its schema; a
+            # non-string group would land fine and fail obscurely on
+            # read — refuse at the write instead.
+            raise TypeError(
+                f"IncrementalKmv stores string group keys; "
+                f"{self.group_col} is {gtype.simpleString()} — cast it "
+                "before the sink"
+            )
         sk = kmv_sketch(batch, self.group_col, self.value_col, k=self.k)
         sk.withColumn("_batch", F.lit(int(batch_id))).write.mode(
             "overwrite"

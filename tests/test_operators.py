@@ -1858,7 +1858,7 @@ def test_sq_encode_codes_bounded_and_affine(spark):
         ],
         "vec_id long, _qv array<long>",
     )
-    stats = sq_dim_stats(df, dim=3)
+    stats = sq_dim_stats(df)
     row = stats.first()
     assert row["lo_l"] == [0, 10, -3] and row["rng_l"] == [100, 1, 10]
     codes = {

@@ -659,3 +659,25 @@ def test_sq_encode_is_map_only(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Broadcast" in plan  # the 1-row stats attach
+
+
+def test_tx23_no_global_window(spark):
+    """Surprisal-band plan shape: the whole query is map-reduce — two
+    w-keyed partial aggregates, one broadcast total attach, one
+    doc-keyed aggregate, and the banding is a plain projection against
+    PINNED thresholds. No Window operator anywhere: the ntile the
+    CCNet recipe implies lives in the offline threshold measurement
+    (tests/test_parity.py), never in the query plan."""
+    plan = _plan(spark, "tx23_surprisal_bands")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ss25_candidates_on_cluster_equijoin(spark):
+    """IVF-SQ composition keeps ss21's routed shape: candidate scoring
+    joins on the coarse CLUSTER key (hash equi-join), never a
+    cartesian/theta pair enumeration."""
+    plan = _plan(spark, "ss25_ivfsq_recall")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cluster" in plan or "cluster" in plan

@@ -609,6 +609,31 @@ def main() -> None:
     )
 
 
+    section(
+        "tx23_surprisal_bands",
+        "CCNet-style perplexity banding as pure map-reduce: two "
+        "w-keyed partial aggregates + a broadcast 1-row total attach "
+        "+ one doc-keyed aggregate; banding is a projection against "
+        "PINNED thresholds — no Window/ntile in the plan (the tercile "
+        "measurement lives offline in test_parity)",
+        [
+            ("Partial aggregation", r"HashAggregate\(keys=\[[^\]]{0,40}\], functions=\[partial_[a-z_]+"),
+            ("Broadcast total attach", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,40}"),
+        ],
+    )
+
+    section(
+        "ss25_ivfsq_recall",
+        "IVF-SQ composition: coarse routing (ss21's fragment) + SQ8 "
+        "codes (ss24's) — candidate scoring is a CLUSTER equi-join, "
+        "codes joined by key, never a pair theta join",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)"),
+            ("Cluster-keyed exchange", r"Exchange hashpartitioning\(cluster[^)]{0,30}"),
+        ],
+    )
+
     from datapipeline_template_spark.operators.sketch import kmv_sketch_partial
 
     section_df(
