@@ -214,9 +214,12 @@ def milli_log2(col: Column | str) -> Column:
 
     f = ⌊log2 x⌋ comes from the binary-string length (length(bin(x))−1
     — exact integer, no libm), the fraction from exact integer
-    division: 1000·f + (x − 2^f)·1000 div 2^f. Max error vs true log2
-    is the chord-vs-curve gap, ≤ 0.0861 bits — plenty for surprisal
-    scoring, and every step is integer math DuckDB replays verbatim
+    division: 1000·f + (x − 2^f)·1000 div 2^f. The value always
+    UNDER-approximates true log2: the chord-vs-curve gap contributes
+    ≤ 86.07 mb and the integer floor ≤ 1000/2^f more — measured sup
+    87.08 mb over x < 2^21, 86.77 asymptotically (property-test
+    pinned at < 87.2). Plenty for surprisal scoring, and every step
+    is integer math DuckDB replays verbatim
     (length(printf('%b',x)), <<, //). 2^f is exact through
     pow(2.0,f)→long (powers of two are exact doubles). Domain:
     0 < x < 2^54 — past that (x−2^f)·1000 would overflow int64, and

@@ -529,8 +529,9 @@ def unigram_surprisal(
     full of rare tokens scores high (tail). Surprisal of token w is
     log2(T/c_w) = log2 T − log2 c_w, computed in exact integer
     MILLIBITS via functions.milli_log2 (binary-length + interpolation
-    — no libm, so DuckDB replays it bit-for-bit; the float-entropy
-    twin of this idea is tx07, rows-only for exactly that reason).
+    — no libm, so DuckDB replays it bit-for-bit; per-log error < 87.2
+    mb, see milli_log2's measured bound. The float-entropy twin of
+    this idea is tx07, rows-only for exactly that reason).
 
     Plan shape: explode tokens → one groupBy(w) for counts (partial
     agg) → per-DISTINCT-token surprisal (the milli_log2 expressions

@@ -1726,8 +1726,10 @@ def tx24_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus-typical) to src1 +21.7 mb (most domain-distinct).
 
     Honesty note: exact-math KL is ≥ 0; values here can go slightly
-    negative because each milli_log2 chord UNDERestimates log2 by up
-    to 86.1 mb, bounding the per-token gap error at ±172.2 mb — the
+    negative because each milli_log2 UNDERestimates log2 by up to
+    87.1 mb (chord + integer floor, the measured bound in
+    functions.milli_log2), bounding the per-token gap error at
+    ±174.2 mb — the
     statistic is the deterministic interpolated form, and both
     engines compute it bit-identically (that is the point; the
     float-exact form would be tx07's rows-only fate). Plan: two
