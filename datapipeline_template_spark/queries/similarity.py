@@ -2741,7 +2741,7 @@ def ss25_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_d").asc(), F.col("neighbor_id").asc()
         )
         ret = (
-            cand.join(qcodes, "query_id")
+            cand.join(F.broadcast(qcodes), "query_id")
             .withColumn("_d", dist)
             .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= _SS21_K)
