@@ -416,27 +416,22 @@ def _curation_shared_scenario(spark, sf_dir):
     n_decon = decontaminated_manifest_from_flags(spark, sf_dir, flags).count()
     decon_manifest_sec = time.perf_counter() - t
 
-    # pipe16's marginal: the CCNet band gate + manifest over the same
-    # shared flags pass (the band LM pass itself is tx23's, timed in
-    # the secondary set).
-    from datapipeline_template_spark.queries.packing import (
-        pipe16_banded_manifest,
-    )
-    from datapipeline_template_spark.queries.packing import _decon_keep_ids
-    from datapipeline_template_spark.operators.text import unigram_surprisal
-    from datapipeline_template_spark.queries.text import TX23_TAIL_MB
-    from datapipeline_template_spark.catalog import table as _table
+    # pipe16's marginal: the adaptive CCNet band gate + manifest over
+    # the same shared flags pass (the band LM pass + order-statistic
+    # cut are pipe16's own spec — surprisal_head_middle_ids).
     from pyspark.sql import functions as F
 
-    t = time.perf_counter()
-    _band = (
-        unigram_surprisal(_table(spark, sf_dir, "documents"), "doc_id", "text")
-        .where(F.expr("sum_mb DIV n_tokens") < TX23_TAIL_MB)
-        .select("doc_id")
+    from datapipeline_template_spark.queries.packing import (
+        _decon_keep_ids,
+        manifest_from_flags,
     )
-    from datapipeline_template_spark.queries.packing import manifest_from_flags
+    from datapipeline_template_spark.queries.text import (
+        surprisal_head_middle_ids,
+    )
+
+    t = time.perf_counter()
     _keep16 = _decon_keep_ids(spark, sf_dir, flags).join(
-        _band, "doc_id", "left_semi"
+        surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi"
     )
     n_banded = manifest_from_flags(
         spark, sf_dir, _keep16.withColumn("f_sem", F.lit(True))

@@ -714,46 +714,49 @@ def decontaminated_manifest_from_flags(
 
 
 def _pipe16_oracle() -> str:
-    from .text import TX23_TAIL_MB, _tx23_ctes
+    from .text import _tx23_ctes, _tx23_cut_ctes
 
     return _decon_manifest_sql(
-        extra_ctes=f""", {_tx23_ctes()}, sp_keep AS (
-  SELECT doc_id FROM sp_doc WHERE sum_mb // n_tokens < {TX23_TAIL_MB}
-)""",
+        extra_ctes=f", {_tx23_ctes()}{_tx23_cut_ctes()}",
         kept_extra="AND EXISTS (SELECT 1 FROM sp_keep s WHERE s.doc_id = d.doc_id)",
     )
 
 
 @register("pipe16_banded_manifest", oracle=_pipe16_oracle())
 def pipe16_banded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pipe15 with the CCNet stage composed in: tx23's deterministic
-    perplexity-proxy bands gate the decontaminated survivors (keep
-    head+middle, drop 'tail' — Wenzek et al. 2020's recipe) BEFORE the
-    tokenizer fits, so rare-token-heavy documents neither shape the
-    merge table nor enter the packed manifest. The band LM always
-    trains on the FULL corpus (the fixed reference, tx23's spec) while
-    the gate applies to the kept set — gates therefore commute with
-    the decon stage and the composition stays hash-replayable
-    end-to-end via the shared ``_decon_manifest_sql`` insertion points
-    + ``_tx23_ctes`` fragment (nothing forked). Funnel at sf0.01:
-    90 f_sem → 82 non-eval → 81 decontaminated → 62 in-band.
+    """pipe15 with the CCNet stage composed in: the perplexity-proxy
+    band gates the decontaminated survivors (keep head+middle, drop
+    the rare-token-heavy tail — Wenzek et al. 2020's recipe) BEFORE
+    the tokenizer fits, so tail documents neither shape the merge
+    table nor enter the packed manifest. The band LM always trains on
+    the FULL corpus (the fixed reference, tx23's spec) while the gate
+    applies to the kept set — gates therefore commute with the decon
+    stage and the composition stays hash-replayable end-to-end via the
+    shared ``_decon_manifest_sql`` insertion points + the
+    ``_tx23_ctes``/``_tx23_cut_ctes`` fragments (nothing forked).
 
-    Scale shape: adds ONE doc-keyed semi join over pipe15's plan; the
-    band pass itself is tx23's two w-keyed shuffles (shared across any
-    number of consumers at 100 TB by persisting the per-doc scores —
-    the curation_shared pricing rule applies and pipe16 is costed as
-    a marginal, pipe12 remaining the full-composition bench row)."""
-    from ..operators.text import unigram_surprisal
+    Unlike tx23's PINNED band constants (the chooser-demo pattern),
+    the cut here is ADAPTIVE: the ceil(2n/3)-th smallest mean — an
+    order statistic over distinct integer millibit means, derived per
+    corpus (``surprisal_head_middle_ids``). The sf0.1 bench motivated
+    this: the sf0.01 pins classified EVERY sf0.1 survivor as tail and
+    the manifest silently emptied — absolute thresholds do not
+    transfer across corpus sizes; order statistics do. Funnel at
+    sf0.01: 90 f_sem → 82 non-eval → 81 decontaminated → 62 in-band
+    (the adaptive t2 lands on the same cut the pins encoded there);
+    at sf0.1 the same query keeps 1242 docs where the pinned form
+    kept ZERO (both measured via the oracle).
+
+    Scale shape: adds ONE doc-keyed semi join over pipe15's plan plus
+    the band pass (two w-keyed shuffles; the cut's cumulative window
+    runs over DISTINCT millibit means, ≤ ~54k rows by construction —
+    never over documents). Priced as a curation_shared marginal;
+    pipe12 remains the full-composition bench row."""
     from .pipeline import _curation_flags_extended
-    from .text import TX23_TAIL_MB
+    from .text import surprisal_head_middle_ids
 
     flags = _curation_flags_extended(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    band_keep = (
-        unigram_surprisal(docs, "doc_id", "text")
-        .where(F.expr("sum_mb DIV n_tokens") < TX23_TAIL_MB)
-        .select("doc_id")
-    )
+    band_keep = surprisal_head_middle_ids(spark, sf_dir)
     keep_ids = _decon_keep_ids(spark, sf_dir, flags).join(
         band_keep, "doc_id", "left_semi"
     )

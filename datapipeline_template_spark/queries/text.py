@@ -1768,3 +1768,67 @@ def tx24_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cs").cast("double")
         ).alias("mean_gap_mb"),
     )
+
+
+def _tx23_cut_ctes(prefix: str = "sp_") -> str:
+    """Adaptive band cut as CTEs over ``{prefix}doc``: t2 = the
+    ceil(2n/3)-th smallest integer-millibit mean (an ORDER STATISTIC,
+    not a pinned constant), and the head+middle keep set mean ≤ t2.
+    The cumulative window runs over DISTINCT mean values — bounded by
+    the millibit range (≤ ~54k values for any corpus fitting int64
+    token counts), never over documents — so the cut transfers across
+    corpus sizes where tx23's pinned constants deliberately do not
+    (bench at sf0.1 is the regression that motivated this: the sf0.01
+    pins classified every sf0.1 survivor as tail)."""
+    p = prefix
+    return f""", {p}mean AS (
+  SELECT doc_id, sum_mb // n_tokens AS mean_mb FROM {p}doc
+), {p}vc AS (
+  SELECT mean_mb, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {p}mean GROUP BY mean_mb
+), {p}cum AS (
+  SELECT mean_mb,
+         SUM(cnt) OVER (ORDER BY mean_mb) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM {p}vc
+), {p}cut AS (
+  SELECT MIN(mean_mb) AS t2 FROM {p}cum WHERE cum >= (2*n + 2) // 3
+), {p}keep AS (
+  SELECT doc_id FROM {p}mean CROSS JOIN {p}cut WHERE mean_mb <= t2
+)"""
+
+
+def surprisal_head_middle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids in the head+middle of the corpus surprisal distribution
+    — the Spark twin of ``_tx23_cut_ctes``. The cut is the
+    ceil(2n/3)-th smallest mean, derived from a cumulative window over
+    DISTINCT integer millibit means (≤ ~54k rows by construction —
+    the bounded-value-domain trick that keeps the 'global quantile'
+    scale-clean; the q26b multipass operator is the general-domain
+    version of the same idea)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import unigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    m = unigram_surprisal(docs, "doc_id", "text").select(
+        "doc_id", F.expr("sum_mb DIV n_tokens").alias("mean_mb")
+    )
+    vc = m.groupBy("mean_mb").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy("mean_mb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "mean_mb",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cut = cum.where(
+        F.col("cum") >= F.expr("(2 * n + 2) DIV 3")
+    ).agg(F.min("mean_mb").alias("t2"))
+    return (
+        m.crossJoin(F.broadcast(cut))
+        .where(F.col("mean_mb") <= F.col("t2"))
+        .select("doc_id")
+    )
