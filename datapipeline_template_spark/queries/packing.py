@@ -744,8 +744,12 @@ def pipe16_banded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     transfer across corpus sizes; order statistics do. Funnel at
     sf0.01: 90 f_sem → 82 non-eval → 81 decontaminated → 62 in-band
     (the adaptive t2 lands on the same cut the pins encoded there);
-    at sf0.1 the same query keeps 1242 docs where the pinned form
-    kept ZERO (both measured via the oracle).
+    at sf0.1 the same query keeps 1364 docs where the pinned form
+    kept ZERO (both engine-measured — note the oracle STRING is only
+    meaningful at the sf0.01 gate: the flag chain bakes
+    k_for_corpus(500)=8 into its CTEs, so replaying it at other scale
+    factors diverges by design while the Spark side scales k with the
+    policy).
 
     Scale shape: adds ONE doc-keyed semi join over pipe15's plan plus
     the band pass (two w-keyed shuffles; the cut's cumulative window
