@@ -141,6 +141,7 @@ _OVERFLOW = (
     "pipe16_banded_manifest",
     "ss25_ivfsq_recall",
     "tx24_source_divergence",
+    "ss27_dim_truncation_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -2763,3 +2763,125 @@ def ss25_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_probe")
+
+
+# ---------------------------------------------------------------------------
+# ss27 — dimension-truncation recall: prefix-dim retrieval vs full-dim
+# truth, the ZERO-TRAINING rung of the compression ladder
+# ---------------------------------------------------------------------------
+
+_SS27_DIMS = (32, 16, 8)
+
+
+def _ss27_oracle() -> str:
+    """Replays the prefix-slice retrieval in DuckDB list algebra; the
+    truth block is the shared _ss_l2_truth_sql, so every compression
+    harness (PQ ss20, SQ ss24, truncation here) scores against ONE
+    truth definition."""
+    blocks, selects = [], []
+    for d in _SS27_DIMS:
+        blocks.append(f"""tr{d} AS (
+  SELECT vec_id, qv[1:{d}] AS tv FROM base
+), tq{d} AS (
+  SELECT vec_id AS query_id, tv FROM tr{d} WHERE vec_id < {_SS20_NQ}
+), ret{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.tv, e.tv),
+               s -> (s[1]-s[2])*(s[1]-s[2]))), e.vec_id) AS rk
+    FROM tq{d} q JOIN tr{d} e ON e.vec_id != q.query_id
+  ) WHERE rk <= {_SS20_K}
+), h{d} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ret{d} r JOIN truth t USING (query_id, neighbor_id)
+)""")
+        selects.append(
+            f"SELECT {d}::BIGINT AS dim, tc.n_truth, h.n_hit,\n"
+            f"       CAST(h.n_hit AS DOUBLE)/tc.n_truth AS recall\n"
+            f"FROM tc, h{d} h"
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+){_ss_l2_truth_sql('base', _SS20_NQ, _SS20_K)}, {', '.join(blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY dim DESC
+"""
+
+
+@register("ss27_dim_truncation_recall", oracle=_ss27_oracle())
+def ss27_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension truncation recall — the third compression
+    BASIS of the retrieval matrix, next to per-dimension affine codes
+    (SQ, ss24) and per-subspace codebooks (PQ, ss20): keep only the
+    first d of 64 dimensions and search in the truncated space. This
+    is the serving trick Matryoshka Representation Learning (Kusupati
+    et al. 2022) trains embeddings for; these synthetic embeddings are
+    NOT MRL-trained, so the rows measure UNSTRUCTURED dimension
+    dropping — the honest no-training baseline a deployment should
+    demand before buying prefix truncation: at sf0.01 against the
+    shared exact int-L2 truth (top-5, 250 pairs), dim 32/16/8 →
+    recall 19.6% / 10.8% / 6.4% — collapsed versus SQ's 83.6% (4×)
+    and 73.2% (8×) at the SAME byte budgets (ss24), because these
+    embeddings spread signal uniformly across dimensions: truncation
+    discards half-or-more of it while SQ keeps every dimension at
+    lower precision. The measured argument for quantizing, never
+    truncating, when embeddings aren't nesting-trained — and the
+    baseline an MRL-trained embedding must beat to justify itself.
+
+    Plan shape: zero training (no stats pass at all — the cheapest
+    possible encode, a per-row slice), retrieval scores full pairs on
+    the bounded eval slice (the ss08 convention); at corpus scale the
+    truncated vectors compose with IVF routing exactly as SQ/PQ codes
+    do. Distances are exact int64; every stage DuckDB-replayed."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K, qv=qv)
+    out = None
+    for d in _SS27_DIMS:
+        tr = qv.select("vec_id", F.slice("_qv", 1, d).alias("tv"))
+        q = tr.where(F.col("vec_id") < _SS20_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("tv").alias("_tq")
+        )
+        dist = F.aggregate(
+            F.zip_with("_tq", "tv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d").asc(), F.col("neighbor_id").asc()
+        )
+        ret = (
+            tr.select(F.col("vec_id").alias("neighbor_id"), "tv")
+            .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_d", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _SS20_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.col("dim").desc())
