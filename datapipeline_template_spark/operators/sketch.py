@@ -501,3 +501,51 @@ def kmv_estimate(sketch_col, k: int):
     m = F.get(c, k - 1)
     est = ((num - (num % m)) / m).cast("long")
     return F.when(F.size(c) < k, F.size(c).cast("long")).otherwise(est)
+
+
+def kmv_intersect_estimate(a, b, k: int):
+    """Theta-style intersection estimate from two KMV sketches.
+
+    The merged sketch's k-th smallest hash m_k (kmv_merge) defines the
+    sampling threshold θ: every distinct union hash < m_k is a uniform
+    sample of the union at rate m_k/P. Hashes below θ present in BOTH
+    sketches are therefore a uniform sample of the INTERSECTION at the
+    same rate, so |A∩B| ≈ count_both · P div m_k — the same exact
+    integer estimator family as kmv_estimate (count_both ≤ k−1 keeps
+    count_both·P < 2^53, so the double quotient is exact). When the
+    merged sketch holds fewer than k hashes both input sketches are
+    complete and the intersection count is EXACT. This is the
+    Datasketches theta-sketch set-operation shape on KMV's k-min
+    sample; the estimate itself is deterministic integer math, hence
+    DuckDB-hash-verifiable (q44), unlike HLL set ops.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    merged = kmv_merge(ca, cb, k)
+    m_k = F.get(merged, k - 1)
+    inter = F.array_intersect(ca, cb)
+    below = F.size(F.filter(inter, lambda h: h < m_k)).cast("long")
+    num = below * F.lit(KMV_P).cast("long")
+    est = ((num - (num % m_k)) / m_k).cast("long")
+    return F.when(F.size(merged) < k, F.size(inter).cast("long")).otherwise(est)
+
+
+def kmv_jaccard_estimate(a, b, k: int):
+    """Jaccard estimate from two KMV sketches (double).
+
+    In the estimating regime the k−1 union hashes below θ are the
+    uniform union sample, so J ≈ count_both/(k−1); in the exact regime
+    (merged size < k ⇒ both sketches complete) it is the exact ratio.
+    Both branches divide identical integers, so the double is
+    IEEE-identical across engines (the q09 avg discipline).
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    merged = kmv_merge(ca, cb, k)
+    m_k = F.get(merged, k - 1)
+    inter = F.array_intersect(ca, cb)
+    below = F.size(F.filter(inter, lambda h: h < m_k)).cast("double")
+    return F.when(
+        F.size(merged) < k,
+        F.size(inter).cast("double") / F.size(merged).cast("double"),
+    ).otherwise(below / F.lit(float(k - 1)))

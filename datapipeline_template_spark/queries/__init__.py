@@ -142,6 +142,7 @@ _OVERFLOW = (
     "ss25_ivfsq_recall",
     "tx24_source_divergence",
     "ss27_dim_truncation_recall",
+    "q44_kmv_set_ops",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

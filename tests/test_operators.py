@@ -1842,6 +1842,81 @@ def test_kmv_estimate_accuracy_at_k(spark, sf_dir):
     assert abs(est - exact) / exact < 3 / (63 ** 0.5)
 
 
+def test_kmv_set_ops_exact_when_underfull(spark):
+    """merged size < k ⇒ both sketches are complete: intersection and
+    Jaccard come out EXACT (the q44 exact branch)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.sketch import (
+        kmv_intersect_estimate,
+        kmv_jaccard_estimate,
+        kmv_sketch,
+    )
+
+    a_vals = [1, 2, 3, 4, 5, 6]
+    b_vals = [4, 5, 6, 7, 8]
+    df = spark.createDataFrame(
+        [("a", v) for v in a_vals] + [("b", v) for v in b_vals],
+        "grp string, v long",
+    )
+    sk = kmv_sketch(df, "grp", "v", k=64)
+    row = (
+        sk.where(F.col("grp") == "a")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(sk.where(F.col("grp") == "b").select(F.col("kmv").alias("kb")))
+        .select(
+            kmv_intersect_estimate("ka", "kb", 64).alias("i"),
+            kmv_jaccard_estimate("ka", "kb", 64).alias("j"),
+        )
+        .first()
+    )
+    assert row["i"] == 3  # |{4,5,6}| exactly
+    assert row["j"] == 3 / 8  # |A∩B| / |A∪B| exactly
+
+
+def test_kmv_intersect_estimate_accuracy_at_k(spark, sf_dir):
+    """Estimating-regime sanity on the theta-style intersection: two
+    half-overlapping custkey cohorts at k=64; the estimate lands
+    within 4/sqrt(k·J) of truth (J ≈ 1/3 here) — loose enough to be
+    noise-proof, tight enough to catch a broken θ or sample count."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    cust = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    # Cohort A = keys with residue 0/1 mod 3, cohort B = residue 1/2:
+    # overlap = residue-1 keys, about a third of the union.
+    lab = cust.select(
+        "o_custkey", (F.col("o_custkey") % 3).alias("r")
+    )
+    df = (
+        lab.where(F.col("r") < 2).select(F.lit("a").alias("grp"), "o_custkey")
+        .unionByName(
+            lab.where(F.col("r") > 0).select(
+                F.lit("b").alias("grp"), "o_custkey"
+            )
+        )
+    )
+    sk = kmv_sketch(df, "grp", "o_custkey", k=64)
+    est = (
+        sk.where(F.col("grp") == "a")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(sk.where(F.col("grp") == "b").select(F.col("kmv").alias("kb")))
+        .select(kmv_intersect_estimate("ka", "kb", 64).alias("i"))
+        .first()["i"]
+    )
+    exact = lab.where(F.col("r") == 1).count()
+    # The regime switch is the UNION filling the merged sketch (the
+    # intersection itself may be under k and still be estimated).
+    assert cust.count() > 64
+    assert exact > 0
+    assert abs(est - exact) / exact < 4 / ((64 / 3) ** 0.5)
+
+
 def test_sq_encode_codes_bounded_and_affine(spark):
     """SQ codes land in [0, levels] with min→0 and max→levels per
     dimension; constant dimensions (rng clamp) encode to 0."""
