@@ -143,6 +143,7 @@ _OVERFLOW = (
     "tx24_source_divergence",
     "ss27_dim_truncation_recall",
     "q44_kmv_set_ops",
+    "ss26_sq_rerank_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -2885,3 +2885,179 @@ def ss27_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy(F.col("dim").desc())
+
+
+# ---------------------------------------------------------------------------
+# ss26 — SQ shortlist → exact re-rank: ss22's two-stage serving shape
+# on ss24's scalar-quantized codes (the re-rank COLUMN of the
+# compression matrix, measured for its second basis)
+# ---------------------------------------------------------------------------
+
+_SS26_DEPTHS = (5, 10, 25)
+_SS26_LEVELS = 255  # SQ8 — the production rung (ss24/ss25)
+
+
+def _ss26_oracle() -> str:
+    """base/stats/codes replay ss24's SQ8 spec verbatim; the depth
+    blocks are ss22's shortlist→re-rank shape pointed at the code
+    distances; truth is the shared _ss_l2_truth_sql block."""
+    depth_blocks, selects = [], []
+    for r in _SS26_DEPTHS:
+        depth_blocks.append(f""", sh{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cd, neighbor_id) AS rk
+    FROM cdist) WHERE rk <= {r}
+), rr{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.qv, e.qv),
+               t -> (t[1] - t[2]) * (t[1] - t[2]))), s.neighbor_id) AS rk
+    FROM sh{r} s JOIN qry q ON q.query_id = s.query_id
+                 JOIN base e ON e.vec_id = s.neighbor_id
+  ) WHERE rk <= {_SS20_K}
+), h{r} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN rr{r} r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS rerank_depth, "
+            f"(SELECT n_truth FROM tc) AS n_truth, "
+            f"(SELECT n_hit FROM h{r}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{r}) AS DOUBLE) / "
+            f"(SELECT n_truth FROM tc) AS recall"
+        )
+    sql = f"""WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), dims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM base, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), stats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM dims
+), codes AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * {_SS26_LEVELS}) // s[3]) AS cv
+  FROM base CROSS JOIN stats
+){_ss_l2_truth_sql('base', _SS20_NQ, _SS20_K)}
+, cq AS (
+  SELECT vec_id AS query_id, cv FROM codes WHERE vec_id < {_SS20_NQ}
+), cdist AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.cv, e.cv),
+           s -> (s[1]-s[2])*(s[1]-s[2]))) AS cd
+  FROM cq q JOIN codes e ON e.vec_id != q.query_id
+){''.join(depth_blocks)}
+{' UNION ALL '.join(selects)}
+ORDER BY rerank_depth"""
+    # The ss20 DuckDB lesson: depth blocks reference cdist/truth
+    # repeatedly; MATERIALIZED pins one evaluation per CTE.
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss26_sq_rerank_recall", oracle=_ss26_oracle())
+def ss26_sq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 shortlist → EXACT re-rank, recall-accounted per shortlist
+    depth — ss22's two-stage serving shape applied to ss24's scalar
+    codes, completing the re-rank COLUMN of the compression matrix
+    {PQ, SQ, truncation} × {raw scan, IVF-routed, re-ranked}. At
+    depth k the shortlist IS the answer set, so the row reproduces
+    ss24's SQ8 recall exactly (83.6% — the cross-harness consistency
+    check); deeper shortlists let the exact pass recover neighbors
+    SQ mis-ranked. Measured hash-pinned at sf0.01 (shared exact
+    int-L2 truth, top-5, 250 pairs): depth 5/10/25 → recall 83.6% /
+    98.0% / 100% — a 2× over-retrieval already clears 98% and 5×
+    saturates, versus PQ's 56.8% at 5× and 74.4% at 10× (ss22): when
+    memory allows the 4× SQ8 budget, the re-rank stage needs an order
+    of magnitude less over-retrieval to reach exactness. That trade — code bytes vs shortlist depth vs exact
+    fetches — is THE serving-cost equation this family pins down.
+
+    Plan shape mirrors ss22: ONE code-distance pass ranked at max
+    depth then rank-sliced per depth (checkpointed ≤ nq·max_depth
+    rows), re-rank joins shortlist ids to raw vectors — per-query
+    constant at any corpus size. Every stage exact-int and
+    DuckDB-replayed."""
+    from pyspark.sql import Window
+
+    from ..functions import dot_expanded, norm_sq_prequantized, quantize_vec
+    from ..operators.similarity import sq_dim_stats, sq_encode
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K, qv=qv)
+    stats = sq_dim_stats(qv)
+    codes = sq_encode(
+        qv.select("vec_id", "_qv"), stats, _SS26_LEVELS
+    ).localCheckpoint(eager=True)
+    qc = codes.where(F.col("vec_id") < _SS20_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
+    )
+    cdist = F.aggregate(
+        F.zip_with("_qc", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    max_depth = max(_SS26_DEPTHS)
+    wsq = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("neighbor_id").asc()
+    )
+    short_all = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "cv")
+        .join(F.broadcast(qc), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cd", cdist)
+        .withColumn("_rk", F.row_number().over(wsq))
+        .where(F.col("_rk") <= max_depth)
+        .select("query_id", "neighbor_id", "_rk")
+        .localCheckpoint(eager=True)
+    )
+    qside = qv.where(F.col("vec_id") < _SS20_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
+    exact = (
+        F.col("_qn") + F.col("_n")
+        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for depth in _SS26_DEPTHS:
+        rer = (
+            short_all.where(F.col("_rk") <= depth)
+            .join(qside, "query_id")
+            .join(nside, "neighbor_id")
+            .select("query_id", "neighbor_id", exact.alias("_d"))
+            .withColumn("_r", F.row_number().over(wt))
+            .where(F.col("_r") <= _SS20_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = rer.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(depth).cast("long").alias("rerank_depth"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rerank_depth")
