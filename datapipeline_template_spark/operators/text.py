@@ -561,3 +561,75 @@ def unigram_surprisal(
             F.sum("surp").cast("long").alias("sum_mb"),
         )
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document DSIR importance score — Data Selection via
+    Importance Resampling (Xie et al. 2023) with unigram LMs in exact
+    integer millibits.
+
+    DSIR scores each raw document by log p_target(x) − log p_raw(x)
+    under two cheap bag-of-words models and keeps the top-weighted
+    docs, steering a generic corpus toward a target domain without
+    training a classifier. Here the target LM is the unigram model of
+    the ``target_source`` slice, ADD-ONE smoothed over the RAW
+    corpus's vocabulary (so out-of-target tokens score log(1/(T_t+V))
+    instead of −∞); the raw LM is the full-corpus unigram model,
+    unsmoothed (every scored token exists in it by construction).
+    Per-token millibit ratio, via functions.milli_log2 exactly as
+    unigram_surprisal:
+
+        g(w) = (ml(c_t(w)+1) − ml(T_t+V)) − (ml(c(w)) − ml(T))
+
+    Returns (id_col, n_tokens long, sum_mb long); mean and selection
+    are the caller's (tx25 cuts the top third with the bounded
+    distinct-value order statistic). Deterministic integer end-to-end
+    — the paper's Gumbel-noise resampling step is deliberately
+    replaced by a rank cut so the whole path stays hash-verifiable.
+
+    Plan shape: one token explode feeding THREE partial aggregates
+    (global counts, target counts, totals) — the target side is a
+    filter over the same shuffle key, not a second scan family — then
+    per-VOCAB-ENTRY score math (runs once per distinct token), an
+    equi-join back to the token stream, one groupBy(doc). Same
+    unbounded-corpus-safe map-reduce family as unigram_surprisal;
+    target docs score themselves (self-bias) exactly as raw DSIR does
+    when the target is a corpus subset.
+    """
+    from ..functions import milli_log2
+
+    tok = docs.select(
+        F.col(id_col),
+        (F.col(source_col) == target_source).alias("_is_t"),
+        F.explode(tokenize(text_col)).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+    )
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.sum("ct").cast("long").alias("tt"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    wsc = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            (milli_log2(F.col("ct") + 1) - milli_log2(F.col("tt") + F.col("v")))
+            - (milli_log2("c") - milli_log2("t"))
+        ).alias("g"),
+    )
+    return (
+        tok.join(wsc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("g").cast("long").alias("sum_mb"),
+        )
+    )

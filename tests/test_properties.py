@@ -888,3 +888,43 @@ def test_kmv_merge_equals_union_sketch_property(spark, vals, cut, k):
     )
     if len(distinct_h) < k:
         assert est == len(distinct_h)
+
+
+def test_dsir_logratio_direction_and_python_reference(spark):
+    """DSIR scores a target-vocab doc above a non-target doc, and the
+    per-doc sums match a Python reference of the exact operator spec
+    (add-one target LM over raw vocab, unsmoothed raw LM, milli_log2
+    interpolated integer log)."""
+    from datapipeline_template_spark.operators.text import dsir_logratio
+
+    rows = [
+        (0, "alpha beta alpha", "tgt"),
+        (1, "alpha beta gamma", "other"),
+        (2, "delta delta epsilon zeta", "other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in dsir_logratio(docs, "tgt").collect()
+    }
+
+    def ml(x: int) -> int:
+        f = x.bit_length() - 1
+        p = 1 << f
+        return 1000 * f + ((x - p) * 1000) // p
+
+    toks = {0: "alpha beta alpha", 1: "alpha beta gamma", 2: "delta delta epsilon zeta"}
+    allw = [w for t in toks.values() for w in t.split(" ")]
+    c = {w: allw.count(w) for w in set(allw)}
+    tw = toks[0].split(" ")
+    ct = {w: tw.count(w) for w in set(allw)}
+    t, tt, v = len(allw), len(tw), len(set(allw))
+    g = {
+        w: (ml(ct.get(w, 0) + 1) - ml(tt + v)) - (ml(c[w]) - ml(t))
+        for w in set(allw)
+    }
+    for did, text in toks.items():
+        ws = text.split(" ")
+        assert got[did] == (len(ws), sum(g[w] for w in ws)), did
+    # The target doc outranks the disjoint-vocab doc on mean ratio.
+    assert got[0][1] / got[0][0] > got[2][1] / got[2][0]
