@@ -145,6 +145,7 @@ _OVERFLOW = (
     "q44_kmv_set_ops",
     "ss26_sq_rerank_recall",
     "tx25_dsir_selection",
+    "pipe17_dsir_manifest",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

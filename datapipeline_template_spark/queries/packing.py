@@ -767,3 +767,60 @@ def pipe16_banded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_from_flags(
         spark, sf_dir, keep_ids.withColumn("f_sem", F.lit(True))
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe17 — the DSIR-targeted manifest: pipe15 with tx25's importance-
+# ratio gate composed in (keep the target-domain-like third before
+# tokenizer fit). Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+
+def _pipe17_oracle() -> str:
+    from .text import _tx25_ctes, _tx25_keep_cte
+
+    return _decon_manifest_sql(
+        extra_ctes=f", {_tx25_ctes()}{_tx25_keep_cte()}",
+        kept_extra=(
+            "AND EXISTS (SELECT 1 FROM ir_keep s WHERE s.doc_id = d.doc_id)"
+        ),
+    )
+
+
+@register("pipe17_dsir_manifest", oracle=_pipe17_oracle())
+def pipe17_dsir_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe15 with DSIR data selection composed in: the importance-
+    ratio gate (tx25 — keep the top third of the corpus by
+    log p_target − log p_raw toward TX25_TARGET) filters the
+    decontaminated survivors BEFORE the tokenizer fits, so the merge
+    table and the packed manifest are both tilted toward the target
+    domain — the Xie et al. 2023 deployment shape, and pipe16's
+    sibling on a different axis (band gate = quality; DSIR gate =
+    domain). The ratio LMs always train on the FULL corpus (the fixed
+    reference, tx25's spec), so the gate commutes with the decon
+    stage and the composition stays hash-replayable end-to-end via
+    the shared ``_decon_manifest_sql`` insertion points + the
+    ``_tx25_ctes``/``_tx25_keep_cte`` fragments (nothing forked).
+
+    Funnel at sf0.01: 90 f_sem → 82 non-eval → 81 decontaminated →
+    36 DSIR-targeted (the kept-set intersection; tx25 keeps 167/500
+    corpus-wide). The cut is tx25's adaptive order statistic, so the
+    gate transfers across corpus sizes (pipe16's lesson applied from
+    day one); as with pipe16, the ORACLE string is only meaningful at
+    the sf0.01 gate because the flag chain bakes k_for_corpus(500)=8
+    into its CTEs.
+
+    Scale shape: adds ONE doc-keyed semi join plus tx25's map-reduce
+    pass (two w-keyed shuffles; cut window over distinct means only)
+    over pipe15's plan. Priced as a curation_shared marginal; pipe12
+    remains the full-composition bench row."""
+    from .pipeline import _curation_flags_extended
+    from .text import dsir_keep_ids
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    keep_ids = _decon_keep_ids(spark, sf_dir, flags).join(
+        dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi"
+    )
+    return manifest_from_flags(
+        spark, sf_dir, keep_ids.withColumn("f_sem", F.lit(True))
+    )

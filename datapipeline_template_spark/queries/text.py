@@ -1926,13 +1926,41 @@ def tx25_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-bias in. That spread (not blanket self-selection) is the
     behavior raw DSIR shows when the target is a subset of the scored
     corpus."""
+    m, cut = _dsir_mean_and_cut(spark, sf_dir)
+    return m.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_mb",
+        "mean_mb",
+        F.when(F.col("mean_mb") >= F.col("tcut"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+def _tx25_keep_cte(prefix: str = "ir_") -> str:
+    """DSIR keep set as a CTE over ``{prefix}mean``/``{prefix}cut`` —
+    the composition hook pipe17 AND-s into the manifest predicate
+    (the _tx23_cut_ctes pattern)."""
+    p = prefix
+    return f""", {p}keep AS (
+  SELECT m.doc_id FROM {p}mean m CROSS JOIN {p}cut c
+  WHERE m.mean_mb >= c.tcut
+)"""
+
+
+def _dsir_mean_and_cut(spark: SparkSession, sf_dir: str):
+    """(per-doc mean frame, 1-row tcut frame) for tx25's DSIR spec —
+    the single Spark source both tx25 and dsir_keep_ids/pipe17 read,
+    mirroring the ``_tx25_ctes`` fragment. The cut is the descending
+    bounded-distinct-value order statistic (top third)."""
     from pyspark.sql import Window
 
     from ..operators.text import dsir_logratio
 
     docs = table(spark, sf_dir, "documents")
-    d = dsir_logratio(docs, TX25_TARGET)
-    m = d.select(
+    m = dsir_logratio(docs, TX25_TARGET).select(
         "doc_id",
         "n_tokens",
         "sum_mb",
@@ -1951,13 +1979,17 @@ def tx25_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = cum.where(F.col("cum") >= F.expr("(n + 2) DIV 3")).agg(
         F.max("mean_mb").alias("tcut")
     )
-    return m.crossJoin(F.broadcast(cut)).select(
-        "doc_id",
-        "n_tokens",
-        "sum_mb",
-        "mean_mb",
-        F.when(F.col("mean_mb") >= F.col("tcut"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("kept"),
+    return m, cut
+
+
+def dsir_keep_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids in tx25's DSIR keep set (top third by mean importance
+    ratio toward TX25_TARGET; scored and cut over the FULL corpus, the
+    fixed reference — the tx23-band convention) — the Spark twin of
+    ``_tx25_ctes`` + ``_tx25_keep_cte``, shared by tx25 and pipe17."""
+    m, cut = _dsir_mean_and_cut(spark, sf_dir)
+    return (
+        m.crossJoin(F.broadcast(cut))
+        .where(F.col("mean_mb") >= F.col("tcut"))
+        .select("doc_id")
     )
