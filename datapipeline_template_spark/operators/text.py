@@ -633,3 +633,49 @@ def dsir_logratio(
             F.sum("g").cast("long").alias("sum_mb"),
         )
     )
+
+
+def dsir_select(scores: DataFrame) -> DataFrame:
+    """tx25's adaptive top-third selection over a DSIR scores frame
+    (doc_id, n_tokens, sum_mb) → (doc_id, n_tokens, sum_mb, mean_mb,
+    kept) — the SINGLE Spark source of the cut spec, shared by tx25,
+    pipe17's keep set and the streaming maintainer.
+
+    The cut is the descending order statistic over DISTINCT integer
+    millibit means: keep mean_mb ≥ the ceil(n/3)-th-from-top value.
+    The cumulative window runs over distinct mean VALUES (domain-
+    bounded — the _tx23_cut_ctes trick), never over documents, so no
+    global document sort exists anywhere in the plan; ties at the cut
+    keep slightly over quota, deterministically.
+    """
+    from pyspark.sql import Window
+
+    m = scores.select(
+        "doc_id",
+        "n_tokens",
+        "sum_mb",
+        F.expr("sum_mb DIV n_tokens").alias("mean_mb"),
+    )
+    vc = m.groupBy("mean_mb").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = Window.orderBy(F.col("mean_mb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "mean_mb",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cut = cum.where(F.col("cum") >= F.expr("(n + 2) DIV 3")).agg(
+        F.max("mean_mb").alias("tcut")
+    )
+    return m.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_mb",
+        "mean_mb",
+        F.when(F.col("mean_mb") >= F.col("tcut"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("kept"),
+    )

@@ -1926,17 +1926,10 @@ def tx25_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-bias in. That spread (not blanket self-selection) is the
     behavior raw DSIR shows when the target is a subset of the scored
     corpus."""
-    m, cut = _dsir_mean_and_cut(spark, sf_dir)
-    return m.crossJoin(F.broadcast(cut)).select(
-        "doc_id",
-        "n_tokens",
-        "sum_mb",
-        "mean_mb",
-        F.when(F.col("mean_mb") >= F.col("tcut"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("kept"),
-    )
+    from ..operators.text import dsir_logratio, dsir_select
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_select(dsir_logratio(docs, TX25_TARGET))
 
 
 def _tx25_keep_cte(prefix: str = "ir_") -> str:
@@ -1950,46 +1943,17 @@ def _tx25_keep_cte(prefix: str = "ir_") -> str:
 )"""
 
 
-def _dsir_mean_and_cut(spark: SparkSession, sf_dir: str):
-    """(per-doc mean frame, 1-row tcut frame) for tx25's DSIR spec —
-    the single Spark source both tx25 and dsir_keep_ids/pipe17 read,
-    mirroring the ``_tx25_ctes`` fragment. The cut is the descending
-    bounded-distinct-value order statistic (top third)."""
-    from pyspark.sql import Window
-
-    from ..operators.text import dsir_logratio
-
-    docs = table(spark, sf_dir, "documents")
-    m = dsir_logratio(docs, TX25_TARGET).select(
-        "doc_id",
-        "n_tokens",
-        "sum_mb",
-        F.expr("sum_mb DIV n_tokens").alias("mean_mb"),
-    )
-    vc = m.groupBy("mean_mb").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cum = Window.orderBy(F.col("mean_mb").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    cum = vc.select(
-        "mean_mb",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    cut = cum.where(F.col("cum") >= F.expr("(n + 2) DIV 3")).agg(
-        F.max("mean_mb").alias("tcut")
-    )
-    return m, cut
-
-
 def dsir_keep_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_ids in tx25's DSIR keep set (top third by mean importance
     ratio toward TX25_TARGET; scored and cut over the FULL corpus, the
     fixed reference — the tx23-band convention) — the Spark twin of
-    ``_tx25_ctes`` + ``_tx25_keep_cte``, shared by tx25 and pipe17."""
-    m, cut = _dsir_mean_and_cut(spark, sf_dir)
+    ``_tx25_ctes`` + ``_tx25_keep_cte``, shared by tx25 and pipe17.
+    Both read operators.text.dsir_select, the single cut source."""
+    from ..operators.text import dsir_logratio, dsir_select
+
+    docs = table(spark, sf_dir, "documents")
     return (
-        m.crossJoin(F.broadcast(cut))
-        .where(F.col("mean_mb") >= F.col("tcut"))
+        dsir_select(dsir_logratio(docs, TX25_TARGET))
+        .where(F.col("kept") == 1)
         .select("doc_id")
     )

@@ -1627,3 +1627,93 @@ def test_incremental_surprisal_matches_batch_tx23(spark, tmp_path, sf_dir):
     fresh = IncrementalSurprisal(str(tmp_path / "fresh"))
     assert fresh.scores(spark).columns == ["doc_id", "n_tokens", "sum_mb"]
     assert fresh.bands(spark).count() == 0
+
+
+def test_incremental_dsir_matches_batch_tx25(spark, tmp_path, sf_dir):
+    """Fourteenth incremental family: drain documents in TWO
+    AvailableNow passes; maintained scores must equal batch
+    dsir_logratio over every document seen (BOTH LMs and the
+    smoothing denominators derive from merged additive counts), and
+    selection() must equal dsir_select over the same scores. Replays
+    are marker-skip no-ops; crash-after-write replays rewrite
+    identical partitions; mismatched targets refuse to attach."""
+    import os
+
+    import pytest
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.text import (
+        dsir_logratio,
+        dsir_select,
+    )
+    from datapipeline_template_spark.streaming.dsir import IncrementalDsir
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "ir_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalDsir(store, target_source="src1")
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    schema_str = "doc_id long, text string, source string"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    mid = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in inc.scores(spark).collect()
+    }
+    want_mid = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in dsir_logratio(b1, "src1").collect()
+    }
+    assert mid == want_mid  # LMs over batch-1 corpus only
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in dsir_logratio(docs, "src1").collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in inc.scores(spark).collect()
+    }
+    assert got == want
+    # Old docs' scores REFRESHED against the grown LMs (not frozen).
+    changed = [d for d in mid if mid[d] != got[d]]
+    assert changed, "corpus growth must shift at least one stored score"
+
+    # selection() == the shared dsir_select spec (and tx25 at sf0.01).
+    want_sel = {
+        r["doc_id"]: r["kept"]
+        for r in dsir_select(dsir_logratio(docs, "src1")).collect()
+    }
+    got_sel = {r["doc_id"]: r["kept"] for r in inc.selection(spark).collect()}
+    assert got_sel == want_sel
+    assert 0 < sum(got_sel.values()) < len(got_sel)
+
+    # Replay safety + crash window.
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["sum_mb"])
+        for r in inc.scores(spark).collect()
+    }
+    assert got2 == want
+
+    # Param guard: a different target must never merge into this store.
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalDsir(store, target_source="src2")
+    IncrementalDsir(store, target_source="src1")  # same params re-attach
+
+    # Empty state: typed empties before any drain.
+    fresh = IncrementalDsir(str(tmp_path / "fresh"), target_source="src1")
+    assert fresh.scores(spark).columns == ["doc_id", "n_tokens", "sum_mb"]
+    assert fresh.selection(spark).count() == 0
