@@ -128,6 +128,14 @@ SECONDARY = [
     # full-composition row per deployment shape).
     "ss25_ivfsq_recall",
     "tx24_source_divergence",
+    # round-9 session-5 additions: q44/tx25 are map-reduce rows; the
+    # SQ/truncation recall harnesses share only a cheap stats agg (no
+    # expensive fit), so each prices standalone. pipe17 is a
+    # curation_shared marginal (the pipe16 rule).
+    "q44_kmv_set_ops",
+    "ss26_sq_rerank_recall",
+    "ss27_dim_truncation_recall",
+    "tx25_dsir_selection",
 ]
 
 
@@ -438,6 +446,20 @@ def _curation_shared_scenario(spark, sf_dir):
     ).count()
     banded_manifest_sec = time.perf_counter() - t
 
+    # pipe17's marginal: the DSIR importance-ratio gate + manifest over
+    # the same shared flags pass (the ratio-LM pass + adaptive cut are
+    # pipe17's own spec — dsir_keep_ids).
+    from datapipeline_template_spark.queries.text import dsir_keep_ids
+
+    t = time.perf_counter()
+    _keep17 = _decon_keep_ids(spark, sf_dir, flags).join(
+        dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi"
+    )
+    n_dsir = manifest_from_flags(
+        spark, sf_dir, _keep17.withColumn("f_sem", F.lit(True))
+    ).count()
+    dsir_manifest_sec = time.perf_counter() - t
+
     standalone = pipe11_data_card(spark, sf_dir)
     parity = (
         card.exceptAll(standalone).count() == 0
@@ -455,8 +477,10 @@ def _curation_shared_scenario(spark, sf_dir):
         "n_mixed": n_mix,
         "n_manifest": n_manifest,
         "banded_manifest_marginal_sec": round(banded_manifest_sec, 4),
+        "dsir_manifest_marginal_sec": round(dsir_manifest_sec, 4),
         "n_decon_manifest": n_decon,
         "n_banded_manifest": n_banded,
+        "n_dsir_manifest": n_dsir,
         "parity": parity,
     }
 

@@ -681,3 +681,57 @@ def test_ss25_candidates_on_cluster_equijoin(spark):
     plan = _plan(spark, "ss25_ivfsq_recall")
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(cluster" in plan or "cluster" in plan
+
+
+def test_q44_sketch_set_ops_group_keyed_only(spark):
+    """KMV set-ops plan shape: every hash exchange is keyed on the
+    cohort (yr) or the distinct custkey — the sketch build — and the
+    sketch algebra itself (merge/θ/intersect) runs on two 1-row frames
+    via broadcast attaches. No cartesian product, no sort-merge join:
+    nothing in the plan grows faster than the distinct-key dedup any
+    COUNT(DISTINCT) already pays."""
+    import re
+
+    plan = _plan(spark, "q44_kmv_set_ops")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"yr", "o_custkey"}, keys
+
+
+def test_ss26_sq_rerank_no_cartesian(spark):
+    """SQ re-rank keeps ss22's two-stage shape: the code-space
+    shortlist is the bounded-eval broadcast pass, the exact re-rank
+    joins shortlist ids to raw vectors — equi-joins only, never an
+    unconstrained CartesianProduct; top-k stages are rank windows,
+    not global sorts."""
+    plan = _plan(spark, "ss26_sq_rerank_recall")
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+
+
+def test_ss27_truncation_zero_training_no_cartesian(spark):
+    """Dimension truncation is the zero-training encode: no stats agg,
+    no fit — the only wide stages are the per-query rank windows; the
+    query side broadcasts onto the corpus slice and no cartesian
+    product appears."""
+    plan = _plan(spark, "ss27_dim_truncation_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # bounded-eval theta pass
+    assert "row_number" in plan
+
+
+def test_tx25_dsir_windows_over_distinct_means_only(spark):
+    """DSIR plan shape: the scoring is tx23's map-reduce family (w- and
+    doc-keyed partial aggregates, broadcast total attach); the ONLY
+    window pair is the selection cut's cumulative sum over DISTINCT
+    integer means (mean_mb-keyed — domain-bounded), so no global sort
+    of documents exists anywhere in the plan."""
+    import re
+
+    plan = _plan(spark, "tx25_dsir_selection")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 2  # cum-over-means + the 1-row total
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"doc_id", "mean_mb", "w"}, keys
+    assert "partial_sum" in plan or "partial_count" in plan
