@@ -658,6 +658,55 @@ def main() -> None:
         ],
     )
 
+    section(
+        "q44_kmv_set_ops",
+        "KMV theta-style set operations: every exchange is the sketch "
+        "build (yr / distinct-custkey keyed); the merge/θ/intersect "
+        "algebra runs on two 1-row sketch frames via broadcast "
+        "attaches — nothing outgrows the COUNT(DISTINCT) dedup",
+        [
+            ("Sketch-build exchanges", r"Exchange hashpartitioning\((yr|o_custkey)[^)]{0,40}"),
+            ("1-row attaches", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "ss26_sq_rerank_recall",
+        "SQ8 shortlist → exact re-rank (ss22's two-stage shape): one "
+        "code-distance pass ranked at max depth then rank-sliced; the "
+        "exact stage joins shortlist ids to raw vectors — equi-joins "
+        "and rank windows only, no cartesian, no global sort",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)"),
+            ("Rank windows", r"row_number\(\)[^\n]{0,60}"),
+        ],
+    )
+
+    section(
+        "ss27_dim_truncation_recall",
+        "dimension-truncation recall: the ZERO-training encode (a "
+        "per-row slice — no stats agg, no fit anywhere in the plan); "
+        "retrieval is the bounded-eval broadcast pass + per-query rank "
+        "windows",
+        [
+            ("Truncation is a projection", r"slice\(_qv[^\n]{0,40}"),
+            ("Bounded-eval pass", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "tx25_dsir_selection",
+        "DSIR importance-ratio selection: tx23's map-reduce scoring "
+        "family (w-/doc-keyed partial aggregates, broadcast totals) + "
+        "the adaptive cut as a cumulative window over DISTINCT integer "
+        "means — mean_mb-keyed, domain-bounded, never a document sort",
+        [
+            ("Partial aggregation", r"HashAggregate\(keys=\[[^\]]{0,40}\], functions=\[partial_[a-z_]+"),
+            ("Cut window key", r"Exchange hashpartitioning\(mean_mb[^)]{0,30}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,40}"),
+        ],
+    )
+
 
 if __name__ == "__main__":
     main()
