@@ -136,6 +136,9 @@ SECONDARY = [
     "ss26_sq_rerank_recall",
     "ss27_dim_truncation_recall",
     "tx25_dsir_selection",
+    # the IVF,SQ8+refine stack is its own deployment shape (the ss21
+    # rule: one full-composition row per shape).
+    "ss28_ivfsq_rerank_recall",
 ]
 
 

@@ -146,6 +146,7 @@ _OVERFLOW = (
     "ss26_sq_rerank_recall",
     "tx25_dsir_selection",
     "pipe17_dsir_manifest",
+    "ss28_ivfsq_rerank_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

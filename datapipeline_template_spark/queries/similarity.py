@@ -3061,3 +3061,221 @@ def ss26_sq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rerank_depth")
+
+
+# ---------------------------------------------------------------------------
+# ss28 — the full serving stack composed end-to-end: IVF routing →
+# SQ8 code scoring → exact re-rank (FAISS "IVF,SQ8" + refine)
+# ---------------------------------------------------------------------------
+
+_SS28_NPROBE = 2
+_SS28_DEPTHS = (5, 25)
+
+
+def _ss28_oracle() -> str:
+    """ss25's routing+codes chain pinned at n_probe=2, with ss26's
+    shortlist→re-rank depth blocks on the ROUTED candidate set; truth
+    via the shared _ss_l2_truth_sql. Every fragment is the one its
+    source harness uses, so the three-stage composition can never
+    diverge from its parts."""
+    from ._kmeans_sql import kmeans_ctes
+
+    n, np_ = _SS21_ITER, _SS28_NPROBE
+    coarse = kmeans_ctes(_SS21_CK, n, 64).replace(
+        "FROM embeddings",
+        f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+        1,
+    )
+    depth_blocks, selects = [], []
+    for r in _SS28_DEPTHS:
+        depth_blocks.append(f""", sh{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d, neighbor_id) AS rk
+    FROM sd) WHERE rk <= {r}
+), rr{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.qv, e.qv),
+               t -> (t[1] - t[2]) * (t[1] - t[2]))), s.neighbor_id) AS rk
+    FROM sh{r} s JOIN qry q ON q.query_id = s.query_id
+                 JOIN qv e ON e.vec_id = s.neighbor_id
+  ) WHERE rk <= {_SS21_K}
+), h{r} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN rr{r} r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS rerank_depth, "
+            f"(SELECT n_truth FROM tc) AS n_truth, "
+            f"(SELECT n_hit FROM h{r}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM h{r}) AS DOUBLE) / "
+            f"(SELECT n_truth FROM tc) AS recall"
+        )
+    sql = f"""WITH {coarse}{_ss_l2_truth_sql('qv', _SS21_NQ, _SS21_K)}
+, sdims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM qv, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), sstats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM sdims
+), scodes AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * {_SS25_LEVELS}) // s[3]) AS cv
+  FROM qv CROSS JOIN sstats
+), pr AS (
+  SELECT query_id, cid FROM (
+    SELECT t.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY
+             list_sum(list_transform(list_zip(t.qv, c.cv),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM qry t CROSS JOIN c{n} c) WHERE rn <= {np_}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM pr p JOIN a{n} a ON a.cid = p.cid AND a.vec_id != p.query_id
+), sd AS (
+  SELECT cnd.query_id, cnd.neighbor_id,
+         list_sum(list_transform(list_zip(qc.cv, xc.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM cand cnd
+  JOIN scodes xc ON xc.vec_id = cnd.neighbor_id
+  JOIN scodes qc ON qc.vec_id = cnd.query_id
+){''.join(depth_blocks)}
+{' UNION ALL '.join(selects)}
+ORDER BY rerank_depth"""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss28_ivfsq_rerank_recall", oracle=_ss28_oracle())
+def ss28_ivfsq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production serving stack composed end-to-end — IVF
+    coarse routing (ss21's fragment, n_probe=2) → SQ8 code scoring
+    (ss24's codes) → exact re-rank of the shortlist (ss26's stage):
+    FAISS's "IVF,SQ8" with a refine layer, the three-stage shape a
+    100 TB deployment actually runs. Each stage bounds a different
+    resource: routing bounds CANDIDATES (~n_probe/k of the corpus),
+    codes bound BYTES (4× vs float32), the re-rank bounds EXACT
+    FETCHES (nq·depth rows). Measured hash-pinned at sf0.01 (shared
+    exact int-L2 truth, top-5, 250 pairs): depth 5 → 55.2% (ss25's
+    unre-ranked row exactly — the built-in consistency check), depth
+    25 → 57.6%, and probing deeper (50, 100 — i.e. exact-scoring
+    EVERY routed candidate) stays at 57.6%: that is the routed-
+    coverage ceiling of n_probe=2 under this truth. The measured
+    decomposition: SQ8 quantization mis-ranking costs 2.4 points and
+    the re-rank buys ALL of it back by depth 25; the remaining 42.4
+    points are truth neighbors sitting in unprobed cells,
+    unrecoverable at any depth or code width. That three-way split
+    (routing loss ≫ quantization loss, shortlist loss → 0 cheaply) is
+    what tells the operator which knob to turn: spend on n_probe, not
+    on deeper re-ranks or fatter codes.
+
+    Plan shape: routed candidates come from a CLUSTER equi-join
+    (ss21's guard), ONE SQ-distance pass ranked at max depth then
+    rank-sliced (ss26's shape), re-rank joins shortlist ids to raw
+    vectors — per-query-constant exact work at any corpus size."""
+    from pyspark.sql import Window
+
+    from ..functions import dot_expanded, norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import (
+        coarse_probe_expr,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from ..operators.similarity import sq_dim_stats, sq_encode
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
+    )
+    cells = kmeans_assign(
+        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
+    ).select("vec_id", "cluster")
+    stats = sq_dim_stats(qv)
+    codes = (
+        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
+        .join(cells, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    qp = qv.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), "_qv"
+    )
+    qcodes = codes.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
+    )
+    pr = qp.withColumn(
+        "_probe",
+        F.slice(coarse_probe_expr(F.col("_qv"), cent), 1, _SS28_NPROBE),
+    ).select("query_id", F.explode("_probe.cluster").alias("cluster"))
+    cand = (
+        pr.join(codes, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("_qc", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    max_depth = max(_SS28_DEPTHS)
+    wsq = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("neighbor_id").asc()
+    )
+    short_all = (
+        cand.join(F.broadcast(qcodes), "query_id")
+        .withColumn("_cd", dist)
+        .withColumn("_rk", F.row_number().over(wsq))
+        .where(F.col("_rk") <= max_depth)
+        .select("query_id", "neighbor_id", "_rk")
+        .localCheckpoint(eager=True)
+    )
+    qside = qv.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
+    exact = (
+        F.col("_qn") + F.col("_n")
+        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for depth in _SS28_DEPTHS:
+        rer = (
+            short_all.where(F.col("_rk") <= depth)
+            .join(qside, "query_id")
+            .join(nside, "neighbor_id")
+            .select("query_id", "neighbor_id", exact.alias("_d"))
+            .withColumn("_r", F.row_number().over(wt))
+            .where(F.col("_r") <= _SS21_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = rer.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(depth).cast("long").alias("rerank_depth"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rerank_depth")

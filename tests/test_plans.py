@@ -735,3 +735,15 @@ def test_tx25_dsir_windows_over_distinct_means_only(spark):
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"doc_id", "mean_mb", "w"}, keys
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ss28_full_stack_rerank_no_cartesian(spark):
+    """The three-stage serving composition's EXECUTED plan covers the
+    re-rank stage (the routed shortlist is checkpointed — the ss23
+    lesson: its cluster equi-join shape is guarded where it lives, in
+    ss25's plan over the same fragment): equi-joins and rank windows
+    only, never a cartesian product."""
+    plan = _plan(spark, "ss28_ivfsq_rerank_recall")
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
