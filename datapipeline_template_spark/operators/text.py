@@ -679,3 +679,81 @@ def dsir_select(scores: DataFrame) -> DataFrame:
         .cast("long")
         .alias("kept"),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean CONDITIONAL surprisal under an add-one
+    smoothed corpus bigram LM — one Markov order past
+    unigram_surprisal, the next step toward CCNet's KenLM gate that
+    integer math can still replay exactly.
+
+    Surprisal of the transition w1→w2 is −log2 p(w2|w1) with add-one
+    smoothing over the corpus vocabulary V (so unseen continuations
+    stay finite):
+
+        surp(w1, w2) = ml(c1(w1) + V) − ml(c2(w1, w2) + 1)
+
+    in exact integer millibits (functions.milli_log2). c2 ≤ c1 and
+    V ≥ 1 make every term non-negative (ml is monotone), so per-doc
+    sums never need signed-division care. c1 counts ALL occurrences
+    of w1 (the standard conditional denominator); transitions only —
+    a document's first token is scored by the unigram model's callers
+    (tx23), not double-counted here.
+
+    Plan shape: bigrams come from a PER-ROW array zip of the token
+    list with its own shift (map-only — no positional self-join, no
+    window over token streams); then one groupBy((w1,w2)) + one
+    groupBy(w1-side unigram) partial agg, per-DISTINCT-bigram score
+    math, an equi-join back to the transition stream, one
+    groupBy(doc). The same unbounded-corpus-safe map-reduce family as
+    unigram_surprisal, one join wider. Documents with fewer than two
+    tokens have no transitions and are absent from the output
+    (callers left-join if they need every doc).
+
+    Returns (id_col, n_bigrams long, sum_mb long).
+    """
+    from ..functions import milli_log2
+
+    t = tokenize(text_col)
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    big = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, n1).alias("_w1"),
+                F.slice(t, 2, n1).alias("_w2"),
+            )
+        ).alias("_b"),
+    ).select(
+        id_col,
+        F.col("_b._w1").alias("w1"),
+        F.col("_b._w2").alias("w2"),
+    )
+    tok = docs.select(F.explode(tokenize(text_col)).alias("w"))
+    c1 = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    voc = c1.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    c2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    surp = (
+        c2.join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "w1",
+            "w2",
+            (
+                milli_log2(F.col("c1") + F.col("v"))
+                - milli_log2(F.col("c2") + 1)
+            ).alias("surp"),
+        )
+    )
+    return (
+        big.join(surp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("surp").cast("long").alias("sum_mb"),
+        )
+    )

@@ -147,6 +147,7 @@ _OVERFLOW = (
     "tx25_dsir_selection",
     "pipe17_dsir_manifest",
     "ss28_ivfsq_rerank_recall",
+    "tx26_bigram_surprisal",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

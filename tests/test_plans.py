@@ -747,3 +747,16 @@ def test_ss28_full_stack_rerank_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "row_number" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tx26_bigrams_map_only_extraction(spark):
+    """Bigram-LM plan shape: transitions come from a per-row array
+    zip — NO positional self-join, no window over token streams, no
+    cartesian; everything else is the w-keyed partial-agg family."""
+    import re
+
+    plan = _plan(spark, "tx26_bigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"doc_id", "w", "w1", "w2"}, keys
