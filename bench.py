@@ -139,6 +139,8 @@ SECONDARY = [
     # the IVF,SQ8+refine stack is its own deployment shape (the ss21
     # rule: one full-composition row per shape).
     "ss28_ivfsq_rerank_recall",
+    "tx26_bigram_surprisal",
+    "dd18_lsh_operating_points",
 ]
 
 

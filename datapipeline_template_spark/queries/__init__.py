@@ -148,6 +148,7 @@ _OVERFLOW = (
     "pipe17_dsir_manifest",
     "ss28_ivfsq_rerank_recall",
     "tx26_bigram_surprisal",
+    "dd18_lsh_operating_points",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

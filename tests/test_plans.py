@@ -760,3 +760,13 @@ def test_tx26_bigrams_map_only_extraction(spark):
     assert "Window" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"doc_id", "w", "w1", "w2"}, keys
+
+
+def test_dd18_candidates_equi_join_truth_slice_bounded(spark):
+    """Operating-point harness keeps dd03's scale shape: candidate
+    generation is an equi-join on (band, bucket) — never a broadcast
+    nested loop over signatures; only the truth stage (checkpointed,
+    slice-bounded) is quadratic by design, so the executed plan shows
+    no cartesian product anywhere."""
+    plan = _plan(spark, "dd18_lsh_operating_points")
+    assert "CartesianProduct" not in plan
