@@ -141,6 +141,7 @@ SECONDARY = [
     "ss28_ivfsq_rerank_recall",
     "tx26_bigram_surprisal",
     "dd18_lsh_operating_points",
+    "pk09_sorted_batching",
 ]
 
 

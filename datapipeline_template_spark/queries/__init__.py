@@ -149,6 +149,7 @@ _OVERFLOW = (
     "ss28_ivfsq_rerank_recall",
     "tx26_bigram_surprisal",
     "dd18_lsh_operating_points",
+    "pk09_sorted_batching",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

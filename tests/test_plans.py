@@ -770,3 +770,16 @@ def test_dd18_candidates_equi_join_truth_slice_bounded(spark):
     no cartesian product anywhere."""
     plan = _plan(spark, "dd18_lsh_operating_points")
     assert "CartesianProduct" not in plan
+
+
+def test_pk09_windows_shard_local_no_global_sort(spark):
+    """Batch-formation plan shape: both layout windows partition by
+    shard (the pk01/pk08 rule) — no global sort (rangepartitioning),
+    no join; the per-shard rank is the only wide stage."""
+    import re
+
+    plan = _plan(spark, "pk09_sorted_batching")
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"shard", "layout"}, keys
