@@ -249,3 +249,37 @@ FROM n
         f"live tercile boundaries ({t1},{t2}) drifted from pinned "
         f"({TX23_HEAD_MB},{TX23_TAIL_MB}) — re-measure and update tx23"
     )
+
+
+def test_rerank_depth_k_rows_equal_base_harness_rows(spark, sf_dir):
+    """Cross-harness consistency invariants built into the re-rank
+    designs: at shortlist depth == k the re-rank cannot change the
+    answer set, so ss26's depth-5 row must equal ss24's SQ8 full-scan
+    row and ss28's depth-5 row must equal ss25's n_probe=2 row —
+    structurally, at ANY scale factor (asserted here at the test SF,
+    pinned at sf0.01 in the docstrings)."""
+    from datapipeline_template_spark.queries import load_all
+
+    reg = load_all()
+    ss24 = {
+        r["bits"]: (r["n_truth"], r["n_hit"])
+        for r in reg["ss24_sq_recall"].fn(spark, sf_dir).collect()
+    }
+    ss26 = {
+        r["rerank_depth"]: (r["n_truth"], r["n_hit"])
+        for r in reg["ss26_sq_rerank_recall"].fn(spark, sf_dir).collect()
+    }
+    assert ss26[5] == ss24[8]  # depth k ≡ SQ8 base ranking top-k
+
+    ss25 = {
+        r["n_probe"]: (r["n_truth"], r["n_hit"])
+        for r in reg["ss25_ivfsq_recall"].fn(spark, sf_dir).collect()
+    }
+    ss28 = {
+        r["rerank_depth"]: (r["n_truth"], r["n_hit"])
+        for r in reg["ss28_ivfsq_rerank_recall"].fn(spark, sf_dir).collect()
+    }
+    assert ss28[5] == ss25[2]  # depth k ≡ routed SQ base ranking top-k
+    # Re-ranking deeper never loses recall (supersets re-scored exactly).
+    assert ss26[10][1] >= ss26[5][1] and ss26[25][1] >= ss26[10][1]
+    assert ss28[25][1] >= ss28[5][1]
