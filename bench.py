@@ -133,12 +133,12 @@ SECONDARY = [
     # expensive fit), so each prices standalone. pipe17 is a
     # curation_shared marginal (the pipe16 rule).
     "q44_kmv_set_ops",
-    "ss26_sq_rerank_recall",
+    # ss26/ss28 are priced as MARGINALS in the sq_shared scenario
+    # (the pq_shared rule: they re-fit the stats/codes ss24 pays and
+    # ss28 the coarse quantizer ss25 pays); ss24 (full-scan) and ss25
+    # (routed) are the SQ family's full-composition rows.
     "ss27_dim_truncation_recall",
     "tx25_dsir_selection",
-    # the IVF,SQ8+refine stack is its own deployment shape (the ss21
-    # rule: one full-composition row per shape).
-    "ss28_ivfsq_rerank_recall",
     "tx26_bigram_surprisal",
     "dd18_lsh_operating_points",
     "pk09_sorted_batching",
@@ -371,6 +371,159 @@ def _pq_shared_scenario(spark, sf_dir):
         "n_shortlist": n_short,
         "n_reranked": n_rerank,
         "n_ivfpq": n_ivfpq,
+        "parity": parity,
+    }
+
+
+def _sq_shared_scenario(spark, sf_dir):
+    """The pq_shared rule applied to the SQ retrieval stack: ss24/
+    ss25/ss26/ss28 each refit the SAME per-dimension stats + codes
+    (and ss25/ss28 the same coarse quantizer) because registry
+    queries are stateless by contract. A real IVF-SQ index trains
+    stats once, encodes once, fits the coarse quantizer once, and
+    serves full-scan / routed / refined reads from the shared
+    artifact. Priced here: one stats+encode pass (checkpointed), the
+    coarse fit+assign (part of the IVF consumers), then the MARGINAL
+    cost of the three read paths — full-scan code top-k (the ss24
+    core), routed scoring at n_probe=2 (the ss25 core) and routed +
+    exact re-rank at depth 25 (the ss28 core). Parity: standalone
+    stats AND centroid refits must be bit-identical (the determinism
+    that makes sharing safe). ss24 (full-scan shape) and ss25
+    (routed shape) stay in SECONDARY as the full-composition rows;
+    ss26/ss28 are priced here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.functions import (
+        dot_expanded,
+        norm_sq_prequantized,
+        quantize_vec,
+    )
+    from datapipeline_template_spark.operators.clustering import (
+        coarse_probe_expr,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.operators.similarity import (
+        sq_dim_stats,
+        sq_encode,
+    )
+    from datapipeline_template_spark.queries.similarity import _SS_EVAL_SLICE
+
+    nq, k, depth, n_probe, coarse_k, n_iter, levels = 50, 5, 25, 2, 8, 2, 255
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+
+    t = time.perf_counter()
+    stats = sq_dim_stats(qv).localCheckpoint(eager=True)
+    codes = sq_encode(
+        qv.select("vec_id", "_qv"), stats, levels
+    ).localCheckpoint(eager=True)
+    encode_sec = time.perf_counter() - t
+
+    qcodes = codes.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
+    )
+    dist = F.aggregate(
+        F.zip_with("_qc", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("neighbor_id").asc()
+    )
+
+    # ss24 core: full-scan code-space top-k.
+    t = time.perf_counter()
+    n_full = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "cv")
+        .join(F.broadcast(qcodes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cd", dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .count()
+    )
+    fullscan_sec = time.perf_counter() - t
+
+    # Coarse quantizer: part of the IVF consumers (the pq_shared rule).
+    t = time.perf_counter()
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=coarse_k, n_iter=n_iter)
+    cells = kmeans_assign(
+        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
+    ).select("vec_id", "cluster")
+    rcodes = codes.join(cells, "vec_id").localCheckpoint(eager=True)
+    coarse_sec = time.perf_counter() - t
+
+    # ss25 core: routed scoring at n_probe=2 — the shortlist is ranked
+    # ONCE at re-rank depth so the refine marginal below rank-slices it.
+    t = time.perf_counter()
+    qp = qv.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "_qv"
+    )
+    pr = qp.withColumn(
+        "_probe", F.slice(coarse_probe_expr(F.col("_qv"), cent), 1, n_probe)
+    ).select("query_id", F.explode("_probe.cluster").alias("cluster"))
+    short = (
+        pr.join(rcodes, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cv")
+        .join(F.broadcast(qcodes), "query_id")
+        .withColumn("_cd", dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= depth)
+        .select("query_id", "neighbor_id", "_rk")
+        .localCheckpoint(eager=True)
+    )
+    n_routed = short.where(F.col("_rk") <= k).count()
+    routed_sec = time.perf_counter() - t
+
+    # ss28 core: exact re-rank of the routed shortlist.
+    t = time.perf_counter()
+    qside = qv.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
+    exact = (
+        F.col("_qn") + F.col("_n")
+        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    n_rerank = (
+        short.join(qside, "query_id")
+        .join(nside, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("_d"))
+        .withColumn("_r", F.row_number().over(wt))
+        .where(F.col("_r") <= k)
+        .count()
+    )
+    rerank_sec = time.perf_counter() - t
+
+    # Shared-artifact safety: standalone refits are bit-identical.
+    stats_again = sq_dim_stats(qv).collect()
+    parity = stats_again == stats.collect() and kmeans_fit(
+        emb, "vec_id", "embedding", k=coarse_k, n_iter=n_iter
+    ) == cent
+    return {
+        "stats_encode_checkpoint_sec": round(encode_sec, 4),
+        "fullscan_marginal_sec": round(fullscan_sec, 4),
+        "coarse_fit_assign_sec": round(coarse_sec, 4),
+        "routed_marginal_sec": round(routed_sec, 4),
+        "rerank_marginal_sec": round(rerank_sec, 4),
+        "n_fullscan": n_full,
+        "n_routed": n_routed,
+        "n_reranked": n_rerank,
         "parity": parity,
     }
 
@@ -894,6 +1047,13 @@ def main() -> None:
         print(f"bench: pq-shared scenario FAILED: {exc}", file=sys.stderr)
 
     try:
+        sq_shared = _sq_shared_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        sq_shared = None
+        errors["sq_shared"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: sq-shared scenario FAILED: {exc}", file=sys.stderr)
+
+    try:
         inc_silver = _incremental_silver_scenario(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         inc_silver = None
@@ -929,6 +1089,8 @@ def main() -> None:
         result["curation_shared"] = curation_shared
     if pq_shared is not None:
         result["pq_shared"] = pq_shared
+    if sq_shared is not None:
+        result["sq_shared"] = sq_shared
     if inc_silver is not None:
         result["incremental_silver"] = inc_silver
     if streaming_curation is not None:

@@ -115,6 +115,19 @@ def test_bench_headline_names_all_registered():
         "pipe15_decontaminated_manifest",
     ):
         assert marginal not in bench.SECONDARY
+    # Same rule for the SQ family: ss24 (full-scan) and ss25 (routed)
+    # are the full-composition rows; ss26/ss28 re-fit those artifacts
+    # and are priced as sq_shared marginals. pipe17 is a
+    # curation_shared marginal like pipe15/pipe16.
+    assert "ss24_sq_recall" in bench.SECONDARY
+    assert "ss25_ivfsq_recall" in bench.SECONDARY
+    for marginal in (
+        "ss26_sq_rerank_recall",
+        "ss28_ivfsq_rerank_recall",
+        "pipe16_banded_manifest",
+        "pipe17_dsir_manifest",
+    ):
+        assert marginal not in bench.SECONDARY
 
 
 def test_pk01_single_exchange_no_global_sort(spark):
