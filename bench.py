@@ -142,6 +142,7 @@ SECONDARY = [
     "tx26_bigram_surprisal",
     "dd18_lsh_operating_points",
     "pk09_sorted_batching",
+    "q45_histogram_quantiles",
 ]
 
 

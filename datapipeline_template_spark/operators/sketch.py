@@ -549,3 +549,98 @@ def kmv_jaccard_estimate(a, b, k: int):
         F.size(merged) < k,
         F.size(inter).cast("double") / F.size(merged).cast("double"),
     ).otherwise(below / F.lit(float(k - 1)))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log-histogram quantile sketch: integer 0.1-log2 bins via
+# functions.milli_log2 — additive bin counts (the KMV/Misra-Gries
+# mergeability story applied to quantiles), deterministic upper-edge
+# estimator with a ~7.2% design bound on positive int64 values.
+# ---------------------------------------------------------------------------
+
+HIST_MILLIBIN = 100  # bin width in millibits → upper/lower ≈ 2^0.1
+
+
+def log_hist_bins(df: DataFrame, group_cols, value_col: str) -> DataFrame:
+    """Per-group log-histogram: bin = milli_log2(v) div 100 over
+    POSITIVE int64 values (callers pre-scale money through
+    functions.cents). Output (group cols, bin long, cnt long) —
+    additive across batches/partitions by construction, ≤ ~540 bins
+    per group for any int64-ranged value, which is the whole point:
+    an O(bins) mergeable summary where exact quantiles need the data.
+    NULL and non-positive values are rejected loudly (a silent drop
+    would skew every quantile downstream)."""
+    from ..functions import milli_log2
+
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col)
+    # Guard INSIDE the binning pass (raise_error fires on the first bad
+    # row at executor time) — a separate validation scan would double
+    # the corpus reads for a check that almost never fires.
+    mb = F.when(v.isNotNull() & (v > 0), milli_log2(v)).otherwise(
+        F.raise_error(
+            F.lit(f"log_hist_bins needs positive non-null {value_col!r} values")
+        ).cast("long")
+    )
+    return (
+        df.select(*gs, mb.alias("_mb"))
+        .select(*gs, F.expr(f"_mb DIV {HIST_MILLIBIN}").alias("bin"))
+        .groupBy(*gs, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def log_hist_upper(bin_col) -> "Column":
+    """Integer upper edge of a 0.1-log2 bin: the smallest x with
+    milli_log2(x) ≥ 100·(bin+1), computed exactly in int64 —
+    f = t div 1000, p = 1<<f, edge = p + ceil((t mod 1000)·p / 1000).
+    Safe for bins from values < 2^40 (rem·p stays far inside int64);
+    money-in-cents is < 2^40 by ~17 orders of magnitude."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    t = (b + 1) * F.lit(HIST_MILLIBIN).cast("long")
+    f = ((t - t % 1000) / 1000).cast("long")
+    rem = t % 1000
+    # 2^f via pow: exactly representable in double for f ≤ 52, and the
+    # domain bound (values < 2^40) keeps f far below that.
+    p = F.pow(F.lit(2.0), f.cast("double")).cast("long")
+    num = rem * p
+    return p + ((num + 999 - ((num + 999) % 1000)) / 1000).cast("long")
+
+
+def hist_quantiles(counts: DataFrame, group_cols, qs) -> DataFrame:
+    """Quantile estimates from merged log-histogram counts: for each
+    (qnum, qden) pick the smallest bin whose cumulative count reaches
+    ceil(q·n), report its integer upper edge — estimate ≥ true value
+    with est/true ≤ ~2^0.1 by the bin geometry. The cumulative window
+    runs over BINS per group (≤ ~540 rows), never over values.
+    Output: (group cols, q string, est long)."""
+    from pyspark.sql import Window
+
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w_cum = (
+        Window.partitionBy(*gs)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gs)
+    cum = counts.select(
+        *gs,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    out = None
+    for qnum, qden in qs:
+        target = F.expr(f"(n * {qnum} + {qden} - 1) DIV {qden}")
+        row = (
+            cum.where(F.col("cum") >= target)
+            .groupBy(*gs)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                *gs,
+                F.lit(f"p{qnum * 100 // qden}").alias("q"),
+                log_hist_upper("bin").alias("est"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -150,6 +150,7 @@ _OVERFLOW = (
     "tx26_bigram_surprisal",
     "dd18_lsh_operating_points",
     "pk09_sorted_batching",
+    "q45_histogram_quantiles",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

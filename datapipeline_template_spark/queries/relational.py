@@ -1297,3 +1297,125 @@ def q44_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — mergeable log-histogram quantile sketch vs exact quantiles:
+# the O(bins) additive summary completing the sketch family
+# (certified top-k, KMV cardinality + set ops, now quantiles)
+# ---------------------------------------------------------------------------
+
+_Q45_QS = ((1, 2), (19, 20), (99, 100))  # p50 / p95 / p99
+
+
+def _q45_oracle() -> str:
+    """GENERATED from the operator constants: bins, upper-edge math
+    and the cumulative pick replay operators/sketch.py log_hist_bins/
+    hist_quantiles integer-for-integer (milli_log2 via its SQL twin)."""
+    from ..operators.sketch import HIST_MILLIBIN
+    from .text import _milli_log2_sql
+
+    w = HIST_MILLIBIN
+    edge = (
+        f"(1::BIGINT << (((bin + 1) * {w}) // 1000))"
+        f" + ((((bin + 1) * {w}) % 1000)"
+        f" * (1::BIGINT << (((bin + 1) * {w}) // 1000)) + 999) // 1000"
+    )
+    selects = []
+    for qn, qd in _Q45_QS:
+        selects.append(f"""SELECT flag, 'p{qn * 100 // qd}' AS q,
+       CAST({edge} AS BIGINT) AS est_cents, exact_cents, n_bins
+FROM (
+  SELECT flag, MIN(bin) AS bin FROM cum
+  WHERE cum >= (n * {qn} + {qd} - 1) // {qd} GROUP BY flag
+) JOIN ex USING (flag) JOIN nb USING (flag)
+""".replace("exact_cents,", f"ex.q{qn * 100 // qd} AS exact_cents,"))
+    return f"""
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), b AS (
+  SELECT flag, ({_milli_log2_sql('v')}) // {w} AS bin FROM v
+), hc AS (
+  SELECT flag, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT flag, bin,
+         SUM(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY flag) AS n
+  FROM hc
+), nb AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_bins FROM hc GROUP BY flag
+), ex AS (
+  SELECT flag,
+         quantile_cont(v, 0.5) AS q50,
+         quantile_cont(v, 0.95) AS q95,
+         quantile_cont(v, 0.99) AS q99
+  FROM v GROUP BY flag
+)
+SELECT flag AS l_returnflag, q, est_cents, exact_cents,
+       CAST(est_cents - exact_cents AS DOUBLE) / exact_cents AS rel_err,
+       n_bins
+FROM ({' UNION ALL '.join(selects)})
+ORDER BY l_returnflag, q
+"""
+
+
+@register("q45_histogram_quantiles", oracle=_q45_oracle())
+def q45_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from an O(bins) MERGEABLE sketch — the summary that
+    completes the sketch family (certified top-k tx13, KMV
+    cardinality q43 + set ops q44, histogram quantiles here): price
+    per return flag binned into 0.1-log2 integer bins via milli_log2
+    (operators/sketch.py log_hist_bins — additive counts, ≤ ~540 bins
+    for any int64 value, so per-day/per-source histograms persist in
+    O(bins) and MERGE by addition where exact quantiles would rescan
+    100 TB; q26b's multipass operator is the exact-answer
+    counterpart). The estimate is the bin's integer UPPER EDGE — a
+    guaranteed overestimate, ≤ 2^0.1 (+7.2%) above truth in exact log
+    space, widened to ≤ ~2^0.187 (+13.9%) worst-case by milli_log2's
+    ≤87.2 mb chord underestimate (small values hit it hardest);
+    measured here: +0.8% to +4.9% across flag × {p50, p95, p99}, on
+    70 bins per flag.
+    The exact quantile rides along (Spark percentile == DuckDB
+    quantile_cont bit-for-bit on int inputs, the q26 contract) for
+    the honest rel_err column. Every step — binning, cumulative pick,
+    edge reconstruction ((1<<f) + ceil(rem·2^f/1000)) — is exact
+    integer math, DuckDB-hash-verified. Plan: one partial-agg count
+    per (flag, bin); the cumulative window runs over BINS (bounded
+    domain), never values — the tx23-cut shape for quantiles."""
+    from ..functions import cents
+    from ..operators.sketch import hist_quantiles, log_hist_bins
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        cents("l_extendedprice").alias("v"),
+    )
+    bins = log_hist_bins(li, "flag", "v").localCheckpoint(eager=True)
+    est = hist_quantiles(bins, "flag", _Q45_QS)
+    nb = bins.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
+    ex = li.groupBy("flag").agg(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.95)").alias("p95"),
+        F.expr("percentile(v, 0.99)").alias("p99"),
+    )
+    exact = (
+        F.when(F.col("q") == "p50", F.col("p50"))
+        .when(F.col("q") == "p95", F.col("p95"))
+        .otherwise(F.col("p99"))
+    )
+    return (
+        est.join(ex, "flag")
+        .join(nb, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "q",
+            F.col("est").alias("est_cents"),
+            exact.alias("exact_cents"),
+            (
+                (F.col("est") - exact).cast("double") / exact
+            ).alias("rel_err"),
+            "n_bins",
+        )
+        .orderBy("l_returnflag", "q")
+    )

@@ -796,3 +796,17 @@ def test_pk09_windows_shard_local_no_global_sort(spark):
     assert "Join" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"shard", "layout"}, keys
+
+
+def test_q45_histogram_window_over_bins_only(spark):
+    """Quantile-sketch plan shape: one (flag, bin)-keyed partial-agg
+    count; the cumulative window runs over BINS (bounded domain —
+    flag-partitioned), never over values; no join wider than the
+    3-row-per-flag scalar attaches, no cartesian."""
+    import re
+
+    plan = _plan(spark, "q45_histogram_quantiles")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"flag", "l_returnflag"}, keys

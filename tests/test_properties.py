@@ -928,3 +928,45 @@ def test_dsir_logratio_direction_and_python_reference(spark):
         assert got[did] == (len(ws), sum(g[w] for w in ws)), did
     # The target doc outranks the disjoint-vocab doc on mean ratio.
     assert got[0][1] / got[0][0] > got[2][1] / got[2][0]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=1, max_value=2**40 - 1),
+                  min_size=1, max_size=40),
+)
+def test_log_hist_upper_edge_bounds_property(spark, vals):
+    """The histogram estimate is a guaranteed OVERestimate with the
+    documented ratio bound: for every value v, the upper edge of v's
+    bin satisfies v < edge ≤ v · 2^((100 + 87.2)/1000) (bin width +
+    milli_log2's chord underestimate), verified against a Python
+    reference of the exact integer edge math."""
+    from datapipeline_template_spark.operators.sketch import (
+        HIST_MILLIBIN,
+        log_hist_bins,
+        log_hist_upper,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    rows = (
+        log_hist_bins(df, "g", "v")
+        .select("bin", log_hist_upper("bin").alias("edge"))
+        .collect()
+    )
+
+    def ml(x: int) -> int:
+        f = x.bit_length() - 1
+        p = 1 << f
+        return 1000 * f + ((x - p) * 1000) // p
+
+    edges = {r["bin"]: r["edge"] for r in rows}
+    bound = 2 ** ((HIST_MILLIBIN + 87.2) / 1000)
+    for v in vals:
+        b = ml(v) // HIST_MILLIBIN
+        # Python reference of the edge math.
+        t = (b + 1) * HIST_MILLIBIN
+        p = 1 << (t // 1000)
+        ref = p + -(-((t % 1000) * p) // 1000)
+        assert edges[b] == ref
+        assert v < edges[b] <= v * bound + 1  # +1: integer ceil slack

@@ -1717,3 +1717,96 @@ def test_incremental_dsir_matches_batch_tx25(spark, tmp_path, sf_dir):
     fresh = IncrementalDsir(str(tmp_path / "fresh"), target_source="src1")
     assert fresh.scores(spark).columns == ["doc_id", "n_tokens", "sum_mb"]
     assert fresh.selection(spark).count() == 0
+
+
+def test_incremental_histogram_matches_batch_q45(spark, tmp_path, sf_dir):
+    """Fifteenth incremental family: drain lineitem prices in TWO
+    AvailableNow passes; the maintained sketch must equal batch
+    log_hist_bins over everything seen (bin counts are additive), and
+    quantiles() must equal hist_quantiles over the union — the
+    guaranteed-overestimate edge included. Replays are marker-skip
+    no-ops; crash-after-write replays rewrite identical partitions;
+    mismatched columns refuse to attach."""
+    import os
+
+    import pytest
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import cents
+    from datapipeline_template_spark.operators.sketch import (
+        hist_quantiles,
+        log_hist_bins,
+    )
+    from datapipeline_template_spark.streaming.histogram import (
+        IncrementalHistogram,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_orderkey").alias("k"),
+        cents("l_extendedprice").alias("v"),
+    )
+    src = tmp_path / "rows"
+    src.mkdir()
+    store = str(tmp_path / "h_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalHistogram(store, group_col="g", value_col="v")
+
+    b1 = li.where(F.col("k") % 2 == 0).drop("k")
+    b2 = li.where(F.col("k") % 2 == 1).drop("k")
+    schema_str = "g string, v long"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    mid = {
+        (r["g"], r["bin"]): r["cnt"] for r in inc.counts(spark).collect()
+    }
+    want_mid = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in log_hist_bins(b1, "g", "v").collect()
+    }
+    assert mid == want_mid
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    want = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in log_hist_bins(li.drop("k"), "g", "v").collect()
+    }
+    got = {
+        (r["g"], r["bin"]): r["cnt"] for r in inc.counts(spark).collect()
+    }
+    assert got == want
+
+    qs = ((1, 2), (19, 20))
+    want_q = {
+        (r["g"], r["q"]): r["est"]
+        for r in hist_quantiles(
+            log_hist_bins(li.drop("k"), "g", "v"), "g", qs
+        ).collect()
+    }
+    got_q = {
+        (r["g"], r["q"]): r["est"]
+        for r in inc.quantiles(spark, qs).collect()
+    }
+    assert got_q == want_q
+
+    # Replay safety + crash window.
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    got2 = {
+        (r["g"], r["bin"]): r["cnt"] for r in inc.counts(spark).collect()
+    }
+    assert got2 == want
+
+    # Param guard + empty state.
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalHistogram(store, group_col="g", value_col="other")
+    IncrementalHistogram(store, group_col="g", value_col="v")
+    fresh = IncrementalHistogram(str(tmp_path / "fresh"))
+    assert fresh.counts(spark).count() == 0
+    assert fresh.quantiles(spark, qs).count() == 0
