@@ -708,5 +708,19 @@ def main() -> None:
     )
 
 
+    section(
+        "q45_histogram_quantiles",
+        "mergeable log-histogram quantile sketch: one (flag, bin) "
+        "partial-agg count; the cumulative pick windows over BINS "
+        "(≤ ~540 per group, flag-partitioned) — never over values; "
+        "the exact-quantile rider is its own flag-keyed aggregate",
+        [
+            ("Partial aggregation", r"HashAggregate\(keys=\[[^\]]{0,40}\], functions=\[partial_[a-z_]+"),
+            ("Bin window key", r"Exchange hashpartitioning\(flag[^)]{0,30}"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|CartesianProduct)"),
+        ],
+    )
+
+
 if __name__ == "__main__":
     main()
