@@ -151,6 +151,7 @@ _OVERFLOW = (
     "dd18_lsh_operating_points",
     "pk09_sorted_batching",
     "q45_histogram_quantiles",
+    "w09_trailing_hour_range",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -275,3 +275,49 @@ def w08_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w09 — time-RANGE frame: trailing-hour per-user activity (the one
+# frame type w01–w08 didn't exercise as a dedicated surface)
+# ---------------------------------------------------------------------------
+
+_W09_ORACLE = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("w09_trailing_hour_range", oracle=_W09_ORACLE)
+def w09_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity via a time-RANGE window frame
+    — the frame type a ROWS frame cannot express (w05's 3-row window
+    counts rows; this one counts TIME: every same-user event in
+    [ts − 1h, ts], however many there are). Spark needs a numeric
+    ORDER BY for rangeBetween, so the frame runs over unix_micros(ts)
+    with a ±3.6e9 µs bound — exactly DuckDB's
+    `RANGE INTERVAL 1 HOUR PRECEDING` over the nanosecond timestamps
+    because the generated events are µs-aligned (ns % 1000 == 0,
+    verified; a sub-µs source would need the ns long column this
+    repo's catalog exposes for events). RANGE frames include ALL ts
+    peers on both engines, so the result is deterministic without an
+    event_id tie-break IN THE FRAME (the output is keyed per event).
+    Money stays integer cents. One user-keyed shuffle serves the
+    window — the w03/w05 plan family."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_hour"),
+        F.sum(cents("value")).over(w).cast("long").alias("sum_value_cents"),
+    )
