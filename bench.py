@@ -143,6 +143,7 @@ SECONDARY = [
     "dd18_lsh_operating_points",
     "pk09_sorted_batching",
     "q45_histogram_quantiles",
+    "q46_kmv_error_vs_k",
 ]
 
 

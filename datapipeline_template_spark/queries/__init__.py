@@ -152,6 +152,7 @@ _OVERFLOW = (
     "pk09_sorted_batching",
     "q45_histogram_quantiles",
     "w09_trailing_hour_range",
+    "q46_kmv_error_vs_k",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

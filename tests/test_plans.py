@@ -810,3 +810,29 @@ def test_q45_histogram_window_over_bins_only(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"flag", "l_returnflag"}, keys
+
+
+def test_q46_topk_is_take_ordered_not_global_window(spark):
+    """Calibration plan shape: the max-k smallest hashes come from
+    Spark's distributed TakeOrdered (per-partition top-k, merge),
+    never a global rank window over the whole distinct set. The
+    registry query checkpoints that stage (the ss23 lesson — its
+    executed plan hides the scan), so the shape is asserted on the
+    stage itself; the final plan is checked cartesian-free."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import kmv_hash
+
+    orders = table(spark, SF, "orders")
+    top = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .select(kmv_hash("o_custkey").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(256)
+    )
+    stage = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in stage
+    plan = _plan(spark, "q46_kmv_error_vs_k")
+    assert "CartesianProduct" not in plan
