@@ -144,6 +144,22 @@ SECONDARY = [
     "pk09_sorted_batching",
     "q45_histogram_quantiles",
     "q46_kmv_error_vs_k",
+    # round-9 session-6 additions: q47 builds ONE CM grid and folds
+    # the narrower widths from it (in-query artifact sharing, so it
+    # prices standalone); ss29 is a zero-training encode (no shared
+    # fit to factor out); ss30 re-derives three view shortlists — the
+    # SQ8 encode it shares with ss24 is the cheap stats agg, below the
+    # scenario-extraction bar (the ss27 rule), so it also prices
+    # standalone as the fusion family's full-composition row; tx27 is
+    # one inverted-index pass.
+    "q47_cm_frequency_sketch",
+    "ss29_random_projection_recall",
+    "ss30_rrf_fusion",
+    "tx27_bm25_lexical_topk",
+    # ss31 rides ss30's scaffolding (two of its three shortlists) but
+    # is its own registry pass; both stay bounded eval harnesses.
+    "ss31_weighted_rrf",
+    "w10_funnel_stages",
 ]
 
 

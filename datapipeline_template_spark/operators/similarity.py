@@ -48,6 +48,9 @@ __all__ = [
     "mutual_knn_edges",
     "near_dup_pairs",
     "probe_masks",
+    "rademacher_signs",
+    "rademacher_project",
+    "rademacher_project_kernel",
     "sq_dim_stats",
     "sq_encode",
     "tables_for_recall",
@@ -831,3 +834,102 @@ def sq_encode(
         )
         .drop("_shift", "lo_l", "rng_l", vec_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rademacher random projection — the dense zero-training compression
+# basis (Johnson-Lindenstrauss with a deterministic ±1 matrix)
+# ---------------------------------------------------------------------------
+
+
+def rademacher_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix, row j = output dimension:
+    sign(i, j) = 1 − 2·(kmv_hash(i·101 + j) mod 2) — the sketch
+    family's quadratic mixer (operators/sketch.py kmv_hash) replicated
+    in pure Python, so the SAME literal matrix is inlined into both
+    the Spark plan and the generated DuckDB oracle (the q47 pattern:
+    constants single-sourced, engines replay them verbatim). Keys
+    i·101 + j are collision-free for out_dim ≤ 101.
+
+    Unnormalized entries: E‖Pv‖² = out_dim·‖v‖², a constant factor
+    that cancels in ranking, so the projected space stays EXACT int64
+    (|coord| ≤ in_dim·10⁴ after quantize_vec — squared-distance terms
+    stay far inside 2^53)."""
+    if out_dim > 101:
+        raise ValueError("out_dim must be <= 101 (key collision bound)")
+    from .sketch import KMV_A, KMV_B, KMV_C, KMV_P
+
+    def h(x: int) -> int:
+        x0 = ((x % KMV_P) + KMV_P) % KMV_P
+        t1 = ((x0 * x0) % KMV_P * KMV_A) % KMV_P
+        t2 = (x0 * KMV_B) % KMV_P
+        return (t1 + t2 + KMV_C) % KMV_P
+
+    return [
+        [1 - 2 * (h(i * 101 + j) % 2) for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def rademacher_project(
+    qv_df: DataFrame, out_dim: int, in_dim: int, vec_col: str = "_qv"
+) -> DataFrame:
+    """Project pre-quantized int vectors to ``out_dim`` exact int64
+    coordinates: pv[j] = Σ_i sign(i,j)·qv[i], signs from
+    rademacher_signs.
+
+    Map-only (the sq_encode contract): the constant matrix is inlined
+    as literal arrays and each output coordinate is one zip_with/
+    aggregate pass per row — no join, no shuffle, one scan at any
+    corpus size. HOF per-element interpretation is fine in a per-ROW
+    encode; the per-PAIR distance math downstream runs on the
+    materialized projected vectors. Output replaces ``vec_col`` with
+    ``pv`` (array<long>, length out_dim)."""
+    signs = rademacher_signs(in_dim, out_dim)
+    coords = [
+        F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(s) for s in row]).cast("array<long>"),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for row in signs
+    ]
+    return qv_df.withColumn("pv", F.array(*coords)).drop(vec_col)
+
+
+def rademacher_project_kernel(
+    qv_df: DataFrame, out_dim: int, in_dim: int, vec_col: str = "_qv"
+) -> DataFrame:
+    """Arrow twin of rademacher_project: one int64 matmul per batch
+    (numpy never leaves exact integer arithmetic at these magnitudes,
+    so the outputs are BIT-EQUAL to the Catalyst form — test-pinned,
+    the dd05/lsh_buckets_kernel precedent). The fast path when the
+    encode pass itself dominates (out_dim·in_dim multiply-adds per row
+    beat interpreted HOF lambdas by the usual Arrow margin)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    sgn = np.array(rademacher_signs(in_dim, out_dim), dtype=np.int64).T
+
+    keep = [f for f in qv_df.schema.fields if f.name != vec_col]
+    out_schema = T.StructType(
+        keep + [T.StructField("pv", T.ArrayType(T.LongType()))]
+    )
+    keep_names = [f.name for f in keep]
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.int64)
+            out = pdf[keep_names].copy()
+            out["pv"] = list(m @ sgn)
+            yield out
+
+    return qv_df.mapInPandas(project, schema=out_schema)

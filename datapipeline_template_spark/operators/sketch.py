@@ -49,6 +49,10 @@ __all__ = [
     "kmv_sketch_partial",
     "kmv_merge",
     "kmv_estimate",
+    "cm_mix",
+    "cm_sketch",
+    "cm_fold",
+    "cm_estimate",
 ]
 
 
@@ -644,3 +648,128 @@ def hist_quantiles(counts: DataFrame, group_cols, qs) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable per-key FREQUENCY estimates, completing
+# the sketch family: certified_topk (exact top-k), KMV (cardinality +
+# set ops), log-histogram (quantiles), and now point frequencies.
+# ---------------------------------------------------------------------------
+#
+# A Count-Min sketch (Cormode & Muthukrishnan 2005) is a depth×width
+# grid of counters: each key increments one counter per depth row
+# (row-specific hash), and a key's estimate is the MIN of its depth
+# counters. Counters only ever add, so the estimate is a GUARANTEED
+# overestimate (est ≥ true count, colliding keys only inflate), with
+# est ≤ true + e/width · N at probability 1 − e^(−depth). Counter
+# grids are ADDITIVE — sketches of disjoint batches merge by summing
+# matching (r, b) cells — which is the whole point at 100 TB: per-
+# day/per-source O(depth·width) grids persist and answer any later
+# frequency question by addition, never a rescan (the KMV/log-
+# histogram mergeability story applied to frequencies; tx13's
+# certified_topk is the exact-answer counterpart when you need the
+# top-k itself, CM is what you keep when the QUERY KEYS arrive later).
+#
+# Determinism: the per-row hash reuses kmv_hash's quadratic mix over
+# the Mersenne prime P = 2^31 − 1 with row-stepped constants —
+# stepwise int64 arithmetic that DuckDB replays verbatim, so sketch
+# cells AND estimates are oracle-hash-verifiable (q47), unlike
+# engine-internal CMS registers. String keys go through
+# functions.poly_hash first (its output < 2^30 keeps x0 = key).
+#
+# Width folding: for widths w' | w, g mod w' == (g mod w) mod w', so
+# a width-w grid EXACTLY contains every narrower power-of-two grid —
+# cm_fold derives the coarser sketch from the finer by one bounded
+# groupBy instead of re-scanning the corpus (test-pinned equal to a
+# direct build).
+
+CM_A_STEP = 10_007
+CM_B_STEP = 20_011
+CM_C_STEP = 30_013
+
+
+def cm_mix(col, r: int):
+    """Depth-row-``r`` quadratic mix of a LONG key into [0, KMV_P).
+
+    Same stepwise reductions as kmv_hash (every intermediate < 2^62 in
+    both engines) with constants stepped per depth row; mirrored by
+    the q47 oracle SQL integer-for-integer.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("long")
+    p = F.lit(KMV_P).cast("long")
+    a = (KMV_A + CM_A_STEP * r) % KMV_P
+    b = (KMV_B + CM_B_STEP * r) % KMV_P
+    cc = (KMV_C + CM_C_STEP * r) % KMV_P
+    x0 = ((c % p) + p) % p
+    t1 = ((x0 * x0) % p * F.lit(a)) % p
+    t2 = (x0 * F.lit(b)) % p
+    return (t1 + t2 + F.lit(cc)) % p
+
+
+def cm_sketch(df: DataFrame, key_col: str, depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-Min counter grid of a LONG key stream: one row per
+    non-empty cell, ``(r int, b long, cnt long)``.
+
+    Plan shape: the depth mixes explode narrowly per input row, then
+    ONE partial-aggregated count groups them — the shuffle carries at
+    most depth·width rows per map task regardless of input size (the
+    map-side combine is what lets this run on 100 TB; a plan guard
+    pins it). NULL keys are rejected loudly — a silent drop would
+    undercount and break the overestimate guarantee downstream.
+    """
+    if depth <= 0 or width <= 0:
+        raise ValueError("need depth > 0 and width > 0")
+    key = F.when(F.col(key_col).isNotNull(), F.col(key_col)).otherwise(
+        F.raise_error(F.lit(f"cm_sketch needs non-null {key_col!r} keys")).cast("long")
+    )
+    mixes = F.array(*[cm_mix(key, r) for r in range(depth)])
+    return (
+        df.select(F.posexplode(mixes).alias("r", "_g"))
+        .groupBy("r", (F.col("_g") % width).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_fold(sketch: DataFrame, from_width: int, to_width: int) -> DataFrame:
+    """Fold a width-``from_width`` grid down to ``to_width`` (which
+    must divide it): cell (r, b) lands in (r, b mod to_width), counts
+    summing — EXACTLY the grid a direct width-``to_width`` build
+    produces, because g mod to_width == (g mod from_width) mod
+    to_width. One bounded aggregate over ≤ depth·from_width rows."""
+    if from_width % to_width != 0:
+        raise ValueError(
+            f"to_width {to_width} must divide from_width {from_width}"
+        )
+    return (
+        sketch.groupBy("r", (F.col("b") % to_width).alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates: every ``items`` row gains ``out_col``
+    = min over the depth rows of its counter (0 when the cell is
+    empty — a key the sketch never saw estimates 0, still ≥ truth).
+
+    ``depth``/``width`` must match the sketch's build parameters; the
+    grid (≤ depth·width rows) broadcasts onto the items, so the only
+    wide operation is the final per-item min — items of any size
+    stream through. Carries every ``items`` column."""
+    carried = list(items.columns)
+    mixes = F.array(*[cm_mix(key_col, r) for r in range(depth)])
+    eb = items.select("*", F.posexplode(mixes).alias("r", "_g")).withColumn(
+        "b", F.col("_g") % width
+    )
+    return (
+        eb.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(*carried)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col))
+    )

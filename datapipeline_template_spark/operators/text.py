@@ -31,6 +31,10 @@ __all__ = [
     "CURATION_GOPHER_KEYS",
     "LANG_MARKERS",
     "unigram_surprisal",
+    "BM25_K1_M",
+    "BM25_B_M",
+    "bm25_topk",
+    "bm25_rank_from_index",
 ]
 
 # The gopher_rules subset the curation funnel gates on — shared by the
@@ -756,4 +760,122 @@ def bigram_surprisal(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum("surp").cast("long").alias("sum_mb"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer BM25 lexical retrieval — the inverted-index ranking surface
+# (Robertson & Zaragoza 2009), in exact int64 millibit arithmetic so
+# ranked lists are DuckDB-hash-verifiable (tx27) and fusable with the
+# dense retrievers' integer scores (ss30's RRF shape).
+# ---------------------------------------------------------------------------
+
+BM25_K1_M = 1200  # k1 = 1.2, milli-scaled
+BM25_B_M = 750  # b = 0.75, milli-scaled
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    k1_m: int = BM25_K1_M,
+    b_m: int = BM25_B_M,
+) -> DataFrame:
+    """Top-``k`` lexical neighbors per query document under integer
+    BM25: per matched term,
+
+        contrib = idf_mb · tf · (1000+k1) DIV
+                  (tf·1000 + k1 · ((1000−b) + b·dlr DIV 1000) DIV 1000)
+
+    with idf_mb = milli_log2(N) − milli_log2(df) (the millibit idf —
+    integer, ≥ 0 on kept terms), dlr = dl·10⁶ DIV avgdl_m the
+    milli-scaled length ratio, and every division an explicit integer
+    DIV, so the pinned spec is replayed verbatim by the oracle (the
+    deterministic stand-in for float BM25; the DIV flooring perturbs
+    scores < 1 part in 10³ — far under idf granularity). Query TERM
+    PRESENCE scores (distinct query tokens; classic BM25 drops query
+    tf for short queries). Self-matches are excluded by id.
+
+    STOPWORD PRUNING IS PART OF THE SPEC: terms with 2·df > N carry
+    near-zero idf but own the longest posting lists — at 100 TB they
+    ARE the term-join blowup, so they are dropped before the join
+    (df·2 ≤ N keeps idf_mb ≥ ~1000). Plan shape: tf/df/dl are three
+    partial-aggregated counts off one token explode; the 1-row stats
+    frame and the (bounded) query-term side broadcast onto the pruned
+    posting lists; the only wide stages are the tf groupBy and the
+    per-(query, doc) score sum — the inverted-index join, never a
+    doc×doc product. Domain: dl·10⁶ and idf_mb·tf·2200 stay inside
+    int64 for any plausible corpus (dl < 2^43; term counts < 2^40).
+
+    Returns (query_id, neighbor_id, rk, score), rk 1..k per query in
+    (score desc, neighbor asc) total order; query docs whose every
+    token is pruned or unseen return no rows.
+    """
+    toks = corpus.select(
+        F.col(id_col).alias("_d"), F.explode(tokenize(text_col)).alias("_t")
+    )
+    tf = toks.groupBy("_d", "_t").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    dl = toks.groupBy("_d").agg(F.count(F.lit(1)).cast("long").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+        F.sum("_dl").cast("long").alias("_nt"),
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(tokenize(text_col)).alias("_t")
+    ).distinct()
+    return bm25_rank_from_index(tf, dl, stats, dfreq, qt, k, k1_m, b_m)
+
+
+def bm25_rank_from_index(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    dfreq: DataFrame,
+    qt: DataFrame,
+    k: int,
+    k1_m: int = BM25_K1_M,
+    b_m: int = BM25_B_M,
+) -> DataFrame:
+    """The ranking stage of bm25_topk over a PREBUILT index — tf
+    (_d,_t,_tf), dl (_d,_dl), stats (1-row _nd,_nt), dfreq (_t,_df),
+    qt (query_id,_t distinct). Shared by the batch operator and the
+    incremental maintainer (streaming/bm25.py) so the two paths can
+    never diverge on the scoring spec."""
+    from ..functions import milli_log2
+
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .where(F.col("_df") * 2 <= F.col("_nd"))
+        .select(
+            "_t",
+            (milli_log2(F.col("_nd")) - milli_log2(F.col("_df"))).alias("_idf"),
+        )
+    )
+    cand = (
+        tf.join(idf, "_t")  # stopword prune before anything widens
+        .join(F.broadcast(qt), "_t")
+        .where(F.col("_d") != F.col("query_id"))
+        .join(dl, "_d")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = F.expr(
+        f"(_idf * _tf * {1000 + k1_m}) DIV "
+        f"(_tf * 1000 + ({k1_m} * ((1000 - {b_m}) + "
+        f"({b_m} * ((_dl * 1000000) DIV ((_nt * 1000) DIV _nd))) DIV 1000)) DIV 1000)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("_c", contrib)
+        .groupBy("query_id", F.col("_d").alias("neighbor_id"))
+        .agg(F.sum("_c").cast("long").alias("score"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "score")
     )

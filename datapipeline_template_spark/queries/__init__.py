@@ -153,6 +153,12 @@ _OVERFLOW = (
     "q45_histogram_quantiles",
     "w09_trailing_hour_range",
     "q46_kmv_error_vs_k",
+    "q47_cm_frequency_sketch",
+    "ss29_random_projection_recall",
+    "ss30_rrf_fusion",
+    "tx27_bm25_lexical_topk",
+    "ss31_weighted_rrf",
+    "w10_funnel_stages",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -3279,3 +3279,568 @@ def ss28_ivfsq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rerank_depth")
+
+
+# ---------------------------------------------------------------------------
+# ss29 — Rademacher random-projection recall: the DENSE zero-training
+# compression basis, closing the ss27 comparison (mix every dimension
+# into each kept coordinate instead of dropping the tail)
+# ---------------------------------------------------------------------------
+
+_SS29_DIMS = (32, 16, 8)
+
+
+def _ss29_oracle() -> str:
+    """Replays the projection with the SAME literal ±1 matrix the
+    Spark plan inlines (rademacher_signs — single-sourced constants,
+    the q47 pattern); retrieval + truth blocks are ss27's verbatim, so
+    the two zero-training bases score against one definition."""
+    from ..operators.similarity import rademacher_signs
+
+    signs = rademacher_signs(64, max(_SS29_DIMS))
+    blocks, selects = [], []
+    for d in _SS29_DIMS:
+        coords = ",\n           ".join(
+            "list_sum(list_transform(list_zip(qv, ["
+            + ", ".join(str(s) for s in signs[j])
+            + "]), s -> s[1] * CAST(s[2] AS BIGINT)))"
+            for j in range(d)
+        )
+        blocks.append(f"""pr{d} AS (
+  SELECT vec_id,
+         [{coords}] AS tv
+  FROM base
+), pq{d} AS (
+  SELECT vec_id AS query_id, tv FROM pr{d} WHERE vec_id < {_SS20_NQ}
+), ret{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.tv, e.tv),
+               s -> (s[1]-s[2])*(s[1]-s[2]))), e.vec_id) AS rk
+    FROM pq{d} q JOIN pr{d} e ON e.vec_id != q.query_id
+  ) WHERE rk <= {_SS20_K}
+), h{d} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ret{d} r JOIN truth t USING (query_id, neighbor_id)
+)""")
+        selects.append(
+            f"SELECT {d}::BIGINT AS dim, tc.n_truth, h.n_hit,\n"
+            f"       CAST(h.n_hit AS DOUBLE)/tc.n_truth AS recall\n"
+            f"FROM tc, h{d} h"
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+){_ss_l2_truth_sql('base', _SS20_NQ, _SS20_K)}, {', '.join(blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY dim DESC
+"""
+
+
+@register("ss29_random_projection_recall", oracle=_ss29_oracle())
+def ss29_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher random-projection recall — the fourth compression
+    basis of the retrieval matrix, and the head-to-head answer to
+    ss27's question: when embeddings are NOT trained for truncation,
+    is the right zero-training d-dim code the PREFIX (drop the tail)
+    or a RANDOM ±1 MIXTURE (Johnson-Lindenstrauss: every output
+    coordinate sums all 64 inputs, pv[j] = Σ_i sign(i,j)·qv[i])? Same
+    dims, same truth, same byte accounting as ss27, zero training
+    either way. Measured at sf0.01 (top-5, 250 pairs): dim 32/16/8 →
+    recall 16.8% / 10.0% / 4.8% vs truncation's 19.6% / 10.8% / 6.4%
+    — the naive JL intuition ("mixing keeps an unbiased estimate of
+    ALL the signal, so it must beat dropping half of it") is WRONG at
+    these widths: truncation's partial distance is an EXACT measure
+    of d/64 of the signal, while the mixture's estimate of all of it
+    carries 1/√d multiplicative noise large enough (ε ≈ √(8·ln n/d) >
+    1 at d=32, n=500) to scramble a top-5 ranking more than the
+    dropped tail does. Random projection's regime is d ≫ ln n — these
+    serving widths are far below it. Both bases collapse against
+    SQ8's 83.6% at the same 4× budget (ss24), which sharpens the
+    ss27 rule: with per-dimension quantization available, KEEP every
+    dimension at lower precision; neither zero-training width
+    reduction survives, and the one that mixes is the WORSE of the
+    two here.
+
+    The sign matrix is deterministic (kmv_hash parity, constants
+    single-sourced into plan AND oracle) and dimension-NESTED: row j
+    depends only on j, so the d=8 code is a prefix of the d=32 code —
+    one 32-dim encode pass serves every narrower budget, like ss27's
+    prefix slices. Plan shape: encode is map-only literal-array HOF
+    per row (no stats pass, no join — sq_encode's contract); retrieval
+    scores full pairs on the bounded eval slice (the ss08 convention);
+    at corpus scale the projected vectors compose with IVF routing as
+    any code does. All distances exact int64; every stage
+    DuckDB-replayed."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.similarity import rademacher_project
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K, qv=qv)
+    # One 32-dim encode pass; narrower budgets are prefix slices of it
+    # (row j of the sign matrix depends only on j).
+    proj = rademacher_project(
+        qv.select("vec_id", "_qv"), max(_SS29_DIMS), 64
+    ).localCheckpoint(eager=True)
+    out = None
+    for d in _SS29_DIMS:
+        tr = proj.select("vec_id", F.slice("pv", 1, d).alias("tv"))
+        q = tr.where(F.col("vec_id") < _SS20_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("tv").alias("_tq")
+        )
+        dist = F.aggregate(
+            F.zip_with("_tq", "tv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d").asc(), F.col("neighbor_id").asc()
+        )
+        ret = (
+            tr.select(F.col("vec_id").alias("neighbor_id"), "tv")
+            .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_d", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _SS20_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.col("dim").desc())
+
+
+# ---------------------------------------------------------------------------
+# ss30 — reciprocal-rank fusion across compression bases: does fusing
+# two cheap views buy recall, and does fusing a weak view into a
+# strong one cost it?
+# ---------------------------------------------------------------------------
+
+_SS30_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_SS30_SCALE = 1_000_000_000  # integer contribution = SCALE // (C + rank)
+_SS30_DEPTH = 25  # per-view shortlist depth feeding the fusion
+
+
+def _ss30_rank_sql(src: str, name: str) -> str:
+    """Ranked shortlist CTE over a (vec_id, tv) view table: exact
+    int-L2 rank ≤ depth per query, the ss27/ss29 retrieval shape with
+    the rank kept."""
+    return f"""{name} AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.tv, e.tv),
+               s -> (s[1]-s[2])*(s[1]-s[2]))), e.vec_id) AS rk
+    FROM (SELECT vec_id AS query_id, tv FROM {src}
+          WHERE vec_id < {_SS20_NQ}) q
+    JOIN {src} e ON e.vec_id != q.query_id
+  ) WHERE rk <= {_SS30_DEPTH}
+)"""
+
+
+def _ss30_oracle() -> str:
+    """Composes the three view specs VERBATIM (ss24's SQ8 stats+codes,
+    ss27's dim-32 prefix slice, ss29's literal sign matrix) over the
+    shared truth block, then replays the integer RRF fusion: per-view
+    contribution SCALE // (C + rank) on depth-25 shortlists, fused
+    top-5 by summed score (desc, neighbor asc)."""
+    from ..operators.similarity import rademacher_signs
+
+    signs = rademacher_signs(64, 32)
+    coords = ",\n           ".join(
+        "list_sum(list_transform(list_zip(qv, ["
+        + ", ".join(str(s) for s in signs[j])
+        + "]), s -> s[1] * CAST(s[2] AS BIGINT)))"
+        for j in range(32)
+    )
+    pair_blocks, selects = [], []
+    for pair, a, b in (
+        ("trunc32+rp32", "rtr", "rrp"),
+        ("sq8+trunc32", "rsq", "rtr"),
+    ):
+        tag = pair.replace("+", "_").replace("trunc", "t").replace("sq", "s")
+        pair_blocks.append(f"""f_{tag} AS (
+  SELECT query_id, neighbor_id,
+         SUM({_SS30_SCALE} // ({_SS30_RRF_C} + rk)) AS score
+  FROM (SELECT * FROM {a} UNION ALL SELECT * FROM {b})
+  GROUP BY query_id, neighbor_id
+), top_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS rn
+    FROM f_{tag}
+  ) WHERE rn <= {_SS20_K}
+), h_{tag} AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM {a} r
+      JOIN truth t USING (query_id, neighbor_id)
+      WHERE r.rk <= {_SS20_K}) AS n_hit_a,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM {b} r
+      JOIN truth t USING (query_id, neighbor_id)
+      WHERE r.rk <= {_SS20_K}) AS n_hit_b,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM top_{tag} r
+      JOIN truth t USING (query_id, neighbor_id)) AS n_hit_fused
+)""")
+        selects.append(
+            f"SELECT '{pair}' AS pair, tc.n_truth, h.n_hit_a, h.n_hit_b,\n"
+            f"       h.n_hit_fused,\n"
+            f"       CAST(h.n_hit_fused AS DOUBLE)/tc.n_truth AS recall_fused\n"
+            f"FROM tc, h_{tag} h"
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), dims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM base, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), stats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM dims
+){_ss_l2_truth_sql('base', _SS20_NQ, _SS20_K)}, vsq AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * 255) // s[3]) AS tv
+  FROM base CROSS JOIN stats
+), vtr AS (
+  SELECT vec_id, qv[1:32] AS tv FROM base
+), vrp AS (
+  SELECT vec_id,
+         [{coords}] AS tv
+  FROM base
+), {_ss30_rank_sql('vsq', 'rsq')}, {_ss30_rank_sql('vtr', 'rtr')},
+{_ss30_rank_sql('vrp', 'rrp')}, {', '.join(pair_blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY pair
+"""
+
+
+@register("ss30_rrf_fusion", oracle=_ss30_oracle())
+def ss30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) across the
+    measured compression bases — the rank-combination surface the
+    retrieval matrix was missing, asked as two concrete questions on
+    the shared truth. (1) weak+weak: can RRF over two complementary
+    zero-training views (dim-32 prefix truncation, 19.6% alone;
+    dim-32 Rademacher projection, 16.8% alone) buy back recall
+    neither has? (2) strong+weak: does fusing a weak view into a
+    dominant retriever (SQ8, 83.6% alone) dilute it? Fusion is
+    deterministic integer math — per-view contribution
+    SCALE div (60 + rank) on depth-25 shortlists, fused top-5 by
+    summed score with total tie-break — so the whole harness is
+    DuckDB-hash-verified, unlike float-weighted score fusion.
+    Measured at sf0.01 (top-5, 250 pairs), both answers are sharp:
+    (1) trunc32+rp32 → 66 hits (26.4%) vs 49/42 alone — unweighted
+    RRF over complementary weak views beats BOTH, +35% relative over
+    the better one, the Cormack result reproduced on compression
+    views; (2) sq8+trunc32 → 122 (48.8%) vs SQ8's 209 (83.6%) alone —
+    unweighted fusion treats the views as peers, so a weak partner
+    VETOES a dominant retriever's tail (every SQ8 hit the weak view
+    misses falls behind any neighbor both views merely shortlist).
+    The production rule this measures: fuse views of comparable
+    quality; never bolt a weak view onto a strong one without
+    down-weighting. Alone-rows are pinned to their source harnesses
+    (ss24 SQ8, ss27 dim-32, ss29 dim-32) in tests/test_parity.py —
+    three-way consistency, not three truths.
+
+    Plan shape: each view is encoded once (SQ8 map-only encode, a
+    prefix slice, one literal-matrix projection pass), ranked once
+    (bounded eval-slice pair scoring, the ss08 convention), and the
+    fusion itself is ONE union + groupBy-sum + per-query top-5 window
+    over ≤ 2·depth·queries shortlist rows — at corpus scale the
+    shortlists are what ANN serving already materializes, so RRF adds
+    a near-free reduction, never a new corpus pass."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.similarity import (
+        rademacher_project,
+        sq_dim_stats,
+        sq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K, qv=qv)
+
+    def ranks(view: DataFrame) -> DataFrame:
+        """Depth-25 ranked shortlist over a (vec_id, tv) view."""
+        q = view.where(F.col("vec_id") < _SS20_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("tv").alias("_tq")
+        )
+        dist = F.aggregate(
+            F.zip_with("_tq", "tv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            view.select(F.col("vec_id").alias("neighbor_id"), "tv")
+            .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_d", dist)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _SS30_DEPTH)
+            .select("query_id", "neighbor_id", "rk")
+            .localCheckpoint(eager=True)
+        )
+
+    stats = sq_dim_stats(qv)
+    vsq = sq_encode(qv.select("vec_id", "_qv"), stats, 255).select(
+        "vec_id", F.col("cv").alias("tv")
+    )
+    vtr = qv.select("vec_id", F.slice("_qv", 1, 32).alias("tv"))
+    vrp = rademacher_project(qv.select("vec_id", "_qv"), 32, 64).select(
+        "vec_id", F.col("pv").alias("tv")
+    )
+    r = {"sq8": ranks(vsq), "trunc32": ranks(vtr), "rp32": ranks(vrp)}
+
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for pair, a, b in (
+        ("trunc32+rp32", "trunc32", "rp32"),
+        ("sq8+trunc32", "sq8", "trunc32"),
+    ):
+        contrib = (F.lit(_SS30_SCALE) - F.lit(_SS30_SCALE) % (F.lit(_SS30_RRF_C) + F.col("rk"))) / (
+            F.lit(_SS30_RRF_C) + F.col("rk")
+        )
+        fused = (
+            r[a].unionByName(r[b])
+            .withColumn("_c", contrib.cast("long"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("_c").alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        top = (
+            fused.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= _SS20_K)
+            .select("query_id", "neighbor_id")
+        )
+
+        def hits(df: DataFrame) -> DataFrame:
+            return df.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
+                F.count(F.lit(1)).alias("_h")
+            )
+
+        row = (
+            n_truth.crossJoin(
+                hits(r[a].where(F.col("rk") <= _SS20_K)).withColumnRenamed("_h", "n_hit_a")
+            )
+            .crossJoin(
+                hits(r[b].where(F.col("rk") <= _SS20_K)).withColumnRenamed("_h", "n_hit_b")
+            )
+            .crossJoin(hits(top).withColumnRenamed("_h", "n_hit_fused"))
+            .select(
+                F.lit(pair).alias("pair"),
+                "n_truth",
+                "n_hit_a",
+                "n_hit_b",
+                "n_hit_fused",
+                (
+                    F.col("n_hit_fused").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall_fused"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# ss31 — WEIGHTED RRF: measuring the down-weighting rule ss30's
+# dilution result prescribes (close the loop the ss12/ss19 way:
+# prescribe from a measurement, then measure the prescription)
+# ---------------------------------------------------------------------------
+
+_SS31_WEIGHTS = ((1, 1), (4, 1), (16, 1))  # strong:weak contribution ratio
+
+
+def _ss31_oracle() -> str:
+    """ss30's sq8+trunc32 composition with the strong view's RRF
+    contribution scaled by w_a — same view specs, same truth, one new
+    knob. Fused top-5 per weight ratio."""
+    from ..operators.similarity import rademacher_signs  # noqa: F401 — spec parity with ss30
+
+    weight_blocks, selects = [], []
+    for wa, wb in _SS31_WEIGHTS:
+        tag = f"w{wa}_{wb}"
+        weight_blocks.append(f"""f_{tag} AS (
+  SELECT query_id, neighbor_id, SUM(c) AS score FROM (
+    SELECT query_id, neighbor_id,
+           {wa} * ({_SS30_SCALE} // ({_SS30_RRF_C} + rk)) AS c FROM rsq
+    UNION ALL
+    SELECT query_id, neighbor_id,
+           {wb} * ({_SS30_SCALE} // ({_SS30_RRF_C} + rk)) AS c FROM rtr
+  ) GROUP BY query_id, neighbor_id
+), top_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS rn
+    FROM f_{tag}
+  ) WHERE rn <= {_SS20_K}
+), h_{tag} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit_fused
+  FROM top_{tag} r JOIN truth t USING (query_id, neighbor_id)
+)""")
+        selects.append(
+            f"SELECT CAST({wa} AS BIGINT) AS w_strong, tc.n_truth,\n"
+            f"       h.n_hit_fused,\n"
+            f"       CAST(h.n_hit_fused AS DOUBLE)/tc.n_truth AS recall_fused\n"
+            f"FROM tc, h_{tag} h"
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), dims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM base, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), stats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM dims
+){_ss_l2_truth_sql('base', _SS20_NQ, _SS20_K)}, vsq AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * 255) // s[3]) AS tv
+  FROM base CROSS JOIN stats
+), vtr AS (
+  SELECT vec_id, qv[1:32] AS tv FROM base
+), {_ss30_rank_sql('vsq', 'rsq')}, {_ss30_rank_sql('vtr', 'rtr')},
+{', '.join(weight_blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY w_strong
+"""
+
+
+@register("ss31_weighted_rrf", oracle=_ss31_oracle())
+def ss31_weighted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted RRF over ss30's strong+weak pair — the measured answer
+    to the dilution ss30 exposed (sq8+trunc32 fused at 48.8% vs SQ8's
+    83.6% alone). Scaling the strong view's integer contribution by
+    w ∈ {1, 4, 16} measures the recovery curve; at sf0.01 (top-5, 250
+    pairs): w=1 → 122 hits (48.8%, ss30's row — invariant-pinned in
+    tests/test_parity.py), w=4 → 149 (59.6%), w=16 → 202 (80.8%) —
+    and STILL 7 hits short of SQ8 alone. That slow tail is structural,
+    not a tuning miss: a weak-view contribution added to a neighbor
+    the strong view ranked at r+1 outweighs the strong view's OWN gap
+    between ranks r and r+1 until w exceeds roughly (C+R)²/C (≈ 120
+    at C=60, depth 25), so within-shortlist reordering persists long
+    after weak-only neighbors stop surfacing (w=16 already buries
+    those: 16·SCALE/(60+25) ≫ SCALE/61). The closed rule, sharpened:
+    down-weighting recovers recall only ASYMPTOTICALLY — if one view
+    is strictly better, fusion has nothing to add; reserve RRF for
+    views of comparable measured alone-quality (ss30's weak+weak win)
+    and weight by that measurement (the ss12/ss19 prescribe-then-
+    measure discipline). Same view specs, shortlists, truth and
+    integer arithmetic as ss30 — one new knob, hash-verified end to
+    end."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.similarity import sq_dim_stats, sq_encode
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K, qv=qv)
+
+    def ranks(view: DataFrame) -> DataFrame:
+        q = view.where(F.col("vec_id") < _SS20_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("tv").alias("_tq")
+        )
+        dist = F.aggregate(
+            F.zip_with("_tq", "tv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            view.select(F.col("vec_id").alias("neighbor_id"), "tv")
+            .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_d", dist)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _SS30_DEPTH)
+            .select("query_id", "neighbor_id", "rk")
+            .localCheckpoint(eager=True)
+        )
+
+    stats = sq_dim_stats(qv)
+    r_sq = ranks(
+        sq_encode(qv.select("vec_id", "_qv"), stats, 255).select(
+            "vec_id", F.col("cv").alias("tv")
+        )
+    )
+    r_tr = ranks(qv.select("vec_id", F.slice("_qv", 1, 32).alias("tv")))
+
+    base_c = (
+        F.lit(_SS30_SCALE)
+        - F.lit(_SS30_SCALE) % (F.lit(_SS30_RRF_C) + F.col("rk"))
+    ) / (F.lit(_SS30_RRF_C) + F.col("rk"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for wa, wb in _SS31_WEIGHTS:
+        fused = (
+            r_sq.withColumn("_c", (F.lit(wa) * base_c).cast("long"))
+            .unionByName(r_tr.withColumn("_c", (F.lit(wb) * base_c).cast("long")))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("_c").alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        top = (
+            fused.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= _SS20_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = top.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit_fused")
+        )
+        row = n_truth.crossJoin(hit).select(
+            F.lit(wa).cast("long").alias("w_strong"),
+            "n_truth",
+            "n_hit_fused",
+            (
+                F.col("n_hit_fused").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_fused"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("w_strong")

@@ -2045,3 +2045,255 @@ def tx26_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uni_mean_mb",
         (F.col("uni_mean_mb") - mean).alias("context_gain_mb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — Count-Min frequency sketch vs exact counts: the mergeable
+# O(depth·width) frequency summary completing the sketch family
+# (certified top-k tx13, KMV cardinality q43 / set ops q44 / error law
+# q46, log-histogram quantiles q45). Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_Q47_DEPTH = 4
+_Q47_WIDTHS = (128, 512, 2048)
+
+
+def _q47_oracle() -> str:
+    """GENERATED from the operator constants: the row-stepped quadratic
+    mix, the per-width counter grids (g mod w directly — exactly the
+    grid cm_fold derives, by g mod w == (g mod W) mod w for w | W) and
+    the min-over-depth point estimates replay operators/sketch.py
+    cm_sketch/cm_estimate integer-for-integer on tx05's bigram
+    stream."""
+    from ..operators.sketch import (
+        CM_A_STEP,
+        CM_B_STEP,
+        CM_C_STEP,
+        KMV_A,
+        KMV_B,
+        KMV_C,
+        KMV_P,
+    )
+
+    p = KMV_P
+
+    def mix(h: str) -> str:
+        x0 = f"((({h}) % {p}) + {p}) % {p}"
+        a = f"(({KMV_A} + {CM_A_STEP} * r) % {p})"
+        b = f"(({KMV_B} + {CM_B_STEP} * r) % {p})"
+        c = f"(({KMV_C} + {CM_C_STEP} * r) % {p})"
+        return (
+            f"(((((({x0}) * ({x0})) % {p}) * {a}) % {p}"
+            f" + ((({x0}) * {b}) % {p}) + {c}) % {p})"
+        )
+
+    width_ctes, selects = [], []
+    for w in _Q47_WIDTHS:
+        width_ctes.append(f"""cnt{w} AS (
+  SELECT r, g % {w} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM mix GROUP BY 1, 2
+), e{w} AS (
+  SELECT bigram, exact_n, MIN(COALESCE(c.cnt, 0)) AS est_n
+  FROM (SELECT bigram, exact_n, r, g % {w} AS b FROM eg) q
+  LEFT JOIN cnt{w} c USING (r, b)
+  GROUP BY bigram, exact_n
+)""")
+        selects.append(
+            f"SELECT CAST({w} AS BIGINT) AS width, bigram, exact_n, est_n,\n"
+            f"       est_n - exact_n AS over_n,\n"
+            f"       CAST(est_n - exact_n AS DOUBLE) / exact_n AS rel_over\n"
+            f"FROM e{w}"
+        )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT concat(t[i], ' ', t[i+1]) AS bigram
+  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+gh AS (
+  SELECT bigram,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(bigram, ''),
+             ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007) AS h
+  FROM grams
+),
+mix AS (
+  SELECT r, {mix('h')} AS g
+  FROM gh, unnest(range(0, {_Q47_DEPTH})) AS d(r)
+),
+ex AS (
+  SELECT bigram, h, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM gh GROUP BY bigram, h
+  ORDER BY exact_n DESC, bigram LIMIT 20
+),
+eg AS (
+  SELECT bigram, exact_n, r, {mix('h')} AS g
+  FROM ex, unnest(range(0, {_Q47_DEPTH})) AS d(r)
+),
+{', '.join(width_ctes)}
+SELECT * FROM ({' UNION ALL '.join(selects)})
+ORDER BY width, exact_n DESC, bigram
+"""
+
+
+@register("q47_cm_frequency_sketch", oracle=_q47_oracle())
+def q47_cm_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates vs exact counts on tx05's
+    bigram stream — the ADDITIVE frequency summary the sketch family
+    was missing: per-day/per-source depth×width counter grids persist
+    in O(depth·width) and answer later frequency questions by cell
+    addition, never a rescan (tx13's certified_topk is the
+    exact-answer counterpart when the top-k itself is the question;
+    CM is what you keep when the query keys arrive AFTER the scan).
+    Estimates are GUARANTEED overestimates (counters only add;
+    colliding keys inflate, never deflate — test-pinned), bounded by
+    e/width · N with probability 1 − e^(−depth).
+
+    Three widths measure the error law on the real bigram
+    distribution before sizing production grids: at sf0.01 over the
+    exact top-20 bigrams (N = 26,665 occurrences), width 128 → mean
+    overestimate +120.2 counts / max +164 (≈ the e·N/width ≈ 566
+    bound's typical N/width = 208 collision mass), width 512 → mean
+    +20.6, width 2048 → 0 exactly (depth-4 min finds a collision-free
+    cell for every key) — a ≳4× error drop per 4× width, ending in
+    exactness once cells outnumber hot keys. The
+    2048 grid is built ONCE from the corpus; 512/128 are FOLDED from
+    it (cm_fold: g mod w == (g mod W) mod w for w | W, test-pinned
+    equal to a direct build) — one corpus pass prices every
+    resolution, the ss26/sq_shared encode-once rule applied to
+    sketches.
+
+    Plan shape: the depth-row mixes explode narrowly per occurrence
+    and partial-agg into ≤ depth·width cells before the shuffle (plan-
+    guarded map-side combine); the estimate side broadcasts the ≤
+    8192-cell grid onto the 20 query keys. Every stage — polynomial
+    bigram hash, row-stepped quadratic mix, counter counts, min-over-
+    depth — is exact int64 arithmetic, DuckDB-hash-verified."""
+    from ..functions import poly_hash
+    from ..operators.sketch import cm_estimate, cm_fold, cm_sketch
+
+    hashed = _bigram_stream(spark, sf_dir).select(
+        "bigram", poly_hash("bigram").alias("h")
+    )
+    wmax = max(_Q47_WIDTHS)
+    sk = {wmax: cm_sketch(hashed, "h", _Q47_DEPTH, wmax).localCheckpoint(eager=True)}
+    for w_from, w_to in zip(sorted(_Q47_WIDTHS, reverse=True), sorted(_Q47_WIDTHS, reverse=True)[1:]):
+        sk[w_to] = cm_fold(sk[w_from], w_from, w_to)
+    top = (
+        hashed.groupBy("bigram", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "bigram")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for w in _Q47_WIDTHS:
+        est = cm_estimate(sk[w], top, "h", _Q47_DEPTH, w, out_col="est_n")
+        row = est.select(
+            F.lit(w).cast("long").alias("width"),
+            "bigram",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("over_n"),
+            (
+                (F.col("est_n") - F.col("exact_n")).cast("double")
+                / F.col("exact_n").cast("double")
+            ).alias("rel_over"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("width", F.col("exact_n").desc(), "bigram")
+
+
+# ---------------------------------------------------------------------------
+# tx27 — integer BM25 lexical retrieval: the inverted-index ranking
+# surface (the lexical half of hybrid search; ss30 is the fusion half)
+# ---------------------------------------------------------------------------
+
+_TX27_NQ = 25  # query docs: doc_id < 25 (the bounded-eval convention)
+_TX27_K = 5
+
+
+def _tx27_oracle() -> str:
+    """GENERATED from the operator constants (BM25_K1_M / BM25_B_M and
+    the millibit idf via _milli_log2_sql): tf/df/dl counts off one
+    token unnest, the df·2 ≤ N stopword prune, the integer BM25
+    contribution with every DIV explicit, depth-k total-order ranks —
+    operators/text.py bm25_topk replayed integer-for-integer."""
+    from ..operators.text import BM25_B_M, BM25_K1_M
+
+    k1, b = BM25_K1_M, BM25_B_M
+    ml = _milli_log2_sql
+    contrib = (
+        f"(i.idf_mb * c.tf * {1000 + k1}) // "
+        f"(c.tf * 1000 + ({k1} * ((1000 - {b}) + "
+        f"({b} * ((l.dl * 1000000) // ((s.n_toks * 1000) // s.n_docs))) // 1000)) // 1000)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_toks
+  FROM dl
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM d),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok, ({ml('s.n_docs')} - {ml('f.df')}) AS idf_mb
+  FROM dfreq f, stats s WHERE f.df * 2 <= s.n_docs
+),
+qt AS (
+  SELECT DISTINCT doc_id AS query_id, tok FROM tok WHERE doc_id < {_TX27_NQ}
+),
+sc AS (
+  SELECT q.query_id, c.doc_id AS neighbor_id,
+         CAST(SUM({contrib}) AS BIGINT) AS score
+  FROM qt q
+  JOIN idf i ON i.tok = q.tok
+  JOIN tf c ON c.tok = q.tok AND c.doc_id != q.query_id
+  JOIN dl l ON l.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id) AS rk
+  FROM sc
+) WHERE rk <= {_TX27_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("tx27_bm25_lexical_topk", oracle=_tx27_oracle())
+def tx27_bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer BM25 lexical top-5 — the inverted-index retrieval
+    surface the engine was missing (near-dup stacks match CONTENT
+    overlap via shingles/MinHash; this ranks RELEVANCE via
+    tf-saturated, length-normalized, idf-weighted term matching —
+    what contamination hunting, eval-leak triage and hybrid serving
+    run on the lexical side). operators/text.py bm25_topk in exact
+    int64 millibit arithmetic: idf_mb = milli_log2(N) −
+    milli_log2(df), k1=1.2 / b=0.75 milli-scaled, every division an
+    explicit DIV — so the full ranked lists hash-verify against the
+    DuckDB replay, unlike float BM25.
+
+    Stopword pruning (df·2 > N dropped) is part of the pinned spec,
+    not a tuning: those terms carry ≈0 idf but own the longest
+    posting lists — at 100 TB they ARE the term-join blowup. Plan
+    shape: tf/df/dl are partial-aggregated counts off one narrow
+    token explode; the pruned idf joins postings BEFORE the
+    (bounded, broadcast) query-term side; score sum + per-query top-5
+    window are the only wide stages — an inverted-index equi-join,
+    never a doc×doc product (plan-guarded: no CartesianProduct, query
+    side broadcast). At sf0.01: 25 query docs × 5 ranked neighbors,
+    125 rows, full-score hash parity."""
+    from ..operators.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, docs.where(F.col("doc_id") < _TX27_NQ), "doc_id", "text", k=_TX27_K
+    ).orderBy("query_id", "rk")

@@ -321,3 +321,98 @@ def w09_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_hour"),
         F.sum(cents("value")).over(w).cast("long").alias("sum_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w10 — ordered funnel (view → click → purchase): sequential pattern
+# matching via cumulative windows, the MATCH_RECOGNIZE-shaped surface
+# the window family lacked
+# ---------------------------------------------------------------------------
+
+_W10_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(CASE WHEN v.view_ts IS NULL THEN 0
+                 WHEN c.click_ts IS NULL THEN 1
+                 WHEN p.purchase_ts IS NULL THEN 2
+                 ELSE 3 END AS BIGINT) AS stage
+FROM u LEFT JOIN v USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+
+@register("w10_funnel_stages", oracle=_W10_ORACLE)
+def w10_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel matching per user — earliest view, earliest
+    click strictly AFTER it, earliest purchase strictly after THAT —
+    the sequential-pattern surface (MATCH_RECOGNIZE's most common
+    production use) expressed as CUMULATIVE WINDOWS instead of the
+    oracle's three self-join passes: over one (user, ts, event_id)
+    ordering, a running min-view timestamp marks each click that
+    qualifies, a running min over THOSE marks each purchase that
+    qualifies, and one final per-user aggregate reads the funnel off
+    — the running min reaches the stage-k anchor exactly at that
+    anchor's own row (rows order by ts, so the min over qualifying
+    events IS the first one seen), which makes the window form equal
+    the join-form spec row-for-row; the oracle deliberately KEEPS the
+    join formulation so the two derivations cross-check each other
+    rather than replaying one shape twice. Strict ts inequalities
+    make equal-timestamp stages non-qualifying on both engines — no
+    tie-break needed. Scale: ONE user-keyed shuffle serves both
+    window passes AND the final groupBy (the w08 plan family,
+    plan-guarded single exchange); the join form pays three
+    user-keyed join shuffles and two extra scans. Stage census at
+    sf0.01: all 150 users reach stage 3 (~130 events each — dense
+    synthetic streams, so every sequence occurs); the per-user stage
+    TIMESTAMPS are the hash-verified content."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    run_view = F.min(F.when(is_type("view"), F.col("ts"))).over(w)
+    click_cand = F.when(is_type("click") & (F.col("ts") > run_view), F.col("ts"))
+    step1 = ev.withColumn("_click_cand", click_cand)
+    run_click = F.min("_click_cand").over(w)
+    purchase_cand = F.when(
+        is_type("purchase") & (F.col("ts") > run_click), F.col("ts")
+    )
+    agg = (
+        step1.withColumn("_purchase_cand", purchase_cand)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(is_type("view"), F.col("ts"))).alias("view_ts"),
+            F.min("_click_cand").alias("click_ts"),
+            F.min("_purchase_cand").alias("purchase_ts"),
+        )
+    )
+    stage = (
+        F.when(F.col("view_ts").isNull(), 0)
+        .when(F.col("click_ts").isNull(), 1)
+        .when(F.col("purchase_ts").isNull(), 2)
+        .otherwise(3)
+    )
+    return agg.select(
+        "user_id",
+        "view_ts",
+        "click_ts",
+        "purchase_ts",
+        stage.cast("long").alias("stage"),
+    )

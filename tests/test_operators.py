@@ -1942,3 +1942,189 @@ def test_sq_encode_codes_bounded_and_affine(spark):
     assert codes[1] == [0, 0, 255]  # mins -> 0; max of dim 3 -> 255
     assert codes[2] == [255, 0, 0]
     assert codes[3] == [127, 0, 127]  # (50*255)//100, const, (5*255)//10
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cm_estimate_overestimates_every_key(spark, sf_dir):
+    """The CM guarantee: est ≥ true count for EVERY key (counters only
+    add; collisions inflate, never deflate) — checked over all distinct
+    custkeys at a deliberately tiny width so collisions actually
+    occur, plus an absent key (estimate ≥ 0, never negative/null)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import cm_estimate, cm_sketch
+
+    keys = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    sk = cm_sketch(keys, "k", depth=4, width=64)
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    est = cm_estimate(sk, exact, "k", depth=4, width=64)
+    bad = est.where(F.col("est") < F.col("n")).count()
+    assert bad == 0
+    collided = est.where(F.col("est") > F.col("n")).count()
+    assert collided > 0  # width 64 << distinct keys: collisions must show
+    absent = spark.createDataFrame([(10**12 + 7,)], "k long")
+    got = cm_estimate(sk, absent, "k", depth=4, width=64).collect()
+    assert len(got) == 1 and got[0]["est"] >= 0
+
+
+def test_cm_sketch_additive_and_fold_matches_direct(spark, sf_dir):
+    """Grid cells of disjoint halves SUM to the whole corpus grid (the
+    mergeability the streaming maintainer rests on), and cm_fold of a
+    width-1024 grid down to 256 equals the direct width-256 build —
+    the g mod w == (g mod W) mod w identity that lets one corpus pass
+    price every narrower resolution."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import cm_fold, cm_sketch
+
+    keys = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    def cells(df):
+        return {(r["r"], r["b"]): r["cnt"] for r in df.collect()}
+
+    whole = cells(cm_sketch(keys, "k", depth=3, width=1024))
+    lo = cm_sketch(keys.where(F.col("k") % 2 == 0), "k", depth=3, width=1024)
+    hi = cm_sketch(keys.where(F.col("k") % 2 == 1), "k", depth=3, width=1024)
+    summed = cells(
+        lo.unionByName(hi)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert summed == whole
+
+    direct = cells(cm_sketch(keys, "k", depth=3, width=256))
+    folded = cells(
+        cm_fold(cm_sketch(keys, "k", depth=3, width=1024), 1024, 256)
+    )
+    assert folded == direct
+
+
+def test_cm_sketch_guards(spark):
+    """NULL keys raise (a silent drop would undercount and void the
+    overestimate guarantee); cm_fold refuses non-divisor widths;
+    non-positive dims refused."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from datapipeline_template_spark.operators.sketch import cm_fold, cm_sketch
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(PySparkException, match="non-null"):
+        cm_sketch(df, "k", depth=2, width=16).collect()
+    ok = spark.createDataFrame([(1,), (2,)], "k long")
+    sk = cm_sketch(ok, "k", depth=2, width=16)
+    with pytest.raises(ValueError, match="must divide"):
+        cm_fold(sk, 16, 5)
+    with pytest.raises(ValueError, match="depth > 0"):
+        cm_sketch(ok, "k", depth=0, width=16)
+
+
+# ---------------------------------------------------------------------------
+# Rademacher random projection
+# ---------------------------------------------------------------------------
+
+
+def test_rademacher_kernel_matches_catalyst_and_nests(spark, sf_dir):
+    """The Arrow matmul twin is BIT-EQUAL to the Catalyst HOF form
+    (exact int64 either way — the dd05 kernel-twin contract), and the
+    sign matrix is dimension-nested (row j depends only on j), so the
+    narrow code is a prefix of the wide one — one encode pass serves
+    every budget."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.similarity import (
+        rademacher_project,
+        rademacher_project_kernel,
+        rademacher_signs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").limit(50)
+    qv = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    a = {r["vec_id"]: r["pv"] for r in rademacher_project(qv, 16, 64).collect()}
+    b = {
+        r["vec_id"]: r["pv"]
+        for r in rademacher_project_kernel(qv.repartition(4), 16, 64).collect()
+    }
+    assert a == b and len(a) == 50
+
+    assert rademacher_signs(64, 32)[:8] == rademacher_signs(64, 8)
+    narrow = {
+        r["vec_id"]: r["pv"] for r in rademacher_project(qv, 8, 64).collect()
+    }
+    assert all(a[v][:8] == narrow[v] for v in narrow)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="101"):
+        rademacher_signs(64, 102)
+
+
+# ---------------------------------------------------------------------------
+# Integer BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_rare_term_matches_above_common(spark):
+    """BM25 semantics on a constructed corpus: a neighbor sharing the
+    query's RARE term outranks one sharing only a more common term;
+    stopwords (df·2 > N) are pruned from the spec so a doc matching
+    ONLY on a stopword never appears; self-matches excluded; rk is a
+    1..k total order."""
+    from datapipeline_template_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "zebra quark the the"),      # query: rare 'zebra', mid 'quark'
+        (1, "zebra lion the the"),       # shares rare 'zebra'
+        (2, "quark lion the the"),       # shares 'quark' (df=3)
+        (3, "quark moose the the"),      # shares 'quark'
+        (4, "moose lion the the"),       # shares only stopword 'the'
+        (5, "moose bison the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(
+        docs, docs.where("doc_id = 0"), "doc_id", "text", k=5
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert ranked[0] == 1  # the rare-term match wins
+    assert set(ranked[1:]) == {2, 3}  # quark matches follow (df=3 of 6)
+    assert 4 not in ranked and 5 not in ranked  # stopword-only: pruned
+    assert 0 not in ranked  # no self-match
+    assert [r["rk"] for r in sorted(got, key=lambda r: r["rk"])] == [1, 2, 3]
+    assert all(r["score"] > 0 for r in got)
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    """Two neighbors with the same tf of the same matched term: the
+    SHORTER one scores higher (the b·dl/avgdl denominator) — the
+    length-normalization behavior that separates BM25 from raw
+    tf·idf."""
+    from datapipeline_template_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "zebra alpha"),
+        (1, "zebra beta gamma delta epsilon eta theta iota kappa"),
+        (2, "zebra beta"),
+        # padding docs keep df(zebra)·2 ≤ N so it isn't stopword-pruned
+        (3, "moose bison"),
+        (4, "moose lion"),
+        (5, "bison lion"),
+        (6, "moose deer"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["neighbor_id"]: r["score"]
+        for r in bm25_topk(
+            docs, docs.where("doc_id = 0"), "doc_id", "text", k=5
+        ).collect()
+    }
+    assert got[2] > got[1]

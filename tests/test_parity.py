@@ -283,3 +283,59 @@ def test_rerank_depth_k_rows_equal_base_harness_rows(spark, sf_dir):
     # Re-ranking deeper never loses recall (supersets re-scored exactly).
     assert ss26[10][1] >= ss26[5][1] and ss26[25][1] >= ss26[10][1]
     assert ss28[25][1] >= ss28[5][1]
+
+
+def test_ss30_alone_rows_equal_source_harnesses(spark, sf_dir):
+    """ss30's per-view alone hit counts (rank ≤ k of its depth-25
+    shortlists) must equal the rows of the harnesses that own each
+    view — ss24's SQ8, ss27's dim-32 truncation, ss29's dim-32
+    projection — structurally at ANY scale factor: one view spec,
+    one truth, three consumers. Also the fusion sanity invariant:
+    a fused top-k can never out-hit the union of its two views'
+    full shortlists."""
+    from datapipeline_template_spark.queries import load_all
+
+    reg = load_all()
+    ss30 = {
+        r["pair"]: r for r in reg["ss30_rrf_fusion"].fn(spark, sf_dir).collect()
+    }
+    ss24 = {
+        r["bits"]: r["n_hit"]
+        for r in reg["ss24_sq_recall"].fn(spark, sf_dir).collect()
+    }
+    ss27 = {
+        r["dim"]: r["n_hit"]
+        for r in reg["ss27_dim_truncation_recall"].fn(spark, sf_dir).collect()
+    }
+    ss29 = {
+        r["dim"]: r["n_hit"]
+        for r in reg["ss29_random_projection_recall"].fn(spark, sf_dir).collect()
+    }
+    weak = ss30["trunc32+rp32"]
+    strong = ss30["sq8+trunc32"]
+    assert weak["n_hit_a"] == ss27[32]
+    assert weak["n_hit_b"] == ss29[32]
+    assert strong["n_hit_a"] == ss24[8]
+    assert strong["n_hit_b"] == ss27[32]
+    for r in ss30.values():
+        assert r["n_hit_fused"] <= r["n_truth"]
+
+
+def test_ss31_unit_weight_row_equals_ss30_strong_pair(spark, sf_dir):
+    """ss31 at w_strong=1 IS ss30's sq8+trunc32 composition (identical
+    shortlists, contributions and top-k) — structural at any scale
+    factor; one fusion spec, two consumers."""
+    from datapipeline_template_spark.queries import load_all
+
+    reg = load_all()
+    ss30 = {
+        r["pair"]: r for r in reg["ss30_rrf_fusion"].fn(spark, sf_dir).collect()
+    }
+    ss31 = {
+        r["w_strong"]: r
+        for r in reg["ss31_weighted_rrf"].fn(spark, sf_dir).collect()
+    }
+    assert (
+        ss31[1]["n_hit_fused"] == ss30["sq8+trunc32"]["n_hit_fused"]
+        and ss31[1]["n_truth"] == ss30["sq8+trunc32"]["n_truth"]
+    )

@@ -836,3 +836,69 @@ def test_q46_topk_is_take_ordered_not_global_window(spark):
     assert "TakeOrderedAndProject" in stage
     plan = _plan(spark, "q46_kmv_error_vs_k")
     assert "CartesianProduct" not in plan
+
+
+def test_cm_sketch_partial_agg_and_broadcast_estimate(spark):
+    """CM plan shape: the counter build partial-aggregates the exploded
+    depth-row mixes before its single exchange (the shuffle carries ≤
+    depth·width cells per map task, never the occurrence stream), and
+    the estimate side BROADCASTS the ≤ depth·width-cell grid onto the
+    query keys — no wide join touches the corpus."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import cm_estimate, cm_sketch
+
+    keys = table(spark, SF, "orders").select(F.col("o_custkey").alias("k"))
+    sk = cm_sketch(keys, "k", depth=4, width=512)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    items = keys.distinct()
+    est = cm_estimate(sk, items, "k", depth=4, width=512)
+    eplan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in eplan and "LeftOuter" in eplan
+
+
+def test_rademacher_encode_is_map_only(spark):
+    """Random-projection plan shape: the sign matrix is inlined as
+    literals, so the encode is map-only — no exchange, no join, no
+    Python node between the scan and the projected vectors (the
+    sq_encode contract). At 100 TB the encode pass costs one scan."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import quantize_vec
+    from datapipeline_template_spark.operators.similarity import rademacher_project
+
+    emb = table(spark, SF, "embeddings")
+    qv = emb.select("vec_id", quantize_vec("embedding").alias("_qv"))
+    plan = (
+        rademacher_project(qv, 16, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_tx27_inverted_index_join_shape(spark):
+    """BM25 plan shape: an inverted-index equi-join — the bounded
+    query-term side broadcasts onto the stopword-pruned postings, and
+    no doc×doc product ever forms (the only nested-loop join is the
+    1-row stats scalar attach)."""
+    plan = _plan(spark, "tx27_bm25_lexical_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_w10_funnel_single_user_shuffle(spark):
+    """Funnel plan shape: both cumulative window passes AND the final
+    per-user aggregate ride ONE user_id hash exchange — the window
+    form's whole advantage over the oracle's three-join formulation
+    (which pays a join shuffle per stage)."""
+    plan = _plan(spark, "w10_funnel_stages")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -1810,3 +1810,142 @@ def test_incremental_histogram_matches_batch_q45(spark, tmp_path, sf_dir):
     fresh = IncrementalHistogram(str(tmp_path / "fresh"))
     assert fresh.counts(spark).count() == 0
     assert fresh.quantiles(spark, qs).count() == 0
+
+
+def test_incremental_countmin_matches_batch(spark, tmp_path, sf_dir):
+    """16th incremental family: CM grid deltas are additive per batch,
+    so the maintained grid — and every point estimate over it — equals
+    the batch operator over the union of all drained batches at ANY
+    drain point; replays are no-ops; a crash window (marker lost after
+    write) rewrites an identical partition; geometry/key-column
+    mismatches refuse to merge."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import cm_estimate, cm_sketch
+    from datapipeline_template_spark.streaming.countmin import IncrementalCountMin
+
+    keys = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    src = tmp_path / "rows"
+    src.mkdir()
+    store = str(tmp_path / "cm_store")
+    ckpt = str(tmp_path / "ckpt")
+    depth, width = 3, 256
+    inc = IncrementalCountMin(store, key_col="k", depth=depth, width=width)
+
+    b1 = keys.where(F.col("k") % 2 == 0)
+    b2 = keys.where(F.col("k") % 2 == 1)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(spark.readStream.schema("k long").parquet(str(src)), ckpt)
+    mid = {(r["r"], r["b"]): r["cnt"] for r in inc.cells(spark).collect()}
+    want_mid = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in cm_sketch(b1, "k", depth, width).collect()
+    }
+    assert mid == want_mid
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(spark.readStream.schema("k long").parquet(str(src)), ckpt)
+    want = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in cm_sketch(keys, "k", depth, width).collect()
+    }
+    got = {(r["r"], r["b"]): r["cnt"] for r in inc.cells(spark).collect()}
+    assert got == want
+
+    # Point estimates equal the batch operator (and ≥ exact counts).
+    items = keys.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    want_est = {
+        r["k"]: r["est"]
+        for r in cm_estimate(
+            cm_sketch(keys, "k", depth, width), items, "k", depth, width
+        ).collect()
+    }
+    got_est = {r["k"]: r["est"] for r in inc.estimate(items).collect()}
+    assert got_est == want_est
+    exact = {r["k"]: r["n"] for r in items.collect()}
+    assert all(got_est[k] >= exact[k] for k in exact)
+
+    # Replay safety + crash window.
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    got2 = {(r["r"], r["b"]): r["cnt"] for r in inc.cells(spark).collect()}
+    assert got2 == want
+
+    # Param guard + empty state.
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalCountMin(store, key_col="k", depth=depth, width=512)
+    IncrementalCountMin(store, key_col="k", depth=depth, width=width)
+    fresh = IncrementalCountMin(str(tmp_path / "fresh"))
+    assert fresh.cells(spark).count() == 0
+
+
+def test_incremental_bm25_matches_batch(spark, tmp_path, sf_dir):
+    """17th incremental family: every BM25 index component is an
+    additive pure function of each (disjoint-doc) batch, so topk()
+    over the maintained index equals the batch operator over the
+    union of drained batches at ANY drain point — INCLUDING the
+    global idf shift each new batch causes (df and N both move);
+    replays are no-ops; a crash window rewrites identical partitions;
+    constant/column mismatches refuse to merge."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.text import bm25_topk
+    from datapipeline_template_spark.streaming.bm25 import IncrementalBm25
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.where(F.col("doc_id") < 5)
+    src = tmp_path / "rows"
+    src.mkdir()
+    store = str(tmp_path / "bm25_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalBm25(store)
+
+    def ranked(df):
+        return {
+            (r["query_id"], r["rk"]): (r["neighbor_id"], r["score"])
+            for r in df.collect()
+        }
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        ckpt,
+    )
+    mid = ranked(inc.topk(queries, k=3))
+    want_mid = ranked(bm25_topk(b1, queries, "doc_id", "text", k=3))
+    assert mid == want_mid and len(mid) > 0
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        ckpt,
+    )
+    want = ranked(bm25_topk(docs, queries, "doc_id", "text", k=3))
+    got = ranked(inc.topk(queries, k=3))
+    assert got == want
+    # The idf shift is real: the grown corpus changes the mid ranking.
+    assert got != mid
+
+    # Replay safety + crash window.
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert ranked(inc.topk(queries, k=3)) == want
+
+    # Param guard + empty state.
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalBm25(store, k1_m=1500)
+    IncrementalBm25(store)
+    fresh = IncrementalBm25(str(tmp_path / "fresh"))
+    assert fresh.topk(queries, k=3).count() == 0
