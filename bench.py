@@ -160,6 +160,11 @@ SECONDARY = [
     # is its own registry pass; both stay bounded eval harnesses.
     "ss31_weighted_rrf",
     "w10_funnel_stages",
+    # dd19 recomputes tx27b's index (a cheap two-aggregate pass, below
+    # the scenario-extraction bar); tx27b is the dense-vocab volume
+    # harness, tx27 the thin deployment-spec row.
+    "dd19_bm25_decon_audit",
+    "tx27b_bm25_dense_vocab",
 ]
 
 

@@ -34,7 +34,9 @@ __all__ = [
     "BM25_K1_M",
     "BM25_B_M",
     "bm25_topk",
+    "bm25_index",
     "bm25_rank_from_index",
+    "bm25_scores_from_index",
 ]
 
 # The gopher_rules subset the curation funnel gates on — shared by the
@@ -782,6 +784,8 @@ def bm25_topk(
     k: int = 5,
     k1_m: int = BM25_K1_M,
     b_m: int = BM25_B_M,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
 ) -> DataFrame:
     """Top-``k`` lexical neighbors per query document under integer
     BM25: per matched term,
@@ -813,6 +817,21 @@ def bm25_topk(
     (score desc, neighbor asc) total order; query docs whose every
     token is pruned or unseen return no rows.
     """
+    tf, dl, stats, dfreq = bm25_index(corpus, id_col, text_col)
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(tokenize(text_col)).alias("_t")
+    ).distinct()
+    return bm25_rank_from_index(
+        tf, dl, stats, dfreq, qt, k, k1_m, b_m, max_df_num, max_df_den
+    )
+
+
+def bm25_index(corpus: DataFrame, id_col: str, text_col: str):
+    """The BM25 index frames off one token explode: tf (_d,_t,_tf),
+    dl (_d,_dl), stats (1-row _nd,_nt), dfreq (_t,_df). Shared by the
+    batch ranker, the gate audit (dd19) and any other consumer so the
+    index derivation is single-sourced (the oracle twin is
+    queries/text._bm25_index_sql)."""
     toks = corpus.select(
         F.col(id_col).alias("_d"), F.explode(tokenize(text_col)).alias("_t")
     )
@@ -823,10 +842,7 @@ def bm25_topk(
         F.sum("_dl").cast("long").alias("_nt"),
     )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
-    qt = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(tokenize(text_col)).alias("_t")
-    ).distinct()
-    return bm25_rank_from_index(tf, dl, stats, dfreq, qt, k, k1_m, b_m)
+    return tf, dl, stats, dfreq
 
 
 def bm25_rank_from_index(
@@ -838,17 +854,50 @@ def bm25_rank_from_index(
     k: int,
     k1_m: int = BM25_K1_M,
     b_m: int = BM25_B_M,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
 ) -> DataFrame:
     """The ranking stage of bm25_topk over a PREBUILT index — tf
     (_d,_t,_tf), dl (_d,_dl), stats (1-row _nd,_nt), dfreq (_t,_df),
     qt (query_id,_t distinct). Shared by the batch operator and the
     incremental maintainer (streaming/bm25.py) so the two paths can
     never diverge on the scoring spec."""
+    from pyspark.sql import Window
+
+    scores = bm25_scores_from_index(
+        tf, dl, stats, dfreq, qt, k1_m, b_m, max_df_num, max_df_den
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "score")
+    )
+
+
+def bm25_scores_from_index(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    dfreq: DataFrame,
+    qt: DataFrame,
+    k1_m: int = BM25_K1_M,
+    b_m: int = BM25_B_M,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
+) -> DataFrame:
+    """The SCORING stage of BM25 over a prebuilt index: every
+    (query_id, neighbor_id) pair sharing a kept term, with its summed
+    integer contribution — no rank cut, so consumers that aggregate
+    differently (dd19's per-candidate max over eval queries; tx27's
+    per-query top-k via bm25_rank_from_index) share one spec."""
     from ..functions import milli_log2
 
     idf = (
         dfreq.crossJoin(F.broadcast(stats))
-        .where(F.col("_df") * 2 <= F.col("_nd"))
+        .where(F.col("_df") * max_df_den <= F.col("_nd") * max_df_num)
         .select(
             "_t",
             (milli_log2(F.col("_nd")) - milli_log2(F.col("_df"))).alias("_idf"),
@@ -866,16 +915,8 @@ def bm25_rank_from_index(
         f"(_tf * 1000 + ({k1_m} * ((1000 - {b_m}) + "
         f"({b_m} * ((_dl * 1000000) DIV ((_nt * 1000) DIV _nd))) DIV 1000)) DIV 1000)"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
     return (
         cand.withColumn("_c", contrib)
         .groupBy("query_id", F.col("_d").alias("neighbor_id"))
         .agg(F.sum("_c").cast("long").alias("score"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "rk", "score")
     )

@@ -159,6 +159,8 @@ _OVERFLOW = (
     "tx27_bm25_lexical_topk",
     "ss31_weighted_rrf",
     "w10_funnel_stages",
+    "dd19_bm25_decon_audit",
+    "tx27b_bm25_dense_vocab",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1241,3 +1241,170 @@ def dd18_lsh_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy(F.col("bands").desc())
+
+
+# ---------------------------------------------------------------------------
+# dd19 — decontamination-gate agreement audit: exact 5-gram shingle
+# overlap (dd10's gate) vs BM25 lexical relevance (tx27's ranker) as
+# eval-leak detectors, measured against each other
+# ---------------------------------------------------------------------------
+
+_DD19_THRESHOLDS = (4000, 5000, 6000)
+
+
+def _dd19_oracle() -> str:
+    """Composes dd10's shingle chain and tx27's BM25 index chain
+    (both imported fragments, nothing forked): per non-eval candidate,
+    the 5-gram-overlap flag and the max BM25 score against the src0
+    eval queries; one agreement row per pinned threshold."""
+    from ._bm25_sql import _bm25_contrib_sql, _bm25_index_sql
+
+    selects = []
+    for t in _DD19_THRESHOLDS:
+        selects.append(f"""SELECT CAST({t} AS BIGINT) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN f_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_shingle,
+       CAST(SUM(CASE WHEN m >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_bm25,
+       CAST(SUM(CASE WHEN f_sh AND m >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(SUM(CASE WHEN f_sh AND m < {t} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shingle_only,
+       CAST(SUM(CASE WHEN NOT f_sh AND m >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bm25_only
+FROM cand""")
+    return f"""
+WITH {_bm25_index_sql()},
+tk5 AS (
+  SELECT doc_id, source, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh5 AS (
+  SELECT doc_id, source, {_SHINGLES_K5_FROM_TH_SQL} AS shingles FROM tk5
+), evg AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest(shingles) AS g FROM sh5 WHERE source = 'src0')
+), contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(shingles) AS g FROM sh5 WHERE source <> 'src0'
+  ) JOIN evg USING (g)
+), qt AS (
+  SELECT DISTINCT t.doc_id AS query_id, t.tok
+  FROM tok t JOIN documents dd USING (doc_id) WHERE dd.source = 'src0'
+), sc AS (
+  SELECT c.doc_id AS neighbor_id,
+         CAST(SUM({_bm25_contrib_sql()}) AS BIGINT) AS score
+  FROM qt q
+  JOIN idf i ON i.tok = q.tok
+  JOIN tf c ON c.tok = q.tok AND c.doc_id != q.query_id
+  JOIN documents cd ON cd.doc_id = c.doc_id AND cd.source <> 'src0'
+  JOIN dl l ON l.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.doc_id, q.query_id
+), mx AS (
+  SELECT neighbor_id AS doc_id, MAX(score) AS m FROM sc GROUP BY 1
+), cand AS (
+  SELECT d0.doc_id,
+         EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d0.doc_id) AS f_sh,
+         COALESCE(mx.m, 0) AS m
+  FROM documents d0 LEFT JOIN mx USING (doc_id)
+  WHERE d0.source <> 'src0'
+)
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY threshold
+"""
+
+
+@register("dd19_bm25_decon_audit", oracle=_dd19_oracle())
+def dd19_bm25_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-GATE agreement audit — before a 100 TB pipeline
+    commits to an eval-leak detector, measure how the two available
+    lexical gates relate on a sample: dd10's exact 5-gram shingle
+    overlap (the GPT-3-style verbatim-leak gate) versus max BM25
+    relevance against the eval set (tx27's ranker as a detector —
+    what paraphrase-ish leakage would trip when no 5-gram survives
+    rewording). Per non-eval candidate: f_sh (any shared 5-gram) and
+    m (max integer BM25 score over the 25 src0 eval queries, 0 when
+    no kept term matches); one agreement row per pinned threshold
+    (4000/5000/6000 — bracketing the scoring candidates' measured
+    max-score quartiles). Measured at sf0.01 over 475 candidates, the
+    verdict is DISJOINT gates: n_shingle = 2, n_bm25 = 17/10/2 across
+    thresholds, n_both = 0 at every threshold. The why is the
+    corpus's degenerate lexical profile (tx27's measurement: a
+    31-token vocabulary where the N/2 prune leaves one informative
+    term), so the relevance gate reduces to "contains 'dup'
+    prominently" — a signal uncorrelated with sharing a verbatim
+    5-gram window. The production read this audit exists to produce:
+    on THIS distribution the relevance gate adds no reliable leak
+    signal (its hits are a review queue, never a drop list), and a
+    pipeline that deployed BM25 decontamination here on faith would
+    silently drop topical neighbors while missing both actual
+    verbatim leaks — run the audit on a sample BEFORE wiring either
+    gate into the manifest.
+
+    Plan shape: the shingle side is dd10's broadcast-eval-gram gate;
+    the BM25 side reuses bm25_index + bm25_scores_from_index (the
+    tx27 spec — stopword-pruned postings, bounded broadcast query
+    terms) with one extra per-candidate MAX; the agreement rows are
+    conditional sums over ONE small per-candidate frame, checkpointed
+    so the three threshold rows never recompute the gates. Oracle
+    composes dd10's and tx27's fragments verbatim."""
+    from ..operators.dedup import decontaminate_flags, shingle_tokens
+    from ..operators.text import bm25_index, bm25_scores_from_index, tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        shingle_tokens(tokenize("text"), k=5).alias("sh"),
+    )
+    contam = decontaminate_flags(
+        sh.where(F.col("source") != "src0"),
+        sh.where(F.col("source") == "src0"),
+        "doc_id",
+        "sh",
+    ).select("doc_id")
+
+    tf, dl, stats, dfreq = bm25_index(docs, "doc_id", "text")
+    qt = (
+        docs.where(F.col("source") == "src0")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokenize("text")).alias("_t"),
+        )
+        .distinct()
+    )
+    non_eval = docs.where(F.col("source") != "src0").select("doc_id")
+    mx = (
+        bm25_scores_from_index(tf, dl, stats, dfreq, qt)
+        .join(non_eval, F.col("neighbor_id") == F.col("doc_id"), "left_semi")
+        .groupBy(F.col("neighbor_id").alias("doc_id"))
+        .agg(F.max("score").alias("m"))
+    )
+    cand = (
+        non_eval.join(contam.withColumn("_f", F.lit(True)), "doc_id", "left")
+        .join(mx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_f"), F.lit(False)).alias("f_sh"),
+            F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for t in _DD19_THRESHOLDS:
+        hit = F.col("m") >= t
+        row = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("f_sh"), 1).otherwise(0)).cast("long").alias("n_shingle"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_bm25"),
+            F.sum(F.when(F.col("f_sh") & hit, 1).otherwise(0)).cast("long").alias("n_both"),
+            F.sum(F.when(F.col("f_sh") & ~hit, 1).otherwise(0)).cast("long").alias("n_shingle_only"),
+            F.sum(F.when(~F.col("f_sh") & hit, 1).otherwise(0)).cast("long").alias("n_bm25_only"),
+        ).select(
+            F.lit(t).cast("long").alias("threshold"),
+            "n_candidates",
+            "n_shingle",
+            "n_bm25",
+            "n_both",
+            "n_shingle_only",
+            "n_bm25_only",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("threshold")

@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.text import fingerprint, language_id, quality_score, token_count, tokenize
 from . import register
+from ._bm25_sql import (  # noqa: F401 — re-exported fragment twins
+    _bm25_contrib_sql,
+    _bm25_index_sql,
+    _milli_log2_sql,
+)
 
 # ---------------------------------------------------------------------------
 # tx07 — vectorized scalar pandas_udf (X12 UDF surface) — rows-only
@@ -1610,15 +1615,6 @@ TX23_HEAD_MB = 4886  # mean_mb <  this → 'head'   (most corpus-typical)
 TX23_TAIL_MB = 4894  # mean_mb >= this → 'tail'   (rare-token heavy)
 
 
-def _milli_log2_sql(x: str) -> str:
-    """DuckDB twin of functions.milli_log2, GENERATED next to its user
-    so the two integer-log specs cannot drift: 1000·⌊log2 x⌋ from the
-    binary-string length plus the interpolated fraction via << and //."""
-    f = f"(length(printf('%b', {x})) - 1)"
-    p = f"(1::BIGINT << {f})"
-    return f"(1000*{f} + (({x} - {p}) * 1000) // {p})"
-
-
 def _tx23_ctes(prefix: str = "sp_") -> str:
     """tx23's per-doc surprisal spec as a PREFIXED CTE block
     (…tok/…cnt/…tot/…surp/…doc), shareable into composition oracles
@@ -2220,37 +2216,14 @@ def _tx27_oracle() -> str:
     token unnest, the df·2 ≤ N stopword prune, the integer BM25
     contribution with every DIV explicit, depth-k total-order ranks —
     operators/text.py bm25_topk replayed integer-for-integer."""
-    from ..operators.text import BM25_B_M, BM25_K1_M
-
-    k1, b = BM25_K1_M, BM25_B_M
-    ml = _milli_log2_sql
-    contrib = (
-        f"(i.idf_mb * c.tf * {1000 + k1}) // "
-        f"(c.tf * 1000 + ({k1} * ((1000 - {b}) + "
-        f"({b} * ((l.dl * 1000000) // ((s.n_toks * 1000) // s.n_docs))) // 1000)) // 1000)"
-    )
     return f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_toks
-  FROM dl
-),
-tok AS (SELECT doc_id, unnest(t) AS tok FROM d),
-tf AS (
-  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
-),
-dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-idf AS (
-  SELECT tok, ({ml('s.n_docs')} - {ml('f.df')}) AS idf_mb
-  FROM dfreq f, stats s WHERE f.df * 2 <= s.n_docs
-),
+WITH {_bm25_index_sql()},
 qt AS (
   SELECT DISTINCT doc_id AS query_id, tok FROM tok WHERE doc_id < {_TX27_NQ}
 ),
 sc AS (
   SELECT q.query_id, c.doc_id AS neighbor_id,
-         CAST(SUM({contrib}) AS BIGINT) AS score
+         CAST(SUM({_bm25_contrib_sql()}) AS BIGINT) AS score
   FROM qt q
   JOIN idf i ON i.tok = q.tok
   JOIN tf c ON c.tok = q.tok AND c.doc_id != q.query_id
@@ -2289,11 +2262,85 @@ def tx27_bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded, broadcast) query-term side; score sum + per-query top-5
     window are the only wide stages — an inverted-index equi-join,
     never a doc×doc product (plan-guarded: no CartesianProduct, query
-    side broadcast). At sf0.01: 25 query docs × 5 ranked neighbors,
-    125 rows, full-score hash parity."""
+    side broadcast). Measured at sf0.01, the spec returns a THIN
+    result and that is the honest answer: the synthetic vocabulary is
+    31 tokens, 30 of which sit in 75–80% of documents, so the N/2
+    prune keeps exactly one informative term ('dup', df=25) and the
+    one query doc containing it gets the only ranking (5 rows) — on
+    a degenerate lexical distribution idf has one bit to work with,
+    and a ranker that pretended otherwise would be scoring
+    stopwords. tx27b opens the prune to 9/10 and hash-verifies the
+    full multi-term scoring at volume (125 rows); the constructed-
+    corpus unit tests pin the semantics either way."""
     from ..operators.text import bm25_topk
 
     docs = table(spark, sf_dir, "documents")
     return bm25_topk(
         docs, docs.where(F.col("doc_id") < _TX27_NQ), "doc_id", "text", k=_TX27_K
+    ).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# tx27b — the dense-vocabulary BM25 harness: same ranker, prune ratio
+# opened to 9/10 so multi-term scoring is exercised at volume on this
+# corpus (the q17/q17b twin pattern)
+# ---------------------------------------------------------------------------
+
+_TX27B_RATIO = (9, 10)
+
+
+def _tx27b_oracle() -> str:
+    num, den = _TX27B_RATIO
+    return f"""
+WITH {_bm25_index_sql(num, den)},
+qt AS (
+  SELECT DISTINCT doc_id AS query_id, tok FROM tok WHERE doc_id < {_TX27_NQ}
+),
+sc AS (
+  SELECT q.query_id, c.doc_id AS neighbor_id,
+         CAST(SUM({_bm25_contrib_sql()}) AS BIGINT) AS score
+  FROM qt q
+  JOIN idf i ON i.tok = q.tok
+  JOIN tf c ON c.tok = q.tok AND c.doc_id != q.query_id
+  JOIN dl l ON l.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id) AS rk
+  FROM sc
+) WHERE rk <= {_TX27_K}
+ORDER BY query_id, rk
+"""
+
+
+@register("tx27b_bm25_dense_vocab", oracle=_tx27b_oracle())
+def tx27b_bm25_dense_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx27's ranker with the stopword prune opened to df·10 ≤ 9N —
+    the harness that exercises MULTI-TERM scoring at volume on this
+    corpus. The synthetic documents draw from a 31-token vocabulary in
+    which 30 tokens sit in 75–80% of all docs, so the production N/2
+    prune (tx27) keeps exactly ONE informative term and the web-
+    standard spec returns one query's ranking (the honest result on a
+    degenerate lexical distribution — idf has one bit to work with).
+    Opening the ratio to 9/10 keeps all 31 terms: every query doc
+    scores, 125 ranked rows, saturation + length normalization + idf
+    summed across ~30 matched terms per pair — the full scoring spec
+    hash-verified at volume while tx27 stays the deployment spec (the
+    q17/q17b twin pattern: one surface, two pinned operating points).
+    Identical plan shape; the prune ratio is the only delta."""
+    from ..operators.text import bm25_topk
+
+    num, den = _TX27B_RATIO
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs,
+        docs.where(F.col("doc_id") < _TX27_NQ),
+        "doc_id",
+        "text",
+        k=_TX27_K,
+        max_df_num=num,
+        max_df_den=den,
     ).orderBy("query_id", "rk")

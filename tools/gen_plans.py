@@ -721,6 +721,57 @@ def main() -> None:
         ],
     )
 
+    section(
+        "q47_cm_frequency_sketch",
+        "Count-Min grid: the depth-row explode partial-aggregates to "
+        "≤ depth·width cells before its single exchange; the estimate "
+        "side broadcasts the ≤ 8k-cell grid onto the 20 query keys — "
+        "no corpus-sized join anywhere",
+        [
+            ("Partial aggregation", r"HashAggregate\(keys=\[[^\]]{0,40}\], functions=\[partial_count[^\n]{0,30}"),
+            ("Grid broadcast", r"BroadcastHashJoin[^\n]{0,60}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,40}"),
+        ],
+    )
+
+    section(
+        "ss29_random_projection_recall",
+        "Rademacher projection recall: the encode is map-only literal-"
+        "array HOF per row (no stats pass, no fit, no join before the "
+        "projected vectors); retrieval is the bounded-eval broadcast "
+        "pass + per-query rank windows (the ss27 shape)",
+        [
+            ("Bounded-eval pass", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+            ("Rank windows", r"RunningWindowFunction|Window \[row_number"),
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|CartesianProduct)"),
+        ],
+    )
+
+    section(
+        "tx27b_bm25_dense_vocab",
+        "integer BM25 (dense-vocab volume harness): tf/df/dl partial-"
+        "aggregate off one token explode, the pruned idf joins the "
+        "postings, the bounded query-term side broadcasts — an "
+        "inverted-index equi-join, never a doc×doc product",
+        [
+            ("Partial aggregation", r"HashAggregate\(keys=\[[^\]]{0,40}\], functions=\[partial_count[^\n]{0,30}"),
+            ("Query side broadcast", r"BroadcastHashJoin[^\n]{0,60}"),
+            ("No cartesian corpus join", r"CartesianProduct"),
+        ],
+    )
+
+    section(
+        "w10_funnel_stages",
+        "ordered funnel as cumulative windows: both window passes AND "
+        "the per-user aggregate ride ONE user_id exchange (the join-"
+        "form oracle pays three)",
+        [
+            ("Single exchange", r"Exchange hashpartitioning\(user_id[^)]{0,40}"),
+            ("Running mins", r"min\(_click_cand[^\n]{0,40}|min\(CASE WHEN[^\n]{0,40}"),
+        ],
+    )
+
+
 
 if __name__ == "__main__":
     main()
