@@ -165,6 +165,8 @@ SECONDARY = [
     # harness, tx27 the thin deployment-spec row.
     "dd19_bm25_decon_audit",
     "tx27b_bm25_dense_vocab",
+    "q48_kmv_rolling_distinct",
+    "tj05_nearest_click",
 ]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "asof_join_bucketed"]
+__all__ = ["asof_join", "asof_join_bucketed", "asof_join_nearest"]
 
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
@@ -227,3 +227,97 @@ def asof_join_bucketed(
     if how == "inner":
         out = out.where(F.col(f"{prefix}{right_ts}").isNotNull())
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "n_",
+) -> DataFrame:
+    """For each left row, the NEAREST right row by |right_ts − left_ts|
+    per key — the bidirectional sibling of ``asof_join`` (backward-only
+    ASOF is what engines ship; nearest-neighbor-in-time is the join
+    sensor fusion / fill-to-closest workloads actually want).
+
+    Same union-window shape, ONE shuffle: both sides union into one
+    (keys)-partitioned sort, a running ``last(payload) ignorenulls``
+    carries the latest at-or-before right row (rights sort before
+    lefts at equal ts, so a gap-0 match is found backward), and a
+    ``first(payload) ignorenulls`` over the FOLLOWING frame carries
+    the earliest strictly-after right row — two frames over the SAME
+    sort, no second exchange. The winner is the smaller gap; exact
+    ties prefer the earlier (at-or-before) side. Equal-ts right rows
+    resolve by payload-struct order exactly as in ``asof_join``
+    (backward carry takes the max payload, forward the min), so
+    results are stable under any partitioning.
+
+    Timestamps may be timestamp/timestamp_ntz (compared in exact
+    microseconds via unix_micros) or any numeric column (compared
+    as-is). Returns all left columns plus ``{prefix}{right_ts}``,
+    ``{prefix}{c}`` for each value col, and ``{prefix}gap`` (long, the
+    absolute distance in the comparison units; NULL when no right row
+    exists for the key).
+    """
+    missing = [k for k in keys if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(
+            f"asof_join_nearest: key column(s) {missing} must exist on BOTH sides"
+        )
+
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts), *[F.col(c) for c in value_cols]
+    )
+    payload_type = right.select(payload.alias(_PAYLOAD)).schema[0].dataType
+    l_side, r_side = 1, 0  # rights first at equal ts: backward sees gap-0
+
+    lcols = left.columns
+    l_part = left.select(
+        *lcols,
+        F.col(left_ts).alias(_TS),
+        F.lit(l_side).alias(_SIDE),
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
+    )
+    null_left = [
+        F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in keys else F.col(c)
+        for c in lcols
+    ]
+    r_part = right.select(
+        *null_left,
+        F.col(right_ts).alias(_TS),
+        F.lit(r_side).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+
+    base = Window.partitionBy(*keys).orderBy(_TS, _SIDE, _PAYLOAD)
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = (
+        l_part.unionByName(r_part)
+        .withColumn("_prev", F.last(_PAYLOAD, ignorenulls=True).over(wb))
+        .withColumn("_next", F.first(_PAYLOAD, ignorenulls=True).over(wf))
+        .where(F.col(_SIDE) == l_side)
+    )
+
+    is_ts = dict(left.dtypes)[left_ts] in ("timestamp", "timestamp_ntz")
+
+    def num(c):
+        return F.unix_micros(c) if is_ts else c.cast("long")
+
+    lnum = num(F.col(_TS))
+    prev_gap = lnum - num(F.col("_prev").getField(right_ts))
+    next_gap = num(F.col("_next").getField(right_ts)) - lnum
+    take_next = F.col("_prev").isNull() | (
+        F.col("_next").isNotNull() & (next_gap < prev_gap)
+    )
+    chosen = F.when(take_next, F.col("_next")).otherwise(F.col("_prev"))
+    gap = F.when(take_next, next_gap).otherwise(prev_gap)
+    return carried.select(
+        *lcols,
+        chosen.getField(right_ts).alias(f"{prefix}{right_ts}"),
+        *[chosen.getField(c).alias(f"{prefix}{c}") for c in value_cols],
+        gap.cast("long").alias(f"{prefix}gap"),
+    )

@@ -759,10 +759,18 @@ def cm_estimate(
     = min over the depth rows of its counter (0 when the cell is
     empty — a key the sketch never saw estimates 0, still ≥ truth).
 
-    ``depth``/``width`` must match the sketch's build parameters; the
-    grid (≤ depth·width rows) broadcasts onto the items, so the only
-    wide operation is the final per-item min — items of any size
-    stream through. Carries every ``items`` column."""
+    ``depth``/``width`` must match the sketch's build parameters —
+    and the failure modes are asymmetric: a wrong WIDTH mis-addresses
+    cells (estimates become noise, still ≥ 0), but a LARGER depth
+    than the build's is the one way to silently break the
+    overestimate guarantee (the phantom rows have no cells, coalesce
+    to 0, and the min returns 0 for every key). The streaming
+    maintainer pins both in store metadata; batch callers must thread
+    the build constants (the q47 pattern: module-level constants used
+    by build and estimate alike). The grid (≤ depth·width rows)
+    broadcasts onto the items, so the only wide operation is the
+    final per-item min — items of any size stream through. Carries
+    every ``items`` column."""
     carried = list(items.columns)
     mixes = F.array(*[cm_mix(key_col, r) for r in range(depth)])
     eb = items.select("*", F.posexplode(mixes).alias("r", "_g")).withColumn(

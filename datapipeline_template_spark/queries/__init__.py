@@ -161,6 +161,8 @@ _OVERFLOW = (
     "w10_funnel_stages",
     "dd19_bm25_decon_audit",
     "tx27b_bm25_dense_vocab",
+    "q48_kmv_rolling_distinct",
+    "tj05_nearest_click",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

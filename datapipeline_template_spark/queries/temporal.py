@@ -231,3 +231,93 @@ def tj04_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
         (F.coalesce("_n", F.lit(0)) == 0).alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tj05 — nearest-event join: for each purchase, the closest click in
+# EITHER direction (operators/asof.py asof_join_nearest — the
+# bidirectional sibling backward-only ASOF cannot express)
+# ---------------------------------------------------------------------------
+
+_TJ05_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'click'
+              THEN struct_pack(cts := ts, cid := event_id) END AS cp
+  FROM events WHERE event_type IN ('click', 'purchase')
+), win AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAST_VALUE(cp IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                    event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         FIRST_VALUE(cp IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                    event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+  FROM e
+), chosen AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL
+                OR (next IS NOT NULL
+                    AND (epoch_ns((next).cts) - epoch_ns(ts)) // 1000
+                        < (epoch_ns(ts) - epoch_ns((prev).cts)) // 1000)
+              THEN next ELSE prev END AS cp,
+         CASE WHEN prev IS NULL
+                OR (next IS NOT NULL
+                    AND (epoch_ns((next).cts) - epoch_ns(ts)) // 1000
+                        < (epoch_ns(ts) - epoch_ns((prev).cts)) // 1000)
+              THEN (epoch_ns((next).cts) - epoch_ns(ts)) // 1000
+              ELSE (epoch_ns(ts) - epoch_ns((prev).cts)) // 1000 END AS gap
+  FROM win WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, ts,
+       (cp).cts AS n_ts, (cp).cid AS n_click_id,
+       CAST(gap AS BIGINT) AS n_gap
+FROM chosen
+ORDER BY event_id
+"""
+
+
+@register("tj05_nearest_click", oracle=_TJ05_ORACLE)
+def tj05_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the NEAREST same-user click in either
+    direction (|Δt| minimized, exact ties prefer the at-or-before
+    side) — the bidirectional temporal join tj01's backward-only ASOF
+    cannot express, and the shape attribution/sensor-fusion workloads
+    actually want ("which click does this purchase belong to" is a
+    nearest question, not a latest-before question: a click 2 s AFTER
+    the purchase event — clock skew, out-of-order ingestion — beats
+    one 2 h before). operators/asof.py asof_join_nearest runs ONE
+    union + ONE user-keyed sort serving BOTH directional carries
+    (running last for at-or-before, first-over-following for
+    strictly-after — two frames, same sort, no second exchange, and
+    never a theta join; plan-guarded). The oracle deliberately keeps
+    a different derivation — a single-table window over the typed
+    event stream — so two formulations cross-check (the w10
+    discipline). Gaps are exact integer microseconds (epoch_ns // 1e3
+    == unix_micros on this µs-aligned feed, the w09 argument)."""
+    from ..operators.asof import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    out = asof_join_nearest(
+        purchases, clicks, ["user_id"], "ts", "cts", ["cid"], prefix="n_"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("n_cts").alias("n_ts"),
+        F.col("n_cid").alias("n_click_id"),
+        F.col("n_gap").alias("n_gap"),
+    ).orderBy("event_id")

@@ -2169,9 +2169,14 @@ def q47_cm_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import poly_hash
     from ..operators.sketch import cm_estimate, cm_fold, cm_sketch
 
+    # The hashed stream feeds BOTH the grid build and the exact
+    # top-20; checkpointing it converts two poly_hash corpus passes
+    # (an interpreted per-char HOF — the expensive part) into one
+    # (A/B at sf0.1, alternating twice each: 7.3–8.0 s recompute vs
+    # 4.4–4.7 s checkpointed).
     hashed = _bigram_stream(spark, sf_dir).select(
         "bigram", poly_hash("bigram").alias("h")
-    )
+    ).localCheckpoint(eager=True)
     wmax = max(_Q47_WIDTHS)
     sk = {wmax: cm_sketch(hashed, "h", _Q47_DEPTH, wmax).localCheckpoint(eager=True)}
     for w_from, w_to in zip(sorted(_Q47_WIDTHS, reverse=True), sorted(_Q47_WIDTHS, reverse=True)[1:]):

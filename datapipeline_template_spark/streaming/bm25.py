@@ -15,9 +15,10 @@ applied to retrieval: growing the corpus shifts every idf, but
 re-scoring is ONE derivation over O(vocab) merged counts plus the
 query join — never a re-tokenize of the corpus.
 
-Contract: batches carry NEW documents only (ids disjoint across
-batches) — re-sending a doc in a LATER batch would double-count it,
-exactly as re-inserting a row into any count. Replays of the SAME
+Contract: document ids are LONGs (the store's typed reads pin it)
+and batches carry NEW documents only (ids disjoint across batches) —
+re-sending a doc in a LATER batch would double-count it, exactly as
+re-inserting a row into any count. Replays of the SAME
 batch are marker-skip no-ops; crash-after-write replays rewrite
 identical partitions (``_batch`` dynamic-partition overwrite +
 committed markers — the uniform family contract). Column names and

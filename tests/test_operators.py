@@ -2128,3 +2128,91 @@ def test_bm25_length_normalization_prefers_shorter_doc(spark):
         ).collect()
     }
     assert got[2] > got[1]
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event (bidirectional as-of) join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_nearest_picks_closer_side_and_tie_prefers_before(spark):
+    """Nearest semantics on constructed numeric timelines: closer
+    after-row beats farther before-row; exact tie prefers the
+    at-or-before side; gap-0 (equal ts) matches backward; a key with
+    no right rows keeps the left row with NULLs; a left row before
+    every right row takes the first following one."""
+    from datapipeline_template_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [("a", 100), ("a", 10), ("a", 55), ("b", 7), ("c", 1)],
+        "k string, lts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 1), ("a", 104, 2), ("a", 50, 3), ("a", 60, 4),
+         ("a", 10, 5), ("c", 30, 6)],
+        "k string, rts long, rid long",
+    )
+    got = {
+        (r["k"], r["lts"]): (r["n_rid"], r["n_gap"])
+        for r in asof_join_nearest(
+            left, right, ["k"], "lts", "rts", ["rid"]
+        ).collect()
+    }
+    assert got[("a", 100)] == (2, 4)   # after@104 (gap 4) beats before@90 (10)
+    assert got[("a", 10)] == (5, 0)    # equal ts matches backward, gap 0
+    assert got[("a", 55)] == (3, 5)    # exact tie 50/60: before side wins
+    assert got[("b", 7)] == (None, None)  # no rights for key
+    assert got[("c", 1)] == (6, 29)    # before every right: first following
+
+
+def test_asof_join_nearest_matches_brute_force(spark, sf_dir):
+    """The one-sort union form equals the brute-force theta-join
+    nearest (min |gap|, tie → earlier right ts, then payload order)
+    over real event data — the asof_join property-test discipline
+    applied to the bidirectional form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.asof import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("lts")
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("rts"),
+        F.col("event_id").alias("rid"),
+    )
+    got = {
+        r["event_id"]: (r["n_rts"], r["n_rid"], r["n_gap"])
+        for r in asof_join_nearest(
+            left, right, ["user_id"], "lts", "rts", ["rid"]
+        ).collect()
+    }
+    # Brute force: enumerate all same-user pairs, rank by the spec.
+    gap = F.abs(F.col("rts") - F.col("lts"))
+    before = (F.col("rts") <= F.col("lts")).cast("int")
+    # Within a gap tie: before-side wins; equal-ts duplicates resolve
+    # by payload order (before side: MAX payload, after side: MIN) —
+    # the operator's documented tie spec.
+    w = Window.partitionBy("event_id").orderBy(
+        gap.asc(),
+        before.desc(),
+        F.when(before == 1, -F.col("rid")).otherwise(F.col("rid")).asc(),
+    )
+    brute = (
+        left.join(right, "user_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    want = {
+        r["event_id"]: (r["rts"], r["rid"], abs(r["rts"] - r["lts"]))
+        for r in brute.collect()
+    }
+    lefts_with_rights = set(want)
+    assert all(got[e] == want[e] for e in lefts_with_rights)
+    # Lefts whose user has no clicks carry NULLs.
+    for e, v in got.items():
+        if e not in lefts_with_rights:
+            assert v == (None, None, None)

@@ -902,3 +902,25 @@ def test_w10_funnel_single_user_shuffle(spark):
     plan = _plan(spark, "w10_funnel_stages")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_q48_window_fanout_is_equi_join(spark):
+    """Rolling KMV merge plan shape: the 24-target window fanout is an
+    explode + equi-(semi-)join on the hour index — never a range
+    theta-join (BNLJ/CartesianProduct) between sketches and targets —
+    and only SKETCH rows and the (hour, user) distinct pairs refan,
+    never raw events."""
+    plan = _plan(spark, "q48_kmv_rolling_distinct")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tj05_nearest_join_single_sort_no_theta(spark):
+    """Nearest-join plan shape: one union + ONE user-keyed exchange
+    serves BOTH directional carries (two frames over the same sort) —
+    never a theta join or per-left fan-out (the asof_join argument,
+    bidirectional)."""
+    plan = _plan(spark, "tj05_nearest_click")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1

@@ -1949,3 +1949,56 @@ def test_incremental_bm25_matches_batch(spark, tmp_path, sf_dir):
     IncrementalBm25(store)
     fresh = IncrementalBm25(str(tmp_path / "fresh"))
     assert fresh.topk(queries, k=3).count() == 0
+
+
+def test_incremental_kmv_answers_rolling_windows_by_merge(spark, tmp_path, sf_dir):
+    """The q48 composition off STREAMING state: per-hour KMV sketches
+    maintained by IncrementalKmv answer trailing-window distinct
+    questions by merge alone — the rolling estimates computed from the
+    maintained store equal q48's batch answer over the same events,
+    with the raw stream never rescanned at read time."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.queries import load_all
+    from datapipeline_template_spark.streaming.kmv import IncrementalKmv
+
+    k, hours = 64, 24
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_micros(ts) DIV 3600000000 AS STRING)").alias("hb"),
+        "user_id",
+    )
+    inc = IncrementalKmv(
+        str(tmp_path / "store"), group_col="hb", value_col="user_id", k=k
+    )
+    inc.process_batch(ev.where(F.col("user_id") % 2 == 0), batch_id=0)
+    inc.process_batch(ev.where(F.col("user_id") % 2 == 1), batch_id=1)
+
+    sk = inc.sketches(spark).select(F.col("hb").cast("long").alias("hb"), "kmv")
+    tgt = sk.select(F.col("hb").alias("t")).distinct()
+    merged = (
+        sk.select(
+            F.explode(F.sequence(F.col("hb"), F.col("hb") + hours - 1)).alias("t"),
+            "kmv",
+        )
+        .join(tgt, "t", "left_semi")
+        .groupBy("t")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+                1,
+                k,
+            ).alias("kmv")
+        )
+    )
+    from datapipeline_template_spark.operators.sketch import kmv_estimate
+
+    got = {
+        r["t"]: r["est"]
+        for r in merged.select("t", kmv_estimate("kmv", k).alias("est")).collect()
+    }
+    want = {
+        r["hour_idx"]: r["kmv_users"]
+        for r in load_all()["q48_kmv_rolling_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

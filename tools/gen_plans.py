@@ -772,6 +772,32 @@ def main() -> None:
     )
 
 
+    section(
+        "q48_kmv_rolling_distinct",
+        "rolling distinct by KMV merge: the 24-target window fanout is "
+        "explode + equi-semi-join on the hour index (never a range "
+        "BNLJ); only sketch rows and (hour,user) pairs refan, and the "
+        "merge is a bounded per-target aggregate of k-long arrays",
+        [
+            ("Equi fanout (no BNLJ)", r"BroadcastHashJoin[^\n]{0,60}"),
+            ("Sketch merge aggregate", r"HashAggregate\(keys=\[t#[^\]]{0,20}\][^\n]{0,60}"),
+            ("Exchanges", r"Exchange hashpartitioning\([^)]{0,40}"),
+        ],
+    )
+
+
+    section(
+        "tj05_nearest_click",
+        "nearest-event join: one union + one user-keyed sort serves "
+        "both directional carries (running last + first-over-"
+        "following) — never a theta join, no second exchange",
+        [
+            ("Single user exchange", r"Exchange hashpartitioning\(user_id[^)]{0,30}"),
+            ("Directional carries", r"(last\(_asof_payload[^\n]{0,40}|first\(_asof_payload[^\n]{0,40})"),
+        ],
+    )
+
+
 
 if __name__ == "__main__":
     main()
