@@ -167,6 +167,14 @@ SECONDARY = [
     "tx27b_bm25_dense_vocab",
     "q48_kmv_rolling_distinct",
     "tj05_nearest_click",
+    # ss32 re-derives ss24/ss25's codes+routing (the cheap stats agg
+    # + the shared coarse fit — its full-composition cost is the
+    # point: one harness, both deployment shapes' tails).
+    "ss32_tail_recall_histogram",
+    # ss33 refits PQ codebooks on the rotated vectors - a DIFFERENT
+    # artifact from ss20/ss21's (rotated space), so it prices
+    # standalone rather than as a pq_shared marginal.
+    "ss33_rrpq_recall",
 ]
 
 

@@ -49,6 +49,7 @@ __all__ = [
     "near_dup_pairs",
     "probe_masks",
     "rademacher_signs",
+    "signed_permutation",
     "rademacher_project",
     "rademacher_project_kernel",
     "sq_dim_stats",
@@ -857,18 +858,40 @@ def rademacher_signs(in_dim: int, out_dim: int) -> list[list[int]]:
     stay far inside 2^53)."""
     if out_dim > 101:
         raise ValueError("out_dim must be <= 101 (key collision bound)")
-    from .sketch import KMV_A, KMV_B, KMV_C, KMV_P
-
-    def h(x: int) -> int:
-        x0 = ((x % KMV_P) + KMV_P) % KMV_P
-        t1 = ((x0 * x0) % KMV_P * KMV_A) % KMV_P
-        t2 = (x0 * KMV_B) % KMV_P
-        return (t1 + t2 + KMV_C) % KMV_P
-
     return [
-        [1 - 2 * (h(i * 101 + j) % 2) for i in range(in_dim)]
+        [1 - 2 * (_kmv_hash_py(i * 101 + j) % 2) for i in range(in_dim)]
         for j in range(out_dim)
     ]
+
+
+def _kmv_hash_py(x: int) -> int:
+    """Pure-Python replica of operators/sketch.kmv_hash — the driver-
+    side source of the deterministic sign/permutation constants that
+    get inlined as literals into BOTH the Spark plan and the generated
+    oracle (the single-sourcing that makes these transforms
+    hash-verifiable)."""
+    from .sketch import KMV_A, KMV_B, KMV_C, KMV_P
+
+    x0 = ((x % KMV_P) + KMV_P) % KMV_P
+    t1 = ((x0 * x0) % KMV_P * KMV_A) % KMV_P
+    t2 = (x0 * KMV_B) % KMV_P
+    return (t1 + t2 + KMV_C) % KMV_P
+
+
+def signed_permutation(dim: int) -> tuple[list[int], list[int]]:
+    """Deterministic signed permutation of ``dim`` coordinates — an
+    EXACT isometry (out[j] = sign[j] · v[perm[j]]): L2 distances are
+    preserved bit-for-bit in both float and quantized-int space
+    (negation and reordering are exact; round is half-away-from-zero
+    on both engines, so quantize∘rotate == rotate∘quantize). The
+    cheapest member of the random-rotation family PQ preprocessing
+    uses (OPQ's "RR" baseline): it redistributes per-SUBSPACE energy
+    without mixing coordinates. perm = argsort of kmv_hash(i+1);
+    sign[j] from the Rademacher row — all driver-side literals."""
+    h = [_kmv_hash_py(i + 1) for i in range(dim)]
+    perm = sorted(range(dim), key=lambda i: (h[i], i))
+    signs = rademacher_signs(dim, 1)[0]
+    return perm, signs
 
 
 def rademacher_project(

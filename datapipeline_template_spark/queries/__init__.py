@@ -163,6 +163,8 @@ _OVERFLOW = (
     "tx27b_bm25_dense_vocab",
     "q48_kmv_rolling_distinct",
     "tj05_nearest_click",
+    "ss32_tail_recall_histogram",
+    "ss33_rrpq_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -3844,3 +3844,392 @@ def ss31_weighted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("w_strong")
+
+# ---------------------------------------------------------------------------
+# ss32 — per-query TAIL recall: the distribution the mean hides
+# (full-scan SQ8 vs routed IVF-SQ, hit histograms over the query set)
+# ---------------------------------------------------------------------------
+
+_SS32_NPROBE = 2  # ss25's middle operating point (55.2% mean)
+
+
+def _ss32_oracle() -> str:
+    """ss25's composed oracle chains (coarse k-means routing + SQ8
+    codes + shared truth) with ONE new reduction: per-query hit
+    counts, histogrammed over the 50-query set (0-hit queries kept
+    via left join; the 0..k grid generated so empty buckets are
+    explicit rows)."""
+    from ._kmeans_sql import kmeans_ctes
+
+    n = _SS21_ITER
+    coarse = kmeans_ctes(_SS21_CK, n, 64).replace(
+        "FROM embeddings",
+        f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+        1,
+    )
+    np_ = _SS32_NPROBE
+    sql = f"""WITH {coarse}{_ss_l2_truth_sql('qv', _SS21_NQ, _SS21_K)}
+, sdims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM qv, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), sstats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM sdims
+), scodes AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * {_SS25_LEVELS}) // s[3]) AS cv
+  FROM qv CROSS JOIN sstats
+), retf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(list_zip(q.cv, e.cv),
+               s -> (s[1]-s[2])*(s[1]-s[2]))), e.vec_id) AS rk
+    FROM (SELECT * FROM scodes WHERE vec_id < {_SS21_NQ}) q
+    JOIN scodes e ON e.vec_id != q.vec_id
+  ) WHERE rk <= {_SS21_K}
+), pr AS (
+  SELECT query_id, cid FROM (
+    SELECT t.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY
+             list_sum(list_transform(list_zip(t.qv, c.cv),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM qry t CROSS JOIN c{n} c) WHERE rn <= {np_}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM pr p JOIN a{n} a ON a.cid = p.cid AND a.vec_id != p.query_id
+), sd AS (
+  SELECT cnd.query_id, cnd.neighbor_id,
+         list_sum(list_transform(list_zip(qc.cv, xc.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM cand cnd
+  JOIN scodes xc ON xc.vec_id = cnd.neighbor_id
+  JOIN scodes qc ON qc.vec_id = cnd.query_id
+), retr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d, neighbor_id) AS rk
+    FROM sd) WHERE rk <= {_SS21_K}
+), qs AS (SELECT DISTINCT query_id FROM truth),
+hf AS (
+  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM retf r JOIN truth t USING (query_id, neighbor_id) GROUP BY 1
+), hr AS (
+  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM retr r JOIN truth t USING (query_id, neighbor_id) GROUP BY 1
+), histf AS (
+  SELECT nh, CAST(COUNT(*) AS BIGINT) AS n_queries FROM (
+    SELECT q.query_id, COALESCE(h.c, 0) AS nh
+    FROM qs q LEFT JOIN hf h USING (query_id)) GROUP BY nh
+), histr AS (
+  SELECT nh, CAST(COUNT(*) AS BIGINT) AS n_queries FROM (
+    SELECT q.query_id, COALESCE(h.c, 0) AS nh
+    FROM qs q LEFT JOIN hr h USING (query_id)) GROUP BY nh
+)
+SELECT variant, CAST(g.nh AS BIGINT) AS n_hit,
+       COALESCE(histf.n_queries, histr.n_queries, 0) AS n_queries
+FROM (SELECT 'sq8_full' AS variant UNION ALL SELECT 'ivfsq_np{np_}') v
+CROSS JOIN range(0, {_SS21_K + 1}) AS g(nh)
+LEFT JOIN histf ON v.variant = 'sq8_full' AND histf.nh = g.nh
+LEFT JOIN histr ON v.variant = 'ivfsq_np{np_}' AND histr.nh = g.nh
+ORDER BY variant, n_hit"""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss32_tail_recall_histogram", oracle=_ss32_oracle())
+def ss32_tail_recall_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QUERY recall distribution — the lens every mean-recall row
+    (ss24's 83.6%, ss25's 55.2%) hides, and the one a production SLO
+    is actually written against (p5 recall, not mean). Hit histograms
+    over the 50-query set for the two SQ deployment shapes: full-scan
+    SQ8 vs IVF-SQ at n_probe=2, 0-hit queries kept and empty buckets
+    explicit. Measured at sf0.01 (top-5, 50 queries; histograms
+    cross-checked against the live rows in tests/test_parity.py):
+    full-scan SQ8 is (0,0,2,7,21,20) over 0..5 hits — 41 queries at
+    4-5, FLOOR 2/5, quantization degrades everyone a little and no
+    one much; routed np=2 is (1,5,16,14,11,3) — the whole mass shifts
+    down and the floor drops through it (6 queries at ≤1 hit,
+    one at ZERO). The tail gap dwarfs the mean gap: means 83.6% vs
+    55.2% (1.5×) but worst-decile recall 60% vs ≤20% (3×+) — because
+    a missed cell removes whole chunks of a query's neighborhood
+    while 8-bit rounding never removes more than ranking jitter. The
+    production read: write routed-ANN SLOs against a tail percentile
+    of THIS histogram, not the mean (and ss28 shows re-ranking cannot
+    repair routing loss — spend on n_probe). Both retrieval chains reuse
+    ss24/ss25's exact specs over the shared truth; the only new
+    reduction is a per-query count + a 0..k histogram grid."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import (
+        coarse_probe_expr,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from ..operators.similarity import sq_dim_stats, sq_encode
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
+    )
+    cells = kmeans_assign(
+        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
+    ).select("vec_id", "cluster")
+    stats = sq_dim_stats(qv)
+    codes = (
+        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
+        .join(cells, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    qcodes = codes.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
+    )
+    dist = F.aggregate(
+        F.zip_with("_qc", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("_d", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _SS21_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    # Full-scan SQ8 (ss24's retrieval).
+    ret_full = topk(
+        codes.select(F.col("vec_id").alias("neighbor_id"), "cv")
+        .join(F.broadcast(qcodes), F.col("neighbor_id") != F.col("query_id"))
+    )
+    # Routed IVF-SQ at n_probe (ss25's retrieval).
+    qp = qv.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), "_qv"
+    )
+    pr = qp.withColumn(
+        "_probe", F.slice(coarse_probe_expr(F.col("_qv"), cent), 1, _SS32_NPROBE)
+    ).select("query_id", F.explode("_probe.cluster").alias("cluster"))
+    ret_routed = topk(
+        pr.join(codes, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cv")
+        .join(F.broadcast(qcodes), "query_id")
+    )
+
+    qs = truth.select("query_id").distinct()
+    grid = spark.range(_SS21_K + 1).select(F.col("id").cast("long").alias("n_hit"))
+
+    def hist(ret: DataFrame, name: str) -> DataFrame:
+        per_q = (
+            ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        counts = (
+            qs.join(per_q, "query_id", "left")
+            .select(F.coalesce(F.col("_c"), F.lit(0).cast("long")).alias("n_hit"))
+            .groupBy("n_hit")
+            .agg(F.count(F.lit(1)).cast("long").alias("_nq"))
+        )
+        return grid.join(counts, "n_hit", "left").select(
+            F.lit(name).alias("variant"),
+            "n_hit",
+            F.coalesce(F.col("_nq"), F.lit(0).cast("long")).alias("n_queries"),
+        )
+
+    return (
+        hist(ret_full, "sq8_full")
+        .unionByName(hist(ret_routed, f"ivfsq_np{_SS32_NPROBE}"))
+        .orderBy("variant", "n_hit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss33 — RR-PQ: signed-permutation pre-rotation before product
+# quantization (the OPQ family's zero-training "random rotation"
+# baseline), measured against ss20's unrotated PQ on the shared truth
+# ---------------------------------------------------------------------------
+
+
+def _ss33_oracle() -> str:
+    """ss20's oracle with ONE change: every per-subspace k-means chain
+    and every ADC distance reads the ROTATED vector (rot CTE — the
+    signed-permutation literals from operators/similarity.py
+    signed_permutation, inlined). Truth stays on the original vectors
+    (the rotation is an exact isometry, so truth is identical either
+    way — keeping the original side makes that an assumption the hash
+    would catch if broken)."""
+    from ..operators.similarity import signed_permutation
+
+    perm, signs = signed_permutation(64)
+    elems = ", ".join(
+        f"({s}) * embedding[{p + 1}]" for p, s in zip(perm, signs)
+    )
+    from ._kmeans_sql import kmeans_ctes
+
+    n = _SS20_ITER
+    chains, blocks, selects = [], [], []
+    for m, sub_dim in _SS20_CONFIGS:
+        dists, joins, adc_terms = [], [], []
+        code_cols = ", ".join(f"s{j}.cid AS c{j}" for j in range(m))
+        code_joins = " ".join(
+            f"JOIN r{m}s{j}a{n} s{j} USING (vec_id)" for j in range(1, m)
+        )
+        for j in range(m):
+            p = f"r{m}s{j}"
+            a, b = j * sub_dim + 1, (j + 1) * sub_dim
+            chains.append(
+                kmeans_ctes(_SS20_KSUB, n, sub_dim, prefix=p)
+                .replace(
+                    "list_transform(embedding,",
+                    f"list_transform(rv[{a}:{b}],",
+                    1,
+                )
+                .replace("FROM embeddings", "FROM rot", 1)
+            )
+            dists.append(f""", rd{m}_{j} AS (
+  SELECT q.query_id, c.cid,
+         list_sum(list_transform(list_zip(q.qv[{a}:{b}], c.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM rqry q CROSS JOIN {p}c{n} c
+)""")
+            if j == 0:
+                joins.append(f"JOIN rd{m}_0 ON rd{m}_0.cid = x.c0")
+            else:
+                joins.append(
+                    f"JOIN rd{m}_{j} ON rd{m}_{j}.cid = x.c{j} "
+                    f"AND rd{m}_{j}.query_id = rd{m}_0.query_id"
+                )
+            adc_terms.append(f"rd{m}_{j}.d")
+        blocks.append(f""", rcodes{m} AS (
+  SELECT s0.vec_id, {code_cols}
+  FROM r{m}s0a{n} s0 {code_joins}
+){''.join(dists)}, radc{m} AS (
+  SELECT rd{m}_0.query_id, x.vec_id AS neighbor_id,
+         {' + '.join(adc_terms)} AS adc
+  FROM rcodes{m} x {' '.join(joins)}
+  WHERE x.vec_id != rd{m}_0.query_id
+), rret{m} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rk
+    FROM radc{m}) WHERE rk <= {_SS20_K}
+), rh{m} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN rret{m} r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+)""")
+        selects.append(
+            f"SELECT CAST({m} AS BIGINT) AS m, "
+            f"CAST({sub_dim} AS BIGINT) AS sub_dim, "
+            f"(SELECT n_truth FROM tc) AS n_truth, "
+            f"(SELECT n_hit FROM rh{m}) AS n_hit, "
+            f"CAST((SELECT n_hit FROM rh{m}) AS DOUBLE) / "
+            f"(SELECT n_truth FROM tc) AS recall"
+        )
+    sql = f"""WITH rot AS (
+  SELECT vec_id, [{elems}] AS rv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+), {', '.join(chains)}
+, rqv AS (
+  SELECT vec_id, list_transform(rv,
+    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM rot
+), rqry AS (
+  SELECT vec_id AS query_id, qv FROM rqv WHERE vec_id < {_SS20_NQ}
+), pqqv AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+){_ss_l2_truth_sql('pqqv', _SS20_NQ, _SS20_K)}
+{''.join(blocks)}
+{' UNION ALL '.join(selects)}
+ORDER BY m"""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss33_rrpq_recall", oracle=_ss33_oracle())
+def ss33_rrpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RR-PQ — a deterministic signed permutation (exact isometry:
+    out[j] = sign[j]·v[perm[j]]) applied BEFORE product quantization,
+    the zero-training end of the rotation family OPQ anchors (Ge et
+    al. 2013 measure random rotation as their baseline): PQ's error
+    depends on how variance distributes ACROSS the m subspaces, and a
+    random signed permutation redistributes axis-aligned energy at
+    zero training and zero arithmetic cost (±1 and reorder are exact,
+    so every downstream stage stays integer and hash-verifiable —
+    unlike a dense Gaussian rotation, whose float matmul would break
+    the oracle). Same codebook spec, encode, ADC and truth as ss20;
+    the rotation literals are single-sourced into plan and oracle.
+
+    Measured at sf0.01 (top-5, 250 pairs; rows pinned against ss20's
+    in tests/test_parity.py): rotated 39/62 hits at m=4/8 vs
+    unrotated 38/63 — a ±1-hit NULL RESULT, the honest reading being
+    that these synthetic embeddings spread variance evenly across
+    dimensions (the same isotropy ss27/ss29 measured from the other
+    side), so there is no axis-concentrated energy for the rotation
+    to redistribute. The production read is the harness itself:
+    rotation gain is a per-corpus MEASUREMENT — on axis-concentrated
+    real embeddings (CLS tokens, PCA'd features) RR is known to buy
+    large PQ recall and costs nothing here to check; on isotropic
+    corpora it is free insurance with nothing to insure."""
+    from ..operators.clustering import pq_adc_topk, pq_codebooks, pq_encode
+    from ..operators.similarity import signed_permutation
+
+    perm, signs = signed_permutation(64)
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    rv = F.array(
+        *[
+            F.element_at(F.col("embedding"), p + 1) * F.lit(float(s))
+            for p, s in zip(perm, signs)
+        ]
+    )
+    rot = emb.select("vec_id", rv.alias("rvec")).localCheckpoint(eager=True)
+    queries = rot.where(F.col("vec_id") < _SS20_NQ)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K)
+    out = None
+    for m, sub_dim in _SS20_CONFIGS:
+        books = pq_codebooks(
+            rot, "vec_id", "rvec", m=m, sub_dim=sub_dim,
+            k_sub=_SS20_KSUB, n_iter=_SS20_ITER,
+        )
+        codes = pq_encode(
+            rot, "vec_id", "rvec", books, sub_dim=sub_dim
+        ).localCheckpoint(eager=True)
+        ret = pq_adc_topk(
+            codes, queries, "vec_id", "rvec", books,
+            sub_dim=sub_dim, k=_SS20_K,
+        ).select("query_id", "neighbor_id")
+        hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(m).cast("long").alias("m"),
+                F.lit(sub_dim).cast("long").alias("sub_dim"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("m")

@@ -339,3 +339,48 @@ def test_ss31_unit_weight_row_equals_ss30_strong_pair(spark, sf_dir):
         ss31[1]["n_hit_fused"] == ss30["sq8+trunc32"]["n_hit_fused"]
         and ss31[1]["n_truth"] == ss30["sq8+trunc32"]["n_truth"]
     )
+
+
+def test_ss32_histograms_match_pinned_docstring_rows(spark):
+    """ss32's docstring pins the measured sf0.01 hit histograms
+    ((0,0,2,7,21,20) full-scan SQ8, (1,5,16,14,11,3) routed np=2) and
+    the derived claims (floor 2 vs 0, 41 vs 14 queries at 4-5). A
+    quantizer/routing/truth change must fail HERE, not silently
+    invalidate the prose. Also the structural tie to the mean rows:
+    the histograms' weighted sums must equal ss24/ss25's n_hit."""
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["ss32_tail_recall_histogram"].fn(spark, sf).collect()
+    h = {}
+    for r in rows:
+        h.setdefault(r["variant"], {})[r["n_hit"]] = r["n_queries"]
+    assert [h["sq8_full"][i] for i in range(6)] == [0, 0, 2, 7, 21, 20]
+    assert [h["ivfsq_np2"][i] for i in range(6)] == [1, 5, 16, 14, 11, 3]
+    ss24 = {
+        r["bits"]: r["n_hit"]
+        for r in REGISTRY["ss24_sq_recall"].fn(spark, sf).collect()
+    }
+    ss25 = {
+        r["n_probe"]: r["n_hit"]
+        for r in REGISTRY["ss25_ivfsq_recall"].fn(spark, sf).collect()
+    }
+    assert sum(i * h["sq8_full"][i] for i in range(6)) == ss24[8]
+    assert sum(i * h["ivfsq_np2"][i] for i in range(6)) == ss25[2]
+
+
+def test_ss33_rotation_null_result_pinned(spark):
+    """ss33's docstring pins the measured RR-PQ rows (39/62 at m=4/8)
+    against ss20's unrotated 38/63 at sf0.01 — a codebook-spec or
+    rotation-literal change must fail HERE, not silently invalidate
+    the null-result prose. The shared-truth tie is structural: both
+    harnesses report the same n_truth."""
+    sf = "/root/testdata/sf0.01"
+    ss20 = {
+        r["m"]: r for r in REGISTRY["ss20_pq_adc_recall"].fn(spark, sf).collect()
+    }
+    ss33 = {
+        r["m"]: r for r in REGISTRY["ss33_rrpq_recall"].fn(spark, sf).collect()
+    }
+    assert (ss33[4]["n_hit"], ss33[8]["n_hit"]) == (39, 62)
+    assert (ss20[4]["n_hit"], ss20[8]["n_hit"]) == (38, 63)
+    for m in (4, 8):
+        assert ss33[m]["n_truth"] == ss20[m]["n_truth"]

@@ -798,6 +798,30 @@ def main() -> None:
     )
 
 
+    section(
+        "ss32_tail_recall_histogram",
+        "per-query tail recall: ss24/ss25's exact retrieval chains with "
+        "one new reduction (per-query hit count + 0..k grid) - the "
+        "histograms are bounded aggregates over the 50-query set",
+        [
+            ("Rank windows", r"Window \[row_number"),
+            ("Grid left joins", r"BroadcastHashJoin[^\n]{0,50}LeftOuter[^\n]{0,20}"),
+        ],
+    )
+
+    section(
+        "ss33_rrpq_recall",
+        "RR-PQ: the signed permutation is inlined literals (map-only "
+        "array projection, no join/exchange before the rotated "
+        "vectors); downstream is ss20's exact PQ plan on the rotated "
+        "column",
+        [
+            ("Rotation is a projection", r"element_at\(embedding[^\n]{0,40}"),
+            ("ADC lookups", r"(BroadcastHashJoin|SortMergeJoin)"),
+        ],
+    )
+
+
 
 if __name__ == "__main__":
     main()
