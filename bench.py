@@ -109,13 +109,16 @@ SECONDARY = [
     "ss19_or_union_chooser",
     "tx20b_bpe_train_bytes",
     "tx21b_bpe_encode_bytes",
-    # ss20/ss22 refit the same PQ codebooks ss21 fits; they are priced
-    # as MARGINALS in the pq_shared scenario (the curation_shared rule:
-    # one full-composition row per shared artifact) — ss21, the
-    # corpus-scale IVF-PQ shape, is that row. Same rule keeps pipe14
-    # out: its manifest stage is a curation_shared marginal; pipe12 is
-    # the curation family's full-composition row.
-    "ss21_ivfpq_recall",
+    # ss20/ss21/ss22 all refit the same PQ codebooks; ALL THREE are
+    # priced in the pq_shared scenario (fit + encode once, then the
+    # ADC / re-rank / IVF-PQ consumer marginals — the ivfpq marginal
+    # includes the coarse-quantizer fit, the ss21 core). ss21's
+    # standalone row was demoted in round 10 (the ss26/ss28
+    # precedent): its 23 s was the same composition priced twice, and
+    # the recall-accounting overhead it adds is eval harness, not the
+    # production path. Same rule keeps pipe14 out: its manifest stage
+    # is a curation_shared marginal; pipe12 is the curation family's
+    # full-composition row.
     "dd17_duplicate_discount",
     "tx22_source_overlap",
     "pk08_nosplit_packing",
@@ -175,6 +178,29 @@ SECONDARY = [
     # artifact from ss20/ss21's (rotated space), so it prices
     # standalone rather than as a pq_shared marginal.
     "ss33_rrpq_recall",
+    # round-10 additions: ss34 re-derives ss25's routing+codes at four
+    # operating points in ONE shared-distance pass (its in-query
+    # sharing is the point — the ss22 rank-slicing rule); tx28 is the
+    # unigram-LM trainer (vocab-sized EM, corpus scanned once); tx29
+    # chains one encode pass onto the same training cost, so only the
+    # train row prices standalone and tx29's delta over tx28 is the
+    # encode marginal.
+    "ss34_tail_slo_nprobe_chooser",
+    "tx28_unigram_train",
+    "tx29_unigram_encode",
+    # ss35 is zero-training (a slice is the cheapest encode) and its
+    # four depths share one truncated ranking + one exact-distance
+    # pass in-query; tx30 re-runs both vocab-sized trainers — that
+    # composition cost IS its number.
+    "ss35_truncation_rerank_recall",
+    "tx30_tokenizer_comparison",
+    # dd20 (dedup-method overlap matrix) is NOT timed standalone: it
+    # recomputes dd06's CC chain, dd11, dd14b AND dd15/dd16's k-means
+    # fit in one audit query — each constituent is already priced
+    # (dd16 in SECONDARY, the fit in clustering_shared, dd11/dd14b's
+    # shapes in their registry rows), and the matrix's own reduction
+    # is a bounded (method, doc) self-join. Run-on-demand audit, the
+    # dd19 class.
 ]
 
 
@@ -291,8 +317,9 @@ def _pq_shared_scenario(spark, sf_dir):
     marginal includes the coarse quantizer fit, which is part of that
     consumer, not of PQ). Parity: a fresh standalone fit must equal
     the shared codebooks bit-for-bit (the determinism that makes the
-    sharing safe). ss21 stays in SECONDARY as the single
-    full-composition timing row; ss20/ss22 are priced here."""
+    sharing safe). ss20/ss21/ss22 are ALL priced here (round 10
+    demoted ss21's standalone SECONDARY row — the ivfpq marginal
+    below is its production composition, coarse fit included)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1139,11 +1166,14 @@ def main() -> None:
         result["n_failed"] = len(errors)
     result["n_timed"] = len(timings)
     line = json.dumps(result)
-    # The driver captures a bounded TAIL of this process's output; in
-    # round 8 that capture started mid-JSON and the recorded artifact
-    # lost the headline (`parsed: null`). Persist the full line to
-    # bench_last.json FIRST so the result survives any stream
-    # truncation, then print the contractual one-line JSON.
+    # The driver captures the LAST ~2000 chars of this process's output
+    # and parses the final JSON line it finds there. The full result
+    # (scenarios + secondary) has grown past that window, so for two
+    # rounds the recorded artifact lost the headline (`parsed: null`).
+    # Persist the full line to bench_last.json, print it for humans,
+    # then print a COMPACT contractual line LAST — metric/value/unit/
+    # sf/queries/n_timed, well under the capture window — so the
+    # driver's tail always ends with a complete, parseable JSON line.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_last.json"), "w") as fh:
@@ -1151,6 +1181,21 @@ def main() -> None:
     except OSError as exc:  # noqa: BLE001 — never let the sidecar kill the print
         print(f"bench: bench_last.json write failed: {exc}", file=sys.stderr)
     print(line)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": timings,
+        "n_timed": result["n_timed"],
+    }
+    if errors:
+        compact["n_failed"] = len(errors)
+    compact_line = json.dumps(compact)
+    if len(compact_line) > 1800:  # headline set grew — keep the line parseable
+        compact.pop("queries")
+        compact_line = json.dumps(compact)
+    print(compact_line)
 
 
 if __name__ == "__main__":

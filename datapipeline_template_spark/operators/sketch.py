@@ -764,15 +764,35 @@ def cm_estimate(
     cells (estimates become noise, still ≥ 0), but a LARGER depth
     than the build's is the one way to silently break the
     overestimate guarantee (the phantom rows have no cells, coalesce
-    to 0, and the min returns 0 for every key). The streaming
-    maintainer pins both in store metadata; batch callers must thread
-    the build constants (the q47 pattern: module-level constants used
-    by build and estimate alike). The grid (≤ depth·width rows)
+    to 0, and the min returns 0 for every key). That hazard is
+    detectable from the grid itself, so it is GUARDED here: one
+    bounded aggregate over the ≤ depth·width sketch rows checks
+    ``depth <= 1 + max(r)`` and raises on mismatch (an EMPTY sketch —
+    empty build stream — is exempt: every true count is 0 and the 0
+    estimates are exact). The streaming maintainer additionally pins
+    both parameters in store metadata; batch callers must thread the
+    build constants (the q47 pattern: module-level constants used by
+    build and estimate alike). NULL item keys raise loudly, mirroring
+    cm_sketch's build-time guard — a NULL key was never hashable into
+    the grid, so coalescing its missing cells to 0 would quietly
+    report 0 for a question the sketch cannot answer. The grid
     broadcasts onto the items, so the only wide operation is the
     final per-item min — items of any size stream through. Carries
     every ``items`` column."""
+    max_r = sketch.agg(F.max("r").alias("r")).first()["r"]
+    if max_r is not None and depth > max_r + 1:
+        raise ValueError(
+            f"cm_estimate depth {depth} exceeds the sketch's build depth "
+            f"{max_r + 1}: phantom rows would floor every estimate to 0 "
+            "and break the overestimate guarantee"
+        )
     carried = list(items.columns)
-    mixes = F.array(*[cm_mix(key_col, r) for r in range(depth)])
+    key = F.when(F.col(key_col).isNotNull(), F.col(key_col)).otherwise(
+        F.raise_error(
+            F.lit(f"cm_estimate needs non-null {key_col!r} item keys")
+        ).cast("long")
+    )
+    mixes = F.array(*[cm_mix(key, r) for r in range(depth)])
     eb = items.select("*", F.posexplode(mixes).alias("r", "_g")).withColumn(
         "b", F.col("_g") % width
     )

@@ -37,6 +37,14 @@ __all__ = [
     "bm25_index",
     "bm25_rank_from_index",
     "bm25_scores_from_index",
+    "UNIGRAM_LMAX",
+    "UNIGRAM_ROUNDS",
+    "UNIGRAM_VOCAB",
+    "unigram_seed_counts",
+    "unigram_costs",
+    "unigram_viterbi_segment",
+    "unigram_train",
+    "unigram_encode",
 ]
 
 # The gopher_rules subset the curation funnel gates on — shared by the
@@ -810,8 +818,12 @@ def bm25_topk(
     frame and the (bounded) query-term side broadcast onto the pruned
     posting lists; the only wide stages are the tf groupBy and the
     per-(query, doc) score sum — the inverted-index join, never a
-    doc×doc product. Domain: dl·10⁶ and idf_mb·tf·2200 stay inside
-    int64 for any plausible corpus (dl < 2^43; term counts < 2^40).
+    doc×doc product. Domain: dl·10⁶ stays inside int64 for dl < 2^43;
+    the score numerator idf_mb·tf·(1000+k1_m) is bounded by
+    milli_log2's 2^54 input domain — idf_mb < 54,000 millibits, so
+    with the default k1 the product stays under 2^63 for tf < ~2^36
+    (≈ 7·10¹⁰ occurrences of one term in one document; any realistic
+    corpus is orders of magnitude under both bounds).
 
     Returns (query_id, neighbor_id, rk, score), rk 1..k per query in
     (score desc, neighbor asc) total order; query docs whose every
@@ -919,4 +931,248 @@ def bm25_scores_from_index(
         cand.withColumn("_c", contrib)
         .groupBy("query_id", F.col("_d").alias("neighbor_id"))
         .agg(F.sum("_c").cast("long").alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, SentencePiece's unigram model) as
+# deterministic integer HARD EM: piece log-probs in exact millibits
+# (functions.milli_log2), Viterbi segmentation with a total tie-break,
+# per-round counts re-derived from the single best segmentation. Soft
+# EM's forward-backward needs real-valued marginals no integer spec
+# can pin; hard EM keeps every intermediate an int64 the DuckDB oracle
+# replays verbatim (queries/_unigram_sql.py unrolls every round — the
+# tx20 merge-round pattern). Completes the tokenizer family beside BPE
+# (tx20/tx20b): BPE grows pieces bottom-up by pair frequency, unigram
+# starts from all substrings and prunes top-down by likelihood.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_LMAX = 4  # max piece length (chars)
+UNIGRAM_ROUNDS = 3  # hard-EM rounds before pruning
+UNIGRAM_VOCAB = 24  # pruning target: top-N pieces by count (chars always kept)
+
+
+def unigram_seed_counts(vocab: DataFrame, lmax: int = UNIGRAM_LMAX) -> DataFrame:
+    """Seed piece counts: every substring of length 1..``lmax`` of
+    every distinct word, counted with multiplicity × word frequency —
+    the raw-substring initialisation of Kudo's seed vocabulary.
+    ``vocab`` is (word, freq); returns (piece, cnt). One narrow
+    explode over the DISTINCT-word vocab (≪ corpus) into one
+    partial-aggregated count — the corpus itself is never touched."""
+    subs = F.expr(
+        "flatten(transform(sequence(1, length(word)), i -> "
+        f"transform(sequence(1, least({int(lmax)}, length(word) - i + 1)), "
+        "l -> substr(word, i, l))))"
+    )
+    return (
+        vocab.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def unigram_costs(counts: DataFrame) -> DataFrame:
+    """Millibit piece costs from counts: cost(p) = milli_log2(T) −
+    milli_log2(cnt_p) with T = Σ cnt — the integer form of
+    −log2 P(p). Returns (piece, cnt, cost_mb); the 1-row total
+    attaches via broadcast crossJoin (no shuffle)."""
+    from ..functions import milli_log2
+
+    tot = counts.agg(F.sum("cnt").cast("long").alias("_t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        (milli_log2("_t") - milli_log2("cnt")).cast("long").alias("cost_mb"),
+    )
+
+
+def unigram_viterbi_segment(
+    words: DataFrame,
+    cost_map: dict[str, int],
+    lmax: int = UNIGRAM_LMAX,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Viterbi-segment every (word, freq) row under integer millibit
+    costs: best[i] = min over piece lengths l of best[i−l] +
+    cost(word[i−l..i]), tie-break = SMALLEST l achieving the min (the
+    pinned spec the oracle's MIN(l)-over-achieving-edges replays).
+    Returns (word, freq, pos, piece) — one row per emitted piece,
+    ``pos`` its 0-based start, so the segmentation reads back in
+    position order.
+
+    Arrow-batched ``mapInPandas`` — the per-word DP is genuinely
+    imperative (position loop with data-dependent predecessor reads),
+    and it runs over the DISTINCT-word vocabulary, never the corpus.
+    ``cost_map`` ships in the closure: it is the MODEL (vocab-sized,
+    the k-means-centroid convention of bounded driver coordination),
+    not data. Every word character must be a length-1 key in
+    ``cost_map`` or the DP raises (single chars are never pruned by
+    training, so an unseen char means out-of-corpus input — loud, not
+    a silent drop). ``max_word_len`` (when set) raises on longer
+    words: the ORACLE unrolls the DP to a pinned position count, so a
+    longer word would silently fall off the replay — the q45 raise-in-
+    pass precedent."""
+    import pandas as pd
+
+    lmax = int(lmax)
+    costs = {str(k): int(v) for k, v in cost_map.items()}
+    cap = None if max_word_len is None else int(max_word_len)
+
+    def segment(batches):
+        for pdf in batches:
+            out_w, out_f, out_p, out_s = [], [], [], []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                w = str(word)
+                n = len(w)
+                if cap is not None and n > cap:
+                    raise ValueError(
+                        f"word {w!r} is longer than the pinned DP unroll "
+                        f"({cap}) — re-measure max word length and re-pin"
+                    )
+                best = [None] * (n + 1)
+                best[0] = 0
+                bp = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    bb, bl = None, 0
+                    for l in range(1, min(lmax, i) + 1):
+                        c = costs.get(w[i - l : i])
+                        if c is None or best[i - l] is None:
+                            continue
+                        v = best[i - l] + c
+                        if bb is None or v < bb:
+                            bb, bl = v, l
+                    best[i], bp[i] = bb, bl
+                if n > 0 and best[n] is None:
+                    raise ValueError(
+                        f"word {w!r} is not segmentable under the model — "
+                        "a character is missing from the vocabulary"
+                    )
+                pos = n
+                while pos > 0:
+                    l = bp[pos]
+                    out_w.append(w)
+                    out_f.append(int(freq))
+                    out_p.append(pos - l)
+                    out_s.append(w[pos - l : pos])
+                    pos -= l
+            yield pd.DataFrame(
+                {"word": out_w, "freq": out_f, "pos": out_p, "piece": out_s}
+            )
+
+    return words.select(
+        F.col("word").cast("string"), F.col("freq").cast("long")
+    ).mapInPandas(segment, "word string, freq long, pos long, piece string")
+
+
+def _unigram_recount(
+    words: DataFrame,
+    costs: DataFrame,
+    chars: DataFrame,
+    lmax: int,
+    max_word_len: int | None,
+) -> DataFrame:
+    """One hard-EM M-step: segment the word vocab under ``costs``,
+    re-count pieces (× word freq), drop pieces that won no occurrence
+    — EXCEPT single chars, which are kept with a count floor of 1 so
+    every word stays segmentable (Kudo's never-prune-chars rule)."""
+    cost_map = {r["piece"]: int(r["cost_mb"]) for r in costs.collect()}
+    seg = unigram_viterbi_segment(words, cost_map, lmax, max_word_len)
+    raw = seg.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    floored = chars.join(raw, "piece", "left").select(
+        "piece",
+        F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1))
+        .cast("long")
+        .alias("cnt"),
+    )
+    return floored.unionByName(raw.where(F.length("piece") > 1))
+
+
+def unigram_train(
+    vocab: DataFrame,
+    lmax: int = UNIGRAM_LMAX,
+    rounds: int = UNIGRAM_ROUNDS,
+    vocab_size: int = UNIGRAM_VOCAB,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Deterministic unigram-LM training over a (word, freq)
+    vocabulary — the k-means/BPE-train shape applied to Kudo's model:
+
+    1. seed counts c0 = all substrings ≤ ``lmax`` × word frequency;
+    2. ``rounds`` hard-EM rounds: costs from c_r (unigram_costs) →
+       Viterbi recount → c_{r+1} (char floor, zero-count drop);
+    3. prune to the top ``vocab_size`` pieces by (cnt DESC, piece ASC)
+       UNION all single chars, costs re-normalised over the kept set;
+    4. one post-prune recount under those costs.
+
+    Returns the final model (piece, cnt, cost_mb). Scale shape: the
+    corpus is scanned ONCE into the distinct-word vocab (the tx20
+    argument); each round is one Arrow-batched segmentation pass over
+    that vocab plus one (piece → count) partial aggregate, and only
+    the vocab-sized cost table touches the driver (coordination,
+    never data). Counts are localCheckpointed per round so round r+1
+    does not re-execute rounds 1..r (the CC iterative-loop lesson).
+    Every arithmetic step is int64; queries/_unigram_sql.py replays
+    all rounds unrolled, so the whole trajectory — not just the end
+    state — is oracle-hash-pinned (tx28)."""
+    words = vocab.select(
+        F.col("word").cast("string"), F.col("freq").cast("long")
+    ).localCheckpoint(eager=True)
+    chars = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                )
+            ).alias("piece")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = unigram_seed_counts(words, lmax).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        counts = _unigram_recount(
+            words, unigram_costs(counts), chars, lmax, max_word_len
+        ).localCheckpoint(eager=True)
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(int(vocab_size))
+        .select("piece")
+    )
+    kept = top.unionByName(chars).distinct()
+    pruned = counts.join(kept, "piece", "left_semi")
+    final_counts = _unigram_recount(
+        words, unigram_costs(pruned), chars, lmax, max_word_len
+    ).localCheckpoint(eager=True)
+    return unigram_costs(final_counts)
+
+
+def unigram_encode(
+    vocab: DataFrame,
+    model: DataFrame,
+    lmax: int = UNIGRAM_LMAX,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Viterbi-encode every (word, freq) row under a trained model
+    (piece, cnt, cost_mb): returns (word, freq, n_pieces, seg) with
+    ``seg`` the space-joined pieces in position order — the
+    SentencePiece encode step sharing the exact DP spec (and tie
+    break) training used, so the tokenizer is self-consistent
+    end-to-end (the tx20/tx21 relationship)."""
+    cost_map = {r["piece"]: int(r["cost_mb"]) for r in model.collect()}
+    seg = unigram_viterbi_segment(vocab, cost_map, lmax, max_word_len)
+    return (
+        seg.groupBy("word", "freq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("seg"),
+        )
     )

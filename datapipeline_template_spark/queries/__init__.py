@@ -165,6 +165,12 @@ _OVERFLOW = (
     "tj05_nearest_click",
     "ss32_tail_recall_histogram",
     "ss33_rrpq_recall",
+    "ss34_tail_slo_nprobe_chooser",
+    "tx28_unigram_train",
+    "tx29_unigram_encode",
+    "dd20_dedup_overlap_matrix",
+    "ss35_truncation_rerank_recall",
+    "tx30_tokenizer_comparison",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1408,3 +1408,294 @@ def dd19_bm25_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# dd20 — dedup-method overlap matrix: the measurement the curation
+# funnel implies but never states. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_DD20_METHODS = ("exact", "minhash", "chunk", "substr", "semdedup", "d4")
+
+
+def _dd20_oracle() -> str:
+    from ._kmeans_sql import cos_sql  # noqa: F401 — via _semdedup_ctes
+
+    # The dd14b span chain over the SHARED tk token hashes, CTE names
+    # prefixed w- to coexist with MINHASH_CC_CTES' sh/sig in one WITH.
+    substr_ctes = f""", wn AS (
+  SELECT doc_id, {_WINDOWS_K10_FROM_TH_SQL} AS wins FROM tk
+), wp AS (
+  SELECT doc_id, i - 1 AS pos, wins[i] AS h
+  FROM wn, LATERAL (SELECT unnest(range(1, len(wins) + 1)) AS i) g
+), wdup AS (
+  SELECT h FROM wp GROUP BY h HAVING count(*) > 1
+), wcov AS (
+  SELECT DISTINCT wp.doc_id, wp.pos + j AS tokpos
+  FROM wp JOIN wdup ON wp.h = wdup.h,
+       LATERAL (SELECT unnest(range(0, 10)) AS j) gg
+), wisl AS (
+  SELECT doc_id, tokpos,
+         tokpos - row_number() OVER (PARTITION BY doc_id ORDER BY tokpos) AS k
+  FROM wcov
+), wspans AS (
+  SELECT doc_id FROM wisl GROUP BY doc_id, k
+  HAVING count(*) >= {_DD14B_MIN_SPAN}
+)"""
+    chunk_ctes = """, ctoks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), cchunks AS (
+  SELECT doc_id, i AS chunk_no,
+         array_to_string(ts[(i*12+1):(i*12+12)], ' ') AS chunk
+  FROM ctoks, LATERAL (SELECT unnest(range(0,
+       CAST(ceil(len(ts)/12.0) AS BIGINT))) AS i) g
+), cranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn
+  FROM cchunks
+)"""
+    marks = """, mex AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS m0
+    FROM documents) WHERE doc_id != m0
+), mmh AS (
+  SELECT doc_id FROM (
+    SELECT c.node AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.node) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node) WHERE rn > 1
+), mch AS (
+  SELECT DISTINCT doc_id FROM cranked WHERE rn > 1
+), msub AS (
+  SELECT DISTINCT doc_id FROM wspans
+), rem AS (
+  SELECT c.cid, c.vec_id, c.csim FROM cs c
+  LEFT JOIN sem s ON c.cid = s.cluster AND c.vec_id = s.vec_id
+  WHERE s.vec_id IS NULL
+), proto AS (
+  SELECT cid AS cluster, vec_id FROM (
+    SELECT cid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY cid
+                              ORDER BY csim DESC, vec_id) AS r,
+           COUNT(*) OVER (PARTITION BY cid) AS n
+    FROM rem)
+  WHERE r <= (n * 20) // 100
+), marks AS (
+  SELECT 'exact' AS m, doc_id FROM mex
+  UNION ALL SELECT 'minhash', doc_id FROM mmh
+  UNION ALL SELECT 'chunk', doc_id FROM mch
+  UNION ALL SELECT 'substr', doc_id FROM msub
+  UNION ALL SELECT 'semdedup', vec_id FROM sem
+  UNION ALL SELECT 'd4', vec_id FROM sem
+  UNION ALL SELECT 'd4', vec_id FROM proto
+)"""
+    mlist = ", ".join(f"('{m}')" for m in _DD20_METHODS)
+    return f"""WITH RECURSIVE {MINHASH_CC_CTES}{substr_ctes}{chunk_ctes}
+, {_semdedup_ctes()}{marks}
+, mlist AS (SELECT m FROM (VALUES {mlist}) t(m))
+, sizes AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM marks GROUP BY m)
+, bothc AS (
+  SELECT x.m AS ma, y.m AS mb, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM marks x JOIN marks y ON x.doc_id = y.doc_id AND x.m < y.m
+  GROUP BY x.m, y.m
+)
+, uniqc AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS nu FROM (
+    SELECT doc_id, MIN(m) AS m FROM marks GROUP BY doc_id
+    HAVING COUNT(*) = 1) GROUP BY m
+)
+, tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS t FROM marks)
+SELECT kind, method_a, method_b, n_a, n_b, n_both FROM (
+  SELECT 'pair' AS kind, a.m AS method_a, b.m AS method_b,
+         COALESCE(sa.n, 0) AS n_a, COALESCE(sb.n, 0) AS n_b,
+         COALESCE(bc.nb, 0) AS n_both
+  FROM mlist a JOIN mlist b ON a.m < b.m
+  LEFT JOIN sizes sa ON sa.m = a.m
+  LEFT JOIN sizes sb ON sb.m = b.m
+  LEFT JOIN bothc bc ON bc.ma = a.m AND bc.mb = b.m
+  UNION ALL
+  SELECT 'unique', l.m, '', COALESCE(s.n, 0),
+         (SELECT t FROM tot), COALESCE(u.nu, 0)
+  FROM mlist l
+  LEFT JOIN sizes s ON s.m = l.m
+  LEFT JOIN uniqc u ON u.m = l.m
+) ORDER BY kind, method_a, method_b"""
+
+
+@register("dd20_dedup_overlap_matrix", oracle=_dd20_oracle())
+def dd20_dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap of the six dedup methods' MARKED sets on the
+    same corpus — the measurement every multi-stage funnel (pipe09/
+    pipe12) implicitly assumes but never states: which documents ONLY
+    one method finds is the basis for ordering stages by marginal
+    yield (a stage whose marks are a subset of an earlier stage's is
+    free to drop). Marked = what each method would remove: exact =
+    non-keeper full-text copies (dd01's groups minus the min-id
+    keeper); minhash = non-survivor MinHash-CC members (dd08's
+    max-n_chars-then-min-id election); chunk = docs losing ≥1
+    duplicate 12-token chunk (dd11); substr = docs losing ≥1 ≥50-token
+    duplicated span (dd14b); semdedup = dd15's within-cluster marks;
+    d4 = dd16's marks (semdedup ∪ prototype). 'pair' rows give
+    (n_a, n_b, n_both) for all 15 method pairs; 'unique' rows give
+    (method size, |union of all marks|, marked by THIS method alone).
+
+    Measured at sf0.01 (pinned in tests/test_parity.py): exact marks
+    ZERO documents (no byte-identical texts exist — the stage the
+    funnel pays first finds nothing here); the lexical near-dup
+    family coheres (minhash 26, chunk 38, substr 21, with
+    chunk∩minhash 13 and substr∩minhash 11 — substr is 11/21 inside
+    minhash's marks); the semantic family is nearly disjoint from it
+    (semdedup∩minhash 12 of 200 — embedding similarity ≠ text
+    similarity) and dominates the union (283 marked in total, d4
+    alone contributes 51 unique, semdedup 0 unique BY CONSTRUCTION —
+    it is a subset of d4, which the n_both=200=|semdedup| row states
+    structurally). The production read: on this corpus the exact
+    stage is droppable, minhash subsumes most of substr, and the
+    semantic family is where the marginal yield lives; chunk/substr
+    still earn their keep at sub-document grain (they REWRITE docs,
+    not just drop them), which doc-level overlap can't see.
+
+    Pure composition: every marked set reuses its method's registered
+    operator (Spark) and oracle fragment (MINHASH_CC_CTES, the dd14b
+    span chain over the SHARED tk token hashes, dd11's ranked chunks,
+    _semdedup_ctes + dd16's prototype window) — nothing re-specified.
+    One d4_prune pass serves BOTH semantic sets (sem = its
+    reason='semdedup' rows). Scale: each set is its method's
+    documented plan; the matrix itself is one (method, doc) frame —
+    6N rows — self-joined on doc_id (methods ≤ 6, so the blowup is
+    bounded by 15 pairs) plus two grid broadcasts."""
+    from ..operators.clustering import d4_prune, k_for_corpus, kmeans_fit
+    from ..operators.dedup import (
+        chunk_dedup,
+        connected_components,
+        minhash_signatures_kernel,
+        remove_dup_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("_m"))
+    mex = (
+        docs.join(keep, "text")
+        .where(F.col("doc_id") != F.col("_m"))
+        .select("doc_id")
+    )
+    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    comp = connected_components(pairs, "id_a", "id_b")
+    from pyspark.sql import Window
+
+    wsurv = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    mmh = (
+        comp.select(F.col("node").alias("doc_id"), "component")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", F.row_number().over(wsurv).alias("_rn"))
+        .where(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    mch = (
+        chunk_dedup(docs, "doc_id", "text", chunk_tokens=12)
+        .where(F.col("n_dropped") > 0)
+        .select("doc_id")
+    )
+    msub = (
+        remove_dup_spans(docs, "doc_id", "text", k=10, min_span_len=_DD14B_MIN_SPAN)
+        .where(F.col("n_spans_removed") > 0)
+        .select("doc_id")
+    )
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=k_for_corpus(emb.count()), n_iter=4
+    )
+    d4 = d4_prune(
+        emb, "vec_id", "embedding", cent, threshold=_DD15_TAU, proto_pct=20
+    ).localCheckpoint(eager=True)
+    msem = d4.where(F.col("reason") == "semdedup").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    md4 = d4.select(F.col("vec_id").alias("doc_id")).distinct()
+
+    marks = None
+    for name, df in (
+        ("exact", mex),
+        ("minhash", mmh),
+        ("chunk", mch),
+        ("substr", msub),
+        ("semdedup", msem),
+        ("d4", md4),
+    ):
+        tagged = df.select(F.lit(name).alias("m"), "doc_id")
+        marks = tagged if marks is None else marks.unionByName(tagged)
+    marks = marks.localCheckpoint(eager=True)
+
+    mlist = spark.createDataFrame([(m,) for m in _DD20_METHODS], "m string")
+    sizes = marks.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bothc = (
+        marks.alias("x")
+        .join(
+            marks.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.m") < F.col("y.m")),
+        )
+        .groupBy(F.col("x.m").alias("ma"), F.col("y.m").alias("mb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    uniqc = (
+        marks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("m").alias("m"))
+        .where(F.col("_c") == 1)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    )
+    tot = marks.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    z = F.lit(0).cast("long")
+    # The 15-method-pair grid is a LITERAL (6 methods, known at plan
+    # time) — building it as a non-equi self-join of mlist planned as
+    # a CartesianProduct, which the repo's no-cartesian discipline
+    # (and test_plans' guard) forbids even at 6×6.
+    grid = spark.createDataFrame(
+        [
+            (a, b)
+            for i, a in enumerate(sorted(_DD20_METHODS))
+            for b in sorted(_DD20_METHODS)[i + 1:]
+        ],
+        "ma_g string, mb_g string",
+    )
+    pair_rows = (
+        grid.join(F.broadcast(sizes.alias("sa")), F.col("ma_g") == F.col("sa.m"), "left")
+        .join(F.broadcast(sizes.alias("sb")), F.col("mb_g") == F.col("sb.m"), "left")
+        .join(
+            F.broadcast(bothc),
+            (F.col("ma_g") == F.col("ma")) & (F.col("mb_g") == F.col("mb")),
+            "left",
+        )
+        .select(
+            F.lit("pair").alias("kind"),
+            F.col("ma_g").alias("method_a"),
+            F.col("mb_g").alias("method_b"),
+            F.coalesce(F.col("sa.n"), z).alias("n_a"),
+            F.coalesce(F.col("sb.n"), z).alias("n_b"),
+            F.coalesce(F.col("nb"), z).alias("n_both"),
+        )
+    )
+    uniq_rows = (
+        mlist.join(F.broadcast(sizes), "m", "left")
+        .join(F.broadcast(uniqc.withColumnRenamed("m", "_um")),
+              F.col("m") == F.col("_um"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("unique").alias("kind"),
+            F.col("m").alias("method_a"),
+            F.lit("").alias("method_b"),
+            F.coalesce(F.col("n"), z).alias("n_a"),
+            F.col("t").alias("n_b"),
+            F.coalesce(F.col("nu"), z).alias("n_both"),
+        )
+    )
+    return pair_rows.unionByName(uniq_rows).orderBy(
+        "kind", "method_a", "method_b"
+    )

@@ -1642,8 +1642,13 @@ def q48_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     both estimator branches — is exact int64, DuckDB-hash-verified."""
     from ..operators.sketch import kmv_estimate, kmv_sketch
 
-    ev = table(spark, sf_dir, "events").select(
-        F.expr("unix_micros(ts) DIV 3600000000").alias("hb"), "user_id"
+    ev = (
+        table(spark, sf_dir, "events")
+        # Match the oracle's NULL handling independent of data: a NULL
+        # user must not count as one distinct user, and hours holding
+        # only NULL-user events must not become target windows.
+        .where(F.col("user_id").isNotNull())
+        .select(F.expr("unix_micros(ts) DIV 3600000000").alias("hb"), "user_id")
     )
     sk = kmv_sketch(ev, "hb", "user_id", k=_Q48_K)
     tgt = ev.select(F.col("hb").alias("t")).distinct()

@@ -4233,3 +4233,408 @@ def ss33_rrpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("m")
+
+
+# ---------------------------------------------------------------------------
+# ss34 — tail-SLO n_probe chooser: pick the routing depth from the
+# MEASURED per-query tail (ss32's histograms), not the mean — the
+# ss12/ss19 closed-loop pattern applied to the IVF-SQ serving stack
+# ---------------------------------------------------------------------------
+
+_SS34_PROBES = (1, 2, 4, 8)  # 8 == _SS21_CK: every cell probed (routing loss 0)
+_SS34_MIN_HITS = 2  # SLO: a query is "served" iff >= 2 of its top-5 true hits
+_SS34_TARGET_MILLI = 900  # ... for >= 90.0% of queries (integer millifraction)
+# The chooser's pick at the sf0.01 gate, pinned (tests/test_parity.py
+# cross-checks it against the live rows — the ss12/ss19 discipline):
+# measured ok_milli by n_probe = 660 / 880 / 980 / 1000, so np=2 (the
+# mean-looking operating point, 55.2% recall) MISSES the tail SLO by
+# one query in ten, and the chooser takes np=4.
+SS34_CHOSEN_NPROBE = 4
+
+
+def _ss34_oracle() -> str:
+    """ss25's composed oracle chain (coarse routing + SQ8 codes +
+    shared truth) with the ss34 reduction: probe ranks computed ONCE
+    at max(n_probe) and carried per candidate, SQ distances computed
+    ONCE over that widest candidate set, then each operating point is
+    a rank-filter + per-query hit count + SLO test over the same
+    frame — the oracle replays the exact one-pass sharing the Spark
+    side runs."""
+    from ._kmeans_sql import kmeans_ctes
+
+    n = _SS21_ITER
+    coarse = kmeans_ctes(_SS21_CK, n, 64).replace(
+        "FROM embeddings",
+        f"FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}",
+        1,
+    )
+    maxnp = max(_SS34_PROBES)
+    blocks, selects = [], []
+    for np_ in _SS34_PROBES:
+        blocks.append(f""", ret{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d, neighbor_id) AS rk
+    FROM sd WHERE rn <= {np_}) WHERE rk <= {_SS21_K}
+), ok{np_} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ok FROM (
+    SELECT r.query_id FROM ret{np_} r
+    JOIN truth t ON t.query_id = r.query_id
+               AND t.neighbor_id = r.neighbor_id
+    GROUP BY r.query_id HAVING COUNT(*) >= {_SS34_MIN_HITS})
+)""")
+        selects.append(
+            f"SELECT CAST({np_} AS BIGINT) AS n_probe, "
+            f"(SELECT n_ok FROM ok{np_}) AS n_ok"
+        )
+    sql = f"""WITH {coarse}{_ss_l2_truth_sql('qv', _SS21_NQ, _SS21_K)}
+, sdims AS (
+  SELECT i, MIN(qv[i+1]) AS lo,
+         GREATEST(MAX(qv[i+1]) - MIN(qv[i+1]), 1) AS rng
+  FROM qv, UNNEST(range(0, 64)) AS t(i) GROUP BY i
+), sstats AS (
+  SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l FROM sdims
+), scodes AS (
+  SELECT vec_id, list_transform(list_zip(qv, lo_l, rng_l),
+           s -> ((s[1] - s[2]) * {_SS25_LEVELS}) // s[3]) AS cv
+  FROM qv CROSS JOIN sstats
+), prall AS (
+  SELECT query_id, cid, rn FROM (
+    SELECT t.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY
+             list_sum(list_transform(list_zip(t.qv, c.cv),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM qry t CROSS JOIN c{n} c) WHERE rn <= {maxnp}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.rn
+  FROM prall p JOIN a{n} a ON a.cid = p.cid AND a.vec_id != p.query_id
+), sd AS (
+  SELECT cnd.query_id, cnd.neighbor_id, cnd.rn,
+         list_sum(list_transform(list_zip(qc.cv, xc.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM cand cnd
+  JOIN scodes xc ON xc.vec_id = cnd.neighbor_id
+  JOIN scodes qc ON qc.vec_id = cnd.query_id
+), nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n FROM truth)
+{''.join(blocks)}
+, rows_ AS ({' UNION ALL '.join(selects)})
+SELECT n_probe, n_ok,
+       (SELECT n FROM nq) AS n_queries,
+       n_ok * 1000 // (SELECT n FROM nq) AS ok_milli,
+       CAST(CASE WHEN n_ok * 1000 // (SELECT n FROM nq)
+                      >= {_SS34_TARGET_MILLI}
+            THEN 1 ELSE 0 END AS BIGINT) AS meets_target,
+       CAST(CASE WHEN n_ok * 1000 // (SELECT n FROM nq)
+                      >= {_SS34_TARGET_MILLI}
+                 AND n_probe = MIN(CASE
+                       WHEN n_ok * 1000 // (SELECT n FROM nq)
+                            >= {_SS34_TARGET_MILLI}
+                       THEN n_probe END) OVER ()
+            THEN 1 ELSE 0 END AS BIGINT) AS chosen
+FROM rows_
+ORDER BY n_probe"""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss34_tail_slo_nprobe_chooser", oracle=_ss34_oracle())
+def ss34_tail_slo_nprobe_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close ss32's loop: choose n_probe against a declared TAIL SLO —
+    "at least ``_SS34_MIN_HITS`` of the top-5 true neighbors for at
+    least 90.0% of queries" — instead of a mean-recall target, because
+    ss32 measured that the tail is where routing hurts (np=2 worst
+    decile <= 20% vs full-scan 60% while the means differ only 1.5×).
+    One row per operating point (n_probe 1/2/4/8; 8 probes every
+    coarse cell, so routing loss is zero and the row equals ss24's
+    full-scan SQ8 tail): n_ok = queries meeting the per-query hit
+    floor, ok_milli = n_ok·1000 DIV n_queries (integer millifraction),
+    meets_target, and chosen = the SMALLEST n_probe meeting the
+    target (0/1 longs so the hasher sees exact integers). Measured at
+    the sf0.01 gate: ok_milli = 660 / 880 / 980 / 1000 — np=2, the
+    operating point a 55.2%-mean dashboard would defend, serves 44/50
+    queries and MISSES a 90% tail SLO; the chooser takes np=4
+    (pinned as SS34_CHOSEN_NPROBE, cross-checked live in
+    tests/test_parity.py). The production read: tail SLOs cost one
+    probe-doubling over the mean-tuned config — budget routing, not
+    re-ranking (ss28: re-rank repairs quantization, never routing).
+    Plan sharing is the ss22 pattern: probe ranks computed ONCE at
+    max(n_probe) (posexplode of the sorted probe list), SQ distances
+    computed ONCE over the widest candidate set, checkpointed; each
+    operating point is then a rank filter + per-query window over
+    that bounded frame — no re-rout, no re-score, no rescan."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import (
+        coarse_probe_expr,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from ..operators.similarity import sq_dim_stats, sq_encode
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
+    cent = kmeans_fit(
+        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
+    )
+    cells = kmeans_assign(
+        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
+    ).select("vec_id", "cluster")
+    stats = sq_dim_stats(qv)
+    codes = (
+        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
+        .join(cells, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    qp = qv.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), "_qv"
+    )
+    qcodes = codes.where(F.col("vec_id") < _SS21_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
+    )
+    maxnp = max(_SS34_PROBES)
+    pr = qp.select(
+        "query_id",
+        F.posexplode(
+            F.slice(coarse_probe_expr(F.col("_qv"), cent), 1, maxnp)
+        ).alias("_pos", "_pc"),
+    ).select(
+        "query_id",
+        (F.col("_pos") + 1).cast("long").alias("rn"),
+        F.col("_pc.cluster").alias("cluster"),
+    )
+    dist = F.aggregate(
+        F.zip_with("_qc", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sd = (
+        pr.join(codes, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rn", "cv")
+        .join(F.broadcast(qcodes), "query_id")
+        .withColumn("_d", dist)
+        .select("query_id", "neighbor_id", "rn", "_d")
+        .localCheckpoint(eager=True)
+    )
+    n_queries = truth.select("query_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for np_ in _SS34_PROBES:
+        ret = (
+            sd.where(F.col("rn") <= np_)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _SS21_K)
+            .select("query_id", "neighbor_id")
+        )
+        ok = (
+            ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= _SS34_MIN_HITS)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ok"))
+        )
+        row = ok.crossJoin(n_queries).select(
+            F.lit(np_).cast("long").alias("n_probe"), "n_ok", "n_queries"
+        )
+        out = row if out is None else out.unionByName(row)
+    out = out.withColumn(
+        "ok_milli", F.expr("n_ok * 1000 DIV n_queries")
+    )
+    meets = F.col("ok_milli") >= _SS34_TARGET_MILLI
+    wall = Window.partitionBy()
+    return (
+        out.withColumn("meets_target", meets.cast("long"))
+        .withColumn(
+            "chosen",
+            (
+                meets
+                & (
+                    F.col("n_probe")
+                    == F.min(F.when(meets, F.col("n_probe"))).over(wall)
+                )
+            ).cast("long"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss35 — truncation → exact re-rank: can unstructured prefix
+# truncation (ss27's collapsed rung) at least SHORTLIST? Completes the
+# re-rank story across all three compression bases (PQ ss22, SQ ss26,
+# truncation here)
+# ---------------------------------------------------------------------------
+
+_SS35_DIM = 16  # the 4×-compression rung (ss27 measured it at 10.8% alone)
+_SS35_DEPTHS = (5, 25, 50, 100)
+
+
+def _ss35_oracle() -> str:
+    """ss27's prefix retrieval ranked once at max depth, then ss22's
+    re-rank reduction per depth (rank slicing — one truncated-distance
+    pass, one exact-distance pass, both shared across every depth)."""
+    d = _SS35_DIM
+    maxr = max(_SS35_DEPTHS)
+    depth_blocks, selects = [], []
+    for r in _SS35_DEPTHS:
+        depth_blocks.append(f""", rr{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY xd, neighbor_id) AS rk2
+    FROM xd WHERE rk <= {r}) WHERE rk2 <= {_SS20_K}
+), hh{r} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM rr{r} r JOIN truth t USING (query_id, neighbor_id)
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS depth, tc.n_truth, h.n_hit,\n"
+            f"       CAST(h.n_hit AS DOUBLE)/tc.n_truth AS recall\n"
+            f"FROM tc, hh{r} h"
+        )
+    sql = f"""WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_SS_EVAL_SLICE}
+){_ss_l2_truth_sql('base', _SS20_NQ, _SS20_K)}, tr AS (
+  SELECT vec_id, qv[1:{d}] AS tv FROM base
+), shl AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(list_zip(q.tv, e.tv),
+               s -> (s[1]-s[2])*(s[1]-s[2]))), e.vec_id) AS rk
+    FROM (SELECT vec_id, tv FROM tr WHERE vec_id < {_SS20_NQ}) q
+    JOIN tr e ON e.vec_id != q.vec_id
+  ) WHERE rk <= {maxr}
+), xd AS (
+  SELECT s.query_id, s.neighbor_id, s.rk,
+         list_sum(list_transform(list_zip(qf.qv, nf.qv),
+           t -> (t[1]-t[2])*(t[1]-t[2]))) AS xd
+  FROM shl s
+  JOIN base qf ON qf.vec_id = s.query_id
+  JOIN base nf ON nf.vec_id = s.neighbor_id
+){''.join(depth_blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)}) ORDER BY depth"""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register("ss35_truncation_rerank_recall", oracle=_ss35_oracle())
+def ss35_truncation_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation as a FIRST PASS: retrieve a depth-r shortlist
+    in the 16-dim truncated space (ss27's 4×-compression rung — 10.8%
+    recall as a final answer), then exact-re-rank the shortlist with
+    full-dimension int-L2 and score top-5 against the shared truth.
+    This completes the re-rank matrix — every compression basis now
+    has its shortlist-quality row (PQ ss22: 25.2→74.4% by depth 50;
+    SQ ss26: 83.6→100% by depth 25; truncation here) — and answers
+    the deployment question ss27 left open: unstructured truncation
+    is useless as an ANSWER, but is it usable as a CANDIDATE
+    GENERATOR (the Matryoshka serving shape, minus the training)?
+    Measured at sf0.01: depth 5/25/50/100 → 10.8 / 34.8 / 52.8 /
+    68.0% — re-ranking repairs a lot (10.8→68% at depth 100, and the
+    depth-5 row ≡ ss27's dim-16 row, an invariant test_parity pins)
+    but the curve stays far below SQ8's re-rank (100% at depth 25) at
+    the SAME 4× byte budget: even as a mere shortlister, untrained
+    truncation at depth 100 (of 499 candidates!) recovers less than
+    SQ recovers at depth 10, because the dropped dimensions carry
+    half the distance mass (the ss27 isotropy finding, seen from the
+    recovery side). The measured verdict:
+    quantize-then-rerank, don't truncate-then-rerank, on untrained
+    embeddings. ONE truncated ranking at max depth and ONE exact
+    distance pass shared by every depth row (the ss22 rank-slicing
+    rule); both checkpointed, plan-guarded."""
+    from pyspark.sql import Window
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _SS_EVAL_SLICE
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+    truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K, qv=qv)
+    maxr = max(_SS35_DEPTHS)
+    tr = qv.select("vec_id", F.slice("_qv", 1, _SS35_DIM).alias("tv"))
+    q = tr.where(F.col("vec_id") < _SS20_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("tv").alias("_tq")
+    )
+    tdist = F.aggregate(
+        F.zip_with("_tq", "tv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    shl = (
+        tr.select(F.col("vec_id").alias("neighbor_id"), "tv")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_d", tdist)
+        .withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= maxr)
+        .select("query_id", "neighbor_id", "rk")
+        .localCheckpoint(eager=True)
+    )
+    xdist = F.aggregate(
+        F.zip_with("_xq", "_xn", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    xd = (
+        shl.join(
+            qv.select(F.col("vec_id").alias("query_id"), F.col("_qv").alias("_xq")),
+            "query_id",
+        )
+        .join(
+            qv.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("_qv").alias("_xn")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("_xd", xdist)
+        .select("query_id", "neighbor_id", "rk", "_xd")
+        .localCheckpoint(eager=True)
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("_xd").asc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for r in _SS35_DEPTHS:
+        ret = (
+            xd.where(F.col("rk") <= r)
+            .withColumn("_rk2", F.row_number().over(wx))
+            .where(F.col("_rk2") <= _SS20_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(r).cast("long").alias("depth"),
+                "n_truth",
+                "n_hit",
+                recall.alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("depth")

@@ -2349,3 +2349,277 @@ def tx27b_bm25_dense_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_num=num,
         max_df_den=den,
     ).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# tx28/tx29 — unigram-LM tokenizer (Kudo 2018): deterministic integer
+# hard-EM training + Viterbi encode, completing the tokenizer family
+# beside BPE (tx20/tx21: pair-merge bottom-up; here: all-substrings
+# seed pruned top-down by likelihood). Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+# Pinned hard-EM configuration. _TX28_MAXW is the DP unroll bound the
+# oracle replays positions to — the measured max word length of the
+# corpus (8 at BOTH sf0.01 and sf0.1; cross-checked live in
+# tests/test_parity.py, and the engine's segmenter raises past it, the
+# q45 raise-in-pass precedent).
+_TX28_MAXW = 8
+
+
+def _tx28_ctes(source: str = "documents") -> str:
+    from ..operators.text import UNIGRAM_LMAX, UNIGRAM_ROUNDS, UNIGRAM_VOCAB
+    from ._unigram_sql import unigram_ctes
+
+    return unigram_ctes(
+        UNIGRAM_LMAX, UNIGRAM_ROUNDS, UNIGRAM_VOCAB, _TX28_MAXW, source
+    )
+
+
+def _tx28_oracle() -> str:
+    return f"""WITH {_tx28_ctes()}
+SELECT piece, cnt, cost_mb FROM fin ORDER BY cnt DESC, piece"""
+
+
+@register("tx28_unigram_train", oracle=_tx28_oracle())
+def tx28_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic unigram-LM tokenizer training (Kudo 2018 — the
+    SentencePiece unigram model) as integer HARD EM: seed counts from
+    all substrings ≤ 4 chars of the distinct-word vocabulary, three
+    EM rounds of (millibit costs → Viterbi recount with smallest-
+    piece tie-break → char-floored counts), a top-24-by-count prune
+    (single chars never pruned), and one post-prune recount — every
+    intermediate an int64, so the DuckDB oracle replays the ENTIRE
+    trajectory unrolled (queries/_unigram_sql.py: per round, the DP
+    is unrolled position-by-position to the pinned max word length 8
+    and the read-back walk alongside it — the tx20 merge-round
+    pattern applied to a dynamic program). Output: the final model
+    (piece, cnt, cost_mb), 44 rows at the sf0.01 gate — whole words
+    ≤ 4 chars win their own piece ('join' 964, 'hash' 947), longer
+    words settle on stable splits ('cust'+'omer', 'colu'+'mn',
+    'batc'+'h'), and the char tail survives on the floor rule. Scale:
+    the corpus is scanned ONCE into the distinct-word vocab; each
+    round is one Arrow-batched segmentation over that vocab plus a
+    (piece → count) partial agg, and only the vocab-sized cost table
+    touches the driver (operators/text.py unigram_train docstring).
+    Soft EM is documented out of scope: forward-backward marginals
+    are real-valued, and no integer spec could pin them across
+    engines (the tx07-vs-tx07b float-entropy lesson)."""
+    from ..operators.text import unigram_train
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+            ).alias("t")
+        )
+        .select(F.lower(F.col("t")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    model = unigram_train(words, max_word_len=_TX28_MAXW)
+    return model.select("piece", "cnt", "cost_mb").orderBy(
+        F.col("cnt").desc(), "piece"
+    )
+
+
+def _tx29_oracle() -> str:
+    from ..operators.text import UNIGRAM_LMAX
+    from ._unigram_sql import _round_ctes
+
+    # One more Viterbi block under the FINAL model's costs. _round_ctes
+    # derives costs from a counts CTE via the shared milli_log2 twin,
+    # so handing it cF (the final counts) replays exactly the cost
+    # table unigram_encode collects from unigram_train's output.
+    enc = _round_ctes("E", "cF", UNIGRAM_LMAX, _TX28_MAXW)
+    return f"""WITH {_tx28_ctes()}{enc}
+SELECT word, freq, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       STRING_AGG(p, ' ' ORDER BY pos) AS seg
+FROM emE GROUP BY word, freq ORDER BY word"""
+
+
+@register("tx29_unigram_encode", oracle=_tx29_oracle())
+def tx29_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi encode under tx28's trained model — the SentencePiece
+    encode step sharing the training DP's exact integer spec and
+    smallest-piece tie-break (the tx20/tx21 train⇄encode
+    relationship, so the tokenizer is self-consistent end-to-end).
+    One row per distinct corpus word: (word, freq, n_pieces, seg)
+    with ``seg`` the space-joined pieces in position order. The
+    oracle chains ONE more unrolled DP block under the final model's
+    costs onto the full tx28 trajectory — train and encode verify the
+    same learned model, not two derivations that could drift. At the
+    sf0.01 gate: 31 words, 8 single-piece ('join', 'hash', 'data'…),
+    11 split in two ('cust omer', 'colu mn', 'batc h'), and the
+    char-floor tail keeps rare-or-awkward words segmentable ('stream'
+    → 6 chars: with 24 pieces the model spends its budget on the
+    highest-count 4-grams and lets chars carry the rest — the honest
+    small-vocab behavior). Scale: encoding a CORPUS is this same
+    mapInPandas over its distinct words followed by an equi-join back
+    to the token stream (the unigram_surprisal join shape) — the DP
+    never runs per occurrence."""
+    from ..operators.text import unigram_encode, unigram_train
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+            ).alias("t")
+        )
+        .select(F.lower(F.col("t")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    model = unigram_train(words, max_word_len=_TX28_MAXW)
+    return unigram_encode(
+        words, model, max_word_len=_TX28_MAXW
+    ).orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# tx30 — tokenizer comparison: BPE (tx20/tx21) vs unigram-LM
+# (tx28/tx29) on the SAME corpus, corpus-weighted. Registered in
+# OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def _tx30_oracle() -> str:
+    from ..operators.text import UNIGRAM_LMAX, UNIGRAM_ROUNDS, UNIGRAM_VOCAB
+    from ._unigram_sql import _round_ctes, unigram_ctes
+
+    n = _TX20_N_MERGES
+    uni = unigram_ctes(
+        UNIGRAM_LMAX, UNIGRAM_ROUNDS, UNIGRAM_VOCAB, _TX28_MAXW
+    )
+    enc = _round_ctes("E", "cF", UNIGRAM_LMAX, _TX28_MAXW)
+    return f"""WITH {_tx20_ctes()}, {uni}{enc}
+, bmap AS (
+  SELECT replace(rep, ' ', '') AS word,
+         CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
+  FROM v{n}
+), bstats AS (
+  SELECT CAST(SUM(v.freq) AS BIGINT) AS n_words,
+         CAST(SUM(v.freq * b.n_sub) AS BIGINT) AS n_pieces,
+         CAST(SUM(v.freq * length(v.word)) AS BIGINT) AS n_chars
+  FROM wv v JOIN bmap b USING (word)
+), bvocab AS (
+  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS nv FROM (
+    SELECT unnest(string_split(trim(rep), ' ')) AS s FROM v{n})
+), umap AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+  FROM emE GROUP BY word
+), ustats AS (
+  SELECT CAST(SUM(v.freq) AS BIGINT) AS n_words,
+         CAST(SUM(v.freq * u.n_sub) AS BIGINT) AS n_pieces,
+         CAST(SUM(v.freq * length(v.word)) AS BIGINT) AS n_chars
+  FROM wv v JOIN umap u USING (word)
+), uvocab AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM fin
+)
+SELECT * FROM (
+  SELECT 'bpe' AS tokenizer, b.n_words, b.n_pieces,
+         b.n_pieces * 1000 // b.n_words AS fertility_milli,
+         b.n_chars * 1000 // b.n_pieces AS chars_per_piece_milli,
+         (SELECT nv FROM bvocab) AS vocab_size
+  FROM bstats b
+  UNION ALL
+  SELECT 'unigram', u.n_words, u.n_pieces,
+         u.n_pieces * 1000 // u.n_words,
+         u.n_chars * 1000 // u.n_pieces,
+         (SELECT nv FROM uvocab)
+  FROM ustats u
+) ORDER BY tokenizer"""
+
+
+@register("tx30_tokenizer_comparison", oracle=_tx30_oracle())
+def tx30_tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vs unigram-LM, trained and measured on the SAME corpus —
+    the deployment decision the tokenizer family exists to inform,
+    as one hash-pinned row per tokenizer: corpus-weighted word count,
+    total pieces, FERTILITY (pieces per word, integer millis — the
+    number that multiplies every downstream training FLOP), chars per
+    piece (compression), and final vocabulary size. Both chains are
+    the registered trainers verbatim (tx20's 8 merge rounds; tx28's
+    3 EM rounds + prune), so this row can never drift from what
+    tx20/tx28 actually learn; the oracle composes BOTH unrolled
+    fragments in one WITH (the unigram head CTE was renamed ``uw``
+    for exactly this composability). Measured at sf0.01 (pinned in
+    tests/test_parity.py): BPE's 8 merges leave a 32-symbol vocab at
+    fertility 3.737 and 1.206 chars/piece; the unigram model's 44
+    pieces reach fertility 2.635 and 1.710 chars/piece — 29% fewer
+    pieces for the same corpus at a comparable vocab size, because
+    the unigram objective buys high-frequency 4-gram pieces and
+    whole short words directly where BPE's bottom-up pair merges
+    spend early rounds on sub-word fragments (the Bostrom & Durrett
+    2020 finding, reproduced in exact integers on synthetic text).
+    Weighted by corpus occurrences
+    (wv.freq), not distinct words, because fertility bills by
+    occurrence. Scale: both trainers are vocab-sized (the corpus
+    scans once into wv); the comparison adds two equi-joins and two
+    1-row aggregates."""
+    from ..operators.text import (
+        bpe_train,
+        bpe_vocab_map,
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+            ).alias("t")
+        )
+        .select(F.lower(F.col("t")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    bvocab = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.expr("regexp_extract_all(word, '[a-z]', 0)"), " "),
+            F.lit(" "),
+        ).alias("rep"),
+        "freq",
+    )
+    _, final_v = bpe_train(bvocab, "rep", "freq", n_merges=_TX20_N_MERGES)
+    final_v = final_v.localCheckpoint(eager=True)
+    bmap = bpe_vocab_map(final_v).select("word", "n_sub")
+    bn_vocab = (
+        final_v.select(F.explode(F.split(F.trim("rep"), " ")).alias("s"))
+        .agg(F.countDistinct("s").cast("long").alias("nv"))
+    )
+    model = unigram_train(words, max_word_len=_TX28_MAXW)
+    model = model.localCheckpoint(eager=True)
+    umap = unigram_encode(words, model, max_word_len=_TX28_MAXW).select(
+        "word", F.col("n_pieces").alias("n_sub")
+    )
+    un_vocab = model.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+
+    def stats(name: str, wmap: DataFrame, nvocab: DataFrame) -> DataFrame:
+        return (
+            words.join(wmap, "word")
+            .agg(
+                F.sum("freq").cast("long").alias("n_words"),
+                F.sum(F.col("freq") * F.col("n_sub")).cast("long").alias("n_pieces"),
+                F.sum(F.col("freq") * F.length("word")).cast("long").alias("_nc"),
+            )
+            .crossJoin(F.broadcast(nvocab))
+            .select(
+                F.lit(name).alias("tokenizer"),
+                "n_words",
+                "n_pieces",
+                F.expr("n_pieces * 1000 DIV n_words").alias("fertility_milli"),
+                F.expr("_nc * 1000 DIV n_pieces").alias("chars_per_piece_milli"),
+                F.col("nv").alias("vocab_size"),
+            )
+        )
+
+    return (
+        stats("bpe", bmap, bn_vocab)
+        .unionByName(stats("unigram", umap, un_vocab))
+        .orderBy("tokenizer")
+    )

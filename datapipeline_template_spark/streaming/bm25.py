@@ -47,6 +47,8 @@ class IncrementalBm25:
         text_col: str = "text",
         k1_m: int | None = None,
         b_m: int | None = None,
+        max_df_num: int = 1,
+        max_df_den: int = 2,
     ) -> None:
         from ..operators.text import BM25_B_M, BM25_K1_M
 
@@ -55,12 +57,21 @@ class IncrementalBm25:
         self.text_col = text_col
         self.k1_m = BM25_K1_M if k1_m is None else k1_m
         self.b_m = BM25_B_M if b_m is None else b_m
+        # The stopword-prune operating point (df·den > num·N drops a
+        # term) is part of the RANKING spec, not a query-time knob: an
+        # index meant to mirror tx27b's 9/10 point must reproduce it
+        # from streaming state alone, so it is pinned in metadata and
+        # guarded against drift like the k1/b constants.
+        self.max_df_num = max_df_num
+        self.max_df_den = max_df_den
         meta_path = os.path.join(store_path, "bm25_meta.json")
         meta = {
             "id_col": id_col,
             "text_col": text_col,
             "k1_m": self.k1_m,
             "b_m": self.b_m,
+            "max_df_num": max_df_num,
+            "max_df_den": max_df_den,
         }
         if os.path.exists(meta_path):
             stored = json.load(open(meta_path))
@@ -170,5 +181,6 @@ class IncrementalBm25:
             F.explode(tokenize(self.text_col)).alias("_t"),
         ).distinct()
         return bm25_rank_from_index(
-            tf, dl, stats, dfreq, qt, k, self.k1_m, self.b_m
+            tf, dl, stats, dfreq, qt, k,
+            self.k1_m, self.b_m, self.max_df_num, self.max_df_den,
         )

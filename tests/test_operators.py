@@ -2026,6 +2026,24 @@ def test_cm_sketch_guards(spark):
     with pytest.raises(ValueError, match="depth > 0"):
         cm_sketch(ok, "k", depth=0, width=16)
 
+    # cm_estimate mirrors the build-time guards (ADVICE r09): NULL item
+    # keys raise instead of quietly estimating 0 for an unhashable key,
+    # and a depth larger than the build's — the one parameter mismatch
+    # that SILENTLY breaks the overestimate guarantee by flooring every
+    # min to a phantom row's empty cell — is detected from the grid
+    # itself. A depth SMALLER than the build's stays legal (fewer min
+    # candidates, still an overestimate), as does an empty sketch
+    # (empty build stream: every 0 estimate is exact).
+    from datapipeline_template_spark.operators.sketch import cm_estimate
+
+    with pytest.raises(PySparkException, match="non-null"):
+        cm_estimate(sk, df, "k", depth=2, width=16).collect()
+    with pytest.raises(ValueError, match="exceeds the sketch's build depth"):
+        cm_estimate(sk, ok, "k", depth=3, width=16)
+    assert cm_estimate(sk, ok, "k", depth=1, width=16).count() == 2
+    empty = spark.createDataFrame([], "r int, b long, cnt long")
+    assert cm_estimate(empty, ok, "k", depth=2, width=16).count() == 2
+
 
 # ---------------------------------------------------------------------------
 # Rademacher random projection
@@ -2216,3 +2234,90 @@ def test_asof_join_nearest_matches_brute_force(spark, sf_dir):
     for e, v in got.items():
         if e not in lefts_with_rights:
             assert v == (None, None, None)
+
+
+def test_unigram_viterbi_spec(spark):
+    """The pinned Viterbi spec: cheapest total millibit cost wins;
+    ties on cost break to the SMALLEST piece at the boundary (the
+    forward pass keeps the first (shortest) achieving length, the
+    oracle's MIN(l)-over-achieving-edges twin); unsegmentable words
+    (char missing from the model) raise loudly; words longer than the
+    pinned DP unroll raise loudly."""
+    import pytest
+
+    from datapipeline_template_spark.operators.text import (
+        unigram_viterbi_segment,
+    )
+
+    words = spark.createDataFrame([("abc", 2)], "word string, freq long")
+    # 'abc' as one piece (cost 5) beats 'ab'+'c' (3+3) and chars (9).
+    seg = unigram_viterbi_segment(
+        words, {"a": 3, "b": 3, "c": 3, "ab": 3, "abc": 5}
+    ).collect()
+    assert [(r["pos"], r["piece"]) for r in seg] == [(0, "abc")]
+    assert seg[0]["freq"] == 2
+    # Exact tie 'ab'+'c' == 'a'+'bc' == 6: backward read-back hits the
+    # boundary at position 3 first, where the smallest achieving piece
+    # ('c', l=1) wins over 'bc' (l=2) — pinned.
+    seg = unigram_viterbi_segment(
+        words, {"a": 3, "b": 3, "c": 3, "ab": 3, "bc": 3}
+    ).collect()
+    assert sorted((r["pos"], r["piece"]) for r in seg) == [(0, "ab"), (2, "c")]
+    with pytest.raises(Exception, match="not segmentable"):
+        unigram_viterbi_segment(words, {"a": 3, "b": 3}).collect()
+    with pytest.raises(Exception, match="pinned DP unroll"):
+        unigram_viterbi_segment(
+            words, {"a": 3, "b": 3, "c": 3}, max_word_len=2
+        ).collect()
+
+
+def test_unigram_train_model_invariants(spark):
+    """Structural invariants of the trained model on a toy corpus:
+    every single char survives (the floor rule), every count is
+    positive, costs are the exact milli_log2 spec over the final
+    counts, and high-frequency whole words (<= lmax chars) win their
+    own piece."""
+    from datapipeline_template_spark.operators.text import unigram_train
+
+    vocab = spark.createDataFrame(
+        [("spark", 50), ("spar", 3), ("park", 40), ("ark", 7)],
+        "word string, freq long",
+    )
+    model = {r["piece"]: r for r in unigram_train(vocab).collect()}
+    for ch in "spark":
+        assert ch in model
+    assert all(r["cnt"] >= 1 for r in model.values())
+    assert "park" in model  # freq-40 4-gram wins a piece
+    t = sum(r["cnt"] for r in model.values())
+
+    def ml2(x):
+        f = x.bit_length() - 1
+        return 1000 * f + ((x - (1 << f)) * 1000) // (1 << f)
+
+    for r in model.values():
+        assert r["cost_mb"] == ml2(t) - ml2(r["cnt"])
+
+
+def test_unigram_encode_matches_train_segmentation(spark):
+    """unigram_encode under the trained model reproduces, for every
+    word, a segmentation whose pieces concatenate back to the word
+    and whose piece count is consistent with the model's vocabulary
+    (every piece a model key)."""
+    from datapipeline_template_spark.operators.text import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    vocab = spark.createDataFrame(
+        [("banana", 10), ("bandana", 5), ("nab", 2)],
+        "word string, freq long",
+    )
+    model = unigram_train(vocab)
+    pieces = {r["piece"] for r in model.collect()}
+    enc = unigram_encode(vocab, model).collect()
+    assert len(enc) == 3
+    for r in enc:
+        segs = r["seg"].split(" ")
+        assert "".join(segs) == r["word"]
+        assert len(segs) == r["n_pieces"]
+        assert all(p in pieces for p in segs)

@@ -384,3 +384,175 @@ def test_ss33_rotation_null_result_pinned(spark):
     assert (ss20[4]["n_hit"], ss20[8]["n_hit"]) == (38, 63)
     for m in (4, 8):
         assert ss33[m]["n_truth"] == ss20[m]["n_truth"]
+
+
+def test_ss34_chooser_constant_matches_live_tail_measurement(spark):
+    """SS34_CHOSEN_NPROBE (the tail-SLO chooser's pick, pinned for
+    production callers) must equal the LIVE chooser row at the sf0.01
+    gate — the ss12/ss19 closed-loop discipline. Structural ties to
+    ss32: the np=2 row's n_ok must equal the np=2 histogram's mass at
+    n_hit >= 2 (44 = 16+14+11+3), and the full-probe np=8 row must
+    equal the full-scan SQ8 histogram's (50) — same truth, same codes,
+    different reduction."""
+    from datapipeline_template_spark.queries.similarity import (
+        _SS34_MIN_HITS,
+        _SS34_TARGET_MILLI,
+        SS34_CHOSEN_NPROBE,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["n_probe"]: r
+        for r in REGISTRY["ss34_tail_slo_nprobe_chooser"].fn(spark, sf).collect()
+    }
+    chosen = [np for np, r in rows.items() if r["chosen"] == 1]
+    assert chosen == [SS34_CHOSEN_NPROBE], (
+        f"live chooser picked {chosen}, pinned SS34_CHOSEN_NPROBE="
+        f"{SS34_CHOSEN_NPROBE} — re-measure and update the pin+docstring"
+    )
+    assert [rows[np]["ok_milli"] for np in (1, 2, 4, 8)] == [660, 880, 980, 1000]
+    # chosen = smallest n_probe meeting the declared target.
+    meeting = sorted(np for np, r in rows.items() if r["meets_target"] == 1)
+    assert meeting and meeting[0] == SS34_CHOSEN_NPROBE
+    for np, r in rows.items():
+        assert r["meets_target"] == int(r["ok_milli"] >= _SS34_TARGET_MILLI)
+
+    h = {}
+    for r in REGISTRY["ss32_tail_recall_histogram"].fn(spark, sf).collect():
+        h.setdefault(r["variant"], {})[r["n_hit"]] = r["n_queries"]
+    assert rows[2]["n_ok"] == sum(
+        h["ivfsq_np2"][i] for i in range(_SS34_MIN_HITS, 6)
+    )
+    assert rows[8]["n_ok"] == sum(
+        h["sq8_full"][i] for i in range(_SS34_MIN_HITS, 6)
+    )
+
+
+def test_tx28_model_and_tx29_segmentations_pinned(spark):
+    """The unigram-LM docstrings pin the measured sf0.01 model facts:
+    44 final pieces, whole-word winners ('join' 964, 'hash' 947),
+    the stable two-way splits, and the DP-unroll bound (max word
+    length 8 at BOTH gate scales — the oracle unrolls positions to
+    it, so a longer word must fail HERE first)."""
+    import duckdb
+
+    from datapipeline_template_spark.queries.text import _TX28_MAXW
+
+    con = duckdb.connect()
+    for sf in ("0.01", "0.1"):
+        (mx,) = con.execute(
+            "SELECT MAX(length(lower(t))) FROM (SELECT "
+            "unnest(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS t FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet'))"
+        ).fetchone()
+        assert mx <= _TX28_MAXW, (
+            f"max word length {mx} at sf{sf} exceeds the pinned DP "
+            f"unroll {_TX28_MAXW} — re-measure and re-pin"
+        )
+
+    sf = "/root/testdata/sf0.01"
+    model = {
+        r["piece"]: r["cnt"]
+        for r in REGISTRY["tx28_unigram_train"].fn(spark, sf).collect()
+    }
+    assert len(model) == 44
+    assert model["join"] == 964 and model["hash"] == 947
+    enc = {
+        r["word"]: (r["n_pieces"], r["seg"])
+        for r in REGISTRY["tx29_unigram_encode"].fn(spark, sf).collect()
+    }
+    assert len(enc) == 31
+    assert enc["customer"] == (2, "cust omer")
+    assert enc["column"] == (2, "colu mn")
+    assert enc["join"] == (1, "join")
+    assert sum(1 for n, _ in enc.values() if n == 1) == 8
+    # Encode is self-consistent with the model: every emitted piece is
+    # a model entry and concatenates back to its word.
+    for w, (n, seg) in enc.items():
+        parts = seg.split(" ")
+        assert "".join(parts) == w and len(parts) == n
+        assert all(p in model for p in parts)
+
+
+def test_dd20_overlap_matrix_pinned_and_structural(spark):
+    """dd20's docstring pins the measured sf0.01 overlap story (exact
+    marks zero; lexical family coheres; semantic family near-disjoint
+    and dominant) — a method-spec change must fail HERE, not silently
+    invalidate the prose. Structural invariants hold at any corpus:
+    semdedup ⊂ d4 (so its unique count is 0 and its d4-overlap is its
+    size), n_both ≤ min(n_a, n_b), and Σ unique ≤ |union|."""
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["dd20_dedup_overlap_matrix"].fn(spark, sf).collect()
+    pair = {
+        (r["method_a"], r["method_b"]): r for r in rows if r["kind"] == "pair"
+    }
+    uniq = {r["method_a"]: r for r in rows if r["kind"] == "unique"}
+    assert len(pair) == 15 and len(uniq) == 6
+
+    # Pinned sf0.01 measurements.
+    assert uniq["exact"]["n_a"] == 0
+    assert (uniq["minhash"]["n_a"], uniq["chunk"]["n_a"],
+            uniq["substr"]["n_a"]) == (26, 38, 21)
+    assert (uniq["semdedup"]["n_a"], uniq["d4"]["n_a"]) == (200, 258)
+    assert uniq["d4"]["n_b"] == 283  # |union of all marks|
+    assert (uniq["d4"]["n_both"], uniq["chunk"]["n_both"],
+            uniq["minhash"]["n_both"], uniq["substr"]["n_both"],
+            uniq["semdedup"]["n_both"]) == (51, 10, 3, 4, 0)
+    assert pair[("chunk", "minhash")]["n_both"] == 13
+    assert pair[("minhash", "substr")]["n_both"] == 11
+    assert pair[("minhash", "semdedup")]["n_both"] == 12
+
+    # Structural invariants.
+    sem_d4 = pair[("d4", "semdedup")]
+    assert sem_d4["n_both"] == sem_d4["n_b"] == uniq["semdedup"]["n_a"]
+    for r in pair.values():
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+    union = uniq["d4"]["n_b"]
+    assert all(u["n_b"] == union for u in uniq.values())
+    assert sum(u["n_both"] for u in uniq.values()) <= union
+
+
+def test_ss35_rerank_curve_and_ss27_tie_pinned(spark):
+    """ss35's docstring pins the measured truncate→re-rank curve
+    (10.8/34.8/52.8/68.0% at depth 5/25/50/100). Structural tie: the
+    depth-5 row IS ss27's dim-16 row (re-ranking 5 candidates for
+    top-5 changes nothing), and recall must be depth-monotone."""
+    sf = "/root/testdata/sf0.01"
+    ss35 = {
+        r["depth"]: r
+        for r in REGISTRY["ss35_truncation_rerank_recall"].fn(spark, sf).collect()
+    }
+    assert [ss35[d]["n_hit"] for d in (5, 25, 50, 100)] == [27, 87, 132, 170]
+    ss27 = {
+        r["dim"]: r["n_hit"]
+        for r in REGISTRY["ss27_dim_truncation_recall"].fn(spark, sf).collect()
+    }
+    assert ss35[5]["n_hit"] == ss27[16]
+    hits = [ss35[d]["n_hit"] for d in sorted(ss35)]
+    assert hits == sorted(hits)
+
+
+def test_tx30_comparison_consistent_with_tokenizers(spark):
+    """tx30's rows must be DERIVABLE from the tokenizers it compares:
+    the unigram fertility ties to tx29's per-word segmentations
+    weighted by corpus frequency, the vocab sizes to tx28's model and
+    tx20's final symbol set, and the docstring pins the measured
+    sf0.01 values (BPE 3.737 pieces/word vs unigram 2.635)."""
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["tokenizer"]: r
+        for r in REGISTRY["tx30_tokenizer_comparison"].fn(spark, sf).collect()
+    }
+    assert rows["bpe"]["fertility_milli"] == 3737
+    assert rows["unigram"]["fertility_milli"] == 2635
+    assert rows["bpe"]["n_words"] == rows["unigram"]["n_words"] == 27165
+    assert rows["unigram"]["vocab_size"] == 44
+    model = REGISTRY["tx28_unigram_train"].fn(spark, sf).collect()
+    assert rows["unigram"]["vocab_size"] == len(model)
+    # Unigram n_pieces == Σ freq·n_pieces over tx29's segmentations.
+    enc = {
+        r["word"]: r
+        for r in REGISTRY["tx29_unigram_encode"].fn(spark, sf).collect()
+    }
+    want = sum(r["freq"] * r["n_pieces"] for r in enc.values())
+    assert rows["unigram"]["n_pieces"] == want

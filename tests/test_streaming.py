@@ -1943,12 +1943,33 @@ def test_incremental_bm25_matches_batch(spark, tmp_path, sf_dir):
     inc.process_batch(b2, batch_id=1)
     assert ranked(inc.topk(queries, k=3)) == want
 
-    # Param guard + empty state.
+    # Param guard + empty state. The stopword-prune operating point is
+    # part of the pinned spec — a store built at the default 1/2 ratio
+    # must refuse to serve as a 9/10 (tx27b-point) index.
     with pytest.raises(ValueError, match="built with"):
         IncrementalBm25(store, k1_m=1500)
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalBm25(store, max_df_num=9, max_df_den=10)
     IncrementalBm25(store)
     fresh = IncrementalBm25(str(tmp_path / "fresh"))
     assert fresh.topk(queries, k=3).count() == 0
+
+    # A store PINNED at tx27b's 9/10 prune point reproduces the batch
+    # operator at that point from streaming state alone (the ADVICE-r09
+    # gap: topk() used to hardwire 1/2 regardless of intent).
+    dense = IncrementalBm25(
+        str(tmp_path / "dense"), max_df_num=9, max_df_den=10
+    )
+    dense.process_batch(b1, batch_id=0)
+    dense.process_batch(b2, batch_id=1)
+    want_dense = ranked(
+        bm25_topk(docs, queries, "doc_id", "text", k=3,
+                  max_df_num=9, max_df_den=10)
+    )
+    got_dense = ranked(dense.topk(queries, k=3))
+    assert got_dense == want_dense and len(got_dense) > 0
+    # The operating point is live: 9/10 keeps terms 1/2 prunes.
+    assert got_dense != got
 
 
 def test_incremental_kmv_answers_rolling_windows_by_merge(spark, tmp_path, sf_dir):
@@ -2002,3 +2023,191 @@ def test_incremental_kmv_answers_rolling_windows_by_merge(spark, tmp_path, sf_di
         for r in load_all()["q48_kmv_rolling_distinct"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_unigram_lm_equals_batch_train(spark, tmp_path, sf_dir):
+    """18th incremental family (IncrementalUnigramLm): word counts are
+    additive per micro-batch, so the model trained from maintained
+    state equals unigram_train over a batch-built vocab of every text
+    drained — at ANY drain point, including mid-stream where the model
+    genuinely differs from the final one (counts changed ⇒ Viterbi
+    paths changed ⇒ models are re-derived, never patched). Replays
+    no-op; a crash window self-repairs; configuration mismatches
+    refuse to merge."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.text import unigram_train
+    from datapipeline_template_spark.streaming.unigram import (
+        IncrementalUnigramLm,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where("doc_id < 60")
+    b2 = docs.where("doc_id >= 60 AND doc_id < 120")
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "uni_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = IncrementalUnigramLm(store)
+
+    def model_rows(df):
+        return {(r["piece"], r["cnt"], r["cost_mb"]) for r in df.collect()}
+
+    def batch_vocab(df):
+        return (
+            df.select(
+                F.explode(
+                    F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+                ).alias("t")
+            )
+            .select(F.lower(F.col("t")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        ckpt,
+    )
+    mid = model_rows(inc.train(spark))
+    want_mid = model_rows(unigram_train(batch_vocab(b1)))
+    assert mid == want_mid and len(mid) > 0
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        ckpt,
+    )
+    want = model_rows(unigram_train(batch_vocab(docs.where("doc_id < 120"))))
+    assert model_rows(inc.train(spark)) == want
+    # The count shift is real: the grown corpus changes the model, so
+    # patching a maintained model would be wrong — full retrain is the
+    # contract (the IncrementalBpeVocab argument).
+    assert want != mid
+
+    # Replay no-op + crash-window repair.
+    inc.process_batch(b1, batch_id=0)
+    assert model_rows(inc.train(spark)) == want
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert model_rows(inc.train(spark)) == want
+
+    # Config guard + empty state.
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalUnigramLm(store, vocab_size=99)
+    IncrementalUnigramLm(store)
+    fresh = IncrementalUnigramLm(str(tmp_path / "fresh"))
+    assert fresh.train(spark).count() == 0
+
+
+def test_streaming_manifest_matches_batch_pipe15_pipe17(spark, tmp_path, sf_dir):
+    """The composed-manifest maintainer (StreamingManifest — the r9
+    verdict's composition of StreamingCuration + IncrementalDecon +
+    IncrementalDsir): drain (doc, embedding) rows in two AvailableNow
+    passes; after EVERY drain the maintained decon/DSIR keep sets
+    equal the batch compositions under the same frozen artifacts
+    (batch_manifest_keep), and at the final drain — where the seen
+    corpus IS the artifact-deriving corpus — manifest() equals the
+    registry pipe15 / pipe17 rows VERBATIM. Replays no-op; a crash
+    window (composer marker + one sub-maintainer marker lost)
+    self-repairs; eval/target config mismatches refuse to merge."""
+    import os
+
+    import pytest
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import (
+        k_for_corpus,
+        kmeans_fit,
+    )
+    from datapipeline_template_spark.operators.text import logodds_weights
+    from datapipeline_template_spark.queries import load_all
+    from datapipeline_template_spark.streaming.curation import (
+        StreamingManifest,
+        batch_manifest_keep,
+    )
+
+    registry = load_all()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    full = docs.join(emb, on="doc_id").localCheckpoint(eager=True)
+    cent = kmeans_fit(
+        emb, "doc_id", "embedding", k=k_for_corpus(emb.count()), n_iter=4
+    )
+    weights = logodds_weights(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    ).localCheckpoint(eager=True)
+    eval_docs = docs.where(F.col("source") == "src0").select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=True)
+
+    schema_str = (
+        "doc_id long, text string, source string, n_chars long, "
+        "embedding array<float>"
+    )
+    src = tmp_path / "rows"
+    src.mkdir()
+    store = str(tmp_path / "mf_store")
+    ckpt = str(tmp_path / "ckpt")
+    inc = StreamingManifest(store, cent, weights, eval_docs)
+
+    def _ids(df):
+        return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+    batch1 = full.where("doc_id < 30")
+    batch2 = full.where("doc_id >= 30")
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+    b1docs = batch1.select("doc_id", "text", "source", "n_chars")
+    b1emb = batch1.select("doc_id", "embedding")
+    for gate in ("decon", "dsir"):
+        want = _ids(
+            batch_manifest_keep(
+                b1docs, b1emb, cent, weights, eval_docs, gate=gate
+            )
+        )
+        got = _ids(inc.decon_keep(spark) if gate == "decon" else inc.dsir_keep(spark))
+        assert got == want, gate
+    assert _ids(inc.decon_keep(spark)), "mid-drain fixture must keep docs"
+
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema_str).parquet(str(src)), ckpt
+    )
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # The seen corpus IS the artifact-deriving corpus: the maintained
+    # manifests equal the registry compositions verbatim.
+    want15 = _rows(registry["pipe15_decontaminated_manifest"].fn(spark, sf_dir))
+    got15 = _rows(inc.manifest(spark, sf_dir, gate="decon"))
+    assert got15 == want15 and len(got15) > 0
+    want17 = _rows(registry["pipe17_dsir_manifest"].fn(spark, sf_dir))
+    got17 = _rows(inc.manifest(spark, sf_dir, gate="dsir"))
+    assert got17 == want17 and len(got17) > 0
+    # The DSIR gate is live: it must strictly tighten the decon set.
+    assert len(got17) < len(got15)
+
+    # Replay no-op + crash window (composer + one sub-maintainer).
+    keep_before = _ids(inc.dsir_keep(spark))
+    inc.process_batch(batch1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    os.remove(os.path.join(store, "decon", "_commits", "1"))
+    inc.process_batch(batch2, batch_id=1)
+    assert _ids(inc.dsir_keep(spark)) == keep_before
+
+    # Config guard: a different eval source or target refuses to merge.
+    with pytest.raises(ValueError, match="built with"):
+        StreamingManifest(store, cent, weights, eval_docs, eval_source="src1")

@@ -810,6 +810,32 @@ def main() -> None:
     )
 
     section(
+        "ss34_tail_slo_nprobe_chooser",
+        "tail-SLO n_probe chooser: probe ranks computed once at max "
+        "n_probe, SQ distances once over the widest candidate set "
+        "(checkpointed); each operating point is then a rank filter + "
+        "per-query row_number window over the same bounded frame - "
+        "four windows, zero re-routing, zero re-scoring",
+        [
+            ("Per-point rank windows", r"Window \[row_number[^\n]{0,60}"),
+            ("Shared checkpoint scans", r"Scan ExistingRDD[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "dd20_dedup_overlap_matrix",
+        "dedup-method overlap matrix: six marked-set derivations "
+        "(each its method's documented plan) union into one "
+        "(method, doc) frame; the matrix is a doc_id-keyed self-join "
+        "bounded by 15 method pairs plus literal-grid broadcast "
+        "joins - no cartesian product anywhere",
+        [
+            ("Matrix self-join", r"SortMergeJoin[^\n]{0,60}"),
+            ("Grid broadcasts", r"BroadcastHashJoin[^\n]{0,50}"),
+        ],
+    )
+
+    section(
         "ss33_rrpq_recall",
         "RR-PQ: the signed permutation is inlined literals (map-only "
         "array projection, no join/exchange before the rotated "
