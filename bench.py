@@ -201,6 +201,24 @@ SECONDARY = [
     # shapes in their registry rows), and the matrix's own reduction
     # is a bounded (method, doc) self-join. Run-on-demand audit, the
     # dd19 class.
+    # round-10 session-2 additions: q49 builds both grids once and
+    # folds the narrower widths (the q47 in-query sharing rule) — its
+    # exact-rider join is the calibration cost the docstring indicts;
+    # pk10 is one window pass; dd21 is the prefix-filter similarity
+    # join's full-composition row (explode + rank + candidate join +
+    # verify); ss36 re-derives ss14's edges (the dd19 cheap-recompute
+    # class) plus five checkpointed |E|-row rounds; q50 is two keyed
+    # aggregates.
+    "q49_cm_join_cardinality",
+    "pk10_weighted_sample",
+    "dd21_prefix_filter_join",
+    "ss36_pagerank_centrality",
+    "q50_activity_trend",
+    # ss37 re-runs ss36's walk (the expensive object) and adds one
+    # label join + one window — the tx29 rule: the composition row
+    # prices the loop end-to-end; its delta over ss36 is the
+    # sampling marginal.
+    "ss37_centrality_weighted_sample",
 ]
 
 

@@ -55,6 +55,8 @@ __all__ = [
     "duplicate_discount_weights",
     "remove_dup_spans",
     "content_defined_chunks",
+    "prefix_filter_candidates",
+    "prefix_filter_pairs",
 ]
 
 
@@ -1167,3 +1169,132 @@ def duplicate_discount_weights(
         )
     )
     return clustered.unionByName(singletons)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (SSJoin/PPJoin family) — exact
+# Jaccard join WITHOUT all-pairs and WITHOUT LSH's false negatives.
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_candidates(
+    df: DataFrame, id_col: str, set_col: str, t_milli: int
+) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b)`` under the prefix filter
+    (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin 2008): order
+    every set by GLOBAL rarity (document frequency asc, value asc —
+    one total order shared by all sets), keep each set's first
+    |x| − ceil(t·|x|) + 1 elements, and emit pairs sharing ANY prefix
+    element. The lemma: if J(A,B) ≥ t and prefix(A) ∩ prefix(B) = ∅
+    under a common total order, then A∩B fits inside the suffixes,
+    |A∩B| ≤ ceil(t·|A|) − 1 < t·|A| ≤ t·|A∪B| — contradiction. So
+    recall is 1.0 BY CONSTRUCTION (test-pinned against brute force),
+    unlike MinHash-LSH's probabilistic recall (dd03/dd18); the price
+    is candidates from common elements that LSH's banding would have
+    suppressed. Rarity ordering is what makes the filter bite: the
+    prefix holds each set's RAREST elements, so frequent elements
+    (which would pair everything with everything) never block.
+
+    ceil(t·s) runs in exact integers as (t_milli·s + 999) div 1000.
+    Plan shape: one exploded groupBy for document frequencies, one
+    per-set rank window, one equi-join on the prefix element — never
+    an all-pairs product; the join key is rare by construction, so
+    the candidate blow-up is bounded by rare-element co-occurrence
+    (measured at sf0.01: 965 candidates of 124,750 possible pairs)."""
+    if not 0 < t_milli <= 1000:
+        raise ValueError("t_milli must be in (0, 1000]")
+    # SET semantics: Jaccard, sizes and the prefix bound are all over
+    # distinct elements — dedup the arrays up front (shingle_tokens
+    # can emit repeats; a repeat would inflate |x| and mis-place the
+    # prefix boundary).
+    df = df.withColumn(set_col, F.array_distinct(F.col(set_col)))
+    e = df.select(F.col(id_col).alias("_id"), F.explode(set_col).alias("_s"))
+    dfq = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    sz = df.select(
+        F.col(id_col).alias("_id"), F.size(set_col).cast("long").alias("_sz")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy("_df", "_s")
+    ceil_ts = F.lit(t_milli) * F.col("_sz") + F.lit(999)
+    ceil_ts = ((ceil_ts - (ceil_ts % 1000)) / 1000).cast("long")
+    pref = (
+        e.join(dfq, "_s")
+        .withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(sz, "_id")
+        .where(F.col("_rn") <= F.col("_sz") - ceil_ts + 1)
+        .select("_id", "_s")
+        # The prefix frame feeds BOTH sides of the candidate self-join;
+        # without materialization Catalyst evaluates the whole
+        # explode → df-count → rank derivation TWICE (plan-guard
+        # caught the duplicated window subtree).
+        .localCheckpoint(eager=True)
+    )
+    return (
+        pref.alias("a")
+        .join(pref.alias("b"), "_s")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame, id_col: str, set_col: str, t_milli: int
+) -> DataFrame:
+    """Exact set-similarity join: all pairs with Jaccard ≥ t_milli/1000,
+    as ``(id_a, id_b, inter_n, union_n, jac_milli)`` — prefix-filtered
+    candidates (recall 1.0 by the prefix lemma), then EXACT integer
+    verification (inter·1000 ≥ t_milli·union; jac_milli = inter·1000
+    div union). Equals the all-pairs brute force exactly
+    (test-pinned), at candidate-join cost: the 100 TB shape is
+    explode → df-count → rank window → rare-key equi-join → verify
+    on candidates only. Arrays travel to the verify join only for
+    candidate ids — never for the full cross product."""
+    cand = prefix_filter_candidates(df, id_col, set_col, t_milli)
+    sets = df.select(
+        F.col(id_col).alias("_vid"),
+        F.array_distinct(F.col(set_col)).alias("_vset"),
+    )
+    inter = F.size(F.array_intersect("_aset", "_bset")).cast("long")
+    return (
+        cand.join(
+            sets.select(
+                F.col("_vid").alias("id_a"), F.col("_vset").alias("_aset")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_vid").alias("id_b"), F.col("_vset").alias("_bset")
+            ),
+            "id_b",
+        )
+        .withColumn("inter_n", inter)
+        .withColumn(
+            "union_n",
+            (
+                F.size("_aset").cast("long")
+                + F.size("_bset").cast("long")
+                - F.col("inter_n")
+            ),
+        )
+        .where(F.col("inter_n") * 1000 >= F.lit(t_milli) * F.col("union_n"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_n",
+            "union_n",
+            (
+                (
+                    F.col("inter_n") * 1000
+                    - (F.col("inter_n") * 1000) % F.col("union_n")
+                )
+                / F.col("union_n")
+            )
+            .cast("long")
+            .alias("jac_milli"),
+        )
+    )

@@ -24,6 +24,8 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "quota_sample",
+    "weighted_race_key",
+    "weighted_sample_topk",
 ]
 
 _KNUTH = 2_654_435_761
@@ -252,3 +254,93 @@ def temperature_sample(
     return quota_sample(
         df, key=key, stratum_col=stratum_col, quotas=quotas, **quota_kwargs
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement: the Efraimidis–Spirakis
+# exponential race in exact integer millibits (pk10's primitive).
+# ---------------------------------------------------------------------------
+
+# milli_log2(KMV_P) — derived from the constants, not a magic number.
+def _ml2(x: int) -> int:
+    f = x.bit_length() - 1
+    return 1000 * f + ((x - (1 << f)) * 1000) // (1 << f)
+
+
+def weighted_race_key(key: Column | str, weight: Column | str) -> Column:
+    """Integer Efraimidis–Spirakis race key: smaller wins.
+
+    A-ES (Efraimidis & Spirakis 2006) draws u_i ~ U(0,1) per item and
+    keeps the k LARGEST u_i^(1/w_i) — equivalently the k SMALLEST
+    exponential variates e_i = -ln(u_i)/w_i, which is the form that
+    survives integer arithmetic: u_i comes from the engine's
+    deterministic quadratic hash (kmv_hash(key)+1)/P, -log2(u_i) is
+    the millibit difference milli_log2(P) - milli_log2(h+1) (both
+    sides of the SAME under-approximating spec, so the difference is
+    a consistent quantized exponential), and the weight divides it in
+    exact integer microbit units: race = e_mb * 1_000_000 div w.
+
+    P(item wins the race) tracks w_i / sum(w) up to the millibit
+    quantization (±87 mb on ~31,000 mb of range — a <0.6% rank
+    distortion, identical across engines and runs). Weights must be
+    POSITIVE integers — NULL/zero/negative raise loudly (a zero
+    weight would divide-by-zero as an 'always wins' sentinel; make
+    exclusion explicit upstream instead). Ties (same race value)
+    break on the key for a total order. Deterministic: membership
+    depends only on (key, weight), never partitioning — and replays
+    in DuckDB via the same hash + _milli_log2_sql fragments."""
+    from ..functions import milli_log2
+    from .sketch import KMV_P, kmv_hash
+
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = (F.col(weight) if isinstance(weight, str) else weight).cast("long")
+    w = F.when(wc > 0, wc).otherwise(
+        F.raise_error(
+            F.lit("weighted_race_key needs positive integer weights")
+        ).cast("long")
+    )
+    e_mb = F.lit(_ml2(KMV_P)).cast("long") - milli_log2(kmv_hash(kc) + F.lit(1))
+    num = e_mb * F.lit(1_000_000)
+    return ((num - (num % w)) / w).cast("long")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    stratum_cols=None,
+    race_col: str = "race",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k
+    smallest race keys per stratum (ascending ``race``, key
+    tie-break), carrying every input column plus ``race``/``rk``.
+
+    This is one per-stratum window over a race key that is a PURE
+    FUNCTION of (key, weight) — which buys the two properties that
+    matter at 100 TB: (1) no global shuffle beyond the stratum
+    partition (the same shape every top-k-per-group query pays), and
+    (2) MERGEABILITY — the top-k of a union is the top-k of the
+    per-part top-k's, so per-batch/per-day winner sets of size k are
+    the only state a maintained sample needs (streaming/
+    weighted_sample.py; the KMV argument applied to sampling).
+    Re-compaction, engine swap, replay: same sample."""
+    if k <= 0:
+        raise ValueError("need k > 0")
+    from pyspark.sql import Window
+
+    gs = (
+        [stratum_cols]
+        if isinstance(stratum_cols, str)
+        else list(stratum_cols or [])
+    )
+    raced = df.withColumn(race_col, weighted_race_key(key, weight_col))
+    w = (
+        Window.partitionBy(*gs).orderBy(race_col, key)
+        if gs
+        else Window.partitionBy().orderBy(race_col, key)
+    )
+    return raced.withColumn(
+        rank_col, F.row_number().over(w).cast("long")
+    ).where(F.col(rank_col) <= k)

@@ -801,3 +801,43 @@ def cm_estimate(
         .groupBy(*carried)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col))
     )
+
+
+def cm_inner_product(a: DataFrame, b: DataFrame, out_col: str = "est") -> DataFrame:
+    """Equi-join CARDINALITY estimate from two Count-Min grids: a
+    one-row frame ``(out_col long)`` holding min over depth rows r of
+    sum_b a[r][b] * b[r][b] — the AMS/CM inner-product estimator of
+    |A JOIN B| = sum_k f_A(k) * f_B(k) (Cormode & Muthukrishnan 2005,
+    section 4.2; Alon-Matias-Szegedy's F2 idea applied to two
+    streams).
+
+    Every depth row is independently a GUARANTEED overestimate: row r
+    of the product expands to sum over cells of (sum of f_A over keys
+    in the cell) * (sum of f_B over keys in the cell), which contains
+    every true f_A(k)*f_B(k) term plus non-negative cross-key
+    collision mass — so the min over rows is still >= truth, with
+    expected slack |A|*|B|/width per row. This is the sketch-driven
+    JOIN PLANNER primitive: two O(depth*width) grids built on
+    independent scans (or merged by addition from per-day/per-source
+    grids — cells are additive, the q47 mergeability story) price a
+    join's output size BEFORE running it — pick broadcast vs shuffle,
+    or veto a runaway key, without touching the other table.
+
+    Both grids must be built at the SAME width (mis-matched widths
+    mis-address cells — not detectable from the grids themselves,
+    same documented hazard as cm_estimate's width argument). Depth
+    rows are matched by r; a row present in only one grid is dropped
+    by the equi-join, which stays a valid overestimate (each common
+    row already covers BOTH full streams). An empty grid means an
+    empty build stream, so the empty-join result coalesces to the
+    exact answer 0. The join is grid-sized (<= depth*width rows per
+    side), never data-sized."""
+    pr = (
+        a.select("r", "b", F.col("cnt").alias("_ca"))
+        .join(b.select("r", "b", F.col("cnt").alias("_cb")), ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_ip"))
+    )
+    return pr.agg(
+        F.coalesce(F.min("_ip"), F.lit(0).cast("long")).alias(out_col)
+    )

@@ -171,6 +171,13 @@ _OVERFLOW = (
     "dd20_dedup_overlap_matrix",
     "ss35_truncation_rerank_recall",
     "tx30_tokenizer_comparison",
+    # Round 10:
+    "q49_cm_join_cardinality",
+    "pk10_weighted_sample",
+    "dd21_prefix_filter_join",
+    "ss36_pagerank_centrality",
+    "q50_activity_trend",
+    "ss37_centrality_weighted_sample",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

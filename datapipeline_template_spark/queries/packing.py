@@ -928,3 +928,87 @@ def pk09_sorted_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# pk10 — token-weighted document sampling (Efraimidis–Spirakis race in
+# exact integer millibits). Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_PK10_K = 15
+
+
+def _pk10_oracle() -> str:
+    """GENERATED from the operator constants via the shared _race_sql
+    fragment (quadratic kmv hash → millibit exponential variate →
+    integer microbit weight division) plus the per-source rank window
+    — operators/sampling.py weighted_race_key / weighted_sample_topk
+    replayed integer-for-integer; ss37's oracle shares the same race
+    spec."""
+    from ._bm25_sql import _race_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         COALESCE(CAST(len(list_filter(string_split(text, ' '),
+                                       t -> t != '')) AS BIGINT), 0) AS n_tok
+  FROM documents
+), raced AS (
+  SELECT doc_id, source, n_tok,
+         {_race_sql('doc_id', 'n_tok')} AS race
+  FROM d WHERE n_tok > 0
+), ranked AS (
+  SELECT source, doc_id, n_tok, race,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY race ASC, doc_id ASC
+         ) AS rk
+  FROM raced
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tok, race
+FROM ranked WHERE rk <= {_PK10_K}
+ORDER BY source, rk
+"""
+
+
+@register("pk10_weighted_sample", oracle=_pk10_oracle())
+def pk10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TOKEN-WEIGHTED document sample, 15 per source —
+    the missing sampling mode between pk05's uniform quotas and pk06's
+    stratum-level temperature allocation: WITHIN a stratum, pick
+    documents with probability proportional to their token mass
+    (training pipelines sample token budgets, not doc counts — a
+    10,000-token doc should enter a token-budgeted subset ~100x as
+    often as a 100-token doc). Efraimidis–Spirakis 2006 exponential
+    race, run in exact integer arithmetic: u from the engine's
+    quadratic hash of doc_id, -log2(u) as the millibit difference of
+    two milli_log2 calls (consistent quantized exponential; ±87 mb
+    on ~31,000 mb of range, <0.6% rank distortion), divided by the
+    whitespace token count in integer microbit units. Zero-token docs
+    are excluded explicitly (the operator raises on non-positive
+    weights rather than minting an always-wins sentinel).
+
+    Scale shape: the race key is a PURE FUNCTION of (doc_id, n_tok) —
+    no global state, no seed-vs-partitioning hazard — so the sample
+    is identical across runs, re-compactions and engines, and the
+    winner set is MERGEABLE (top-k of per-part top-k's == top-k of
+    the union; streaming/weighted_sample.py maintains exactly that).
+    One per-source rank window is the only shuffle. Every stage is
+    exact int64, DuckDB-hash-verified."""
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).alias("n_tok"),
+    )
+    return (
+        weighted_sample_topk(
+            docs.where(F.col("n_tok") > 0),
+            key="doc_id",
+            weight_col="n_tok",
+            k=_PK10_K,
+            stratum_cols="source",
+        )
+        .select("source", "rk", "doc_id", "n_tok", "race")
+        .orderBy("source", "rk")
+    )

@@ -1694,3 +1694,319 @@ def q48_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q49 — Count-Min inner-product JOIN-SIZE estimation: the sketch-driven
+# join planner primitive (AMS/CM, Cormode & Muthukrishnan 2005 §4.2).
+# Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_Q49_DEPTH = 4
+_Q49_WIDTHS = (16, 64, 256, 1024)
+
+
+def _q49_oracle() -> str:
+    """GENERATED from the operator constants: the row-stepped quadratic
+    mix, per-width counter grids for BOTH key streams (g mod w directly
+    — the grid cm_fold derives), the per-depth-row inner products and
+    their min — operators/sketch.py cm_sketch/cm_fold/cm_inner_product
+    replayed integer-for-integer, with the exact join-count rider."""
+    from ..operators.sketch import (
+        CM_A_STEP,
+        CM_B_STEP,
+        CM_C_STEP,
+        KMV_A,
+        KMV_B,
+        KMV_C,
+        KMV_P,
+    )
+
+    p = KMV_P
+
+    def mix(h: str) -> str:
+        x0 = f"((({h}) % {p}) + {p}) % {p}"
+        a = f"(({KMV_A} + {CM_A_STEP} * r) % {p})"
+        b = f"(({KMV_B} + {CM_B_STEP} * r) % {p})"
+        c = f"(({KMV_C} + {CM_C_STEP} * r) % {p})"
+        return (
+            f"(((((({x0}) * ({x0})) % {p}) * {a}) % {p}"
+            f" + ((({x0}) * {b}) % {p}) + {c}) % {p})"
+        )
+
+    width_ctes, selects = [], []
+    for w in _Q49_WIDTHS:
+        width_ctes.append(f"""ca{w} AS (
+  SELECT r, g % {w} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ma GROUP BY 1, 2
+), cb{w} AS (
+  SELECT r, g % {w} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM mb GROUP BY 1, 2
+), ip{w} AS (
+  SELECT r, CAST(SUM(ca{w}.cnt * cb{w}.cnt) AS BIGINT) AS ip
+  FROM ca{w} JOIN cb{w} USING (r, b) GROUP BY r
+), est{w} AS (
+  SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) AS est_n FROM ip{w}
+)""")
+        selects.append(
+            f"SELECT CAST({w} AS BIGINT) AS width, s.n_left, s.n_right,\n"
+            f"       s.exact_n, e.est_n,\n"
+            f"       e.est_n - s.exact_n AS over_n,\n"
+            f"       CAST(e.est_n - s.exact_n AS DOUBLE) / s.exact_n AS rel_over,\n"
+            f"       CAST((e.est_n * 1000) // s.n_left AS BIGINT) AS amp_est_milli\n"
+            f"FROM est{w} e CROSS JOIN stats s"
+        )
+    return f"""
+WITH ea AS (
+  SELECT user_id AS k FROM events WHERE user_id IS NOT NULL
+), ob AS (
+  SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+),
+ma AS (
+  SELECT r, {mix('k')} AS g FROM ea, unnest(range(0, {_Q49_DEPTH})) AS d(r)
+),
+mb AS (
+  SELECT r, {mix('k')} AS g FROM ob, unnest(range(0, {_Q49_DEPTH})) AS d(r)
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ea) AS n_left,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ob) AS n_right,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM ea JOIN ob ON ea.k = ob.k)  AS exact_n
+),
+{', '.join(width_ctes)}
+SELECT * FROM ({' UNION ALL '.join(selects)})
+ORDER BY width
+"""
+
+
+@register("q49_cm_join_cardinality", oracle=_q49_oracle())
+def q49_cm_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join OUTPUT-SIZE estimation from two Count-Min grids —
+    the sketch family applied to the planner question itself: how big
+    is events JOIN orders on user key, BEFORE running it? |A JOIN B| =
+    sum_k f_A(k) * f_B(k) is exactly the inner product of the two key
+    frequency vectors, and two O(depth*width) CM grids (built on
+    independent scans that never see each other, or MERGED by cell
+    addition from per-day/per-source grids — the q47 mergeability
+    story) estimate it as min over depth rows of the cell-wise
+    product sum. Every depth row is a GUARANTEED overestimate
+    (collision cross-terms only add — test-pinned), expected slack
+    |A|*|B|/width per row; the min tightens it. At 100 TB this is the
+    broadcast-vs-shuffle/runaway-join veto: the exact answer costs
+    the very shuffle you are deciding whether to run, the sketch
+    answer costs two map-side-combined scans you already paid for
+    ingest stats.
+
+    Four widths measure the error law on real FK multiplicities
+    (events.user_id x orders.o_custkey, a genuine many-to-many pair:
+    exact join 95,614 at sf0.01 vs naive |A|*|B| = 150M). Measured at
+    sf0.01 the overestimate tracks the |A|*|B|/width slack bound
+    almost exactly — over_n 9.14M / 2.22M / 530k / 120k at width
+    16/64/256/1024, a clean /4 per 4x width against the bound's
+    9.4M/2.3M/586k/146k — which is the honest sizing rule this query
+    exists to pin: CM inner-product error is ADDITIVE in |A|*|B|/w,
+    so a width-1024 grid prices THIS join to 2.3x truth (est 216k vs
+    95.6k) — the right ORDER OF MAGNITUDE for a broadcast-vs-shuffle
+    or runaway-veto decision, not a tight count; tightness to eps
+    needs width ~ |A|*|B| / (eps * |A JOIN B|). The 1024 grids are
+    built ONCE per side; narrower widths are FOLDED from them
+    (cm_fold, one bounded aggregate — one scan per side prices every
+    resolution). amp_est_milli = est*1000 div |A| is the estimated
+    per-row fan-out a planner thresholds on. The exact rider is the
+    calibration (q48's pattern) — production keeps only the sketch
+    side. Every stage is exact int64, DuckDB-hash-verified."""
+    from ..operators.sketch import cm_fold, cm_inner_product, cm_sketch
+
+    # Each key projection feeds THREE consumers (its grid, its count,
+    # the exact rider's join) — checkpoint the 1-column streams once
+    # instead of re-scanning parquet per consumer (A/B'd at sf0.1).
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    od = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    wmax = max(_Q49_WIDTHS)
+    ska = {wmax: cm_sketch(ev, "k", _Q49_DEPTH, wmax).localCheckpoint(eager=True)}
+    skb = {wmax: cm_sketch(od, "k", _Q49_DEPTH, wmax).localCheckpoint(eager=True)}
+    widths = sorted(_Q49_WIDTHS, reverse=True)
+    for w_from, w_to in zip(widths, widths[1:]):
+        ska[w_to] = cm_fold(ska[w_from], w_from, w_to)
+        skb[w_to] = cm_fold(skb[w_from], w_from, w_to)
+    stats = (
+        ev.agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+        .crossJoin(od.agg(F.count(F.lit(1)).cast("long").alias("n_right")))
+        .crossJoin(
+            ev.join(od, "k").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for w in _Q49_WIDTHS:
+        row = (
+            cm_inner_product(ska[w], skb[w], out_col="est_n")
+            .crossJoin(stats)
+            .select(
+                F.lit(w).cast("long").alias("width"),
+                "n_left",
+                "n_right",
+                "exact_n",
+                "est_n",
+                (F.col("est_n") - F.col("exact_n")).alias("over_n"),
+                (
+                    (F.col("est_n") - F.col("exact_n")).cast("double")
+                    / F.col("exact_n").cast("double")
+                ).alias("rel_over"),
+                F.expr("CAST((est_n * 1000) DIV n_left AS BIGINT)").alias(
+                    "amp_est_milli"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("width")
+
+
+# ---------------------------------------------------------------------------
+# q50 — grouped exact least-squares trend (integer OLS slope): the
+# drift/activity-trend aggregate. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_Q50_ORACLE = """
+WITH x AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hb
+  FROM events WHERE user_id IS NOT NULL
+), mn AS (
+  SELECT MIN(hb) AS m FROM x
+), h AS (
+  SELECT user_id, hb - (SELECT m FROM mn) AS xx,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM x GROUP BY user_id, hb
+), a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT)      AS n,
+         CAST(SUM(xx) AS BIGINT)       AS sx,
+         CAST(SUM(y) AS BIGINT)        AS sy,
+         CAST(SUM(xx * y) AS BIGINT)   AS sxy,
+         CAST(SUM(xx * xx) AS BIGINT)  AS sxx
+  FROM h GROUP BY user_id
+), b AS (
+  SELECT user_id, n, sy,
+         ABS(n * sxy - sx * sy) AS mag,
+         CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS sgn,
+         n * sxx - sx * sx AS den
+  FROM a WHERE n >= 2
+), ld AS (
+  SELECT user_id, n, sy, sgn, den,
+         (mag * 1000) // den AS q1, (mag * 1000) % den AS r1
+  FROM b
+), ld2 AS (
+  SELECT user_id, n, sy, sgn, den, q1,
+         (r1 * 1000) // den AS q2, (r1 * 1000) % den AS r2
+  FROM ld
+)
+SELECT user_id, n AS n_hours, sy AS sum_events,
+       CAST(sgn * (q1 * 1000000 + q2 * 1000 + (r2 * 1000) // den)
+            AS BIGINT) AS slope_nano
+FROM ld2
+ORDER BY user_id
+"""
+
+
+@register("q50_activity_trend", oracle=_Q50_ORACLE)
+def q50_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity TREND: the exact ordinary-least-squares slope
+    of hourly event counts over time, in integer NANO-events/hour —
+    the drift aggregate (is a user/source/shard heating up or cooling
+    off?) that dashboards compute in floats and then can never
+    reproduce. Closed-form OLS needs only the five classic sums
+    (n, Σx, Σy, Σxy, Σx²) — exact int64 after rebasing hours to the
+    corpus minimum (slope is shift-invariant; the rebase bounds
+    n·Σx²) — giving slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²).
+
+    Two integer-determinism conventions are pinned here (and in
+    test_parity): (1) the numerator can be NEGATIVE — Spark DIV and
+    DuckDB // both truncate toward zero (test-pinned), but Python's
+    // FLOORS, so the division runs on |num| with the sign re-applied,
+    a floor/trunc-agnostic form that every twin (SQL, Python, any
+    future engine) reproduces identically; (2) the nano scaling
+    (real slopes here are ~1e-4 events/hour — a first cut at milli
+    hash-matched while returning ALL ZEROS, the audit_rowcounts
+    trap in its subtlest form: non-empty, hash-green, vacuous) would
+    overflow int64 as num·1e9, so the quotient is built by LONG
+    DIVISION — three ·1000 steps, each dividing the previous
+    REMAINDER, every intermediate bounded by den·1000. Measured at
+    sf0.01: slopes span −432k…+293k nano, mean |slope| ≈ 97k.
+
+    Plan shape: one (user, hour) pre-aggregation (map-side combined),
+    one per-user aggregation of the five sums — two key shuffles
+    total; the global hour rebase is a 1-row aggregate broadcast into
+    the projection. Single-hour users are excluded (den = 0: a trend
+    needs two points). No window, no sort, constant per-group
+    state."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hb"),
+        )
+    )
+    mn = ev.agg(F.min("hb").alias("m"))
+    hourly = (
+        ev.groupBy("user_id", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .crossJoin(F.broadcast(mn))
+        .select("user_id", (F.col("hb") - F.col("m")).alias("xx"), "y")
+    )
+    a = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xx").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xx") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("xx") * F.col("xx")).cast("long").alias("sxx"),
+    )
+
+    def idiv(x, d):
+        return ((x - (x % d)) / d).cast("long")
+
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = a.where(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").alias("n_hours"),
+        F.col("sy").alias("sum_events"),
+        F.abs(num).alias("mag"),
+        F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long").alias("sgn"),
+        den.alias("den"),
+    )
+    d = F.col("den")
+    ld = b.select(
+        "user_id", "n_hours", "sum_events", "sgn", "den",
+        idiv(F.col("mag") * 1000, d).alias("q1"),
+        (F.col("mag") * 1000 % d).alias("r1"),
+    )
+    ld2 = ld.select(
+        "user_id", "n_hours", "sum_events", "sgn", "den", "q1",
+        idiv(F.col("r1") * 1000, d).alias("q2"),
+        (F.col("r1") * 1000 % d).alias("r2"),
+    )
+    return ld2.select(
+        "user_id",
+        "n_hours",
+        "sum_events",
+        (
+            F.col("sgn")
+            * (
+                F.col("q1") * 1_000_000
+                + F.col("q2") * 1000
+                + idiv(F.col("r2") * 1000, d)
+            )
+        ).alias("slope_nano"),
+    ).orderBy("user_id")

@@ -873,8 +873,10 @@ def ss13_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SS14_K = 3
 
-_SS14_ORACLE = f"""
-WITH q AS (
+# The mutual-kNN edge CTE chain, up to `medges` (id_a < id_b, cosine)
+# — shared by ss14 (the edge list itself) and ss36 (PageRank over the
+# same graph) so the graph spec is single-sourced.
+_SS14_EDGE_CTES = f"""q AS (
   SELECT vec_id, label, embedding FROM embeddings
 ), und AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -893,10 +895,15 @@ WITH q AS (
   FROM dir
 ), topk AS (
   SELECT src, dst, cosine FROM rk WHERE r <= {_SS14_K}
-)
-SELECT t.src AS id_a, t.dst AS id_b, t.cosine
-FROM topk t JOIN topk u ON t.src = u.dst AND t.dst = u.src
-WHERE t.src < t.dst
+), medges AS (
+  SELECT t.src AS id_a, t.dst AS id_b, t.cosine
+  FROM topk t JOIN topk u ON t.src = u.dst AND t.dst = u.src
+  WHERE t.src < t.dst
+)"""
+
+_SS14_ORACLE = f"""
+WITH {_SS14_EDGE_CTES}
+SELECT id_a, id_b, cosine FROM medges
 ORDER BY id_a, id_b
 """
 
@@ -4638,3 +4645,215 @@ def ss35_truncation_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("depth")
+
+
+# ---------------------------------------------------------------------------
+# ss36 — integer PageRank over the mutual-kNN graph: graph-walk
+# centrality as a curation signal. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_SS36_ITERS = 5
+_SS36_DAMPING = 850
+_SS36_R0 = 1_000_000
+_SS36_TOPN = 25
+
+
+def _ss36_pr_ctes() -> str:
+    """The PageRank CTE chain (dedges/deg/pr0..prN) over ss14's
+    `medges` — GENERATED from the operator constants, MATERIALIZED
+    per round (the tx20b inlining lesson), every truncating division
+    explicit. Shared by ss36 (the centrality surface) and ss37 (the
+    centrality-weighted sample) so the walk spec is single-sourced;
+    the final rank vector is ``pr{_SS36_ITERS}`` (node, r)."""
+    base = ((1000 - _SS36_DAMPING) * _SS36_R0) // 1000
+    rounds = []
+    for i in range(1, _SS36_ITERS + 1):
+        rounds.append(f""", pr{i} AS MATERIALIZED (
+  SELECT d.src AS node,
+         CAST({base} + ({_SS36_DAMPING} * COALESCE(x.s, 0)) // 1000
+              AS BIGINT) AS r
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(pr.r // g.deg) AS BIGINT) AS s
+    FROM dedges e
+    JOIN pr{i - 1} pr ON pr.node = e.src
+    JOIN deg g ON g.src = e.src
+    GROUP BY e.dst
+  ) x ON x.node = d.src
+)""")
+    return f""", dedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM medges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM medges
+), deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM dedges GROUP BY src
+), pr0 AS (
+  SELECT src AS node, CAST({_SS36_R0} AS BIGINT) AS r FROM deg
+){''.join(rounds)}"""
+
+
+def _ss36_oracle() -> str:
+    """ss14's shared edge CTEs + the shared PageRank chain, then the
+    deg-joined top-N rank window."""
+    return f"""
+WITH {_SS14_EDGE_CTES}{_ss36_pr_ctes()}
+SELECT vec_id, deg, rank_micro, rk FROM (
+  SELECT p.node AS vec_id, d.deg, p.r AS rank_micro,
+         ROW_NUMBER() OVER (ORDER BY p.r DESC, p.node ASC) AS rk
+  FROM pr{_SS36_ITERS} p JOIN deg d ON d.src = p.node
+) WHERE rk <= {_SS36_TOPN}
+ORDER BY rk
+"""
+
+
+@register("ss36_pagerank_centrality", oracle=_ss36_oracle())
+def ss36_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over ss14's mutual-kNN semantic graph — the
+    graph-WALK importance signal completing the graph family (dd06/
+    ss06 walk for connectivity, ss17 clusters over the same kNN edges,
+    this ranks within them): a node is central when its neighbors are
+    themselves central, which on a semantic graph reads as 'dense-core
+    representative' — the keep/sample-first signal, with low-rank
+    peripheral nodes the outlier-prune candidates (the graph
+    counterpart of dd15/dd16's distance-to-prototype signals).
+
+    Runs in exact integer micro-rank units (damping 850 milli, 5
+    unrolled rounds, every division truncating) so the full ranked
+    top-25 hash-verifies against the round-for-round DuckDB replay —
+    the kmeans/BPE materialized-rounds discipline applied to a graph
+    walk. Measured at sf0.01 (473 of 500 vectors survive the k=3
+    mutuality filter; 532 undirected edges): ranks span 476k–1.84M
+    micro vs the uniform 1M start — and the ENTIRE top-25 is tied at
+    the maximum degree 3, separated only by the walk (a 1.84M vs
+    1.38M spread among degree-3 nodes), which is precisely what raw
+    degree cannot see and why the walk, not degree, picks
+    representatives on a k-capped graph.
+
+    Scale shape: per round ONE |E|-row equi-join onto the rank vector
+    + one map-side-combined dst groupBy (the textbook distributed
+    plan); rounds are localCheckpoint-bounded (the CC lesson). The
+    kNN graph itself is the bounded object (|E| ≤ k·|V| by
+    construction) — mutual-kNN at corpus scale arrives cluster- or
+    LSH-blocked exactly as in ss14b."""
+    from ..operators.graph import pagerank_integer
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = table(spark, sf_dir, "embeddings")
+    medges = mutual_knn_edges(
+        emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
+    )
+    dedges = medges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        medges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    pr = pagerank_integer(
+        dedges,
+        iters=_SS36_ITERS,
+        damping_milli=_SS36_DAMPING,
+        r0=_SS36_R0,
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _SS36_TOPN)
+        .select(
+            F.col("node").alias("vec_id"), "deg", "rank_micro", "rk"
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss37 — centrality-weighted representative sampling: ss36's walk
+# scores fed into pk10's weighted race. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_SS37_K = 5
+
+
+def _ss37_oracle() -> str:
+    """Composes the two shared fragments end-to-end: ss14's edge CTEs
+    + the ss36 PageRank chain produce the weights, the _race_sql
+    fragment (pk10's spec) races them, one per-label rank window takes
+    the winners — all three specs single-sourced with their other
+    consumers."""
+    from ._bm25_sql import _race_sql
+
+    return f"""
+WITH {_SS14_EDGE_CTES}{_ss36_pr_ctes()}, lab AS (
+  SELECT p.node, e.label, p.r AS rank_micro
+  FROM pr{_SS36_ITERS} p JOIN embeddings e ON e.vec_id = p.node
+), raced AS (
+  SELECT label, node AS vec_id, rank_micro,
+         {_race_sql('node', 'rank_micro')} AS race
+  FROM lab
+), ranked AS (
+  SELECT label, vec_id, rank_micro, race,
+         ROW_NUMBER() OVER (
+           PARTITION BY label ORDER BY race ASC, vec_id ASC
+         ) AS rk
+  FROM raced
+)
+SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, rank_micro, race
+FROM ranked WHERE rk <= {_SS37_K}
+ORDER BY label, rk
+"""
+
+
+@register("ss37_centrality_weighted_sample", oracle=_ss37_oracle())
+def ss37_centrality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative sampling CLOSED-LOOP: pick each label's
+    representatives with probability proportional to their PageRank
+    centrality on the mutual-kNN graph — ss36's walk scores composed
+    into pk10's Efraimidis–Spiragis integer race as the weight
+    column. This is the full curation recipe the two pieces exist
+    for: the walk scores 'how core is this point to its semantic
+    region' (dense-core nodes carry ~4x the rank mass of peripheral
+    ones here), the weighted race turns those scores into a
+    deterministic, MERGEABLE, size-k winner set per stratum — biased
+    toward cores but not a hard argmax (a pure top-k-by-rank would
+    take k near-duplicates from the densest clique; the race spreads
+    selection across the region, which is what a training-data
+    representative set wants).
+
+    Weights are guaranteed positive (every rank ≥ the 150k base
+    term). All three specs are single-sourced with their other
+    consumers: the edge CTEs with ss14, the walk chain with ss36, the
+    race fragment with pk10 — and the composition is itself
+    hash-verified end-to-end (graph → 5 walk rounds → race → rank).
+    Plan shape: ss36's checkpointed walk + one label join + one
+    per-label rank window; nothing new shuffles beyond the window."""
+    from ..operators.graph import pagerank_integer
+    from ..operators.sampling import weighted_sample_topk
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = table(spark, sf_dir, "embeddings")
+    medges = mutual_knn_edges(
+        emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
+    )
+    dedges = medges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        medges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    pr = pagerank_integer(
+        dedges, iters=_SS36_ITERS, damping_milli=_SS36_DAMPING, r0=_SS36_R0
+    )
+    lab = pr.join(
+        emb.select(F.col("vec_id"), "label"),
+        pr["node"] == F.col("vec_id"),
+    ).select("label", "vec_id", "rank_micro")
+    return (
+        weighted_sample_topk(
+            lab,
+            key="vec_id",
+            weight_col="rank_micro",
+            k=_SS37_K,
+            stratum_cols="label",
+        )
+        .select("label", "rk", "vec_id", "rank_micro", "race")
+        .orderBy("label", "rk")
+    )

@@ -2045,6 +2045,54 @@ def test_cm_sketch_guards(spark):
     assert cm_estimate(empty, ok, "k", depth=2, width=16).count() == 2
 
 
+def test_cm_inner_product_join_size(spark, sf_dir):
+    """The AMS/CM join-cardinality estimator (q49's primitive):
+    est >= |A JOIN B| always (collision cross-terms only add), est ==
+    exact when the width is collision-free for both key sets, and an
+    empty side estimates the exact answer 0."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("k"))
+    )
+    od = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    exact = ev.join(od, "k").count()
+    assert exact > 0
+
+    # Tiny width: collisions guaranteed, estimate must stay >= truth.
+    a16 = cm_sketch(ev, "k", depth=4, width=16)
+    b16 = cm_sketch(od, "k", depth=4, width=16)
+    est16 = cm_inner_product(a16, b16).first()["est"]
+    assert est16 > exact  # width 16 << distinct keys: collision mass shows
+
+    # A synthetic collision-free pair: keys land in distinct cells at
+    # width 4096, so every depth row's inner product IS the true join
+    # size: sum_k f_A(k) * f_B(k) = 3*2 + 1*5 = 11.
+    a = spark.createDataFrame([(7,)] * 3 + [(9,)] * 1, "k long")
+    b = spark.createDataFrame([(7,)] * 2 + [(9,)] * 5 + [(11,)] * 4, "k long")
+    got = cm_inner_product(
+        cm_sketch(a, "k", depth=3, width=4096),
+        cm_sketch(b, "k", depth=3, width=4096),
+    ).first()["est"]
+    assert got == 11 == a.join(b, "k").count()
+
+    # Empty side: empty grid -> empty cell join -> exact 0.
+    empty = spark.createDataFrame([], "k long")
+    got0 = cm_inner_product(
+        cm_sketch(empty, "k", depth=3, width=16),
+        cm_sketch(b, "k", depth=3, width=16),
+    ).first()["est"]
+    assert got0 == 0
+
+
 # ---------------------------------------------------------------------------
 # Rademacher random projection
 # ---------------------------------------------------------------------------
@@ -2321,3 +2369,270 @@ def test_unigram_encode_matches_train_segmentation(spark):
         assert "".join(segs) == r["word"]
         assert len(segs) == r["n_pieces"]
         assert all(p in pieces for p in segs)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis integer race)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_pure_python_spec(spark, sf_dir):
+    """The integer race spec pinned INDEPENDENTLY of DuckDB: a pure-
+    Python replication of hash → millibit exponential → weight
+    division → per-stratum top-k must produce the identical winner
+    set, ranks and race values as the Spark operator over the real
+    documents corpus."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.packing import (
+        whitespace_token_count,
+    )
+    from datapipeline_template_spark.operators.sampling import (
+        _ml2,
+        weighted_sample_topk,
+    )
+    from datapipeline_template_spark.operators.sketch import (
+        KMV_A,
+        KMV_B,
+        KMV_C,
+        KMV_P,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            whitespace_token_count(F.col("text")).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    got = {
+        (r["source"], r["rk"]): (r["doc_id"], r["race"])
+        for r in weighted_sample_topk(
+            docs, key="doc_id", weight_col="n_tok", k=7, stratum_cols="source"
+        ).collect()
+    }
+
+    def race(key: int, w: int) -> int:
+        x0 = ((key % KMV_P) + KMV_P) % KMV_P
+        h = ((x0 * x0 % KMV_P) * KMV_A % KMV_P + x0 * KMV_B % KMV_P + KMV_C) % KMV_P
+        return ((_ml2(KMV_P) - _ml2(h + 1)) * 1_000_000) // w
+
+    by_src: dict[str, list] = {}
+    for r in docs.collect():
+        by_src.setdefault(r["source"], []).append(
+            (race(r["doc_id"], r["n_tok"]), r["doc_id"])
+        )
+    want = {}
+    for src, rows in by_src.items():
+        for rk, (rc, did) in enumerate(sorted(rows)[:7], start=1):
+            want[(src, rk)] = (did, rc)
+    assert got == want
+
+
+def test_weighted_sample_mergeable_and_biased(spark):
+    """Top-k of per-part top-k's == top-k of the union (the identity
+    the streaming maintainer rests on), and the race actually FAVORS
+    weight: over 200 independent strata with one weight-90 item
+    against nine weight-1 items (true win probability 90/99 ≈ 0.91),
+    the heavy item must win the clear majority."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = []
+    for t in range(200):
+        for i in range(10):
+            rows.append((f"t{t:03d}", t * 1000 + i, 90 if i == 0 else 1))
+    df = spark.createDataFrame(rows, "stratum string, key long, w long")
+
+    whole = weighted_sample_topk(
+        df, key="key", weight_col="w", k=3, stratum_cols="stratum"
+    )
+    lo = weighted_sample_topk(
+        df.where(F.col("key") % 2 == 0),
+        key="key", weight_col="w", k=3, stratum_cols="stratum",
+    ).drop("rk")
+    hi = weighted_sample_topk(
+        df.where(F.col("key") % 2 == 1),
+        key="key", weight_col="w", k=3, stratum_cols="stratum",
+    ).drop("rk")
+    merged = weighted_sample_topk(
+        lo.unionByName(hi).drop("race"),
+        key="key", weight_col="w", k=3, stratum_cols="stratum",
+    )
+    assert sorted(
+        (r["stratum"], r["rk"], r["key"], r["race"]) for r in merged.collect()
+    ) == sorted(
+        (r["stratum"], r["rk"], r["key"], r["race"]) for r in whole.collect()
+    )
+
+    wins = (
+        whole.where(F.col("rk") == 1)
+        .where(F.col("key") % 1000 == 0)
+        .count()
+    )
+    assert wins > 120  # ~0.91 expected; far above the 0.1 of uniform
+
+
+def test_weighted_sample_guards(spark):
+    """Non-positive / NULL weights raise loudly (a zero weight would
+    be an always-wins sentinel); k <= 0 refused."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from datapipeline_template_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 0)], "s string, key long, w long"
+    )
+    with pytest.raises(PySparkException, match="positive"):
+        weighted_sample_topk(
+            bad, key="key", weight_col="w", k=2, stratum_cols="s"
+        ).collect()
+    null = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, None)], "s string, key long, w long"
+    )
+    with pytest.raises(PySparkException, match="positive"):
+        weighted_sample_topk(
+            null, key="key", weight_col="w", k=2, stratum_cols="s"
+        ).collect()
+    with pytest.raises(ValueError, match="k > 0"):
+        weighted_sample_topk(bad, key="key", weight_col="w", k=0)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (dd21)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_join_equals_brute_force(spark, sf_dir):
+    """The prefix lemma in practice: candidates ⊇ every qualifying
+    pair (recall 1.0 — the property LSH only approaches), the
+    verified output EQUALS the unblocked all-pairs brute force, and
+    the filter actually prunes (candidates < all pairs). Repeated
+    array elements must not perturb sizes (set semantics)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.dedup import (
+        prefix_filter_candidates,
+        prefix_filter_pairs,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+
+    t = 500
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    )
+    n = sh.count()
+
+    dedup = sh.select(
+        "doc_id", F.array_distinct("shingles").alias("shingles")
+    )
+    a = dedup.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa")
+    )
+    b = dedup.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb")
+    )
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "inter_n", F.size(F.array_intersect("sa", "sb")).cast("long")
+        )
+        .withColumn(
+            "union_n",
+            F.size("sa").cast("long")
+            + F.size("sb").cast("long")
+            - F.col("inter_n"),
+        )
+        .where(F.col("inter_n") * 1000 >= F.lit(t) * F.col("union_n"))
+    )
+    truth = {
+        (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+        for r in brute.collect()
+    }
+
+    got = {
+        (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+        for r in prefix_filter_pairs(sh, "doc_id", "shingles", t).collect()
+    }
+    assert got == truth
+
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_candidates(sh, "doc_id", "shingles", t).collect()
+    }
+    assert {(x[0], x[1]) for x in truth} <= cand
+    assert len(cand) < n * (n - 1) // 2  # the filter must actually prune
+
+    # Set semantics: arrays with repeats == their distinct versions.
+    dup = sh.withColumn(
+        "shingles", F.concat("shingles", F.slice("shingles", 1, 2))
+    )
+    got_dup = {
+        (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+        for r in prefix_filter_pairs(dup, "doc_id", "shingles", t).collect()
+    }
+    assert got_dup == truth
+
+    with pytest.raises(ValueError, match="t_milli"):
+        prefix_filter_pairs(sh, "doc_id", "shingles", 0)
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank (ss36)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_integer_matches_pure_python(spark):
+    """The integer walk spec pinned independently of DuckDB: a pure-
+    Python replication (same truncating divisions, same round count)
+    must produce identical micro-ranks on a small asymmetric graph —
+    and the walk must separate nodes that raw degree ties."""
+    import pytest
+
+    from datapipeline_template_spark.operators.graph import pagerank_integer
+
+    # Undirected: a star 0-{1,2,3} plus a tail 3-4-5. Degrees tie
+    # (1,2 have deg 1; 4 has deg 2) but centrality must not.
+    und = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    directed = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(directed, "src long, dst long")
+    got = {
+        r["node"]: (r["deg"], r["rank_micro"])
+        for r in pagerank_integer(df, iters=5).collect()
+    }
+
+    deg: dict[int, int] = {}
+    for s, _ in directed:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(5):
+        s: dict[int, int] = {n: 0 for n in deg}
+        for a, b in directed:
+            s[b] += r[a] // deg[a]
+        r = {n: 150_000 + (850 * s[n]) // 1000 for n in deg}
+    want = {n: (deg[n], r[n]) for n in deg}
+    assert got == want
+
+    # Degree ties, walk doesn't: node 5 (deg 1, hangs off the tail)
+    # vs nodes 1/2 (deg 1, hang off the hub).
+    assert got[1] == got[2]
+    assert got[5][1] != got[1][1]
+
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_integer(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_integer(df, damping_milli=1001)

@@ -556,3 +556,54 @@ def test_tx30_comparison_consistent_with_tokenizers(spark):
     }
     want = sum(r["freq"] * r["n_pieces"] for r in enc.values())
     assert rows["unigram"]["n_pieces"] == want
+
+
+def test_q50_sign_split_division_and_signal(spark):
+    """q50's two pinned integer conventions: (1) the slope division
+    runs on |num| with the sign re-applied — Spark DIV and DuckDB //
+    both truncate toward zero (pinned here), but PYTHON's // floors,
+    so a signed division would make every pure-Python twin (and any
+    floor-division engine) silently diverge on negative numerators;
+    the magnitude form is floor/trunc-AGNOSTIC. (2) the 3-step ·1000
+    long division equals the exact big-int floor(|num|·1e9/den) — and
+    the live result actually carries signal in nano units (both signs
+    present; a milli-scale first cut hash-matched while returning all
+    zeros)."""
+    # Engine semantics pinned: both truncate, Python floors.
+    assert duckdb.sql("SELECT (-7) // 2").fetchone()[0] == -3  # trunc
+    row = (
+        spark.range(1)
+        .selectExpr("CAST(-7 AS BIGINT) DIV CAST(2 AS BIGINT) AS d")
+        .first()
+    )
+    assert row["d"] == -3  # trunc
+    assert (-7) // 2 == -4  # Python floors — the divergence guarded
+
+    sf = "/root/testdata/sf0.01"
+    out = {
+        r["user_id"]: r
+        for r in REGISTRY["q50_activity_trend"].fn(spark, sf).collect()
+    }
+    signs = {1 if r["slope_nano"] > 0 else (-1 if r["slope_nano"] < 0 else 0)
+             for r in out.values()}
+    assert {1, -1} <= signs  # both directions present — not vacuous
+
+    # Long-division identity vs Python big-int floor on the five sums.
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    sums = con.sql("""
+        WITH x AS (SELECT user_id, epoch_ns(ts)//3600000000000 AS hb
+                   FROM events WHERE user_id IS NOT NULL),
+        mn AS (SELECT MIN(hb) AS m FROM x),
+        h AS (SELECT user_id, hb-(SELECT m FROM mn) AS xx,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM x GROUP BY user_id, hb)
+        SELECT user_id, COUNT(*) n, SUM(xx) sx, SUM(y) sy,
+               SUM(xx*y) sxy, SUM(xx*xx) sxx
+        FROM h GROUP BY user_id HAVING COUNT(*) >= 2
+    """).fetchall()
+    for uid, n, sx, sy, sxy, sxx in sums:
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        want = (1 if num >= 0 else -1) * ((abs(num) * 10**9) // den)
+        assert out[uid]["slope_nano"] == want

@@ -955,3 +955,64 @@ def test_dd20_no_cartesian_and_bounded_matrix_joins(spark):
     plan = _plan(spark, "dd20_dedup_overlap_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q49_sketch_partial_agg_grid_sized_product(spark):
+    """q49's grids must partial-aggregate map-side (the shuffle carries
+    ≤ depth·width cells, never the key stream), and the inner product
+    must join grid-sized frames — no cartesian product; the only BNLJ
+    allowed is the 1-row stats/est attach."""
+    plan = _plan(spark, "q49_cm_join_cardinality")
+    # Grids + stats are checkpoint-truncated (built once, folded from
+    # the widest): the final plan joins bounded ExistingRDD scans; the
+    # map-side combine itself is pinned in
+    # test_cm_sketch_partial_agg_and_broadcast_estimate.
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 12  # 1-row attaches
+
+
+def test_pk10_single_stratum_window(spark):
+    """pk10 is one race-key projection + ONE per-source rank window —
+    no joins, no cartesian, nothing data-sized beyond the stratum
+    shuffle."""
+    plan = _plan(spark, "pk10_weighted_sample")
+    assert plan.count("Window [row_number") == 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure window pipeline
+
+
+def test_dd21_prefix_join_equi_no_cartesian(spark):
+    """dd21's candidate generation must ride an EQUI-join on the
+    prefix element (hash/sort-merge — never a cartesian product or
+    data-sized BNLJ), and the prefix frame feeds both join sides from
+    ONE materialization (no duplicated rank-window subtree — the
+    derivation ran twice before the checkpoint landed)."""
+    plan = _plan(spark, "dd21_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    assert "Window [row_number" not in plan  # checkpoint-truncated
+    assert "Scan ExistingRDD" in plan
+
+
+def test_ss36_pagerank_rounds_checkpoint_bounded(spark):
+    """ss36's final plan must be checkpoint-truncated: 5 rounds of
+    join+agg would otherwise stack into one exponential tree (the CC
+    lesson) — after localCheckpoint the executed plan joins two
+    bounded scans and ranks once."""
+    plan = _plan(spark, "ss36_pagerank_centrality")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed rounds, not lineage
+    assert plan.count("Window [row_number") == 1
+
+
+def test_q50_two_keyed_aggregates_no_window(spark):
+    """q50 is two map-side-combined keyed aggregations plus a 1-row
+    rebase broadcast — no window, no sort beyond the output order, no
+    cartesian beyond the single-row attach."""
+    plan = _plan(spark, "q50_activity_trend")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row min

@@ -1884,6 +1884,50 @@ def test_incremental_countmin_matches_batch(spark, tmp_path, sf_dir):
     assert fresh.cells(spark).count() == 0
 
 
+def test_incremental_countmin_join_size_composition(spark, tmp_path, sf_dir):
+    """q49's planner composition over MAINTAINED state: two
+    independently maintained CM stores (one per join side, drained in
+    disjoint batches) price the cross-stream equi-join via
+    cm_inner_product of their cells() — equal to the batch-built
+    grids' estimate (cell additivity) and >= the exact join size (the
+    AMS/CM overestimate guarantee). The two streams never see each
+    other: the join is priced grid-against-grid."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import (
+        cm_inner_product,
+        cm_sketch,
+    )
+    from datapipeline_template_spark.streaming.countmin import IncrementalCountMin
+
+    depth, width = 4, 256
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("k"))
+    )
+    od = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    inc_a = IncrementalCountMin(
+        str(tmp_path / "a"), key_col="k", depth=depth, width=width
+    )
+    inc_b = IncrementalCountMin(
+        str(tmp_path / "b"), key_col="k", depth=depth, width=width
+    )
+    inc_a.process_batch(ev.where(F.col("k") % 2 == 0), batch_id=0)
+    inc_a.process_batch(ev.where(F.col("k") % 2 == 1), batch_id=1)
+    inc_b.process_batch(od.where(F.col("k") % 3 == 0), batch_id=0)
+    inc_b.process_batch(od.where(F.col("k") % 3 != 0), batch_id=1)
+
+    got = cm_inner_product(inc_a.cells(spark), inc_b.cells(spark)).first()["est"]
+    want = cm_inner_product(
+        cm_sketch(ev, "k", depth, width), cm_sketch(od, "k", depth, width)
+    ).first()["est"]
+    assert got == want
+    assert got >= ev.join(od, "k").count()
+
+
 def test_incremental_bm25_matches_batch(spark, tmp_path, sf_dir):
     """17th incremental family: every BM25 index component is an
     additive pure function of each (disjoint-doc) batch, so topk()
@@ -2211,3 +2255,113 @@ def test_streaming_manifest_matches_batch_pipe15_pipe17(spark, tmp_path, sf_dir)
     # Config guard: a different eval source or target refuses to merge.
     with pytest.raises(ValueError, match="built with"):
         StreamingManifest(store, cent, weights, eval_docs, eval_source="src1")
+
+
+def test_incremental_weighted_sample_matches_batch(spark, tmp_path, sf_dir):
+    """19th incremental family: the race key is a pure function of
+    (key, weight), so per-batch top-k winner sets merge to EXACTLY the
+    batch weighted sample over the union of drained batches at any
+    drain point (top-k-of-top-k's); replays are no-ops; a crash window
+    rewrites an identical partition; a key re-sent with the same
+    weight collapses via DISTINCT instead of double-occupying the
+    winner set; parameter mismatches refuse to merge."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.packing import (
+        whitespace_token_count,
+    )
+    from datapipeline_template_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from datapipeline_template_spark.streaming.weighted_sample import (
+        IncrementalWeightedSample,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            whitespace_token_count(F.col("text")).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    src = tmp_path / "rows"
+    src.mkdir()
+    store = str(tmp_path / "ws_store")
+    ckpt = str(tmp_path / "ckpt")
+    k = 9
+    inc = IncrementalWeightedSample(
+        store, key_col="doc_id", weight_col="n_tok", stratum_col="source", k=k
+    )
+
+    def winners(df):
+        return sorted(
+            (r["source"], r["rk"], r["doc_id"], r["race"])
+            for r in df.collect()
+        )
+
+    def batch_want(rows):
+        return winners(
+            weighted_sample_topk(
+                rows, key="doc_id", weight_col="n_tok", k=k,
+                stratum_cols="source",
+            ).select("source", "rk", "doc_id", "race")
+        )
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    schema = "source string, doc_id bigint, n_tok bigint"
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema).parquet(str(src)), ckpt
+    )
+    assert winners(
+        inc.sample(spark).select("source", "rk", "doc_id", "race")
+    ) == batch_want(b1)
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    inc.run_available_now(
+        spark.readStream.schema(schema).parquet(str(src)), ckpt
+    )
+    want = batch_want(docs)
+    assert winners(
+        inc.sample(spark).select("source", "rk", "doc_id", "race")
+    ) == want
+
+    # Replay no-op + crash window (marker lost after write).
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert winners(
+        inc.sample(spark).select("source", "rk", "doc_id", "race")
+    ) == want
+
+    # A re-sent key (same weight) in a LATER batch must not occupy two
+    # winner slots: the merged sample is unchanged.
+    inc.process_batch(b1.limit(50), batch_id=2)
+    assert winners(
+        inc.sample(spark).select("source", "rk", "doc_id", "race")
+    ) == want
+
+    # Param guard + empty state.
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalWeightedSample(store, key_col="doc_id",
+                                  weight_col="n_tok",
+                                  stratum_col="source", k=k + 1)
+    IncrementalWeightedSample(store, key_col="doc_id", weight_col="n_tok",
+                              stratum_col="source", k=k)
+    fresh = IncrementalWeightedSample(str(tmp_path / "fresh"))
+    assert fresh.sample(spark).count() == 0
+
+    # Non-string stratum refused at the write (read side pins string).
+    bad = spark.createDataFrame([(1, 2, 3)], "source long, doc_id long, n_tok long")
+    with pytest.raises(TypeError, match="string strata"):
+        IncrementalWeightedSample(
+            str(tmp_path / "badtype")
+        ).process_batch(bad, batch_id=0)

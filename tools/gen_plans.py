@@ -836,6 +836,65 @@ def main() -> None:
     )
 
     section(
+        "q49_cm_join_cardinality",
+        "CM inner-product join-size estimation: grids checkpoint once "
+        "per side (the map-side combine is inside the checkpoint; see "
+        "q47's section), narrower widths fold from the widest, and "
+        "the final plan joins grid-sized ExistingRDD scans - the "
+        "exact rider is the only data-sized join and exists only for "
+        "calibration",
+        [
+            ("Grid scans (checkpointed)", r"Scan ExistingRDD\[r#[^\]]*"),
+            ("1-row stat attaches", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "pk10_weighted_sample",
+        "Efraimidis-Spirakis weighted sample: race key is a pure "
+        "row-local projection (hash + millibit log + integer div), "
+        "ONE per-source rank window is the only exchange",
+        [
+            ("Single stratum window", r"Window \[row_number[^\n]{0,80}"),
+            ("Stratum exchange", r"Exchange hashpartitioning\(source[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "dd21_prefix_filter_join",
+        "prefix-filtered similarity join: the prefix frame "
+        "materializes ONCE (both self-join sides read the checkpoint), "
+        "candidates ride an equi-join on the rare prefix element, "
+        "verification joins candidate ids only - no cartesian product",
+        [
+            ("Prefix scan (checkpointed)", r"Scan ExistingRDD\[_id[^\]]*\]"),
+            ("Candidate equi-join", r"(SortMergeJoin|BroadcastHashJoin)[^\n]{0,60}"),
+        ],
+    )
+
+    section(
+        "ss36_pagerank_centrality",
+        "integer PageRank: rounds are localCheckpoint-bounded (the CC "
+        "lesson - the final plan joins two bounded scans and ranks "
+        "once; five rounds of join+agg never stack into one tree)",
+        [
+            ("Checkpointed rank vector", r"Scan ExistingRDD\[node[^\]]*"),
+            ("Top-n window", r"Window \[row_number[^\n]{0,60}"),
+        ],
+    )
+
+    section(
+        "q50_activity_trend",
+        "grouped integer OLS slope: two map-side-combined keyed "
+        "aggregations (hour pre-agg, five-sums agg) plus a 1-row "
+        "rebase broadcast - no window, no data-sized sort",
+        [
+            ("Partial aggregation", r"HashAggregate\(keys=\[[^\]]*\], functions=\[partial_[a-z_]+"),
+            ("1-row rebase attach", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+        ],
+    )
+
+    section(
         "ss33_rrpq_recall",
         "RR-PQ: the signed permutation is inlined literals (map-only "
         "array projection, no join/exchange before the rotated "
