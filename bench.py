@@ -219,6 +219,13 @@ SECONDARY = [
     # prices the loop end-to-end; its delta over ss36 is the
     # sampling marginal.
     "ss37_centrality_weighted_sample",
+    # tx31 is two rank windows over a 3-column projection; its
+    # standalone cost is the row.
+    "tx31_mad_length_gate",
+    # dd22 (prefix-order drift audit) is NOT timed standalone: it runs
+    # dd21's chain twice by design — the constituent is priced by
+    # dd21's row. Run-on-demand audit, the dd19/dd20 class. pipe18 is
+    # a curation_shared marginal (budget_manifest_marginal_sec).
 ]
 
 
@@ -697,6 +704,40 @@ def _curation_shared_scenario(spark, sf_dir):
     ).count()
     dsir_manifest_sec = time.perf_counter() - t
 
+    # pipe18's marginal: the per-source token-weighted race budget
+    # over the same shared flags pass (race + rank window + manifest
+    # are pipe18's own spec).
+    from datapipeline_template_spark.catalog import table as _table
+    from datapipeline_template_spark.operators.packing import (
+        whitespace_token_count,
+    )
+    from datapipeline_template_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from datapipeline_template_spark.queries.packing import _PIPE18_K
+
+    t = time.perf_counter()
+    _pool18 = (
+        _decon_keep_ids(spark, sf_dir, flags)
+        .join(
+            _table(spark, sf_dir, "documents").select(
+                "doc_id",
+                "source",
+                whitespace_token_count(F.col("text")).alias("n_tok"),
+            ),
+            "doc_id",
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    _keep18 = weighted_sample_topk(
+        _pool18, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
+        stratum_cols="source",
+    ).select("doc_id")
+    n_budget = manifest_from_flags(
+        spark, sf_dir, _keep18.withColumn("f_sem", F.lit(True))
+    ).count()
+    budget_manifest_sec = time.perf_counter() - t
+
     standalone = pipe11_data_card(spark, sf_dir)
     parity = (
         card.exceptAll(standalone).count() == 0
@@ -715,9 +756,11 @@ def _curation_shared_scenario(spark, sf_dir):
         "n_manifest": n_manifest,
         "banded_manifest_marginal_sec": round(banded_manifest_sec, 4),
         "dsir_manifest_marginal_sec": round(dsir_manifest_sec, 4),
+        "budget_manifest_marginal_sec": round(budget_manifest_sec, 4),
         "n_decon_manifest": n_decon,
         "n_banded_manifest": n_banded,
         "n_dsir_manifest": n_dsir,
+        "n_budget_manifest": n_budget,
         "parity": parity,
     }
 

@@ -57,6 +57,8 @@ __all__ = [
     "content_defined_chunks",
     "prefix_filter_candidates",
     "prefix_filter_pairs",
+    "prefix_rows",
+    "verify_jaccard_candidates",
 ]
 
 
@@ -1177,8 +1179,66 @@ def duplicate_discount_weights(
 # ---------------------------------------------------------------------------
 
 
+def prefix_rows(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    t_milli: int,
+    order: DataFrame | None = None,
+) -> DataFrame:
+    """Each set's PREFIX under the rarity order, as ``(_id, _s)``
+    rows: elements ranked by (document frequency asc, value asc), the
+    first |x| − ceil(t·|x|) + 1 kept. This is the per-set half of the
+    prefix filter — a pure function of the set and the ORDER, which
+    is what makes it streamable (streaming/prefix_join.py).
+
+    ``order`` (columns ``_s``, ``_df``) pins a FROZEN frequency
+    frame; elements absent from it default to df 0 (rarest). The
+    prefix LEMMA needs only a total order COMMON to all sets — any
+    frozen order preserves recall 1.0 exactly; the true frequencies
+    affect only candidate VOLUME (a drifted order blocks on
+    now-common elements and generates more candidates, never misses
+    a qualifying pair). With ``order=None`` the frequencies are
+    computed from ``df`` itself (the batch form).
+
+    SET semantics: arrays are deduped up front (a repeat would
+    inflate |x| and mis-place the prefix boundary — caught by dd21's
+    first sweep). ceil(t·s) runs as (t_milli·s + 999) div 1000."""
+    if not 0 < t_milli <= 1000:
+        raise ValueError("t_milli must be in (0, 1000]")
+    df = df.withColumn(set_col, F.array_distinct(F.col(set_col)))
+    e = df.select(F.col(id_col).alias("_id"), F.explode(set_col).alias("_s"))
+    sz = df.select(
+        F.col(id_col).alias("_id"), F.size(set_col).cast("long").alias("_sz")
+    )
+    if order is None:
+        ed = e.join(
+            e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_df")),
+            "_s",
+        )
+    else:
+        ed = e.join(order.select("_s", "_df"), "_s", "left").withColumn(
+            "_df", F.coalesce(F.col("_df"), F.lit(0).cast("long"))
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy("_df", "_s")
+    ceil_ts = F.lit(t_milli) * F.col("_sz") + F.lit(999)
+    ceil_ts = ((ceil_ts - (ceil_ts % 1000)) / 1000).cast("long")
+    return (
+        ed.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(sz, "_id")
+        .where(F.col("_rn") <= F.col("_sz") - ceil_ts + 1)
+        .select("_id", "_s")
+    )
+
+
 def prefix_filter_candidates(
-    df: DataFrame, id_col: str, set_col: str, t_milli: int
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    t_milli: int,
+    order: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(id_a, id_b)`` under the prefix filter
     (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin 2008): order
@@ -1201,35 +1261,13 @@ def prefix_filter_candidates(
     an all-pairs product; the join key is rare by construction, so
     the candidate blow-up is bounded by rare-element co-occurrence
     (measured at sf0.01: 965 candidates of 124,750 possible pairs)."""
-    if not 0 < t_milli <= 1000:
-        raise ValueError("t_milli must be in (0, 1000]")
-    # SET semantics: Jaccard, sizes and the prefix bound are all over
-    # distinct elements — dedup the arrays up front (shingle_tokens
-    # can emit repeats; a repeat would inflate |x| and mis-place the
-    # prefix boundary).
-    df = df.withColumn(set_col, F.array_distinct(F.col(set_col)))
-    e = df.select(F.col(id_col).alias("_id"), F.explode(set_col).alias("_s"))
-    dfq = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_df"))
-    sz = df.select(
-        F.col(id_col).alias("_id"), F.size(set_col).cast("long").alias("_sz")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_id").orderBy("_df", "_s")
-    ceil_ts = F.lit(t_milli) * F.col("_sz") + F.lit(999)
-    ceil_ts = ((ceil_ts - (ceil_ts % 1000)) / 1000).cast("long")
-    pref = (
-        e.join(dfq, "_s")
-        .withColumn("_rn", F.row_number().over(w).cast("long"))
-        .join(sz, "_id")
-        .where(F.col("_rn") <= F.col("_sz") - ceil_ts + 1)
-        .select("_id", "_s")
-        # The prefix frame feeds BOTH sides of the candidate self-join;
-        # without materialization Catalyst evaluates the whole
-        # explode → df-count → rank derivation TWICE (plan-guard
-        # caught the duplicated window subtree).
-        .localCheckpoint(eager=True)
-    )
+    pref = prefix_rows(
+        df, id_col, set_col, t_milli, order=order
+    ).localCheckpoint(eager=True)
+    # The prefix frame feeds BOTH sides of the candidate self-join;
+    # without materialization Catalyst evaluates the whole
+    # explode → df-count → rank derivation TWICE (plan-guard caught
+    # the duplicated window subtree).
     return (
         pref.alias("a")
         .join(pref.alias("b"), "_s")
@@ -1242,7 +1280,11 @@ def prefix_filter_candidates(
 
 
 def prefix_filter_pairs(
-    df: DataFrame, id_col: str, set_col: str, t_milli: int
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    t_milli: int,
+    order: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity join: all pairs with Jaccard ≥ t_milli/1000,
     as ``(id_a, id_b, inter_n, union_n, jac_milli)`` — prefix-filtered
@@ -1252,12 +1294,25 @@ def prefix_filter_pairs(
     (test-pinned), at candidate-join cost: the 100 TB shape is
     explode → df-count → rank window → rare-key equi-join → verify
     on candidates only. Arrays travel to the verify join only for
-    candidate ids — never for the full cross product."""
-    cand = prefix_filter_candidates(df, id_col, set_col, t_milli)
+    candidate ids — never for the full cross product. ``order`` is
+    the frozen-frequency frame passthrough (see prefix_rows)."""
+    cand = prefix_filter_candidates(df, id_col, set_col, t_milli, order=order)
     sets = df.select(
         F.col(id_col).alias("_vid"),
         F.array_distinct(F.col(set_col)).alias("_vset"),
     )
+    return verify_jaccard_candidates(cand, sets, t_milli)
+
+
+def verify_jaccard_candidates(
+    cand: DataFrame, sets: DataFrame, t_milli: int
+) -> DataFrame:
+    """EXACT integer Jaccard verification of candidate pairs
+    ``(id_a, id_b)`` against a ``(_vid, _vset)`` set frame (arrays
+    assumed distinct): keeps pairs with inter·1000 ≥ t_milli·union,
+    carrying ``inter_n``/``union_n``/``jac_milli``. Shared by the
+    batch join and the streaming maintainer so the verification spec
+    is single-sourced."""
     inter = F.size(F.array_intersect("_aset", "_bset")).cast("long")
     return (
         cand.join(

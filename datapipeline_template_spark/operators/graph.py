@@ -68,12 +68,21 @@ def pagerank_integer(
         raise ValueError("need iters >= 1")
     if not 0 <= damping_milli <= 1000:
         raise ValueError("damping_milli must be in [0, 1000]")
+    # A NULL endpoint would become a phantom "NULL node" absorbing and
+    # emitting rank mass — raise instead of silently grouping it.
+    def _nn(c):
+        return F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.raise_error(
+                F.lit("pagerank_integer needs non-null edge endpoints")
+            ).cast("long")
+        )
+
     # Checkpoint the edge list ONCE: the caller's edge derivation is
     # typically the expensive object (a kNN self-join), and deg / the
     # per-round sends would otherwise re-evaluate it — deg and nodes
     # each triggered their own kNN pass before this landed (A/B'd).
     e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        _nn(src).alias("_src"), _nn(dst).alias("_dst")
     ).localCheckpoint(eager=True)
     deg = (
         e.groupBy("_src")

@@ -293,6 +293,14 @@ def weighted_race_key(key: Column | str, weight: Column | str) -> Column:
     from .sketch import KMV_P, kmv_hash
 
     kc = F.col(key) if isinstance(key, str) else key
+    # A NULL key would hash to a NULL race, and NULLs sort FIRST in an
+    # ascending window order — a null-keyed row would silently WIN
+    # every race. Raise instead (the cm_sketch guard culture).
+    kc = F.when(kc.isNotNull(), kc).otherwise(
+        F.raise_error(
+            F.lit("weighted_race_key needs non-null keys")
+        ).cast("long")
+    )
     wc = (F.col(weight) if isinstance(weight, str) else weight).cast("long")
     w = F.when(wc > 0, wc).otherwise(
         F.raise_error(

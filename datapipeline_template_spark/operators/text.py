@@ -1176,3 +1176,73 @@ def unigram_encode(
             ).alias("seg"),
         )
     )
+
+
+def grouped_median_mad(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Exact per-group LOWER-MEDIAN and MAD (median absolute
+    deviation) in pure integer order statistics: ``(group, n, med,
+    mad)``.
+
+    The robust-statistics basis for quality gates — mean/stddev move
+    with the very outliers a gate exists to catch; median/MAD do not
+    (50% breakdown point). 'Median' here is the ceil(n/2)-th smallest
+    value (the LOWER median): a well-defined ORDER STATISTIC, always
+    an actual data value, always an integer — the interpolated
+    n-even median would mint .5 fractions and drag the whole
+    downstream gate out of exact arithmetic. Ties inside the rank
+    window break on ``id_col`` for a total order (any tie-break
+    yields the same order STATISTIC value; the tie-break just makes
+    the plan deterministic). MAD is the same statistic over
+    |x − med|.
+
+    Plan shape: two rank windows over the group partition (value
+    pass, deviation pass) with a broadcast of the per-group medians
+    between them — the exact-order-statistic price; at 100 TB grain
+    use q45's mergeable log-histogram quantiles instead and accept
+    the banded answer (this operator is the exact calibration tool,
+    q45 the production sketch — the q26b/q45 split)."""
+    from pyspark.sql import Window
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        # The ceil(n/2)-th smallest == rank (n+1) div 2 — the LOWER
+        # median for even n (rank n/2), the middle for odd.
+        w = Window.partitionBy("_g").orderBy(col, "_id")
+        m = F.col("_n") + 1
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_g")))
+            .where(F.col("_rn") == ((m - (m % 2)) / 2).cast("long"))
+            .select(F.col("_g"), F.col(col).alias(out), F.col("_n").alias("n"))
+        )
+
+    # A NULL value would sort FIRST and shift the order statistic (or
+    # become the median itself) — raise instead of silently ranking it.
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.when(v.isNotNull(), v)
+        .otherwise(
+            F.raise_error(
+                F.lit(f"grouped_median_mad needs non-null {value_col!r}")
+            ).cast("long")
+        )
+        .alias("_v"),
+    )
+    med = lower_median(base, "_v", "med")
+    dev = base.join(F.broadcast(med.select("_g", "med")), "_g").withColumn(
+        "_d", F.abs(F.col("_v") - F.col("med"))
+    )
+    mad = lower_median(dev, "_d", "mad")
+    return (
+        med.select("_g", "n", "med")
+        .join(mad.select("_g", "mad"), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            "med",
+            "mad",
+        )
+    )

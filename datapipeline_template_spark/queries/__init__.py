@@ -178,6 +178,9 @@ _OVERFLOW = (
     "ss36_pagerank_centrality",
     "q50_activity_trend",
     "ss37_centrality_weighted_sample",
+    "tx31_mad_length_gate",
+    "pipe18_budget_manifest",
+    "dd22_prefix_order_drift",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

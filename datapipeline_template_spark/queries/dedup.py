@@ -1784,3 +1784,125 @@ def dd21_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(
         sh, "doc_id", "shingles", t_milli=_DD21_T_MILLI
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# dd22 — prefix-order DRIFT cost: the frozen-order index's efficiency
+# bill, measured. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def _dd22_oracle() -> str:
+    """dd21's chain run under TWO element orders — the corpus's own
+    frequencies and an order frozen from the even-doc half — emitting
+    (order_kind, n_cand, n_verified) rows; the verified counts must
+    agree (the prefix lemma's recall is order-independent)."""
+    t = _DD21_T_MILLI
+    head = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), e AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfq_self AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS dfn FROM e GROUP BY s
+), dfq_half AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS dfn FROM e
+  WHERE doc_id % 2 = 0 GROUP BY s
+), sz AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
+)"""
+    blocks, selects = [], []
+    for kind, dfq, join in (
+        ("frozen_half", "dfq_half", "LEFT JOIN"),
+        ("self", "dfq_self", "JOIN"),
+    ):
+        blocks.append(f""", rk_{kind} AS (
+  SELECT e.doc_id, e.s,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                            ORDER BY COALESCE(d.dfn, 0), e.s) AS rn
+  FROM e {join} {dfq} d USING (s)
+), pref_{kind} AS (
+  SELECT rk_{kind}.doc_id, rk_{kind}.s FROM rk_{kind} JOIN sz USING (doc_id)
+  WHERE rn <= sz - (({t} * sz + 999) // 1000) + 1
+), cand_{kind} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref_{kind} a JOIN pref_{kind} b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+), v_{kind} AS (
+  SELECT COUNT(*) FILTER (
+    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 1000
+    >= {t} * (len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles,
+                    x -> list_contains(sb.shingles, x))))
+  ) AS n_verified,
+  COUNT(*) AS n_cand
+  FROM cand_{kind}
+  JOIN sh sa ON sa.doc_id = cand_{kind}.id_a
+  JOIN sh sb ON sb.doc_id = cand_{kind}.id_b
+)""")
+        selects.append(
+            f"SELECT '{kind}' AS order_kind, CAST(n_cand AS BIGINT) AS n_cand,\n"
+            f"       CAST(n_verified AS BIGINT) AS n_verified FROM v_{kind}"
+        )
+    return head + "".join(blocks) + f"""
+SELECT * FROM ({' UNION ALL '.join(selects)})
+ORDER BY order_kind
+"""
+
+
+@register("dd22_prefix_order_drift", oracle=_dd22_oracle())
+def dd22_prefix_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen-order prefix index's EFFICIENCY BILL, measured —
+    the number the 20th incremental family (streaming/prefix_join.py)
+    tells you to watch: dd21's join run under the corpus's own
+    frequency order vs an order frozen from only the even-doc half.
+    MEASURED at sf0.01: self 965 candidates, frozen-half 1454 (+51%)
+    — and IDENTICAL verified pairs (25), because the prefix lemma's
+    recall needs only a common total order, not the true frequencies.
+    Drift costs candidates, never pairs; re-freeze and rebuild when
+    this ratio drifts past the verification budget (the dd18
+    operating-point discipline applied to the maintained index).
+
+    Both runs share ONE shingle/explode pass; each is dd21's plan
+    shape (rank window → rare-key equi-join → verify on candidate
+    ids). DuckDB-hash-verified end-to-end."""
+    from ..operators.dedup import (
+        prefix_filter_candidates,
+        verify_jaccard_candidates,
+    )
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    ).localCheckpoint(eager=True)
+    half_order = (
+        sh.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.array_distinct("shingles")).alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+    sets = sh.select(
+        F.col("doc_id").alias("_vid"),
+        F.array_distinct(F.col("shingles")).alias("_vset"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for kind, order in (("frozen_half", half_order), ("self", None)):
+        cand = prefix_filter_candidates(
+            sh, "doc_id", "shingles", _DD21_T_MILLI, order=order
+        ).localCheckpoint(eager=True)
+        ver = verify_jaccard_candidates(cand, sets, _DD21_T_MILLI)
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+            .crossJoin(
+                ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+            )
+            .select(
+                F.lit(kind).alias("order_kind"), "n_cand", "n_verified"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("order_kind")

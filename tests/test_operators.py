@@ -2505,6 +2505,15 @@ def test_weighted_sample_guards(spark):
         ).collect()
     with pytest.raises(ValueError, match="k > 0"):
         weighted_sample_topk(bad, key="key", weight_col="w", k=0)
+    # NULL keys raise: a NULL race sorts FIRST ascending and would
+    # silently WIN every race.
+    nullkey = spark.createDataFrame(
+        [("a", None, 5), ("a", 2, 5)], "s string, key long, w long"
+    )
+    with pytest.raises(PySparkException, match="non-null keys"):
+        weighted_sample_topk(
+            nullkey, key="key", weight_col="w", k=2, stratum_cols="s"
+        ).collect()
 
 
 # ---------------------------------------------------------------------------
@@ -2636,3 +2645,45 @@ def test_pagerank_integer_matches_pure_python(spark):
         pagerank_integer(df, iters=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank_integer(df, damping_milli=1001)
+    # NULL endpoints raise — a phantom NULL node would absorb/emit
+    # rank mass silently.
+    from pyspark.errors.exceptions.base import PySparkException
+
+    nulledge = spark.createDataFrame([(1, None), (1, 2)], "src long, dst long")
+    with pytest.raises(PySparkException, match="non-null edge"):
+        pagerank_integer(nulledge, iters=1)
+
+
+def test_grouped_median_mad_order_statistics(spark):
+    """The lower-median spec: rank (n+1) div 2 — an actual data value
+    for both odd and EVEN group sizes (n=4 must pick the 2nd smallest,
+    not the 3rd or an interpolated .5) — and MAD over |x − med| with
+    the same statistic; verified against a pure-Python replication."""
+    from datapipeline_template_spark.operators.text import grouped_median_mad
+
+    rows = [
+        # odd group: values 1..5 -> med 3; devs 0,1,1,2,2 -> mad 1
+        *[("odd", i, v) for i, v in enumerate([5, 3, 1, 4, 2])],
+        # even group: 10,20,30,40 -> LOWER med 20; devs 10,0,10,20 ->
+        # sorted 0,10,10,20 -> lower med (rank 2) = 10
+        *[("even", i, v) for i, v in enumerate([40, 10, 30, 20])],
+        # ties: 7,7,7,9 -> med 7; devs 0,0,0,2 -> mad 0
+        *[("tie", i, v) for i, v in enumerate([7, 9, 7, 7])],
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        r["g"]: (r["n"], r["med"], r["mad"])
+        for r in grouped_median_mad(df, "g", "v", "id").collect()
+    }
+    assert got == {"odd": (5, 3, 1), "even": (4, 20, 10), "tie": (4, 7, 0)}
+
+    # NULL values raise — they would sort first and shift the order
+    # statistic silently. (AQE may wrap the raise in a
+    # stage-materialization error, so match on the message only.)
+    import pytest
+
+    withnull = spark.createDataFrame(
+        [("g", 0, 1), ("g", 1, None)], "g string, id long, v long"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        grouped_median_mad(withnull, "g", "v", "id").collect()

@@ -128,6 +128,7 @@ def test_bench_headline_names_all_registered():
         "ss28_ivfsq_rerank_recall",
         "pipe16_banded_manifest",
         "pipe17_dsir_manifest",
+        "pipe18_budget_manifest",
     ):
         assert marginal not in bench.SECONDARY
 

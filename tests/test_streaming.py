@@ -2365,3 +2365,107 @@ def test_incremental_weighted_sample_matches_batch(spark, tmp_path, sf_dir):
         IncrementalWeightedSample(
             str(tmp_path / "badtype")
         ).process_batch(bad, batch_id=0)
+
+
+def test_incremental_prefix_join_matches_batch(spark, tmp_path, sf_dir):
+    """20th incremental family: under a FROZEN element order each
+    set's prefix is a pure batch function, so the maintained index's
+    pairs() equals the batch operator (same order) over the union of
+    drained batches at any drain point — AND, the lemma's real
+    content, a STALE order (frozen from half the corpus) still yields
+    exactly the brute-force truth: frequency drift costs candidates,
+    never recall. new_pairs() is the dd09 new×(corpus∪new) shape;
+    replays are no-ops; crash windows rewrite identical partitions;
+    order/threshold mismatches refuse."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.dedup import (
+        prefix_filter_pairs,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+    from datapipeline_template_spark.streaming.prefix_join import (
+        IncrementalPrefixJoin,
+    )
+
+    t = 500
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    )
+    b1 = sh.where(F.col("doc_id") % 2 == 0)
+    b2 = sh.where(F.col("doc_id") % 2 == 1)
+
+    # Order frozen from HALF the corpus — deliberately stale wrt the
+    # full stream.
+    half_order = (
+        b1.select(F.explode(F.array_distinct("shingles")).alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+
+    store = str(tmp_path / "pj_store")
+    inc = IncrementalPrefixJoin(store, t_milli=t)
+    with pytest.raises(ValueError, match="frozen order"):
+        inc.process_batch(b1, batch_id=0)
+    inc.freeze_order(half_order)
+    inc.freeze_order(half_order)  # identical re-freeze is a no-op
+    with pytest.raises(ValueError, match="fingerprint"):
+        inc.freeze_order(half_order.withColumn("_df", F.col("_df") + 1))
+
+    def keyset(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+            for r in df.collect()
+        )
+
+    inc.process_batch(b1, batch_id=0)
+    assert keyset(inc.pairs(spark)) == keyset(
+        prefix_filter_pairs(b1, "doc_id", "shingles", t, order=half_order)
+    )
+
+    inc.process_batch(b2, batch_id=1)
+    want = keyset(prefix_filter_pairs(sh, "doc_id", "shingles", t, order=half_order))
+    assert keyset(inc.pairs(spark)) == want
+    # Recall survives the stale order: equals the self-ordered batch
+    # join (== brute force, pinned in test_operators).
+    assert want == keyset(prefix_filter_pairs(sh, "doc_id", "shingles", t))
+
+    # new_pairs(1) = all pairs minus the within-batch-0 pairs.
+    within0 = keyset(
+        prefix_filter_pairs(b1, "doc_id", "shingles", t, order=half_order)
+    )
+    got_new = keyset(inc.new_pairs(spark, 1))
+    assert sorted(set(want) - set(within0)) == got_new
+
+    # Replay no-op + crash window.
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert keyset(inc.pairs(spark)) == want
+
+    # Param guard + empty state.
+    with pytest.raises(ValueError, match="never meet"):
+        IncrementalPrefixJoin(store, t_milli=600)
+    IncrementalPrefixJoin(store, t_milli=t)
+    fresh = IncrementalPrefixJoin(str(tmp_path / "fresh"))
+    assert fresh.pairs(spark).count() == 0
+
+
+def test_incremental_prefix_join_rejects_duplicate_order_keys(spark, tmp_path):
+    """A duplicate _s key in the frozen order would multiply every
+    prefix row through the frequency join — refused at freeze time."""
+    import pytest
+
+    from datapipeline_template_spark.streaming.prefix_join import (
+        IncrementalPrefixJoin,
+    )
+
+    inc = IncrementalPrefixJoin(str(tmp_path / "dup_store"))
+    dup = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], "_s long, _df long")
+    with pytest.raises(ValueError, match="duplicate _s"):
+        inc.freeze_order(dup)

@@ -895,6 +895,50 @@ def main() -> None:
     )
 
     section(
+        "ss37_centrality_weighted_sample",
+        "centrality-weighted sampling: the checkpointed PageRank "
+        "vector joins labels once, then ONE per-label rank window "
+        "races the winners - nothing new shuffles beyond the window",
+        [
+            ("Checkpointed walk", r"Scan ExistingRDD\[node[^\]]*"),
+            ("Label window", r"Window \[row_number[^\n]{0,80}"),
+        ],
+    )
+
+    section(
+        "tx31_mad_length_gate",
+        "median/MAD calibration: two group-partitioned rank windows "
+        "over a 3-column projection with a broadcast of the per-group "
+        "medians between them - the exact-order-statistic price",
+        [
+            ("Rank windows", r"Window \[row_number[^\n]{0,60}"),
+            ("Median broadcast", r"BroadcastHashJoin[^\n]{0,50}"),
+        ],
+    )
+
+    section(
+        "pipe18_budget_manifest",
+        "token-budget manifest: pipe15's decon chain + ONE bounded "
+        "rank window (the per-source race) + a doc_id semi-join; the "
+        "tokenizer/packing then read the budgeted kept set",
+        [
+            ("Race window", r"Window \[row_number[^\n]{0,80}"),
+            ("Budget semi-join", r"(BroadcastHashJoin|SortMergeJoin)[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "dd22_prefix_order_drift",
+        "prefix-order drift audit: one shared shingle checkpoint "
+        "feeds both order variants; each candidate set is a "
+        "checkpointed equi-join, verification touches candidate ids",
+        [
+            ("Shared shingle scan", r"Scan ExistingRDD\[doc_id[^\]]*"),
+            ("1-row count attaches", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+        ],
+    )
+
+    section(
         "ss33_rrpq_recall",
         "RR-PQ: the signed permutation is inlined literals (map-only "
         "array projection, no join/exchange before the rotated "
