@@ -222,6 +222,8 @@ SECONDARY = [
     # tx31 is two rank windows over a 3-column projection; its
     # standalone cost is the row.
     "tx31_mad_length_gate",
+    # w11 is three keyed aggregations over a 2-column projection.
+    "w11_cohort_retention",
     # dd22 (prefix-order drift audit) is NOT timed standalone: it runs
     # dd21's chain twice by design — the constituent is priced by
     # dd21's row. Run-on-demand audit, the dd19/dd20 class. pipe18 is

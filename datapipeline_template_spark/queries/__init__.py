@@ -181,6 +181,7 @@ _OVERFLOW = (
     "tx31_mad_length_gate",
     "pipe18_budget_manifest",
     "dd22_prefix_order_drift",
+    "w11_cohort_retention",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

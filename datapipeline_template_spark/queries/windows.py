@@ -416,3 +416,89 @@ def w10_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         stage.cast("long").alias("stage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w11 — cohort retention triangle: the classic first-seen × age
+# engagement matrix. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_W11_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d
+  FROM events WHERE user_id IS NOT NULL
+), first_seen AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day, e.d - f.cohort_day AS age_days
+  FROM e JOIN first_seen f USING (user_id)
+), cohort_size AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM first_seen
+  GROUP BY cohort_day
+)
+SELECT a.cohort_day, a.age_days,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       s.n_cohort,
+       (CAST(COUNT(*) AS BIGINT) * 1000) // s.n_cohort AS retention_milli
+FROM act a JOIN cohort_size s USING (cohort_day)
+GROUP BY a.cohort_day, a.age_days, s.n_cohort
+ORDER BY cohort_day, age_days
+"""
+
+
+@register("w11_cohort_retention", oracle=_W11_ORACLE)
+def w11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention TRIANGLE — the canonical engagement matrix
+    (users bucketed by first-seen day; for each cohort × age-in-days
+    cell, how many came back) that every analytics stack ships and
+    this catalog was missing: n_active distinct users per
+    (cohort_day, age_days) plus retention_milli = active·1000 div
+    cohort size, all exact integers (epoch-day buckets via integer
+    division of the nanosecond timestamp — the catalog.table
+    convention keeps both engines on identical values).
+
+    Plan shape: one per-user MIN aggregation (map-side combined) for
+    the cohort assignment, broadcast-joined back onto the (user, day)
+    distinct activity set, then one (cohort, age) aggregation — three
+    keyed shuffles, no window, no sort beyond the output order. At
+    100 TB the (user, day) distinct pre-aggregation is the load-
+    bearing stage and it partial-aggregates map-side; cohort sizes
+    are a day-cardinality frame that broadcasts."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+        )
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    act = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("d") - F.col("cohort_day")).alias("age_days"),
+        )
+        .distinct()
+    )
+    cohort_size = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    n_active = F.count(F.lit(1)).cast("long")
+    ret = n_active * 1000
+    return (
+        act.groupBy("cohort_day", "age_days")
+        .agg(n_active.alias("n_active"))
+        .join(F.broadcast(cohort_size), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "n_active",
+            "n_cohort",
+            F.expr("CAST((n_active * 1000) DIV n_cohort AS BIGINT)").alias(
+                "retention_milli"
+            ),
+        )
+        .orderBy("cohort_day", "age_days")
+    )

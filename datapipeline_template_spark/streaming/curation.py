@@ -502,6 +502,41 @@ class StreamingManifest:
         )
         return self.decon_keep(spark).join(kept, "doc_id", "left_semi")
 
+    def budget_keep(
+        self, spark: SparkSession, sf_dir: str, k: int | None = None
+    ) -> DataFrame:
+        """pipe18's keep set: decon_keep raced per source by token
+        mass, ≤ k winners each. The race is a PURE FUNCTION of
+        (doc_id, n_tok), so the budget needs NO new maintained state
+        — like survivor election and the DSIR cut it is a read-time
+        decision over the maintained keep set, with token counts read
+        from the lake BY ID (the same bounded access manifest()'s
+        consumer stage already performs)."""
+        from ..catalog import table
+        from ..operators.packing import whitespace_token_count
+        from ..operators.sampling import weighted_sample_topk
+        from ..queries.packing import _PIPE18_K
+
+        pool = (
+            self.decon_keep(spark)
+            .join(
+                table(spark, sf_dir, "documents").select(
+                    "doc_id",
+                    "source",
+                    whitespace_token_count(F.col("text")).alias("n_tok"),
+                ),
+                "doc_id",
+            )
+            .where(F.col("n_tok") > 0)
+        )
+        return weighted_sample_topk(
+            pool,
+            key="doc_id",
+            weight_col="n_tok",
+            k=k if k is not None else _PIPE18_K,
+            stratum_cols="source",
+        ).select("doc_id")
+
     def manifest(
         self, spark: SparkSession, sf_dir: str, gate: str = "decon"
     ) -> DataFrame:
@@ -509,13 +544,19 @@ class StreamingManifest:
         stage (tokenizer fit + encode + packing) over the maintained
         keep set, reading kept documents' text from the lake by id.
         ``gate='decon'`` is pipe15's composition, ``gate='dsir'``
-        pipe17's."""
+        pipe17's, ``gate='budget'`` pipe18's."""
         from ..queries.packing import manifest_from_flags
 
-        if gate not in ("decon", "dsir"):
-            raise ValueError(f"unknown gate {gate!r} (decon|dsir)")
+        if gate not in ("decon", "dsir", "budget"):
+            raise ValueError(f"unknown gate {gate!r} (decon|dsir|budget)")
+        keep = {
+            "decon": self.decon_keep,
+            "dsir": self.dsir_keep,
+        }.get(gate)
         keep = (
-            self.decon_keep(spark) if gate == "decon" else self.dsir_keep(spark)
+            keep(spark)
+            if keep is not None
+            else self.budget_keep(spark, sf_dir)
         )
         return manifest_from_flags(
             spark, sf_dir, keep.withColumn("f_sem", F.lit(True))
@@ -565,4 +606,24 @@ def batch_manifest_keep(
             .select("doc_id")
         )
         keep = keep.join(kept, "doc_id", "left_semi")
+    elif gate == "budget":
+        from ..operators.packing import whitespace_token_count
+        from ..operators.sampling import weighted_sample_topk
+        from ..queries.packing import _PIPE18_K
+
+        pool = (
+            keep.join(
+                docs.select(
+                    "doc_id",
+                    "source",
+                    whitespace_token_count(F.col("text")).alias("n_tok"),
+                ),
+                "doc_id",
+            )
+            .where(F.col("n_tok") > 0)
+        )
+        keep = weighted_sample_topk(
+            pool, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
+            stratum_cols="source",
+        ).select("doc_id")
     return keep

@@ -2215,13 +2215,20 @@ def test_streaming_manifest_matches_batch_pipe15_pipe17(spark, tmp_path, sf_dir)
     )
     b1docs = batch1.select("doc_id", "text", "source", "n_chars")
     b1emb = batch1.select("doc_id", "embedding")
-    for gate in ("decon", "dsir"):
+    for gate in ("decon", "dsir", "budget"):
         want = _ids(
             batch_manifest_keep(
                 b1docs, b1emb, cent, weights, eval_docs, gate=gate
             )
         )
-        got = _ids(inc.decon_keep(spark) if gate == "decon" else inc.dsir_keep(spark))
+        got = _ids(
+            {
+                "decon": inc.decon_keep,
+                "dsir": inc.dsir_keep,
+            }[gate](spark)
+            if gate != "budget"
+            else inc.budget_keep(spark, sf_dir)
+        )
         assert got == want, gate
     assert _ids(inc.decon_keep(spark)), "mid-drain fixture must keep docs"
 
@@ -2243,6 +2250,11 @@ def test_streaming_manifest_matches_batch_pipe15_pipe17(spark, tmp_path, sf_dir)
     assert got17 == want17 and len(got17) > 0
     # The DSIR gate is live: it must strictly tighten the decon set.
     assert len(got17) < len(got15)
+    # pipe18's budget gate: maintained manifest == the registry row
+    # verbatim (same frozen artifacts at the deriving corpus).
+    want18 = _rows(registry["pipe18_budget_manifest"].fn(spark, sf_dir))
+    got18 = _rows(inc.manifest(spark, sf_dir, gate="budget"))
+    assert got18 == want18 and len(got18) > 0
 
     # Replay no-op + crash window (composer + one sub-maintainer).
     keep_before = _ids(inc.dsir_keep(spark))
@@ -2469,3 +2481,98 @@ def test_incremental_prefix_join_rejects_duplicate_order_keys(spark, tmp_path):
     dup = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], "_s long, _df long")
     with pytest.raises(ValueError, match="duplicate _s"):
         inc.freeze_order(dup)
+
+
+def test_incremental_retention_matches_batch(spark, tmp_path, sf_dir):
+    """21st incremental family: first-seen days are MIN-mergeable and
+    the activity matrix is a distinct union, so the maintained
+    triangle equals the w11 registry query over the union of drained
+    batches at any drain point — INCLUDING an out-of-order drain
+    whose late batch moves users' cohort days EARLIER and re-ages
+    their rows (cohorts are read-time decisions, never stored).
+    Replays no-op; a crash window rewrites identical partitions;
+    column mismatches refuse to merge."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.queries import load_all
+    from datapipeline_template_spark.streaming.retention import (
+        IncrementalRetention,
+    )
+
+    registry = load_all()
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def batch_triangle(events_subset):
+        first = events_subset.groupBy("user_id").agg(
+            F.min("d").alias("cohort_day")
+        )
+        act = (
+            events_subset.join(first, "user_id")
+            .select(
+                "user_id",
+                "cohort_day",
+                (F.col("d") - F.col("cohort_day")).alias("age_days"),
+            )
+            .distinct()
+        )
+        size = first.groupBy("cohort_day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cohort")
+        )
+        return (
+            act.groupBy("cohort_day", "age_days")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+            .join(size, "cohort_day")
+            .selectExpr(
+                "cohort_day", "age_days", "n_active", "n_cohort",
+                "CAST((n_active * 1000) DIV n_cohort AS BIGINT) AS retention_milli",
+            )
+        )
+
+    # OUT-OF-ORDER drains: the LATER half of the timeline arrives
+    # first, so batch 2 moves many users' cohort days earlier.
+    med = ev.agg(F.expr("percentile(d, 0.5)").cast("long").alias("m")).first()["m"]
+    late, early = ev.where(F.col("d") > med), ev.where(F.col("d") <= med)
+
+    store = str(tmp_path / "ret_store")
+    inc = IncrementalRetention(store)
+    inc.process_batch(late, batch_id=0)
+    assert rows(inc.triangle(spark)) == rows(batch_triangle(late))
+
+    inc.process_batch(early, batch_id=1)
+    want = rows(batch_triangle(ev))
+    assert rows(inc.triangle(spark)) == want
+    # And the full-drain triangle equals the registry w11 row set.
+    assert want == rows(
+        registry["w11_cohort_retention"].fn(spark, sf_dir).select(
+            "cohort_day", "age_days", "n_active", "n_cohort",
+            "retention_milli",
+        )
+    )
+
+    # Replay no-op + crash window.
+    inc.process_batch(late, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(early, batch_id=1)
+    assert rows(inc.triangle(spark)) == want
+
+    # Param guard + empty state.
+    with pytest.raises(ValueError, match="built with"):
+        IncrementalRetention(store, day_col="other")
+    IncrementalRetention(store)
+    fresh = IncrementalRetention(str(tmp_path / "fresh"))
+    assert fresh.triangle(spark).count() == 0
