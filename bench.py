@@ -224,6 +224,10 @@ SECONDARY = [
     "tx31_mad_length_gate",
     # w11 is three keyed aggregations over a 2-column projection.
     "w11_cohort_retention",
+    # q51 checkpoints one distinct-hash rank chain serving both k
+    # estimators; tx32 is one explode + vocab-sized window + OLS agg.
+    "q51_kmv_agg_size",
+    "tx32_zipf_exponent",
     # dd22 (prefix-order drift audit) is NOT timed standalone: it runs
     # dd21's chain twice by design — the constituent is priced by
     # dd21's row. Run-on-demand audit, the dd19/dd20 class. pipe18 is

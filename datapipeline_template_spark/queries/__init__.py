@@ -182,6 +182,8 @@ _OVERFLOW = (
     "pipe18_budget_manifest",
     "dd22_prefix_order_drift",
     "w11_cohort_retention",
+    "q51_kmv_agg_size",
+    "tx32_zipf_exponent",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

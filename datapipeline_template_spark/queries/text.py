@@ -2736,3 +2736,121 @@ def tx31_mad_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs)
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx32 — Zipf-exponent fit per source: the corpus-statistics
+# diagnostic in exact integer millibits. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def _tx32_oracle() -> str:
+    """GENERATED from the operator constants: token frequencies, the
+    per-source (freq desc, token) rank, milli_log2 of rank and freq
+    via the shared fragment, q50's five-sums OLS with the sign-split
+    truncating division (single multiply — |num|·1e6 fits int64 at
+    this point count)."""
+    from ._bm25_sql import _milli_log2_sql
+
+    ml = _milli_log2_sql
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '),
+                                    t -> t != '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT source, f,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY f DESC, tok ASC) AS rk
+  FROM freq
+), pts AS (
+  SELECT source,
+         CAST({ml('rk')} AS BIGINT) AS x,
+         CAST({ml('f')}  AS BIGINT) AS y
+  FROM ranked
+), a AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT)     AS n,
+         CAST(SUM(x) AS BIGINT)       AS sx,
+         CAST(SUM(y) AS BIGINT)       AS sy,
+         CAST(SUM(x * y) AS BIGINT)   AS sxy,
+         CAST(SUM(x * x) AS BIGINT)   AS sxx
+  FROM pts GROUP BY source
+), b AS (
+  SELECT source, n,
+         ABS(n * sxy - sx * sy) AS mag,
+         CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS sgn,
+         n * sxx - sx * sx AS den
+  FROM a WHERE n >= 2
+)
+SELECT source, n AS n_ranks,
+       CAST(sgn * ((mag * 1000000) // den) AS BIGINT) AS zipf_micro
+FROM b
+ORDER BY source
+"""
+
+
+@register("tx32_zipf_exponent", oracle=_tx32_oracle())
+def tx32_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit per source — the log-log OLS slope of token
+    frequency against frequency rank, in exact integer micro units
+    (milli_log2 for both axes, q50's five-sums closed form with the
+    sign-split truncating division; |num|·1e6 fits int64 at ≤ 31
+    points so no long division is needed). Natural language sits near
+    slope −1 (Zipf's law); the diagnostic exists to CHECK that before
+    any frequency-calibrated gate (stopword pruning, surprisal bands,
+    BM25 idf floors) imports natural-text constants. MEASURED at
+    sf0.01: sources fit −0.15…−0.36 (micro −150,513…−364,119 over
+    n_ranks 30–31) — this synthetic corpus draws tokens near-uniformly
+    and is decisively NOT Zipfian, which is exactly why tx27's BM25
+    found a single informative term and tx23's surprisal bands are
+    narrow: the flat unigram distribution is now pinned as a number
+    rather than inferred from downstream symptoms.
+
+    Plan shape: one token explode + (source, token) count (map-side
+    combined), one per-source rank window over the vocab-sized
+    frequency table, one five-sums aggregation. The window operates
+    on |vocab| rows per source, never on token occurrences."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions import milli_log2
+
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("f").desc(), F.col("tok"))
+    pts = freq.withColumn("rk", F.row_number().over(w)).select(
+        "source",
+        milli_log2("rk").alias("x"),
+        milli_log2("f").alias("y"),
+    )
+    a = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    mag = F.abs(num) * 1_000_000
+    q = ((mag - (mag % den)) / den).cast("long")
+    return (
+        a.where(F.col("n") >= 2)
+        .select(
+            "source",
+            F.col("n").alias("n_ranks"),
+            (F.when(num < 0, -q).otherwise(q)).alias("zipf_micro"),
+        )
+        .orderBy("source")
+    )

@@ -1017,3 +1017,27 @@ def test_q50_two_keyed_aggregates_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row min
+
+
+def test_q51_single_rank_chain_checkpointed(spark):
+    """q51's distinct-hash rank chain materializes ONCE and serves
+    both k estimators; the final plan joins bounded scans — no
+    cartesian beyond the 1-row stat attaches."""
+    plan = _plan(spark, "q51_kmv_agg_size")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 6  # 1-row attaches
+
+
+def test_tx32_window_over_vocab_not_occurrences(spark):
+    """tx32's rank window must sit ABOVE the (source, token) count
+    aggregate — ranking |vocab| rows per source, never the token
+    occurrence stream — and the count itself partial-aggregates."""
+    plan = _plan(spark, "tx32_zipf_exponent")
+    assert plan.count("Window [row_number") == 1
+    assert "partial_count" in plan
+    # Plans print root-first: the DEEPEST partial_count (the freq
+    # count) must sit BELOW the window — the five-sums agg above it
+    # also partial-counts, so compare against the LAST occurrence.
+    assert plan.rindex("partial_count") > plan.index("Window [row_number")
+    assert "CartesianProduct" not in plan

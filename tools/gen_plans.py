@@ -939,6 +939,28 @@ def main() -> None:
     )
 
     section(
+        "q51_kmv_agg_size",
+        "KMV-priced aggregation output: one checkpointed distinct-hash "
+        "rank chain serves both k estimators; the exact rider is the "
+        "only data-sized distinct and exists for calibration",
+        [
+            ("Rank chain (checkpointed)", r"Scan ExistingRDD\[h#[^\]]*"),
+            ("1-row stat attaches", r"BroadcastNestedLoopJoin[^\n]{0,40}"),
+        ],
+    )
+
+    section(
+        "tx32_zipf_exponent",
+        "Zipf-exponent fit: token explode + map-side-combined "
+        "(source, token) count, ONE rank window over the vocab-sized "
+        "frequency table (never the occurrence stream), five-sums OLS",
+        [
+            ("Vocab-sized window", r"Window \[row_number[^\n]{0,80}"),
+            ("Partial freq count", r"HashAggregate\(keys=\[source[^\]]*\], functions=\[partial_count"),
+        ],
+    )
+
+    section(
         "ss33_rrpq_recall",
         "RR-PQ: the signed permutation is inlined literals (map-only "
         "array projection, no join/exchange before the rotated "
