@@ -184,6 +184,7 @@ _OVERFLOW = (
     "w11_cohort_retention",
     "q51_kmv_agg_size",
     "tx32_zipf_exponent",
+    "dd23_lsh_global_recall",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries
