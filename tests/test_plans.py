@@ -1041,3 +1041,13 @@ def test_tx32_window_over_vocab_not_occurrences(spark):
     # also partial-counts, so compare against the LAST occurrence.
     assert plan.rindex("partial_count") > plan.index("Window [row_number")
     assert "CartesianProduct" not in plan
+
+
+def test_dd23_composition_no_cartesian(spark):
+    """dd23 composes the LSH candidate join, the prefix-join truth and
+    three 1-row count attaches — whatever the constituent shapes, no
+    data-sized cartesian product may appear (the dd20 rule; the only
+    BNLJs allowed are the single-row aggregate attaches)."""
+    plan = _plan(spark, "dd23_lsh_global_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4  # 1-row attaches
