@@ -47,15 +47,23 @@ HEADLINE = [
     "q26_quantity_quartiles",
     "q29_disjunctive_predicates",
     "w01_top_orders_per_customer",
-    "w02_running_user_value",
     "w08_sessionize_events",
     "st01_tumbling_counts",
     "dd01_exact_dedup_documents",
     "dd03_minhash_lsh_candidates",
     "dd05_minhash_lsh_kernel",
     "dd09_incremental_lsh",
-    "tx01_token_stats",
     "tx06_tfidf",
+    # Round-11 rotation (r10 verdict item 7b): two retired sub-0.3 s
+    # rows (tx01 token stats, w02 running window — their families stay
+    # represented by tx06 and w01/w08) hand their slots to the families
+    # that now dominate the engine: tx27b (BM25 inverted-index at
+    # dense-vocab volume) and q43 (KMV distinct sketch). Headline
+    # totals before/after differ by these two swaps (~+2.1 s at sf0.1
+    # quiet-box) — compare round-over-round per-query, not the total,
+    # across this boundary.
+    "tx27b_bm25_dense_vocab",
+    "q43_kmv_distinct",
     "ss04_cosine_topk_blas",
     "pipe01_cdc_keep_latest",
     "tj01_asof_prev_click",
@@ -124,7 +132,7 @@ SECONDARY = [
     "pk08_nosplit_packing",
     "ss23_filtered_ann",
     "mm05_media_simhash_pairs",
-    "q43_kmv_distinct",
+    # q43 moved to HEADLINE in round 11 (the rotation above).
     "tx23_surprisal_bands",
     "ss24_sq_recall",
     # IVF-SQ is its own composition row (the ss21 rule: one
@@ -167,7 +175,7 @@ SECONDARY = [
     # the scenario-extraction bar); tx27b is the dense-vocab volume
     # harness, tx27 the thin deployment-spec row.
     "dd19_bm25_decon_audit",
-    "tx27b_bm25_dense_vocab",
+    # tx27b and q43 moved to HEADLINE in round 11 (the rotation above).
     "q48_kmv_rolling_distinct",
     "tj05_nearest_click",
     # ss32 re-derives ss24/ss25's codes+routing (the cheap stats agg
@@ -232,6 +240,18 @@ SECONDARY = [
     # dd21's chain twice by design — the constituent is priced by
     # dd21's row. Run-on-demand audit, the dd19/dd20 class. pipe18 is
     # a curation_shared marginal (budget_manifest_marginal_sec).
+    # round-11 additions: pipe19 is the salted two-phase keep-latest
+    # on the 90%-hot synthetic feed (two keyed aggregates); q52 is
+    # priced by the bucketed_join scenario (write + A/B), not here —
+    # its registry row re-writes both bucketed tables per call by
+    # the stateless-query contract.
+    "pipe19_salted_keep_latest",
+    # mm06 fingerprints the 1.1x fixture corpus once (checkpointed
+    # Arrow pass) then runs a banded equi-join — its standalone cost
+    # is the row. dd24 is a run-on-demand audit (the dd19/dd20/dd22
+    # class): its pair stage is dd03's shape on a deliberately
+    # degenerate corpus, priced by the dd03/dd05 rows.
+    "mm06_media_phash_pairs",
 ]
 
 
@@ -744,6 +764,33 @@ def _curation_shared_scenario(spark, sf_dir):
     ).count()
     budget_manifest_sec = time.perf_counter() - t
 
+    # pipe20's marginal: ALL gates composed in curation order over the
+    # same shared flags pass (decon ∧ band ∧ DSIR semi-joins, then the
+    # race budget) — expected ≈ decon + band + DSIR + race
+    # sum-of-parts; the recorded number IS that check.
+    t = time.perf_counter()
+    _keep20 = (
+        _decon_keep_ids(spark, sf_dir, flags)
+        .join(surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi")
+        .join(dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi")
+        .join(
+            _table(spark, sf_dir, "documents").select(
+                "doc_id",
+                "source",
+                whitespace_token_count(F.col("text")).alias("n_tok"),
+            ),
+            "doc_id",
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    _win20 = weighted_sample_topk(
+        _keep20, key="doc_id", weight_col="n_tok", k=_PIPE18_K, stratum_cols="source"
+    ).select("doc_id")
+    n_full_gate = manifest_from_flags(
+        spark, sf_dir, _win20.withColumn("f_sem", F.lit(True))
+    ).count()
+    full_gate_manifest_sec = time.perf_counter() - t
+
     standalone = pipe11_data_card(spark, sf_dir)
     parity = (
         card.exceptAll(standalone).count() == 0
@@ -763,6 +810,8 @@ def _curation_shared_scenario(spark, sf_dir):
         "banded_manifest_marginal_sec": round(banded_manifest_sec, 4),
         "dsir_manifest_marginal_sec": round(dsir_manifest_sec, 4),
         "budget_manifest_marginal_sec": round(budget_manifest_sec, 4),
+        "full_gate_manifest_marginal_sec": round(full_gate_manifest_sec, 4),
+        "n_full_gate_manifest": n_full_gate,
         "n_decon_manifest": n_decon,
         "n_banded_manifest": n_banded,
         "n_dsir_manifest": n_dsir,
@@ -949,6 +998,93 @@ def _ivfpq_index_scenario(spark, sf_dir):
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _bucketed_join_scenario(spark, sf_dir):
+    """q52's A/B (r10 verdict item 1): the same lineitem⋈orders
+    revenue aggregation through (a) the plain shuffled sort-merge
+    join — both sides Exchange on the key, the 100 TB fact-fact
+    default — and (b) pre-bucketed storage (one write-time
+    repartition shuffle, then a join with ZERO Exchange below it).
+    The write is priced separately: it is the amortized cost, paid
+    once per silver refresh and reused by every subsequent join on
+    the same key. Both arms carry the merge hint (at toy scale the
+    planner would broadcast the small side; at 100 TB neither side
+    broadcasts). Parity asserts identical aggregates; no_exchange
+    pins that the bucketed arm's join subtree really is shuffle-free
+    in THIS run, not just in the plan-guard test."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.functions import cents
+    from datapipeline_template_spark.operators.layout import bucketed_fact_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+    def agg(joined):
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.sum(rev).alias("revenue_c"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    # Layout cost: both bucketed tables written once (includes the
+    # repartition-to-buckets shuffle — the amortized price).
+    t = time.perf_counter()
+    joined_b = bucketed_fact_join(
+        spark, li, orders, "l_orderkey", "o_orderkey", "bench_bkt",
+        n_buckets=32,
+    )
+    joined_b.count()
+    write_sec = time.perf_counter() - t
+
+    plan = agg(joined_b)._jdf.queryExecution().executedPlan().toString()
+    no_exchange = (
+        "SortMergeJoin" in plan
+        and "Exchange" not in plan.split("SortMergeJoin", 1)[1]
+    )
+
+    # A/B alternated in one session (the CLAUDE.md box-noise rule).
+    plain_join = li.hint("merge").join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    bucketed_join = (
+        spark.table("bench_bkt_l")
+        .hint("merge")
+        .join(
+            spark.table("bench_bkt_r"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    plain_sec = bucketed_sec = float("inf")
+    for _ in range(max(runs, 1)):
+        t = time.perf_counter()
+        agg(plain_join).count()
+        plain_sec = min(plain_sec, time.perf_counter() - t)
+        t = time.perf_counter()
+        agg(bucketed_join).count()
+        bucketed_sec = min(bucketed_sec, time.perf_counter() - t)
+
+    parity = [tuple(r) for r in agg(plain_join).collect()] == [
+        tuple(r) for r in agg(bucketed_join).collect()
+    ]
+    return {
+        "bucketed_write_sec": round(write_sec, 4),
+        "plain_join_sec": round(plain_sec, 4),
+        "bucketed_join_sec": round(bucketed_sec, 4),
+        "no_exchange_below_join": no_exchange,
+        "parity": parity,
+    }
 
 
 def _incremental_silver_scenario(spark, sf_dir):
@@ -1195,6 +1331,13 @@ def main() -> None:
         print(f"bench: streaming-curation scenario FAILED: {exc}", file=sys.stderr)
 
     try:
+        bucketed_join = _bucketed_join_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        bucketed_join = None
+        errors["bucketed_join"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: bucketed-join scenario FAILED: {exc}", file=sys.stderr)
+
+    try:
         ivfpq_index = _ivfpq_index_scenario(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         ivfpq_index = None
@@ -1218,6 +1361,8 @@ def main() -> None:
         result["pq_shared"] = pq_shared
     if sq_shared is not None:
         result["sq_shared"] = sq_shared
+    if bucketed_join is not None:
+        result["bucketed_join"] = bucketed_join
     if inc_silver is not None:
         result["incremental_silver"] = inc_silver
     if streaming_curation is not None:
@@ -1241,12 +1386,43 @@ def main() -> None:
     # then print a COMPACT contractual line LAST — metric/value/unit/
     # sf/queries/n_timed, well under the capture window — so the
     # driver's tail always ends with a complete, parseable JSON line.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_last.json"), "w") as fh:
-            fh.write(line + "\n")
-    except OSError as exc:  # noqa: BLE001 — never let the sidecar kill the print
-        print(f"bench: bench_last.json write failed: {exc}", file=sys.stderr)
+    # Artifact-of-record guard (r10 verdict residue 1): this shared box
+    # swings 2–4× under load, and a busier-box run silently replacing a
+    # quieter bench_last.json made the committed artifact churn across
+    # rounds. If the new headline is >1.3× the recorded one on the same
+    # sf and query set size, keep the old artifact unless --force — the
+    # run still prints its JSON lines either way (the driver's capture
+    # is unaffected; only the sidecar file is guarded).
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+    )
+    keep_old = False
+    if "--force" not in sys.argv and os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                prev = json.load(fh)
+            if (
+                prev.get("sf") == result["sf"]
+                and prev.get("n_timed") == result["n_timed"]
+                and sorted(prev.get("queries", {})) == sorted(timings)
+                and prev.get("value", 0) > 0
+                and result["value"] > 1.3 * prev["value"]
+            ):
+                keep_old = True
+                print(
+                    f"bench: headline {result['value']} s is >1.3x the "
+                    f"recorded {prev['value']} s — box noise, keeping "
+                    "bench_last.json (rerun with --force to overwrite)",
+                    file=sys.stderr,
+                )
+        except (OSError, ValueError):
+            pass  # unreadable sidecar: overwrite it
+    if not keep_old:
+        try:
+            with open(sidecar, "w") as fh:
+                fh.write(line + "\n")
+        except OSError as exc:  # noqa: BLE001 — never let the sidecar kill the print
+            print(f"bench: bench_last.json write failed: {exc}", file=sys.stderr)
     print(line)
     compact = {
         "metric": result["metric"],

@@ -39,6 +39,7 @@ from ..functions import POLY_BASE, POLY_P, token_poly_hash
 
 __all__ = [
     "keep_latest",
+    "keep_latest_salted",
     "keep_latest_window",
     "exact_dedup",
     "shingle_tokens",
@@ -101,6 +102,61 @@ def keep_latest_window(
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
     out = df.withColumn("_row_num", F.row_number().over(w)).where(F.col("_row_num") == 1)
     return out if keep_rank else out.drop("_row_num")
+
+
+def keep_latest_salted(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase SALTED keep-latest — the hot-key-hardened form SURVEY
+    §7.3 prescribes for the CDC dedup shuffle, the 100 TB hot path.
+
+    Phase 1 groups by ``(keys…, salt)``: a key with 10⁹ duplicates
+    splits across ``n_salts`` independent reducers, each emitting one
+    partial winner. Phase 2 reduces the ≤ ``n_salts`` survivors per
+    key to the final row. Salt = ``pmod(xxhash64(order_cols), n)`` —
+    data-derived and deterministic, so replays produce identical
+    partials (identical-order-key duplicates share a salt, which is
+    harmless: max_by over equal order keys within one salt group can
+    only ever surface rows that tie under the total order).
+
+    When to use which form: ``keep_latest`` (single max_by) already
+    map-side combines — each reducer sees ≤ one row per (key, map
+    partition), so ORDINARY skew needs no salting there. The salted
+    form exists for the shapes where that protection is defeated:
+    (a) the reference-shaped WINDOW dedup (`02_silver_processing.py:
+    120-129`) sorts every duplicate of a key inside ONE task — a
+    degenerate key is a straggler no matter how many executors exist;
+    (b) inputs already hash-partitioned on the key upstream (e.g. a
+    bucketed bronze), where every duplicate of the hot key sits in
+    ONE map partition and the partial aggregate collapses nothing
+    until that single task has scanned all of it. Two-phase salting
+    bounds the largest task at ~|hot key| / n_salts in both cases.
+
+    Equal to ``keep_latest`` / the row_number window whenever
+    ``order_cols`` is a TOTAL order per key (include a unique column;
+    property-tested on a 90 %-hot-key feed in tests/test_operators).
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order_key = F.struct(*[F.col(c) for c in order_cols])
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts)
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*[F.col(k) for k in keys], F.col("_salt"))
+        .agg(F.max_by(payload, order_key).alias("_latest"))
+    )
+    final_order = F.struct(*[F.col(f"_latest.{c}") for c in order_cols])
+    return (
+        partial.groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by("_latest", final_order).alias("_latest"))
+        .select("_latest.*")
+    )
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -1312,7 +1368,14 @@ def verify_jaccard_candidates(
     assumed distinct): keeps pairs with inter·1000 ≥ t_milli·union,
     carrying ``inter_n``/``union_n``/``jac_milli``. Shared by the
     batch join and the streaming maintainer so the verification spec
-    is single-sourced."""
+    is single-sourced.
+
+    Empty sets are EXCLUDED from the join (union_n > 0 required):
+    J(∅,∅) is undefined (0/0 — jac_milli would divide by zero, null
+    in non-ANSI Spark, an error in DuckDB), and the prefix filter can
+    never produce such a candidate anyway (an empty set has no prefix
+    element to block on), so the guard keeps the verify predicate
+    consistent with the filter's reachable space."""
     inter = F.size(F.array_intersect("_aset", "_bset")).cast("long")
     return (
         cand.join(
@@ -1336,7 +1399,10 @@ def verify_jaccard_candidates(
                 - F.col("inter_n")
             ),
         )
-        .where(F.col("inter_n") * 1000 >= F.lit(t_milli) * F.col("union_n"))
+        .where(
+            (F.col("union_n") > 0)
+            & (F.col("inter_n") * 1000 >= F.lit(t_milli) * F.col("union_n"))
+        )
         .select(
             "id_a",
             "id_b",

@@ -46,6 +46,7 @@ def pagerank_integer(
     iters: int = 5,
     damping_milli: int = 850,
     r0: int = 1_000_000,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Integer PageRank over a DIRECTED edge list; returns
     ``(node, deg, rank_micro)`` for every node with at least one
@@ -63,7 +64,14 @@ def pagerank_integer(
     is a fixed unroll — rank ordering on kNN graphs stabilizes in a
     handful of rounds, and a fixed count is what makes the result
     oracle-replayable; convergence detection would trade determinism
-    for a stopping rule we don't need at fixed depth."""
+    for a stopping rule we don't need at fixed depth.
+
+    ``deg``: optional precomputed out-degrees as ``(_src, deg)`` —
+    the streaming maintainer (streaming/pagerank.py) merges additive
+    per-batch degree partials and passes them here instead of paying
+    the edge-list groupBy again; must equal the recomputed degrees
+    (the maintainer's merge is sum-per-key, so it does by
+    construction — equivalence test-pinned)."""
     if iters < 1:
         raise ValueError("need iters >= 1")
     if not 0 <= damping_milli <= 1000:
@@ -84,11 +92,14 @@ def pagerank_integer(
     e = edges.select(
         _nn(src).alias("_src"), _nn(dst).alias("_dst")
     ).localCheckpoint(eager=True)
-    deg = (
-        e.groupBy("_src")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    if deg is None:
+        deg = (
+            e.groupBy("_src")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        deg = deg.select(F.col("_src").cast("long"), F.col("deg").cast("long"))
     ej = e.join(deg, "_src")
     nodes = deg.select(F.col("_src").alias("node"), "deg")
     base = ((1000 - damping_milli) * r0) // 1000

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cluster_for_layout", "zorder_for_layout", "write_bucketed"]
+__all__ = [
+    "cluster_for_layout",
+    "zorder_for_layout",
+    "write_bucketed",
+    "bucketed_fact_join",
+]
 
 
 def cluster_for_layout(
@@ -124,8 +129,70 @@ def write_bucketed(
     the OSS equivalent of pre-clustering both sides of a recurring
     join — pay one shuffle at write time, amortized over every
     subsequent join.
+
+    The write repartitions to exactly ``n_buckets`` partitions on the
+    bucket columns first: Spark's bucket id uses the same Murmur3 hash
+    as ``repartition(n, col)``, so every task holds exactly its own
+    bucket's rows and writes ONE file per bucket. One sorted file per
+    bucket is what lets the subsequent sort-merge join skip the Sort
+    as well as the Exchange — many files per bucket would force a
+    per-task merge sort at read time.
     """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    # A managed table written by ANOTHER process leaves its warehouse
+    # directory on disk while this process's (fresh, Derby) catalog has
+    # never heard of it — saveAsTable then fails LOCATION_ALREADY_EXISTS.
+    # Drop any catalog entry, then clear a stale orphaned location.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    stale = os.path.join(wh_path, table_name.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+    df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def bucketed_fact_join(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    table_prefix: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Fact-fact equi-join through pre-bucketed storage: land both
+    sides as hash-bucketed, per-bucket-sorted tables on their join
+    keys, then sort-merge join the TABLES — ZERO Exchange on either
+    side (plan-guarded in tests/test_plans.py and test_scale.py).
+    The residual per-bucket Sort is partition-local, touches no
+    network, and is itself elidable via the legacy
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` conf
+    (Spark 3+ stopped propagating sorted-bucket ordering by default);
+    the shuffle — the cost that dominates a 100 TB join — is gone
+    either way. The ``merge`` hint pins the strategy the layout
+    exists for; at toy scale the planner would otherwise broadcast
+    the small side, and at 100 TB neither side broadcasts.
+
+    This is the OSS analog of the reference's layout story
+    (`02_silver_processing.py:148` Liquid Clustering) applied to JOIN
+    locality rather than scan pruning: one shuffle paid at silver
+    write time is amortized over every downstream join on the same
+    key. Overwrite is idempotent, so replaying a silver refresh
+    yields the same co-located layout.
+    """
+    lt, rt = f"{table_prefix}_l", f"{table_prefix}_r"
+    write_bucketed(left, lt, [left_key], n_buckets=n_buckets, sort_cols=[left_key])
+    write_bucketed(right, rt, [right_key], n_buckets=n_buckets, sort_cols=[right_key])
+    return (
+        spark.table(lt)
+        .hint("merge")
+        .join(spark.table(rt), F.col(left_key) == F.col(right_key))
+    )

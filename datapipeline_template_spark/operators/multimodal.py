@@ -35,6 +35,8 @@ __all__ = [
     "media_byte_stats",
     "byte_chunk_features",
     "byte_simhash",
+    "byte_phash64",
+    "PHASH_DCT_1024",
 ]
 
 # Typed metadata carried beside every media blob.
@@ -242,6 +244,92 @@ def byte_chunk_features(
         return pd.Series(out)
 
     return df.withColumn("_feat", _feats(F.col(binary_col)))
+
+
+# Integer DCT-II basis for the 8×8 pHash grid, scaled by 1024:
+# D[u][x] = round(1024 · c_u · cos(π(2x+1)u/16)), c_0 = √(1/8),
+# c_u = 1/2 otherwise. Generated ONCE here and single-sourced into
+# both the Arrow kernel and the mm06 DuckDB oracle (the ss29
+# sign-matrix rule), so any platform's cos rounding cancels — plan
+# and oracle always share the identical matrix.
+def _phash_dct_matrix() -> list[list[int]]:
+    import math
+
+    rows = []
+    for u in range(8):
+        c = math.sqrt(1.0 / 8.0) if u == 0 else 0.5
+        rows.append(
+            [
+                round(1024 * c * math.cos(math.pi * (2 * x + 1) * u / 16.0))
+                for x in range(8)
+            ]
+        )
+    return rows
+
+
+PHASH_DCT_1024 = _phash_dct_matrix()
+
+
+def byte_phash64(
+    df: DataFrame, binary_col: str, grid: int = 8
+) -> DataFrame:
+    """Perceptual hash (pHash, DCT-grid family) over an opaque binary
+    column, in EXACT integer arithmetic — the media near-dup
+    fingerprint for RE-ENCODED copies, which byte-k-gram SimHash
+    (``byte_simhash``/mm05) misses: re-encoding rewrites most byte
+    k-grams, but preserves the coarse low-frequency structure pHash
+    keys on.
+
+    Pipeline (the public pHash recipe with the decode stage standing
+    on this module's fake-backend surface): (1) "decode" the blob to
+    an 8×8 integer grid — cell i is the exact byte-value sum of the
+    i-th of 64 equal stride blocks (the byte_chunk_features chunking,
+    2-D); (2) 2-D DCT-II via the fixed integer matrix
+    ``PHASH_DCT_1024`` (T = D·G·Dᵀ in int64 — |G| ≤ 2^40-ish byte
+    sums × 1024² basis keeps every intermediate far below 2^63);
+    (3) drop the DC coefficient, take the LOWER median of the
+    remaining 63 (the (n+1) div 2 order statistic — the tx31
+    convention), set bit i iff T_i > median. 63-bit hash in an int64.
+    A production deployment swaps stage (1) for a real
+    decode+grayscale+downsample with the same (blob → 8×8 int grid)
+    contract; stages (2)–(3) are the algorithm and stay.
+
+    Adds ``phash`` (long). Arrow-batched pandas_udf, map-only; pair
+    generation is the caller's blocked XOR+popcount join (mm06 bands
+    the 63 bits so candidate pairs share a 16-bit segment — pigeonhole
+    recall 1.0 for hamming ≤ 3 at 4 bands)."""
+    if grid != 8:
+        raise ValueError("byte_phash64 implements the 8x8 DCT grid")
+    import numpy as np
+
+    D = np.array(PHASH_DCT_1024, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _ph(blobs: "pd.Series") -> "pd.Series":
+        out = []
+        for b in blobs:
+            a = np.frombuffer(b if b is not None else b"", dtype=np.uint8)
+            a = a.astype(np.int64)
+            n = len(a)
+            step = -(-n // 64) if n else 1
+            cells = np.zeros(64, dtype=np.int64)
+            if n:
+                idx = np.arange(0, n, step)
+                sums = np.add.reduceat(a, idx)
+                cells[: len(sums)] = sums
+            G = cells.reshape(8, 8)
+            Tm = D @ G @ D.T  # exact int64
+            flat = Tm.reshape(-1)[1:]  # drop DC
+            med = int(np.partition(flat, 31)[31])  # lower median of 63
+            bits = flat > med
+            h = 0
+            for i, bit in enumerate(bits):
+                if bit:
+                    h |= 1 << i
+            out.append(h)
+        return pd.Series(out)
+
+    return df.withColumn("phash", _ph(F.col(binary_col)))
 
 
 def byte_simhash(

@@ -185,6 +185,12 @@ _OVERFLOW = (
     "q51_kmv_agg_size",
     "tx32_zipf_exponent",
     "dd23_lsh_global_recall",
+    # Round 11:
+    "q52_bucketed_join",
+    "pipe19_salted_keep_latest",
+    "dd24_degenerate_bucket_skew",
+    "mm06_media_phash_pairs",
+    "pipe20_full_gate_manifest",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -2059,3 +2059,137 @@ def dd23_lsh_global_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_prefix_cand",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd24 — degenerate-bucket skew audit: what LSH banding does when the
+# corpus is near-identical, and what AQE does to the resulting join
+# ---------------------------------------------------------------------------
+
+# 75 % of docs collapse onto ONE identical text → one giant bucket per
+# band; the rest get unique spiced texts → singleton buckets. The
+# template is single-sourced into the Spark expression and the oracle.
+_DD24_TEMPLATE = (
+    "the quick brown fox jumps over the lazy dog again and again today"
+)
+
+
+def degenerate_documents(docs: DataFrame) -> DataFrame:
+    """dd24's fixture: doc_id % 4 == 0 keeps a unique spiced text,
+    everything else becomes the identical template — the
+    near-identical-corpus shape (bulk-exported boilerplate, scraped
+    mirror farms) that turns LSH banding's equi-join into a single
+    degenerate key."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("unique spice row "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.lit(_DD24_TEMPLATE))
+        .alias("text"),
+    )
+
+
+_DD24_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'unique spice row ' || CAST(doc_id AS VARCHAR)
+              ELSE '{_DD24_TEMPLATE}' END AS text
+  FROM documents
+), tk AS (
+  SELECT doc_id, {_TOKHASH_CTE_SQL} AS th FROM docs2
+), sh AS (
+  SELECT doc_id, {_SHINGLES_FROM_TH_SQL} AS shingles FROM tk
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles,
+                  x -> (x * (2*i + 1234567) + (9876543 + 31*i)) % 1000000007))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS band,
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS bucket
+  FROM sig, unnest(range(0, 8)) AS u(b)
+), bsz AS (
+  SELECT band, bucket, COUNT(*) AS sz FROM bands GROUP BY band, bucket
+), hist AS (
+  SELECT CAST(sz AS BIGINT) AS bucket_size,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM bsz GROUP BY sz
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs FROM pairs
+)
+SELECT h.bucket_size, h.n_buckets, t.n_candidate_pairs
+FROM hist h CROSS JOIN tot t
+ORDER BY h.bucket_size
+"""
+
+
+@register("dd24_degenerate_bucket_skew", oracle=_DD24_ORACLE)
+def dd24_degenerate_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement behind lsh_candidate_pairs' skew note
+    (operators/dedup.py:436-437 "AQE skew-join splits giant
+    buckets"): a near-identical corpus (75 % of docs share ONE text)
+    pushed through the exact dd03 MinHash/band pipeline, reporting
+    the bucket-size distribution and the candidate-pair bill. At
+    sf0.01 the histogram reads two rows — 1,000 singleton buckets and
+    8 buckets of size 375 — and the 8 degenerate buckets alone
+    generate all 70,125 candidate pairs: quadratic in the bucket, the
+    shape AQE's skew-join exists for. The companion test
+    (tests/test_plans.py) lowers the AQE skew thresholds to
+    toy-scale, runs THIS join, and pins `SortMergeJoin(skew=true)` in
+    the post-AQE executed plan — the runtime split actually engages,
+    the join completes, and task skew is bounded by the advisory
+    partition size rather than the bucket size.
+
+    Two operational preconditions, DISCOVERED by this measurement
+    (round 11) and now part of the operator's scale story: (a) AQE
+    splits a skewed reducer partition at MAP-OUTPUT granularity — a
+    single-partition upstream (one mapper) makes every reducer
+    partition atomic and OptimizeSkewedJoin reports ZERO skewed
+    partitions regardless of bucket size, so dd03's
+    repartition(defaultParallelism) before signature hashing is what
+    makes its buckets splittable at all; (b) detection is RELATIVE
+    (factor × median partition size) — with shuffle partitions ≈ the
+    count of degenerate buckets (8 here, one per band) the giants
+    spread one-per-partition and the median IS the giant, so no
+    partition reads as skewed; the reducer count must exceed the
+    degenerate-key count for byte skew to be visible. At 100 TB both
+    hold by default (thousands of mappers and reducers), but a
+    pre-coalesced or single-file silver feeding the dedup join
+    silently disables the insurance — the deploy note this query
+    exists to pin.
+
+    Plan shape: the pair join stays the banded equi-join on
+    (_band, _bucket) — no cartesian; the histogram is two keyed
+    aggregations over (band, bucket) rows; the 1-row pair count
+    attaches via a broadcast cross join."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from ..operators.dedup import _banded
+
+    deg = degenerate_documents(docs)
+    shingled = deg.select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    )
+    sigs = minhash_signatures(
+        shingled, "doc_id", "shingles", num_hashes=32
+    ).localCheckpoint(eager=True)
+    hist = (
+        _banded(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+        .groupBy("_band", "_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .groupBy(F.col("sz").alias("bucket_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    )
+    tot = lsh_candidate_pairs(
+        sigs, "doc_id", "sig", bands=8, rows_per_band=4, eager=False
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+    return hist.crossJoin(F.broadcast(tot)).orderBy("bucket_size")

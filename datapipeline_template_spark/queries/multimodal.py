@@ -296,3 +296,173 @@ def mm05_media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= _MM05_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# mm06 — perceptual (DCT-grid pHash) media near-dup: re-encoded twins.
+# Registered in the registry OVERFLOW section.
+# ---------------------------------------------------------------------------
+
+_MM06_HAMMING = 3
+_MM06_TWIN_OFFSET = 1_000_000
+
+
+def _mm06_oracle() -> str:
+    """Generated oracle: the integer pHash replayed in SQL. The DCT
+    basis is SINGLE-SOURCED from operators.multimodal.PHASH_DCT_1024
+    (the ss29 sign-matrix rule — plan and oracle can never disagree on
+    the matrix); T = D·G·Dᵀ expands to 64 cells of 64 constant-weight
+    terms over the row-major grid list."""
+    from ..operators.multimodal import PHASH_DCT_1024 as D
+
+    cells = []
+    for u in range(8):
+        for v in range(8):
+            terms = " + ".join(
+                f"({D[u][x] * D[v][y]})*g[{x * 8 + y + 1}]"
+                for x in range(8)
+                for y in range(8)
+            )
+            cells.append(f"({terms})")
+    tv = ",\n    ".join(cells)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_MM06_TWIN_OFFSET} AS doc_id, replace(text, 'e', 'f') AS text
+  FROM documents WHERE doc_id % 10 = 0
+), b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) + 63) // 64 AS step
+  FROM base
+), cells AS (
+  SELECT doc_id, t.i AS i,
+         COALESCE(list_sum(list_transform(
+           string_split(substring(text, CAST(t.i * step + 1 AS INT),
+                                  CAST(step AS INT)), ''),
+           ch -> CAST(ascii(ch) AS BIGINT))), 0) AS s
+  FROM b, UNNEST(range(0, 64)) AS t(i)
+), grid AS (
+  SELECT doc_id, list(s ORDER BY i) AS g FROM cells GROUP BY doc_id
+), dct AS (
+  SELECT doc_id, [
+    {tv}
+  ] AS tv FROM grid
+), f AS (
+  SELECT doc_id, list_slice(tv, 2, 64) AS f FROM dct
+), med AS (
+  SELECT doc_id, f, list_sort(f)[32] AS med FROM f
+), ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 63),
+           i -> CASE WHEN f[CAST(i + 1 AS INT)] > med
+                THEN (CAST(1 AS BIGINT) << CAST(i AS BIGINT))
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+  FROM med
+), bands AS (
+  SELECT doc_id, CAST(bb AS BIGINT) AS band,
+         (phash >> CAST(16 * bb AS BIGINT)) & 65535 AS key
+  FROM ph, UNNEST(range(0, 4)) AS u(bb)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming,
+       (c.id_b = c.id_a + {_MM06_TWIN_OFFSET}) AS is_twin
+FROM cand c
+JOIN ph pa ON pa.doc_id = c.id_a
+JOIN ph pb ON pb.doc_id = c.id_b
+WHERE bit_count(xor(pa.phash, pb.phash)) <= {_MM06_HAMMING}
+ORDER BY c.id_a, c.id_b
+"""
+
+
+@register("mm06_media_phash_pairs", oracle=_mm06_oracle())
+def mm06_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media near-dup via integer DCT-grid pHash
+    (operators/multimodal.byte_phash64) — the RE-ENCODE catcher mm05's
+    byte-4-gram SimHash misses: re-encoding rewrites byte k-grams but
+    preserves low-frequency structure. The fixture bakes its own
+    truth: every 10th doc gets a "re-encoded" twin (same content,
+    every 'e'→'f' — small in-place amplitude noise, the grid-sum
+    analog of a JPEG quality bump) at id + 1e6; the query fingerprints
+    the mixed corpus, bands the 63-bit hashes into 4×16-bit segments
+    (pigeonhole: ANY pair within hamming ≤ 3 shares an intact band —
+    recall 1.0 by construction at the verify threshold), equi-joins on
+    (band, key), and verifies popcount(xor) ≤ 3 in codegen.
+
+    MEASURED at sf0.01: twins sit at hamming 0 (44/50) or 2 (6/50);
+    the closest CONTROL pair sits at hamming 4 — the output is
+    exactly the 50 twins, zero false positives, pinned by is_twin in
+    the hash-compared result. mm05's SimHash on the same fixture
+    would score twins ~unchanged too (in-place noise preserves most
+    4-grams); the discriminating case is LENGTH-changing re-encodes,
+    where gram sets diverge but the stride grid re-normalizes —
+    byte_phash64's docstring carries that contract.
+
+    Scale shape: fingerprinting is map-only Arrow; candidates are a
+    banded equi-join (the dd03 shape — never all-pairs); verification
+    touches candidates only."""
+    from ..operators.multimodal import byte_phash64
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    _ensure_single_byte_corpus(spark, docs, sf_dir, "mm06")
+    twins = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + _MM06_TWIN_OFFSET).alias("doc_id"),
+            F.translate("text", "e", "f").alias("text"),
+        )
+    )
+    blobs = docs.unionByName(twins).withColumn(
+        "blob", F.encode("text", "UTF-8")
+    )
+    ph = (
+        byte_phash64(blobs, "blob")
+        .select("doc_id", "phash")
+        .localCheckpoint(eager=True)
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("shiftright(phash, CAST(band * 16 AS INT))")
+        .bitwiseAND(F.lit(65535))
+        .alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    pa = ph.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("_pa"))
+    pb = ph.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("_pb"))
+    hamming = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).cast("long")
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= _MM06_HAMMING)
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            (F.col("id_b") == F.col("id_a") + _MM06_TWIN_OFFSET).alias(
+                "is_twin"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1032,15 +1032,14 @@ def pk10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPE18_K = 3  # winners per source among the decon survivors
 
 
-def _pipe18_oracle() -> str:
-    """pipe15's chain with the per-source race budget inserted AFTER
-    kept_docs (the new post_ctes/kept_source insertion points): the
-    race spec is the shared _race_sql fragment (pk10/ss37's), the
-    winner cut one rank window over the survivor pool; the tokenizer
-    and packing then read the budgeted set."""
+def _budget_post_ctes() -> str:
+    """The per-source race-budget block over kept_docs — shared by
+    pipe18 and pipe20 (the _decon_manifest_sql single-source rule):
+    race spec from _race_sql (pk10/ss37's), one rank window over the
+    survivor pool, winners re-joined to the kept texts as kept2."""
     from ._bm25_sql import _race_sql
 
-    post = f""", nt AS (
+    return f""", nt AS (
   SELECT k.doc_id, d.source,
          COALESCE(CAST(len(list_filter(string_split(k.text, ' '),
                                        t -> t != '')) AS BIGINT), 0) AS n_tok
@@ -1059,7 +1058,14 @@ def _pipe18_oracle() -> str:
 ), kept2 AS (
   SELECT k.doc_id, k.text FROM kept_docs k JOIN wk USING (doc_id)
 )"""
-    return _decon_manifest_sql(post_ctes=post, kept_source="kept2")
+
+
+def _pipe18_oracle() -> str:
+    """pipe15's chain with the per-source race budget inserted AFTER
+    kept_docs (the post_ctes/kept_source insertion points)."""
+    return _decon_manifest_sql(
+        post_ctes=_budget_post_ctes(), kept_source="kept2"
+    )
 
 
 @register("pipe18_budget_manifest", oracle=_pipe18_oracle())
@@ -1092,6 +1098,101 @@ def pipe18_budget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flags = _curation_flags_extended(spark, sf_dir)
     keep_ids = _decon_keep_ids(spark, sf_dir, flags)
+    docs = table(spark, sf_dir, "documents")
+    pool = (
+        keep_ids.join(
+            docs.select(
+                "doc_id",
+                "source",
+                whitespace_token_count(F.col("text")).alias("n_tok"),
+            ),
+            "doc_id",
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    winners = weighted_sample_topk(
+        pool, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
+        stratum_cols="source",
+    ).select("doc_id")
+    return manifest_from_flags(
+        spark, sf_dir, winners.withColumn("f_sem", F.lit(True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe20 — the FULL-GATE manifest: every curation-order gate composed
+# into one chain (decon → band ∧ DSIR → per-source budget → tokenizer
+# → packing). Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def _pipe20_oracle() -> str:
+    """All gates through the same _decon_manifest_sql insertion
+    points: tx23's band fragment + tx25's ratio fragment land as
+    extra_ctes (both prefixed — sp_/ir_ — so they coexist in one
+    WITH), both keeps AND into kept_docs, and the shared budget block
+    ranks within whatever survives. Nothing forked: the chain is
+    pipe15's with three composed riders."""
+    from .text import _tx23_ctes, _tx23_cut_ctes, _tx25_ctes, _tx25_keep_cte
+
+    return _decon_manifest_sql(
+        extra_ctes=(
+            f", {_tx23_ctes()}{_tx23_cut_ctes()}"
+            f", {_tx25_ctes()}{_tx25_keep_cte()}"
+        ),
+        kept_extra=(
+            "AND EXISTS (SELECT 1 FROM sp_keep s WHERE s.doc_id = d.doc_id)\n"
+            "    AND EXISTS (SELECT 1 FROM ir_keep s2 WHERE s2.doc_id = d.doc_id)"
+        ),
+        post_ctes=_budget_post_ctes(),
+        kept_source="kept2",
+    )
+
+
+@register("pipe20_full_gate_manifest", oracle=_pipe20_oracle())
+def pipe20_full_gate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training manifest a budget-capped, quality-gated,
+    domain-targeted run actually ships: pipe15–pipe18's gates composed
+    in curation order over ONE chain — 7-stage curation flags → 5-gram
+    eval decontamination → CCNet band gate (quality axis, tx23's
+    adaptive order-statistic cut) ∧ DSIR importance gate (domain axis,
+    tx25's adaptive cut) → per-source token-weighted race budget
+    (pk10's Efraimidis–Spirakis, min(3, n) per source) → BPE tokenizer
+    fit on exactly the surviving set → packed layout. The band/DSIR
+    gates are predicates over ALL docs (their LMs train on the full
+    corpus — the fixed-reference spec that makes them commute with
+    decon and with each other); the budget is a rank WITHIN the
+    survivor pool (the post_ctes insertion). Funnel at sf0.01:
+    90 f_sem → 82 non-eval → 81 decontaminated → 62 in-band →
+    32 also-DSIR-targeted → 32 budgeted — each number
+    engine-measured, the whole composition DuckDB-replayed and
+    hash-pinned through every merge round. The budget does NOT bind
+    at this scale (after two quality/domain gates every source is
+    already ≤ 3 deep) — an honest composition finding in itself: the
+    race stage is insurance for source-skewed pools, and the upstream
+    gates already de-skewed this one (contrast pipe18, where the
+    budget alone cuts 81 → 53).
+
+    Scale shape: three doc-keyed semi joins + one bounded rank window
+    over pipe15's plan; the gate LM passes are the tx23/tx25
+    map-reduce shapes (cut windows over distinct means only). Priced
+    as the full_gate_manifest curation_shared marginal — expected ≈
+    the decon marginal + band pass + DSIR pass + race (the
+    sum-of-parts check the bench records); pipe12 stays the
+    full-composition bench row for the flags pass itself. As with
+    pipe16–18, the ORACLE string is only meaningful at the sf0.01
+    gate (the flag chain bakes k_for_corpus(500)=8); the Spark side
+    scales k with the policy."""
+    from ..operators.sampling import weighted_sample_topk
+    from .pipeline import _curation_flags_extended
+    from .text import dsir_keep_ids, surprisal_head_middle_ids
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    keep_ids = (
+        _decon_keep_ids(spark, sf_dir, flags)
+        .join(surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi")
+        .join(dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi")
+    )
     docs = table(spark, sf_dir, "documents")
     pool = (
         keep_ids.join(

@@ -811,3 +811,56 @@ def mixing_from_flags(flags: DataFrame) -> DataFrame:
     return temperature_sample(
         kept, key="doc_id", stratum_col="source", total=_PIPE13_TOTAL
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pipe19 — salted two-phase keep-latest on a degenerate hot key (R19 at
+# 100 TB: SURVEY §7.3's prescribed skew hardening, measured end-to-end)
+# ---------------------------------------------------------------------------
+
+_PIPE19_ORACLE = """
+SELECT hot_key, event_type, event_id, ts, value
+FROM (
+  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS hot_key,
+         event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END,
+                        event_type
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("pipe19_salted_keep_latest", oracle=_PIPE19_ORACLE)
+def pipe19_salted_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest through the SALTED two-phase operator
+    (``operators/dedup.py keep_latest_salted``) on a deliberately
+    degenerate feed: 90 % of users collapse onto hot_key 0, the CDC
+    shape where the reference's row_number window sorts nearly the
+    whole table inside ONE task. Phase 1 splits the hot key across 16
+    data-derived salts (pmod(xxhash64(ts, event_id), 16)), phase 2
+    reduces the ≤ 16 partial winners — the largest task is bounded at
+    ~|hot key|/16 regardless of how degenerate the key gets. The
+    oracle states the same semantics as the unsalted window form
+    (ROW_NUMBER … = 1 under the total (ts, event_id) order), so the
+    hash match IS the salted==plain equivalence at sf0.01; the
+    property test pins it on a synthetic 90 %-hot feed too."""
+    from ..operators.dedup import keep_latest_salted
+
+    ev = table(spark, sf_dir, "events").select(
+        (
+            F.when(F.col("user_id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("user_id"))
+        )
+        .cast("long")
+        .alias("hot_key"),
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+    )
+    return keep_latest_salted(
+        ev, ["hot_key", "event_type"], ["ts", "event_id"], n_salts=16
+    )

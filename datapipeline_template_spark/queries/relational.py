@@ -2161,3 +2161,65 @@ def q51_kmv_agg_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# q52 — bucketed-storage join locality: the shuffle-free fact-fact join
+# ---------------------------------------------------------------------------
+
+_Q52_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q52_bucketed_join", oracle=_Q52_ORACLE)
+def q52_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through PRE-BUCKETED silver storage —
+    the one 100-TB join-locality pattern the engine demonstrated
+    nowhere before round 11: both fact sides land as hash-bucketed,
+    per-bucket-sorted parquet tables on the join key
+    (``operators/layout.py bucketed_fact_join``), so the sort-merge
+    join runs with ZERO Exchange on either side (plan-guarded; the
+    residual Sort is partition-local — see the operator docstring).
+    The write's single repartition-to-buckets shuffle
+    is the whole price, amortized over every later join on the same
+    key — the OSS analog of the reference's Liquid-Clustering layout
+    story (`02_silver_processing.py:148`) applied to join locality
+    rather than scan pruning.
+
+    The answer is identical to the plain shuffled join (this oracle
+    joins the RAW parquet in DuckDB — bucketing is a physical-layout
+    choice, not a semantic one; A/B timed in bench.py's
+    ``bucketed_join`` scenario). Table names carry the sf tag so
+    sweeps at different scales never read each other's layout."""
+    import re as _re
+
+    from ..operators.layout import bucketed_fact_join
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = bucketed_fact_join(
+        spark, li, orders, "l_orderkey", "o_orderkey", f"q52_{tag}", n_buckets=8
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            (F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

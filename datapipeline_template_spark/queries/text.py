@@ -2817,12 +2817,12 @@ def tx32_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     from ..functions import milli_log2
 
+    # Explode first, filter with a codegen'd column predicate — an
+    # F.filter(...) HOF lambda is interpreted per element, and the
+    # token-occurrence stream is the largest frame in this query.
     toks = docs.select(
-        "source",
-        F.explode(
-            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
-        ).alias("tok"),
-    )
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
     freq = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("f")
     )

@@ -228,7 +228,16 @@ class IncrementalPrefixJoin:
         """All verified Jaccard ≥ t pairs over every drained row —
         equal to the batch prefix_filter_pairs with the same frozen
         order (equivalence-tested). Prefix rows self-join (equi, on
-        the element), sets fetched per candidate id."""
+        the element), sets fetched per candidate id.
+
+        A doc id re-sent in a LATER batch (at-least-once delivery
+        under a new batch_id, which the marker discipline cannot
+        collapse) lands duplicate rows in both stores; candidates are
+        distinct'd and the sets read is distinct'd here, so the
+        verify join emits each pair ONCE (re-send equivalence
+        test-pinned). The contract assumes a re-sent id carries the
+        IDENTICAL set — two different sets under one id are a
+        producer bug this index cannot reconcile."""
         from ..operators.dedup import verify_jaccard_candidates
 
         pref = self._read(spark, self._prefix_path, "_id bigint, _s bigint").drop(
@@ -243,7 +252,7 @@ class IncrementalPrefixJoin:
         )
         sets = self._read(
             spark, self._sets_path, "_vid bigint, _vset array<bigint>"
-        ).drop("_batch")
+        ).drop("_batch").distinct()
         return verify_jaccard_candidates(cand, sets, self.t_milli)
 
     def new_pairs(self, spark: SparkSession, batch_id: int) -> DataFrame:
@@ -267,5 +276,5 @@ class IncrementalPrefixJoin:
         )
         sets = self._read(
             spark, self._sets_path, "_vid bigint, _vset array<bigint>"
-        ).drop("_batch")
+        ).drop("_batch").distinct()
         return verify_jaccard_candidates(cand, sets, self.t_milli)

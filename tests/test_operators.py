@@ -68,6 +68,49 @@ def test_keep_latest_forms_agree(spark):
     assert a.count() == 2
 
 
+def test_keep_latest_salted_equals_plain_on_hot_key_feed(spark):
+    """The salted two-phase form must equal keep_latest AND the
+    window form on a 90 %-hot-key feed (the SURVEY §7.3 skew shape),
+    at several salt counts including the degenerate n_salts=1, and
+    across ties broken by the unique order column. Duplicated order
+    keys sharing one salt is the documented-harmless case — rows that
+    tie under the total order are interchangeable, and the feed here
+    has none (event ids are unique)."""
+    import pytest
+
+    from datapipeline_template_spark.operators.dedup import keep_latest_salted
+
+    n = 2000
+    base = spark.range(n).select(
+        # 90% of rows collapse onto key 0.
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("id") % 37)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 97).cast("long").alias("o"),  # heavy order ties
+        F.col("id").alias("uid"),  # unique tiebreaker
+        (F.col("id") * 3 % 1000).cast("long").alias("v"),
+    )
+    want = sorted(
+        map(tuple, keep_latest(base, ["k"], ["o", "uid"]).collect())
+    )
+    assert sorted(
+        map(tuple, keep_latest_window(base, ["k"], ["o", "uid"]).collect())
+    ) == want
+    for n_salts in (1, 4, 16):
+        got = sorted(
+            map(
+                tuple,
+                keep_latest_salted(
+                    base, ["k"], ["o", "uid"], n_salts=n_salts
+                ).collect(),
+            )
+        )
+        assert got == want, f"n_salts={n_salts}"
+    with pytest.raises(ValueError, match="n_salts"):
+        keep_latest_salted(base, ["k"], ["o", "uid"], n_salts=0)
+
+
 def test_soft_delete_drops_null_op(spark):
     df = spark.createDataFrame(
         [Row(id=1, op="U"), Row(id=2, op="D"), Row(id=3, op=None)]
@@ -2600,6 +2643,30 @@ def test_prefix_filter_join_equals_brute_force(spark, sf_dir):
         prefix_filter_pairs(sh, "doc_id", "shingles", 0)
 
 
+def test_verify_jaccard_excludes_empty_sets(spark):
+    """J(∅,∅) is 0/0 — undefined. The verify guard (union_n > 0)
+    keeps an empty-empty candidate out instead of emitting a
+    divide-by-zero jac_milli, and empty sets never survive the
+    prefix-filter path end-to-end (no prefix element to block on)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.dedup import (
+        prefix_filter_pairs,
+        verify_jaccard_candidates,
+    )
+
+    sets = spark.createDataFrame(
+        [(1, []), (2, []), (3, [7, 8])],
+        "_vid long, _vset array<long>",
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    # Direct verify of an empty-empty candidate: excluded, not null/error.
+    assert verify_jaccard_candidates(cand, sets, 500).count() == 0
+
+    df = sets.select(F.col("_vid").alias("doc_id"), F.col("_vset").alias("s"))
+    assert prefix_filter_pairs(df, "doc_id", "s", 500).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # Integer PageRank (ss36)
 # ---------------------------------------------------------------------------
@@ -2687,3 +2754,85 @@ def test_grouped_median_mad_order_statistics(spark):
     )
     with pytest.raises(Exception, match="non-null"):
         grouped_median_mad(withnull, "g", "v", "id").collect()
+
+
+def test_byte_phash64_reencode_twins_and_banding_recall(spark, sf_dir):
+    """pHash contract on the mm06 fixture: every re-encoded twin
+    (in-place 'e'→'f' noise) sits within hamming ≤ 3 of its original
+    (the verify threshold), NO control pair does, and the 4×16-bit
+    banding's candidate set contains every pair the brute-force
+    verify would keep (pigeonhole recall at t=3, checked against an
+    unblocked XOR scan). Also pins the integer DCT basis's shape
+    invariants."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.multimodal import (
+        PHASH_DCT_1024,
+        byte_phash64,
+    )
+
+    assert len(PHASH_DCT_1024) == 8 and all(len(r) == 8 for r in PHASH_DCT_1024)
+    # Row 0 is the flat (DC) basis vector: identical entries.
+    assert len(set(PHASH_DCT_1024[0])) == 1
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.translate("text", "e", "f").alias("text"),
+    )
+    blobs = docs.unionByName(twins).withColumn(
+        "blob", F.encode("text", "UTF-8")
+    )
+    ph = (
+        byte_phash64(blobs, "blob")
+        .select("doc_id", "phash")
+        .localCheckpoint(eager=True)
+    )
+    a, b = ph.alias("a"), ph.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("long").alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+    kept = brute.where(F.col("h") <= 3)
+    twin_rows = kept.where(F.col("id_b") == F.col("id_a") + 1_000_000)
+    assert twin_rows.count() == n_docs  # every twin found
+    assert kept.count() == n_docs  # ...and nothing else (controls >= 4)
+
+    # Banding recall: candidates ⊇ every kept pair.
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("shiftright(phash, CAST(band * 16 AS INT))")
+        .bitwiseAND(F.lit(65535))
+        .alias("key"),
+    )
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    want = {(r["id_a"], r["id_b"]) for r in kept.collect()}
+    assert want <= cand

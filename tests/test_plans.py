@@ -129,8 +129,14 @@ def test_bench_headline_names_all_registered():
         "pipe16_banded_manifest",
         "pipe17_dsir_manifest",
         "pipe18_budget_manifest",
+        "pipe20_full_gate_manifest",
     ):
         assert marginal not in bench.SECONDARY
+    # Round-11 rotation: tx27b/q43 are headline rows now, not
+    # secondary; their families' slots track the engine's center of
+    # mass (r10 verdict item 7b).
+    for name in ("tx27b_bm25_dense_vocab", "q43_kmv_distinct"):
+        assert name in bench.HEADLINE and name not in bench.SECONDARY
 
 
 def test_pk01_single_exchange_no_global_sort(spark):
@@ -1051,3 +1057,110 @@ def test_dd23_composition_no_cartesian(spark):
     plan = _plan(spark, "dd23_lsh_global_recall")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 4  # 1-row attaches
+
+
+def test_q52_bucketed_join_no_exchange_below_join(spark):
+    """q52's whole point: the fact-fact sort-merge join reads
+    pre-bucketed storage, so NOTHING below the join shuffles — the
+    only Exchanges in the plan belong to the downstream aggregate and
+    the final orderBy. The tree prints children below their parent,
+    so the substring after the SortMergeJoin node is exactly the join
+    subtree."""
+    plan = _plan(spark, "q52_bucketed_join")
+    assert "SortMergeJoin" in plan
+    below = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below, f"bucketed side shuffles:\n{below[:800]}"
+    # Bucket pruning actually engaged: the scans read the bucketed
+    # tables, not raw parquet.
+    assert "Bucketed: true" in plan
+
+
+def test_pipe19_salted_two_phase_shape(spark):
+    """The salted keep-latest must really be TWO keyed hash
+    aggregates (salt grain then key grain), both with map-side
+    partials, and no window/sort — the shape whose largest task is
+    bounded at |hot key|/n_salts."""
+    plan = _plan(spark, "pipe19_salted_keep_latest")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_dd24_aqe_skew_join_splits_degenerate_bucket(spark):
+    """lsh_candidate_pairs' scale claim, executed: on the dd24
+    degenerate corpus the banded self-join's giant buckets are split
+    by AQE's skew-join — `skew=true` must appear on the SortMergeJoin
+    in the POST-execution adaptive plan, and the join must still
+    produce the exact candidate count. Thresholds are lowered to
+    toy-scale to make the 256 MB-default machinery observable.
+
+    Two preconditions this test documents (both discovered by
+    measurement, round 11): (a) splits happen at MAP-OUTPUT
+    granularity, so the upstream must have >1 partition — dd03/dd24's
+    repartition(defaultParallelism) is what makes buckets splittable
+    at all (a single-mapper feed reports ZERO skewed partitions no
+    matter how giant the bucket); (b) detection is RELATIVE
+    (factor × median partition size), so shuffle partitions must
+    exceed the count of degenerate buckets (8, one per band) or the
+    giants spread one-per-partition and the median IS the giant."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+    from datapipeline_template_spark.queries.dedup import degenerate_documents
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "64",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # The downstream DISTINCT re-shuffles the join output; without
+        # force, the rule can bail to avoid the (already-paid) extra
+        # exchange.
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        docs = table(spark, "/root/testdata/sf0.01", "documents").repartition(32)
+        deg = degenerate_documents(docs)
+        sh = deg.select(
+            "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+        )
+        sigs = minhash_signatures(
+            sh, "doc_id", "shingles", num_hashes=32
+        ).localCheckpoint(eager=True)
+        pairs = lsh_candidate_pairs(
+            sigs, "doc_id", "sig", bands=8, rows_per_band=4, eager=False
+        )
+        agg = pairs.groupBy().count()
+        assert agg.collect()[0][0] == 70125  # C(375,2) from the 8 giants
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:1200]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_mm06_phash_banded_equi_join_no_cartesian(spark):
+    """Perceptual near-dup plan shape (the mm05 rule applied to
+    pHash): the Arrow fingerprint pass is checkpointed before any
+    join (no Python node in the executed pair plan), and both the
+    banded candidate stage and the verify stage are equi-joins —
+    never a cartesian."""
+    plan = _plan(spark, "mm06_media_phash_pairs")
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

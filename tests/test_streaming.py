@@ -2483,6 +2483,50 @@ def test_incremental_prefix_join_rejects_duplicate_order_keys(spark, tmp_path):
         inc.freeze_order(dup)
 
 
+def test_incremental_prefix_join_resend_dedupe(spark, tmp_path):
+    """At-least-once re-sends: a doc id re-sent under a NEW batch_id
+    (which the marker discipline cannot collapse) lands duplicate rows
+    in both stores — the distinct'd sets read keeps pairs() emitting
+    each verified pair exactly ONCE, preserving the ==batch
+    equivalence."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.dedup import prefix_filter_pairs
+    from datapipeline_template_spark.streaming.prefix_join import (
+        IncrementalPrefixJoin,
+    )
+
+    rows = [
+        (1, [10, 11, 12, 13]),
+        (2, [10, 11, 12, 14]),
+        (3, [20, 21, 22, 23]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<long>")
+    order = (
+        df.select(F.explode("shingles").alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+    inc = IncrementalPrefixJoin(str(tmp_path / "resend_store"), t_milli=500)
+    inc.freeze_order(order)
+    inc.process_batch(df, batch_id=0)
+    # Re-send docs 1 and 2 verbatim under a fresh batch id.
+    inc.process_batch(df.where(F.col("doc_id") <= 2), batch_id=1)
+
+    def keyset(out):
+        return sorted(
+            (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+            for r in out.collect()
+        )
+
+    got = inc.pairs(spark).collect()
+    assert len(got) == len({(r["id_a"], r["id_b"]) for r in got})
+    assert keyset(inc.pairs(spark)) == keyset(
+        prefix_filter_pairs(df, "doc_id", "shingles", 500, order=order)
+    )
+    assert keyset(inc.new_pairs(spark, 1)) == [(1, 2, 3, 5)]
+
+
 def test_incremental_retention_matches_batch(spark, tmp_path, sf_dir):
     """21st incremental family: first-seen days are MIN-mergeable and
     the activity matrix is a distinct union, so the maintained
@@ -2576,3 +2620,81 @@ def test_incremental_retention_matches_batch(spark, tmp_path, sf_dir):
     IncrementalRetention(store)
     fresh = IncrementalRetention(str(tmp_path / "fresh"))
     assert fresh.triangle(spark).count() == 0
+
+
+def test_incremental_pagerank_matches_batch(spark, tmp_path):
+    """22nd incremental family: the edge list and out-degrees are
+    additive per batch (pure functions of the batch, marker-guarded);
+    the ranks are NOT additive (one new edge re-routes rank mass
+    globally), so ranks() re-runs the exact-integer walk on the
+    maintained graph fed the MERGED degree partials — bit-equal to
+    the batch pagerank_integer over the union of drained batches at
+    any drain point, including after a crash-window replay. Param
+    mismatches refuse; NULL endpoints refuse at write time."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.operators.graph import pagerank_integer
+    from datapipeline_template_spark.streaming.pagerank import (
+        IncrementalPageRank,
+    )
+
+    # Undirected ring of 12 + a hub node 99 wired to the even ring
+    # nodes — enough asymmetry that ranks are degree- AND walk-driven.
+    ring = [(i, (i + 1) % 12) for i in range(12)]
+    hub = [(99, i) for i in range(0, 12, 2)]
+    directed = ring + hub
+    undirected = directed + [(b, a) for (a, b) in directed]
+    edges = spark.createDataFrame(undirected, "src long, dst long")
+    b1 = edges.where(F.col("src") % 2 == 0)
+    b2 = edges.where(F.col("src") % 2 == 1)
+
+    store = str(tmp_path / "pr_store")
+    inc = IncrementalPageRank(store, iters=4)
+
+    def rset(df):
+        return sorted(map(tuple, df.collect()))
+
+    # Empty state reads empty with the right schema.
+    assert inc.ranks(spark).count() == 0
+
+    inc.process_batch(b1, batch_id=0)
+    assert rset(inc.ranks(spark)) == rset(pagerank_integer(b1, iters=4))
+
+    inc.process_batch(b2, batch_id=1)
+    want = rset(pagerank_integer(edges, iters=4))
+    assert rset(inc.ranks(spark)) == want
+
+    # Merged degree partials == recomputed degrees over the union.
+    got_deg = sorted(map(tuple, inc.degrees(spark).collect()))
+    want_deg = sorted(
+        map(
+            tuple,
+            edges.groupBy(F.col("src").alias("_src"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .collect(),
+        )
+    )
+    assert got_deg == want_deg
+
+    # Replay no-op + crash window (marker removed → partitions
+    # rewritten identically).
+    inc.process_batch(b1, batch_id=0)
+    os.remove(os.path.join(store, "_commits", "1"))
+    inc.process_batch(b2, batch_id=1)
+    assert rset(inc.ranks(spark)) == want
+
+    # Param guard: a different walk must refuse the store.
+    with pytest.raises(ValueError, match="never meet"):
+        IncrementalPageRank(store, iters=3)
+    IncrementalPageRank(store, iters=4)  # identical params re-open fine
+    with pytest.raises(ValueError, match="iters"):
+        IncrementalPageRank(str(tmp_path / "bad"), iters=0)
+
+    # NULL endpoints refuse at write time (nothing lands).
+    withnull = spark.createDataFrame([(1, None)], "src long, dst long")
+    bad = IncrementalPageRank(str(tmp_path / "null_store"), iters=4)
+    with pytest.raises(Exception, match="non-null"):
+        bad.process_batch(withnull, batch_id=0)
