@@ -252,6 +252,11 @@ SECONDARY = [
     # class): its pair stage is dd03's shape on a deliberately
     # degenerate corpus, priced by the dd03/dd05 rows.
     "mm06_media_phash_pairs",
+    # q53 builds three grid pairs (no candidate join ever executes —
+    # that's its point and its plan guard); tx33 is one explode + two
+    # keyed aggs + doc-sized windows.
+    "q53_join_strategy_chooser",
+    "tx33_heaps_exponent",
 ]
 
 

@@ -191,6 +191,8 @@ _OVERFLOW = (
     "dd24_degenerate_bucket_skew",
     "mm06_media_phash_pairs",
     "pipe20_full_gate_manifest",
+    "q53_join_strategy_chooser",
+    "tx33_heaps_exponent",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1706,12 +1706,11 @@ _Q49_DEPTH = 4
 _Q49_WIDTHS = (16, 64, 256, 1024)
 
 
-def _q49_oracle() -> str:
-    """GENERATED from the operator constants: the row-stepped quadratic
-    mix, per-width counter grids for BOTH key streams (g mod w directly
-    — the grid cm_fold derives), the per-depth-row inner products and
-    their min — operators/sketch.py cm_sketch/cm_fold/cm_inner_product
-    replayed integer-for-integer, with the exact join-count rider."""
+def _cm_mix_sql(h: str) -> str:
+    """The row-stepped quadratic CM mix as DuckDB SQL over a key
+    expression ``h`` and an in-scope depth-row column ``r`` —
+    operators/sketch.py cm_mix replayed integer-for-integer. SHARED by
+    the q49 and q53 oracles (the _race_sql single-source rule)."""
     from ..operators.sketch import (
         CM_A_STEP,
         CM_B_STEP,
@@ -1723,16 +1722,23 @@ def _q49_oracle() -> str:
     )
 
     p = KMV_P
+    x0 = f"((({h}) % {p}) + {p}) % {p}"
+    a = f"(({KMV_A} + {CM_A_STEP} * r) % {p})"
+    b = f"(({KMV_B} + {CM_B_STEP} * r) % {p})"
+    c = f"(({KMV_C} + {CM_C_STEP} * r) % {p})"
+    return (
+        f"(((((({x0}) * ({x0})) % {p}) * {a}) % {p}"
+        f" + ((({x0}) * {b}) % {p}) + {c}) % {p})"
+    )
 
-    def mix(h: str) -> str:
-        x0 = f"((({h}) % {p}) + {p}) % {p}"
-        a = f"(({KMV_A} + {CM_A_STEP} * r) % {p})"
-        b = f"(({KMV_B} + {CM_B_STEP} * r) % {p})"
-        c = f"(({KMV_C} + {CM_C_STEP} * r) % {p})"
-        return (
-            f"(((((({x0}) * ({x0})) % {p}) * {a}) % {p}"
-            f" + ((({x0}) * {b}) % {p}) + {c}) % {p})"
-        )
+
+def _q49_oracle() -> str:
+    """GENERATED from the operator constants: the row-stepped quadratic
+    mix, per-width counter grids for BOTH key streams (g mod w directly
+    — the grid cm_fold derives), the per-depth-row inner products and
+    their min — operators/sketch.py cm_sketch/cm_fold/cm_inner_product
+    replayed integer-for-integer, with the exact join-count rider."""
+    mix = _cm_mix_sql
 
     width_ctes, selects = [], []
     for w in _Q49_WIDTHS:
@@ -2223,3 +2229,158 @@ def q52_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q53 — the sketch-driven JOIN-STRATEGY CHOOSER: q49's estimator wired
+# into the decision it exists for (the ss34 closed-loop rule applied to
+# the planner pair). Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_Q53_DEPTH, _Q53_WIDTH = 4, 1024
+_Q53_BROADCAST_ROWS = 5_000  # rows under which a side broadcasts
+_Q53_VETO_AMP_MILLI = 20_000  # est_out/max_side ≥ 20× vetoes the join
+
+# (pair, left table.key, right table.key) — three candidate joins
+# chosen to land in three different decision branches at sf0.01.
+_Q53_PAIRS = (
+    ("customer_orders", ("customer", "c_custkey"), ("orders", "o_custkey")),
+    ("lineitem_orders", ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+    ("events_events", ("events", "user_id"), ("events", "user_id")),
+)
+
+
+def _q53_oracle() -> str:
+    mix = _cm_mix_sql
+    blocks, selects = [], []
+    for name, (lt, lk), (rt, rk) in _Q53_PAIRS:
+        blocks.append(f"""pa_{name} AS (
+  SELECT {lk} AS k FROM {lt} WHERE {lk} IS NOT NULL
+), pb_{name} AS (
+  SELECT {rk} AS k FROM {rt} WHERE {rk} IS NOT NULL
+), ma_{name} AS (
+  SELECT r, {mix('k')} AS g
+  FROM pa_{name}, unnest(range(0, {_Q53_DEPTH})) AS d(r)
+), mb_{name} AS (
+  SELECT r, {mix('k')} AS g
+  FROM pb_{name}, unnest(range(0, {_Q53_DEPTH})) AS d(r)
+), ca_{name} AS (
+  SELECT r, g % {_Q53_WIDTH} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ma_{name} GROUP BY 1, 2
+), cb_{name} AS (
+  SELECT r, g % {_Q53_WIDTH} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM mb_{name} GROUP BY 1, 2
+), ip_{name} AS (
+  SELECT r, CAST(SUM(ca_{name}.cnt * cb_{name}.cnt) AS BIGINT) AS ip
+  FROM ca_{name} JOIN cb_{name} USING (r, b) GROUP BY r
+), st_{name} AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pa_{name}) AS n_left,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pb_{name}) AS n_right,
+         (SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) FROM ip_{name}) AS est_n
+)""")
+        selects.append(f"""SELECT '{name}' AS pair, n_left, n_right, est_n,
+       CAST((est_n * 1000) // GREATEST(n_left, n_right) AS BIGINT)
+         AS amp_est_milli,
+       CASE WHEN LEAST(n_left, n_right) <= {_Q53_BROADCAST_ROWS}
+              THEN 'broadcast'
+            WHEN (est_n * 1000) // GREATEST(n_left, n_right)
+                   >= {_Q53_VETO_AMP_MILLI}
+              THEN 'veto_runaway'
+            ELSE 'shuffle_smj' END AS decision
+FROM st_{name}""")
+    return f"""
+WITH {', '.join(blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)})
+ORDER BY pair
+"""
+
+
+@register("q53_join_strategy_chooser", oracle=_q53_oracle())
+def q53_join_strategy_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision q49's estimator exists for, CLOSED-LOOP (the ss34
+    chooser rule applied to the planner pair): for each candidate
+    equi-join, price it from statistics a 100 TB planner can afford —
+    two row counts (free at ingest) and a width-1024 Count-Min
+    inner-product output estimate (two map-side-combined scans, q49's
+    primitive) — then choose:
+
+      broadcast     if the smaller side fits the broadcast budget
+                    (≤ 5,000 rows here — the toy-scale stand-in for
+                    Spark's autoBroadcastJoinThreshold);
+      veto_runaway  if the estimated output exceeds 20× the larger
+                    input (the fan-out that melts a shuffle at scale
+                    — the runaway-join veto, caught BEFORE paying the
+                    shuffle the exact answer would cost);
+      shuffle_smj   otherwise.
+
+    Three candidates land in three branches at sf0.01, each decision
+    sketch-driven and hash-pinned: customer⋈orders → broadcast (1,500
+    rows broadcast-able; est 35,885 vs exact 15,000), lineitem⋈orders
+    → shuffle_smj (both sides big; amp 15,640 milli), events⋈events
+    on user_id → veto_runaway (self-join on hot keys: est ≈ Σf²,
+    amp 71,230 milli ≈ 71×). The CM-overestimate guarantee that makes
+    q49 honest makes the VETO safe-side here: the sketch only
+    overestimates output, so a passed join was genuinely small —
+    while a veto can be a FALSE positive by up to the |A|·|B|/width
+    slack. The lineitem⋈orders row measures exactly that pressure:
+    est 938k vs exact 60k is almost pure slack (60k·15k/1024 ≈ 878k),
+    putting amp at 15.6× against the 20× veto — the honest sizing
+    rule the chooser inherits from q49 is that width must scale with
+    |A|·|B|/(amp_budget·max_side) or growing inputs silently veto
+    everything. Thresholds are pinned constants; decisions recompute
+    per corpus (at sf0.1 customer outgrows the broadcast budget — the
+    data-driven point of a chooser).
+
+    Scale shape: per pair, two 1-column scans → depth×width grids
+    (map-side combined) → a grid-sized product join; no candidate
+    join is ever executed. Oracle GENERATED from the same operator
+    constants via the shared _cm_mix_sql fragment."""
+    from ..operators.sketch import cm_inner_product, cm_sketch
+
+    out = None
+    for name, (lt, lk), (rt, rk) in _Q53_PAIRS:
+        left = (
+            table(spark, sf_dir, lt)
+            .where(F.col(lk).isNotNull())
+            .select(F.col(lk).alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        right = (
+            table(spark, sf_dir, rt)
+            .where(F.col(rk).isNotNull())
+            .select(F.col(rk).alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        ska = cm_sketch(left, "k", _Q53_DEPTH, _Q53_WIDTH)
+        skb = cm_sketch(right, "k", _Q53_DEPTH, _Q53_WIDTH)
+        stats = (
+            left.agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+            .crossJoin(
+                right.agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+            )
+        )
+        amp = F.expr(
+            "CAST((est_n * 1000) DIV GREATEST(n_left, n_right) AS BIGINT)"
+        )
+        row = (
+            cm_inner_product(ska, skb, out_col="est_n")
+            .crossJoin(stats)
+            .select(
+                F.lit(name).alias("pair"),
+                "n_left",
+                "n_right",
+                "est_n",
+                amp.alias("amp_est_milli"),
+                F.when(
+                    F.least("n_left", "n_right") <= _Q53_BROADCAST_ROWS,
+                    F.lit("broadcast"),
+                )
+                .when(
+                    amp >= _Q53_VETO_AMP_MILLI, F.lit("veto_runaway")
+                )
+                .otherwise(F.lit("shuffle_smj"))
+                .alias("decision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")

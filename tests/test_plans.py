@@ -1164,3 +1164,28 @@ def test_mm06_phash_banded_equi_join_no_cartesian(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q53_no_candidate_join_executed(spark):
+    """The chooser's whole point: no candidate join ever runs. The
+    only hash joins are the three GRID-sized inner products
+    (depth×width rows per side) and the 1-row stat attaches — never a
+    sort-merge join over the raw key streams, never a cartesian."""
+    plan = _plan(spark, "q53_join_strategy_chooser")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 3  # one grid product per pair
+    assert plan.count("BroadcastNestedLoopJoin") <= 6  # 1-row attaches
+
+
+def test_tx33_post_curve_plan_is_bounded(spark):
+    """tx33 checkpoints the doc-sized (N_i, V_i) curve (it feeds both
+    the fit and the totals); everything after it must stay bounded —
+    one broadcast join of the per-source fit onto the per-source
+    totals, keyed aggregations only, no window re-evaluation and no
+    sort-merge join."""
+    plan = _plan(spark, "tx33_heaps_exponent")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -2698,3 +2698,86 @@ def test_incremental_pagerank_matches_batch(spark, tmp_path):
     bad = IncrementalPageRank(str(tmp_path / "null_store"), iters=4)
     with pytest.raises(Exception, match="non-null"):
         bad.process_batch(withnull, batch_id=0)
+
+
+def test_incremental_bucketed_silver_matches_batch(spark, tmp_path, sf_dir):
+    """23rd incremental family: q52's shuffle-free-join layout
+    maintained under appends. Each batch lands in its own _batch
+    partition of ONE bucketed catalog table; content equals the union
+    of drained batches at any drain point; the sort-merge join of two
+    maintained tables stays Exchange-free after every drain (the
+    layout property the family exists to preserve); replays are
+    no-ops; a crash window rewrites an identical partition; bucket/
+    key/schema drift refuses."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.streaming.bucketed import (
+        IncrementalBucketedSilver,
+    )
+
+    for t in ("ibs_li", "ibs_od"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    sl = IncrementalBucketedSilver(
+        str(tmp_path / "li_store"), "ibs_li", "l_orderkey", n_buckets=8
+    )
+    so = IncrementalBucketedSilver(
+        str(tmp_path / "od_store"), "ibs_od", "o_orderkey", n_buckets=8
+    )
+    li1 = li.where(F.col("l_orderkey") % 2 == 0)
+    li2 = li.where(F.col("l_orderkey") % 2 == 1)
+    sl.process_batch(li1, batch_id=0)
+    so.process_batch(od, batch_id=0)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(sl.table(spark)) == rows(li1)
+
+    sl.process_batch(li2, batch_id=1)
+    assert rows(sl.table(spark)) == rows(li)
+
+    # The layout property after two drains: join with zero Exchange
+    # below the SMJ, answering identically to the plain join.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = sl.join(spark, so)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1]
+        want = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert j.count() == want.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # Replay no-op + crash window (marker removed → identical rewrite).
+    sl.process_batch(li1, batch_id=0)
+    os.remove(os.path.join(str(tmp_path / "li_store"), "_commits", "1"))
+    sl.process_batch(li2, batch_id=1)
+    assert rows(sl.table(spark)) == rows(li)
+
+    # Guards: layout params pinned; schema drift refuses; mismatched
+    # bucket grids refuse to join.
+    with pytest.raises(ValueError, match="fixed at creation"):
+        IncrementalBucketedSilver(
+            str(tmp_path / "li_store"), "ibs_li", "l_orderkey", n_buckets=16
+        )
+    with pytest.raises(ValueError, match="schema drift"):
+        sl.process_batch(li.withColumn("extra", F.lit(1)), batch_id=2)
+    other = IncrementalBucketedSilver(
+        str(tmp_path / "od16_store"), "ibs_od16", "o_orderkey", n_buckets=16
+    )
+    with pytest.raises(ValueError, match="re-shuffle"):
+        sl.join(spark, other)
+    for t in ("ibs_li", "ibs_od"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
