@@ -254,9 +254,14 @@ SECONDARY = [
     "mm06_media_phash_pairs",
     # q53 builds three grid pairs (no candidate join ever executes —
     # that's its point and its plan guard); tx33 is one explode + two
-    # keyed aggs + doc-sized windows.
+    # keyed aggs + doc-sized windows; mm07 is a per-doc chunking fold
+    # + dd21's prefix-filter join over the 1.05x fixture corpus.
     "q53_join_strategy_chooser",
     "tx33_heaps_exponent",
+    "mm07_media_chunk_dedup",
+    # w12 joins day-count-sized sketch frames; the exact rider is
+    # w11's aggregation — its standalone cost is the row.
+    "w12_retention_sketched",
 ]
 
 

@@ -173,11 +173,11 @@ def bucketed_fact_join(
     keys, then sort-merge join the TABLES — ZERO Exchange on either
     side (plan-guarded in tests/test_plans.py and test_scale.py).
     The residual per-bucket Sort is partition-local, touches no
-    network, and is itself elidable via the legacy
-    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` conf
-    (Spark 3+ stopped propagating sorted-bucket ordering by default);
-    the shuffle — the cost that dominates a 100 TB join — is gone
-    either way. The ``merge`` hint pins the strategy the layout
+    network, and is itself elidable via the legacy bucketed-table-scan
+    output-ordering conf (Spark 3+ stopped propagating sorted-bucket
+    ordering by default — and tools/audit_confs.py is exactly why this
+    engine does NOT set that version-fragile conf); the shuffle — the
+    cost that dominates a 100 TB join — is gone either way. The ``merge`` hint pins the strategy the layout
     exists for; at toy scale the planner would otherwise broadcast
     the small side, and at 100 TB neither side broadcasts.
 

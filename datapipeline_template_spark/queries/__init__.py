@@ -193,6 +193,8 @@ _OVERFLOW = (
     "pipe20_full_gate_manifest",
     "q53_join_strategy_chooser",
     "tx33_heaps_exponent",
+    "mm07_media_chunk_dedup",
+    "w12_retention_sketched",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries
