@@ -260,8 +260,11 @@ SECONDARY = [
     "tx33_heaps_exponent",
     "mm07_media_chunk_dedup",
     # w12 joins day-count-sized sketch frames; the exact rider is
-    # w11's aggregation — its standalone cost is the row.
+    # w11's aggregation — its standalone cost is the row. dd25
+    # re-derives dd06's CC chain + tx19's classifier (the dd19
+    # cheap-recompute class) and reduces them in one keyed aggregate.
     "w12_retention_sketched",
+    "dd25_classifier_survivors",
 ]
 
 

@@ -195,6 +195,7 @@ _OVERFLOW = (
     "tx33_heaps_exponent",
     "mm07_media_chunk_dedup",
     "w12_retention_sketched",
+    "dd25_classifier_survivors",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -972,6 +972,89 @@ def main() -> None:
         ],
     )
 
+    # ---- round 11 ----------------------------------------------------
+
+    section(
+        "q52_bucketed_join",
+        "bucketed-storage fact-fact join: both sides read pre-bucketed "
+        "tables, the sort-merge join runs with ZERO Exchange below it "
+        "(the only exchanges belong to the downstream aggregate/sort)",
+        [
+            ("Bucketed scans", r"Bucketed: true[^\n]{0,40}"),
+            ("Join", r"SortMergeJoin[^\n]{0,60}"),
+            ("Exchanges (agg/sort only)", r"Exchange (?:hash|range)partitioning\([^)]{0,50}"),
+        ],
+    )
+    section(
+        "pipe19_salted_keep_latest",
+        "salted two-phase keep-latest: TWO keyed hash aggregates (salt "
+        "grain then key grain), both with map-side partial max_by, no "
+        "window — largest task bounded at |hot key|/n_salts",
+        [
+            ("Partial max_by", r"partial_max_by\([^)]{0,60}"),
+            ("Two exchanges", r"Exchange hashpartitioning\([^)]{0,60}"),
+        ],
+    )
+    section(
+        "q53_join_strategy_chooser",
+        "sketch-driven join chooser: no candidate join ever executes — "
+        "the only hash joins are grid-sized CM inner products; "
+        "decisions derive from counts + estimates",
+        [
+            ("Joins (grid-sized only)", r"(BroadcastHashJoin|SortMergeJoin)"),
+            ("Grid aggregation", r"HashAggregate\(keys=\[r[^\]]{0,30}\], functions=\[partial_count"),
+        ],
+    )
+    section(
+        "tx33_heaps_exponent",
+        "Heaps-law fit: token explode feeds two map-side-combined "
+        "aggregations; cumulative windows run over DOC-sized frames "
+        "(checkpointed curve), five-sums OLS with 3-step long division",
+        [
+            ("Post-curve joins", r"(BroadcastHashJoin|SortMergeJoin)"),
+            ("Keyed aggregates", r"HashAggregate\(keys=\[source[^\]]{0,30}"),
+        ],
+    )
+    section(
+        "mm06_media_phash_pairs",
+        "perceptual pHash near-dup: Arrow fingerprint pass checkpointed "
+        "(no Python node in the pair plan), banded equi-join on 16-bit "
+        "hash segments, XOR+popcount verify in codegen",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+            ("Popcount verify", r"bit_count\([^\n]{0,50}"),
+        ],
+    )
+    section(
+        "mm07_media_chunk_dedup",
+        "CDC-chunk media near-dup: per-doc chunking fold (map-only), "
+        "then dd21's prefix-filter join over chunk-hash sets — "
+        "rare-chunk equi-join, verify on candidates only",
+        [
+            ("Join strategies", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+            ("Prefix rank window", r"Window \[row_number[^\n]{0,70}"),
+        ],
+    )
+    section(
+        "w12_retention_sketched",
+        "sketched retention triangle: cohort/day KMV sketches are rank "
+        "windows over distinct (group, hash) rows; cells join "
+        "day-count-sized SKETCH frames (broadcast), never user rows",
+        [
+            ("Sketch windows", r"Window \[row_number[^\n]{0,70}"),
+            ("Cell join", r"(BroadcastNestedLoopJoin|BroadcastHashJoin)[^\n]{0,40}"),
+        ],
+    )
+    section(
+        "dd25_classifier_survivors",
+        "classifier-quality survivors: cluster labels and scores meet "
+        "in ONE keyed aggregation (max_by twice, partial map-side) — "
+        "no window over the corpus",
+        [
+            ("Partial max_by", r"partial_max_by\([^)]{0,60}"),
+            ("Joins", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ],
+    )
 
 
 if __name__ == "__main__":
