@@ -1029,7 +1029,6 @@ def _bucketed_join_scenario(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from datapipeline_template_spark.functions import cents
-    from datapipeline_template_spark.operators.layout import bucketed_fact_join
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -1051,15 +1050,29 @@ def _bucketed_join_scenario(spark, sf_dir):
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-    # Layout cost: both bucketed tables written once (includes the
-    # repartition-to-buckets shuffle — the amortized price).
+    # Layout cost: both bucketed tables written once (the
+    # repartition-to-buckets shuffle + parquet write — the amortized
+    # price, timed WITHOUT any join execution).
+    from datapipeline_template_spark.operators.layout import write_bucketed
+
     t = time.perf_counter()
-    joined_b = bucketed_fact_join(
-        spark, li, orders, "l_orderkey", "o_orderkey", "bench_bkt",
-        n_buckets=32,
+    write_bucketed(
+        li, "bench_bkt_l", ["l_orderkey"], n_buckets=32,
+        sort_cols=["l_orderkey"],
     )
-    joined_b.count()
+    write_bucketed(
+        orders, "bench_bkt_r", ["o_orderkey"], n_buckets=32,
+        sort_cols=["o_orderkey"],
+    )
     write_sec = time.perf_counter() - t
+    joined_b = (
+        spark.table("bench_bkt_l")
+        .hint("merge")
+        .join(
+            spark.table("bench_bkt_r"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
 
     plan = agg(joined_b)._jdf.queryExecution().executedPlan().toString()
     no_exchange = (

@@ -297,7 +297,10 @@ def byte_phash64(
     Adds ``phash`` (long). Arrow-batched pandas_udf, map-only; pair
     generation is the caller's blocked XOR+popcount join (mm06 bands
     the 63 bits so candidate pairs share a 16-bit segment — pigeonhole
-    recall 1.0 for hamming ≤ 3 at 4 bands)."""
+    recall 1.0 for hamming ≤ 3 at 4 bands). Empty/NULL blobs hash to
+    0 (zero grid ⇒ zero DCT ⇒ no bit exceeds the zero median — the
+    byte_simhash convention), so two empty blobs pair at hamming 0:
+    filter empties upstream if that reading is unwanted."""
     if grid != 8:
         raise ValueError("byte_phash64 implements the 8x8 DCT grid")
     import numpy as np
