@@ -265,6 +265,9 @@ SECONDARY = [
     # cheap-recompute class) and reduces them in one keyed aggregate.
     "w12_retention_sketched",
     "dd25_classifier_survivors",
+    # q54 scans raw once for hourly sketches; rollup levels are
+    # sketch-row groupBys — its standalone cost is the row.
+    "q54_kmv_rollup_cascade",
 ]
 
 

@@ -196,6 +196,7 @@ _OVERFLOW = (
     "mm07_media_chunk_dedup",
     "w12_retention_sketched",
     "dd25_classifier_survivors",
+    "q54_kmv_rollup_cascade",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries
