@@ -141,6 +141,17 @@ def write_bucketed(
     import os
     import shutil
 
+    # The stale-location cleanup below removes <warehouse>/<name> on the
+    # local filesystem and assumes the default-database layout; a
+    # qualified name ('db.tbl') or anything path-like would delete the
+    # wrong directory (or miss the real one under <db>.db/).  Refuse
+    # up front — same guard as IncrementalBucketedSilver.
+    if not table_name.replace("_", "").isalnum():
+        raise ValueError(
+            f"unsafe table name {table_name!r} — write_bucketed manages "
+            "simple default-database table names only"
+        )
+
     spark = df.sparkSession
     # A managed table written by ANOTHER process leaves its warehouse
     # directory on disk while this process's (fresh, Derby) catalog has
@@ -191,8 +202,15 @@ def bucketed_fact_join(
     lt, rt = f"{table_prefix}_l", f"{table_prefix}_r"
     write_bucketed(left, lt, [left_key], n_buckets=n_buckets, sort_cols=[left_key])
     write_bucketed(right, rt, [right_key], n_buckets=n_buckets, sort_cols=[right_key])
+    # Qualified key references: the natural co-bucketed case joins two
+    # tables bucketed on the SAME column name (e.g. user_id == user_id),
+    # where unqualified F.col(key) on both sides is ambiguous.
     return (
         spark.table(lt)
+        .alias("l")
         .hint("merge")
-        .join(spark.table(rt), F.col(left_key) == F.col(right_key))
+        .join(
+            spark.table(rt).alias("r"),
+            F.col(f"l.{left_key}") == F.col(f"r.{right_key}"),
+        )
     )

@@ -3015,25 +3015,29 @@ def tx33_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    mag = F.abs(num)
-
-    def idiv(x, y):
-        return ((x - (x % y)) / y).cast("long")
-
-    q1 = idiv(mag * 1000, den)
-    r1 = (mag * 1000) % den
-    q2 = idiv(r1 * 1000, den)
-    r2 = (r1 * 1000) % den
-    q3 = idiv(r2 * 1000, den)
+    ad = a.select(
+        "source",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    # True 64-bit integer division (Spark DIV == DuckDB // for the
+    # non-negative operands here; den > 0 filtered, magnitudes via
+    # abs).  A double-rounded (x - x%y)/y form is only exact while the
+    # dividend stays below 2^53, and mag*1000 scales with doc counts ×
+    # milli_log2² — past the sf0.01 verification gate it can cross
+    # that bound and truncate one low.  ANSI mode keeps any genuine
+    # int64 overflow loud rather than silent.
+    q1 = F.expr("(abs(num) * 1000) DIV den")
+    q2 = F.expr("(((abs(num) * 1000) % den) * 1000) DIV den")
+    q3 = F.expr("((((abs(num) * 1000) % den) * 1000 % den) * 1000) DIV den")
     nano = q1 * 1_000_000 + q2 * 1000 + q3
     fit = (
-        a.where((F.col("n") >= 2) & (den > 0))
+        ad.where((F.col("n") >= 2) & (F.col("den") > 0))
         .select(
             "source",
             F.col("n").alias("n_points"),
-            (F.when(num < 0, -nano).otherwise(nano))
+            (F.when(F.col("num") < 0, -nano).otherwise(nano))
             .cast("long")
             .alias("heaps_nano"),
         )

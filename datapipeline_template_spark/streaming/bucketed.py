@@ -177,11 +177,15 @@ class IncrementalBucketedSilver:
                 f"bucket counts differ ({self.n_buckets} vs "
                 f"{other.n_buckets}) — the join would re-shuffle"
             )
+        # Qualified key references: two silvers bucketed on the same
+        # column name (the natural co-bucketed case) would otherwise
+        # make the unqualified condition ambiguous.
         return (
             self.table(spark)
+            .alias("l")
             .hint("merge")
             .join(
-                other.table(spark),
-                F.col(self.key_col) == F.col(other.key_col),
+                other.table(spark).alias("r"),
+                F.col(f"l.{self.key_col}") == F.col(f"r.{other.key_col}"),
             )
         )

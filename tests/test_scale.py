@@ -63,6 +63,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_join_same_key_name_resolves(spark, sf_dir):
+    """The natural co-bucketed case joins two tables bucketed on the
+    SAME column name; qualified references keep the condition
+    unambiguous (unqualified F.col(key) on both sides raised
+    AnalysisException) and the join stays Exchange-free."""
+    from datapipeline_template_spark.operators.layout import (
+        bucketed_fact_join,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    )
+    cu = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_fact_join(
+            spark, ev, cu, "user_id", "user_id", "bkt_same", n_buckets=4
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1]
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bkt_same_l", "bkt_same_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_write_bucketed_refuses_unsafe_names(spark, sf_dir):
+    """write_bucketed manages <warehouse>/<name> on disk — qualified or
+    path-like names would rmtree the wrong directory; they refuse."""
+    import pytest
+
+    from datapipeline_template_spark.operators.layout import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for bad in ("db.tbl", "../escape", "a/b", "a b"):
+        with pytest.raises(ValueError, match="unsafe table name"):
+            write_bucketed(orders, bad, ["o_orderkey"], n_buckets=4)
+
+
 def test_external_location_tables(spark, tmp_path):
     """R9: with external_location set, table data lives under
     {ext}/{bronze|silver}/{entity}/ instead of the warehouse."""

@@ -2781,3 +2781,43 @@ def test_incremental_bucketed_silver_matches_batch(spark, tmp_path, sf_dir):
         sl.join(spark, other)
     for t in ("ibs_li", "ibs_od"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_bucketed_silver_join_same_key_name(spark, sf_dir, tmp_path):
+    """Two maintained silvers bucketed on the SAME key column name —
+    the natural co-bucketed case (e.g. both keyed user_id) — join
+    without ambiguity and stay Exchange-free below the SMJ."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.streaming.bucketed import (
+        IncrementalBucketedSilver,
+    )
+
+    for t in ("ibs_same_a", "ibs_same_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    sa = IncrementalBucketedSilver(
+        str(tmp_path / "a_store"), "ibs_same_a", "user_id", n_buckets=4
+    )
+    sb = IncrementalBucketedSilver(
+        str(tmp_path / "b_store"), "ibs_same_b", "user_id", n_buckets=4
+    )
+    sa.process_batch(od, batch_id=0)
+    sb.process_batch(cu, batch_id=0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = sa.join(spark, sb)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1]
+        assert j.count() == od.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("ibs_same_a", "ibs_same_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
