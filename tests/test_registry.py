@@ -29,23 +29,25 @@ PINNED_WINDOW = [
     "dd01_exact_dedup_documents", "dd02_ngram_jaccard_pairs",
     "dd03_minhash_lsh_candidates", "dd05_minhash_lsh_kernel",
     "dd04_simhash_pairs", "dd06_dedup_components",
-    "ss01_cosine_topk", "ss04_cosine_topk_blas",
+    "ss01_cosine_topk",
     "ss02_embedding_near_dup", "ss03_lsh_ann_pairs",
     "ss06_embedding_dedup_clusters", "ss15_ivf_kmeans_ann",
     "tx07b_token_collision_pandas", "tx01_token_stats",
     "tx02_quality_by_source", "tx03_language_id", "tx04_fingerprint",
-    "tx06_tfidf", "tx05_top_bigrams", "tx08_regex_subwords",
-    "tx09_leading_tokens", "tx10_stopword_punct_shares",
+    "tx06_tfidf", "tx05_top_bigrams",
+    "tx10_stopword_punct_shares", "tx28_unigram_train",
     "st01_tumbling_counts", "st02_sliding_counts", "st03_session_windows",
-    "mm01_media_byte_stats", "mm02_media_meta",
+    "mm01_media_byte_stats", "mm02_media_meta", "mm06_media_phash_pairs",
     "tj01_asof_prev_click", "tj02_cascade_rollup",
     "w01_top_orders_per_customer", "w02_running_user_value",
-    "w03_event_gaps_lag", "w04_customer_quartiles", "w05_moving_avg_value",
+    "w04_customer_quartiles",
     "w06_first_last_event", "w07_supplier_percentiles",
     "w08_sessionize_events",
     "q01_pricing_summary", "q02_top_revenue_orders", "q22_array_agg",
     "q37_full_outer_nations", "q40_null_safe_join",
     "q38_intersect_all_priorities",
+    "q52_bucketed_join", "q53_join_strategy_chooser",
+    "q54_kmv_rollup_cascade",
 ]
 
 
@@ -59,11 +61,13 @@ def test_registry_size_stable():
 
 
 def test_window_pinned_by_name():
-    """The exact 50 names the driver sweeps (round-8 delta: the two
-    remaining rows-only slots went to their hash-green twins — ss05 →
-    ss15, tx07 → tx07b — taking the window to 50/50 hash-eligible;
-    both originals moved to _OVERFLOW as liveness checks, the same
-    discipline as round 6's pipe06 → pipe06b swap)."""
+    """The exact 50 names the driver sweeps (round-12 delta, r11
+    verdict #5: five stale near-dup slots — ss04, tx08, tx09, w03,
+    w05, each a variant of a row still in the window — rotated out to
+    _OVERFLOW liveness rows so the hard signal tracks the frontier:
+    the bucketed shuffle-free join q52, both planner sketches
+    q53/q54, the unigram tokenizer tx28, and the pHash media row
+    mm06. Round-8 discipline unchanged: 50/50 hash-eligible)."""
     assert WINDOW == PINNED_WINDOW
 
 
