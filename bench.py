@@ -1116,6 +1116,83 @@ def _bucketed_join_scenario(spark, sf_dir):
     }
 
 
+def _compaction_scenario(spark, sf_dir):
+    """r11 verdict items 1+7: the incremental stores' read cost over
+    HISTORY DEPTH, not a single drain. Twelve drains of IncrementalKmv
+    land twelve `_batch` partitions; the maintained read (merge of all
+    partials) is timed against that 12-deep history, the store is
+    compacted (k-min-of-union fold into ONE base partition, one row
+    per group), and the same read is timed again. Parity asserts the
+    estimates are bit-identical pre/post — compaction must be
+    invisible to every reader. At 100 TB with hourly drains the
+    pre-compaction curve grows linearly with history (listing + open
+    + merge of O(groups × batches) rows) while the post-compaction
+    read is O(groups) flat — this scenario prices one point of that
+    gap. Timings best-of-N for the reads; the compaction itself is
+    single-shot (it mutates state)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.streaming.kmv import IncrementalKmv
+
+    n_drains = 12
+    root = tempfile.mkdtemp(prefix="bench_compact_")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"
+        ).localCheckpoint(eager=True)
+        inc = IncrementalKmv(
+            os.path.join(root, "kmv"),
+            group_col="event_type",
+            value_col="user_id",
+            k=256,
+        )
+        t = time.perf_counter()
+        for i in range(n_drains):
+            inc.process_batch(
+                ev.where(F.col("event_id") % n_drains == i), i
+            )
+        drains_sec = time.perf_counter() - t
+
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+        def best(thunk):
+            sec = float("inf")
+            for _ in range(max(runs, 1)):
+                t0 = time.perf_counter()
+                thunk()
+                sec = min(sec, time.perf_counter() - t0)
+            return sec
+
+        before = {
+            r["event_type"]: r["distinct_estimate"]
+            for r in inc.estimates(spark).collect()
+        }
+        read_before = best(lambda: inc.estimates(spark).collect())
+
+        t = time.perf_counter()
+        inc.compact(spark)
+        compact_sec = time.perf_counter() - t
+
+        after = {
+            r["event_type"]: r["distinct_estimate"]
+            for r in inc.estimates(spark).collect()
+        }
+        read_after = best(lambda: inc.estimates(spark).collect())
+        return {
+            "n_drains": n_drains,
+            "drains_sec": round(drains_sec, 4),
+            "read_before_sec": round(read_before, 4),
+            "compact_sec": round(compact_sec, 4),
+            "read_after_sec": round(read_after, 4),
+            "parity": before == after,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _incremental_silver_scenario(spark, sf_dir):
     """SURVEY §7.3's 100-TB hot path, demonstrated under the bench: a
     bulk-loaded events silver (100k rows at sf0.1), then a 1% delta —
@@ -1373,6 +1450,13 @@ def main() -> None:
         errors["ivfpq_index"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"bench: ivfpq-index scenario FAILED: {exc}", file=sys.stderr)
 
+    try:
+        compaction = _compaction_scenario(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        compaction = None
+        errors["compaction"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: compaction scenario FAILED: {exc}", file=sys.stderr)
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -1398,6 +1482,8 @@ def main() -> None:
         result["streaming_curation"] = streaming_curation
     if ivfpq_index is not None:
         result["ivfpq_index"] = ivfpq_index
+    if compaction is not None:
+        result["compaction"] = compaction
     if errors:
         # A failed query is DROPPED from `value`, so a red run would
         # otherwise read as a speedup in cross-run comparisons; the

@@ -159,6 +159,16 @@ class IncrementalBucketedSilver:
 
     # -- reads -------------------------------------------------------------
 
+    def compact(self, spark: SparkSession) -> bool:
+        """Fold all committed ``_batch`` partitions into the
+        ``_batch=-1`` base partition of the SAME catalog table —
+        table-level bucket spec (and with it the shuffle-free join)
+        survives by construction. See
+        streaming/compaction.py compact_bucketed_silver."""
+        from .compaction import compact_bucketed_silver
+
+        return compact_bucketed_silver(spark, self)
+
     def table(self, spark: SparkSession) -> DataFrame:
         """The maintained silver as a DataFrame (``_batch`` dropped) —
         scan output is hash-partitioned on the bucket key, so joins

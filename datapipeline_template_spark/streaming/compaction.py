@@ -1,0 +1,361 @@
+"""Streaming-store compaction — folds the per-drain ``_batch=N``
+partitions every incremental family accumulates into ONE base
+partition, idempotently and crash-safely.
+
+Why this exists: every maintainer in this package lands one
+``_batch=<id>`` directory partition per drained micro-batch and never
+touches it again (the replay-idempotence discipline). That is correct
+but unbounded — at 100 TB with hourly drains a year-old store carries
+thousands of small partitions and files, and every read pays an
+O(history) listing + open cost for state whose MERGED size is bounded
+(sketches, counts, survivor sets). This module is the engine-side
+analog of the auto-compaction the reference configures on its tables
+(`01_bronze_ingestion.py:79-83` ``delta.autoOptimize.*``), applied to
+the engine's own maintained state.
+
+Semantics contract: compaction is valid for exactly the datasets the
+families write — ``_batch``-partitioned parquet whose read side treats
+partitions as a BAG (drops ``_batch`` and merges). Folding committed
+partitions into one ``_batch=-1`` base partition is then
+read-invariant by construction (equivalence-tested per family).
+Datasets partitioned by anything else (rollup's date grid, D4's
+per-cluster prototype marks) are intentionally invisible to discovery
+— they maintain bounded layouts already.
+
+Replay safety: the ``_commits/<id>`` markers are NEVER removed, so a
+``foreachBatch`` replay of a folded batch still short-circuits at the
+marker — compaction cannot reintroduce the at-least-once double-land.
+UNCOMMITTED partitions (crash-after-write-before-marker remnants) are
+excluded from the fold and carried over unchanged: their replay will
+dynamic-overwrite them with identical rows exactly as before.
+
+Crash safety: a per-dataset journal makes the swap a two-phase
+commit on the local filesystem —
+
+  A. write folded rows to ``<ds>.__compacting`` (new base partition)
+  B. journal ``{fold: [...]}``            <- the commit point
+  C. move each non-folded ``_batch=*`` dir into the staged copy
+  D. ``<ds>`` -> ``<ds>.__old``
+  E. ``<ds>.__compacting`` -> ``<ds>``
+  F. delete ``<ds>.__old`` + journal
+
+``recover_dataset`` finishes (post-B) or discards (pre-B) an
+interrupted run; every phase is re-runnable because renames are
+atomic per directory and the staged copy is complete before B. The
+fault-injection hook ``crash_after=`` exists for the crash-window
+tests only. Single-writer discipline: like ``process_batch`` itself,
+compaction assumes no concurrent drain of the same store (the
+maintenance step runs between triggers).
+
+``IncrementalBucketedSilver`` stores are catalog tables, not raw
+parquet dirs — ``compact_bucketed_silver`` handles them with the same
+journal pattern expressed as INSERT OVERWRITE + partition drops so the
+table-level bucket spec (the shuffle-free-join property) survives
+compaction, plan-pinned in tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "BASE_BATCH",
+    "compact_store",
+    "compact_dataset",
+    "recover_store",
+    "recover_dataset",
+    "discover_stores",
+    "discover_datasets",
+    "compact_bucketed_silver",
+]
+
+# Reserved base-partition id. Real drains use non-negative
+# StreamingQuery batch ids, so -1 can never collide with a marker.
+BASE_BATCH = -1
+
+_STAGE_SUFFIX = ".__compacting"
+_OLD_SUFFIX = ".__old"
+_JOURNAL_SUFFIX = ".__compact_journal.json"
+
+
+def _batch_dirs(ds: str) -> dict[int, str]:
+    """Map of batch id -> partition dir name under a dataset dir."""
+    out: dict[int, str] = {}
+    if not os.path.isdir(ds):
+        return out
+    for name in os.listdir(ds):
+        if name.startswith("_batch=") and os.path.isdir(os.path.join(ds, name)):
+            out[int(name.split("=", 1)[1])] = name
+    return out
+
+
+def _committed_ids(store_root: str) -> set[int]:
+    commits = os.path.join(store_root, "_commits")
+    if not os.path.isdir(commits):
+        return set()
+    return {int(n) for n in os.listdir(commits) if n.lstrip("-").isdigit()}
+
+
+def discover_stores(path: str) -> list[str]:
+    """Every directory under ``path`` (inclusive) holding a
+    ``_commits`` marker dir — one entry per (possibly nested)
+    maintainer, so composite stores (StreamingCuration,
+    StreamingManifest) compact their members in one call."""
+    roots = []
+    for dirpath, dirnames, _ in os.walk(path):
+        if "_commits" in dirnames:
+            roots.append(dirpath)
+        # Never descend into staging/backup dirs mid-recovery.
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if not d.endswith((_STAGE_SUFFIX, _OLD_SUFFIX))
+        ]
+    return sorted(roots)
+
+
+def discover_datasets(store_root: str) -> list[str]:
+    """Direct child dirs of a store root that are ``_batch``-partitioned
+    parquet datasets. Anything partitioned otherwise (or unpartitioned
+    artifacts like weights tables) is not compaction's business."""
+    out = []
+    for name in sorted(os.listdir(store_root)):
+        if name == "_commits" or name.endswith((_STAGE_SUFFIX, _OLD_SUFFIX)):
+            continue
+        child = os.path.join(store_root, name)
+        if os.path.isdir(child) and _batch_dirs(child):
+            out.append(child)
+    return out
+
+
+def _journal_path(ds: str) -> str:
+    return ds.rstrip("/") + _JOURNAL_SUFFIX
+
+
+def _read_journal(ds: str) -> dict | None:
+    jp = _journal_path(ds)
+    if not os.path.exists(jp):
+        return None
+    with open(jp) as f:
+        return json.load(f)
+
+
+def _finish_swap(ds: str, fold_ids: set[int]) -> None:
+    """Phases C-F, re-runnable from any interruption point."""
+    stage, old = ds + _STAGE_SUFFIX, ds + _OLD_SUFFIX
+    if os.path.isdir(ds) and os.path.isdir(stage):
+        for bid, name in _batch_dirs(ds).items():
+            if bid not in fold_ids and not os.path.isdir(
+                os.path.join(stage, name)
+            ):
+                os.rename(os.path.join(ds, name), os.path.join(stage, name))
+        os.rename(ds, old)
+    if os.path.isdir(stage):
+        os.rename(stage, ds)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.remove(_journal_path(ds))
+
+
+def recover_dataset(ds: str) -> None:
+    """Finish (journaled) or discard (pre-journal) an interrupted
+    compaction of one dataset. Safe to call any time the writer owns
+    the store; a no-op on a clean dataset."""
+    journal = _read_journal(ds)
+    stage = ds + _STAGE_SUFFIX
+    if journal is None:
+        # Crash before the commit point: the staged copy (if any) was
+        # never made authoritative — discard it; nothing was moved.
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        return
+    _finish_swap(ds, set(journal["fold"]))
+
+
+def recover_store(store_path: str) -> None:
+    for root in discover_stores(store_path):
+        for ds in discover_datasets(root):
+            recover_dataset(ds)
+        # A dataset renamed away mid-swap (between D and E) has no ds
+        # dir for discovery to find — look for orphan journals too.
+        for name in os.listdir(root):
+            if name.endswith(_JOURNAL_SUFFIX):
+                recover_dataset(
+                    os.path.join(root, name[: -len(_JOURNAL_SUFFIX)])
+                )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    ds: str,
+    committed: set[int],
+    fold=None,
+    target_files: int = 1,
+    crash_after: str | None = None,
+) -> bool:
+    """Fold the committed ``_batch`` partitions of one dataset (plus
+    any existing base) into a fresh ``_batch=-1`` base partition.
+    Returns True if a fold happened. ``fold`` optionally reduces the
+    folded rows (e.g. one merged sketch row per group) — it must
+    preserve the dataset's schema and its read-side merge semantics;
+    identity (pure re-bagging) is always valid. ``crash_after`` is the
+    test-only fault-injection hook ('stage' | 'journal' | 'moved' |
+    'renamed_old')."""
+    recover_dataset(ds)
+    present = _batch_dirs(ds)
+    fold_ids = {b for b in present if b in committed or b == BASE_BATCH}
+    # Nothing to gain: zero or one foldable partition and no pending
+    # history means the dataset is already in base form.
+    if len(fold_ids) <= 1:
+        return False
+
+    stage = ds + _STAGE_SUFFIX
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+
+    folded = (
+        spark.read.parquet(ds)
+        .where(F.col("_batch").isin([int(b) for b in fold_ids]))
+        .drop("_batch")
+    )
+    if fold is not None:
+        folded = fold(folded)
+    (
+        folded.coalesce(max(1, int(target_files)))
+        .withColumn("_batch", F.lit(BASE_BATCH).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("_batch")
+        .parquet(stage)
+    )
+    if crash_after == "stage":
+        return True
+    # Atomic journal land: a torn write must read as "no journal"
+    # (pre-commit), never as a corrupt commit record.
+    jp = _journal_path(ds)
+    with open(jp + ".tmp", "w") as f:
+        json.dump({"fold": sorted(int(b) for b in fold_ids)}, f)
+    os.replace(jp + ".tmp", jp)
+    if crash_after == "journal":
+        return True
+    # Phases C..F (with optional mid-swap crash points for tests).
+    if crash_after in ("moved", "renamed_old"):
+        for bid, name in _batch_dirs(ds).items():
+            if bid not in fold_ids:
+                os.rename(os.path.join(ds, name), os.path.join(stage, name))
+        if crash_after == "moved":
+            return True
+        os.rename(ds, ds + _OLD_SUFFIX)
+        return True
+    _finish_swap(ds, fold_ids)
+    return True
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    folds: dict[str, object] | None = None,
+    target_files: int = 1,
+) -> dict[str, bool]:
+    """Compact every ``_batch``-partitioned dataset of every maintainer
+    under ``store_path`` (composites recurse). ``folds`` optionally
+    maps dataset BASENAMES (e.g. ``"partials"``) to reduce functions.
+    Returns {dataset path: folded?} for observability."""
+    recover_store(store_path)
+    report: dict[str, bool] = {}
+    for root in discover_stores(store_path):
+        committed = _committed_ids(root)
+        for ds in discover_datasets(root):
+            fold = (folds or {}).get(os.path.basename(ds))
+            report[ds] = compact_dataset(
+                spark, ds, committed, fold=fold, target_files=target_files
+            )
+    return report
+
+
+# -- bucketed silver (catalog table) -----------------------------------------
+
+
+def compact_bucketed_silver(spark: SparkSession, silver) -> bool:
+    """Fold a maintained bucketed silver's ``_batch`` partitions into
+    the ``_batch=-1`` base WITHOUT losing the table-level bucket spec —
+    the shuffle-free-join property is exactly why this store can't go
+    through the raw-parquet path (a plain rewrite would drop the
+    catalog's bucketing metadata).
+
+    Same two-phase journal discipline, expressed in table operations:
+
+      staged:   journal written with the fold set (commit point), then
+                INSERT OVERWRITE PARTITION (_batch=-1) from a
+                checkpointed read of the fold partitions — idempotent
+                while no source partition has been dropped, so a crash
+                here simply re-runs the insert;
+      inserted: journal advanced, then ALTER TABLE DROP each folded
+                partition (IF EXISTS — each drop is idempotent);
+      done:     journal removed.
+
+    ``silver`` is an IncrementalBucketedSilver; its markers are kept so
+    replays of folded batches stay no-ops, and drains after compaction
+    land new ``_batch`` partitions beside the base exactly as before.
+    """
+    tbl = silver.table_name
+    journal = os.path.join(silver.store_path, "table_compact_journal.json")
+
+    state = None
+    if os.path.exists(journal):
+        with open(journal) as f:
+            state = json.load(f)
+
+    if state is None:
+        if not spark.catalog.tableExists(tbl):
+            return False
+        parts = [
+            int(r[0].split("=", 1)[1])
+            for r in spark.sql(f"SHOW PARTITIONS {tbl}").collect()
+        ]
+        fold = sorted(p for p in parts if p in _committed_ids(silver.store_path) or p == BASE_BATCH)
+        if len(fold) <= 1:
+            return False
+        state = {"fold": fold, "phase": "staged"}
+        with open(journal + ".tmp", "w") as f:
+            json.dump(state, f)
+        os.replace(journal + ".tmp", journal)
+
+    if state["phase"] == "staged":
+        fold = state["fold"]
+        cols = [c for c in spark.table(tbl).columns if c != "_batch"]
+        src = (
+            spark.table(tbl)
+            .where(F.col("_batch").isin(fold))
+            .select(*cols)
+            # Break lineage: the insert overwrites _batch=-1, which may
+            # itself be part of the read on a re-compaction.
+            .repartition(silver.n_buckets, F.col(silver.key_col))
+            .localCheckpoint(eager=True)
+        )
+        view = f"_compact_{tbl}"
+        src.createOrReplaceTempView(view)
+        col_list = ", ".join(f"`{c}`" for c in cols)
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {tbl} PARTITION (_batch={BASE_BATCH}) "
+            f"SELECT {col_list} FROM {view}"
+        )
+        spark.catalog.dropTempView(view)
+        state["phase"] = "inserted"
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, journal)
+
+    if state["phase"] == "inserted":
+        for p in state["fold"]:
+            if p != BASE_BATCH:
+                spark.sql(
+                    f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (_batch={int(p)})"
+                )
+        os.remove(journal)
+    return True

@@ -176,6 +176,29 @@ class IncrementalKmv:
             )
         )
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold all committed per-batch partials into ONE merged
+        sketch row per group in the ``_batch=-1`` base partition
+        (streaming/compaction.py) — state drops from O(groups ×
+        batches) to O(groups) and the read-side listing stops growing
+        with history. The fold IS the read-side k-min-of-union, so
+        compaction is exact by the same identity the reads rely on;
+        markers are kept, so replays of folded batches stay no-ops."""
+        from .compaction import compact_store
+
+        def fold(df: DataFrame) -> DataFrame:
+            return df.groupBy(self.group_col).agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("kmv")))
+                    ),
+                    1,
+                    self.k,
+                ).alias("kmv")
+            )
+
+        compact_store(spark, self.store_path, folds={"partials": fold})
+
     def estimates(self, spark: SparkSession) -> DataFrame:
         """Per-group distinct-count estimates from the maintained
         sketches — the q43 estimator over streaming state."""

@@ -1,0 +1,280 @@
+"""Streaming-store compaction (streaming/compaction.py): folding the
+per-drain ``_batch`` partitions into one base partition must be
+invisible to every read (equivalence), keep replays no-ops (markers
+survive), preserve crash remnants (uncommitted partitions carry over),
+recover from a crash at EVERY phase of the two-phase swap, and — for
+the bucketed silver — keep the shuffle-free-join bucket spec."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_template_spark.streaming.compaction import (
+    BASE_BATCH,
+    compact_dataset,
+    compact_store,
+    recover_store,
+)
+
+
+def _batch_parts(ds: str) -> set[int]:
+    return {
+        int(n.split("=", 1)[1])
+        for n in os.listdir(ds)
+        if n.startswith("_batch=")
+    }
+
+
+def _kmv_store(spark, tmp_path, sf_dir, name="kmv_store", n_batches=4):
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.streaming.kmv import IncrementalKmv
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    store = str(tmp_path / name)
+    inc = IncrementalKmv(store, group_col="event_type", value_col="user_id", k=8)
+    for i in range(n_batches):
+        inc.process_batch(ev.where(F.col("event_id") % n_batches == i), i)
+    return inc, ev, store
+
+
+def _est(inc, spark) -> dict:
+    return {
+        r["event_type"]: r["distinct_estimate"]
+        for r in inc.estimates(spark).collect()
+    }
+
+
+def test_kmv_compaction_equivalence_and_merge_fold(spark, tmp_path, sf_dir):
+    """Four drains -> compact with the k-min-of-union merge fold: the
+    partials collapse to ONE base partition with one row per group,
+    estimates are unchanged, replays of folded batches stay no-ops,
+    and later drains + a SECOND compaction keep the equivalence."""
+    inc, ev, store = _kmv_store(spark, tmp_path, sf_dir, n_batches=3)
+    ds = os.path.join(store, "partials")
+    before = _est(inc, spark)
+    assert before and _batch_parts(ds) == {0, 1, 2}
+
+    inc.compact(spark)
+    assert _batch_parts(ds) == {BASE_BATCH}
+    groups = inc.sketches(spark).count()
+    rows = spark.read.parquet(ds).count()
+    assert rows == groups  # merge fold: one sketch row per group
+    assert _est(inc, spark) == before
+
+    # Replay of a folded batch: marker survived compaction -> no-op.
+    inc.process_batch(ev.where(F.col("event_id") % 3 == 0), 0)
+    assert _batch_parts(ds) == {BASE_BATCH}
+    assert _est(inc, spark) == before
+
+    # Drains continue landing beside the base; re-compaction folds
+    # base + new batch and stays exact vs the all-rows batch sketch.
+    from datapipeline_template_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    inc.process_batch(ev, 7)  # full overlap: distinct union unchanged
+    assert _batch_parts(ds) == {BASE_BATCH, 7}
+    inc.compact(spark)
+    assert _batch_parts(ds) == {BASE_BATCH}
+    want = {
+        r["event_type"]: r["e"]
+        for r in kmv_sketch(ev, "event_type", "user_id", k=8)
+        .select("event_type", kmv_estimate("kmv", 8).alias("e"))
+        .collect()
+    }
+    assert _est(inc, spark) == want
+
+
+def test_generic_identity_compaction_retention(spark, tmp_path, sf_dir):
+    """A family with NO custom fold (IncrementalRetention, two
+    datasets) compacts through the generic identity path: reads are
+    bag-merges, so pure re-bagging into the base partition leaves the
+    triangle untouched."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.streaming.retention import (
+        IncrementalRetention,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+        )
+    )
+    store = str(tmp_path / "ret_store")
+    inc = IncrementalRetention(store)
+    for i in range(3):
+        inc.process_batch(ev.where(F.col("user_id") % 3 == i), i)
+
+    def tri():
+        return sorted(map(tuple, inc.triangle(spark).collect()))
+
+    before = tri()
+    assert before
+    report = compact_store(spark, store)
+    assert report and all(report.values())
+    for ds in report:
+        assert _batch_parts(ds) == {BASE_BATCH}
+    assert tri() == before
+
+
+def test_uncommitted_partition_survives_compaction(spark, tmp_path, sf_dir):
+    """A crash-after-write-before-marker remnant must NOT be folded
+    (its replay will re-land it); compaction carries the partition
+    over unchanged and the later replay converges exactly as it would
+    have without compaction."""
+    inc, ev, store = _kmv_store(spark, tmp_path, sf_dir, n_batches=3)
+    ds = os.path.join(store, "partials")
+    # Simulate the crash window: batch 2's marker is lost.
+    os.remove(os.path.join(store, "_commits", "2"))
+
+    inc.compact(spark)
+    assert _batch_parts(ds) == {BASE_BATCH, 2}
+
+    # Replay re-lands the identical partition, then everything merges.
+    inc.process_batch(ev.where(F.col("event_id") % 3 == 2), 2)
+    from datapipeline_template_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    want = {
+        r["event_type"]: r["e"]
+        for r in kmv_sketch(ev, "event_type", "user_id", k=8)
+        .select("event_type", kmv_estimate("kmv", 8).alias("e"))
+        .collect()
+    }
+    assert _est(inc, spark) == want
+
+
+@pytest.mark.parametrize(
+    "phase", ["stage", "journal", "moved", "renamed_old"]
+)
+def test_crash_at_every_phase_recovers(spark, tmp_path, sf_dir, phase):
+    """Fault-inject a crash after each phase of the two-phase swap;
+    recover_store + a fresh compaction must land the exact same state
+    as an uninterrupted run. Pre-journal crashes roll BACK (stage
+    discarded), post-journal crashes roll FORWARD (swap finished)."""
+    inc, ev, store = _kmv_store(
+        spark, tmp_path, sf_dir, name=f"kmv_{phase}", n_batches=3
+    )
+    ds = os.path.join(store, "partials")
+    before = _est(inc, spark)
+
+    committed = {0, 1, 2}
+    compact_dataset(spark, ds, committed, crash_after=phase)
+    # Whatever the wreckage looks like, recovery + compaction restores
+    # the invariant state.
+    recover_store(store)
+    assert _est(inc, spark) == before
+    compact_store(spark, store)
+    assert _batch_parts(ds) == {BASE_BATCH}
+    assert _est(inc, spark) == before
+
+
+def test_nested_store_discovery(spark, tmp_path, sf_dir):
+    """compact_store on a PARENT directory recurses into every nested
+    maintainer (the composite-store shape: StreamingCuration and
+    friends nest members under one root)."""
+    parent = tmp_path / "composite"
+    parent.mkdir()
+    inc_a, _, _ = _kmv_store(spark, parent, sf_dir, name="a", n_batches=2)
+    inc_b, _, _ = _kmv_store(spark, parent, sf_dir, name="b", n_batches=3)
+    ea, eb = _est(inc_a, spark), _est(inc_b, spark)
+
+    report = compact_store(spark, str(parent))
+    assert len(report) == 2 and all(report.values())
+    assert _est(inc_a, spark) == ea and _est(inc_b, spark) == eb
+
+
+def test_bucketed_silver_compaction_keeps_join_free(spark, tmp_path, sf_dir):
+    """The catalog-table path: folding batch partitions into the base
+    via INSERT OVERWRITE + partition drops preserves the table-level
+    bucket spec — the SMJ over two compacted silvers still has ZERO
+    Exchange below it — and rows, replays, and the journal-resume
+    crash window all hold."""
+    from datapipeline_template_spark.streaming.bucketed import (
+        IncrementalBucketedSilver,
+    )
+
+    for t in ("cmp_li", "cmp_od"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    sl = IncrementalBucketedSilver(
+        str(tmp_path / "li_store"), "cmp_li", "l_orderkey", n_buckets=4
+    )
+    so = IncrementalBucketedSilver(
+        str(tmp_path / "od_store"), "cmp_od", "o_orderkey", n_buckets=4
+    )
+    for i in range(3):
+        sl.process_batch(li.where(F.col("l_orderkey") % 3 == i), i)
+    so.process_batch(od, 0)
+    so.process_batch(od.limit(0), 1)
+
+    def rows(s):
+        return sorted(map(tuple, s.table(spark).collect()))
+
+    want = rows(sl)
+    assert sl.compact(spark) is True
+    parts = [r[0] for r in spark.sql("SHOW PARTITIONS cmp_li").collect()]
+    assert parts == [f"_batch={BASE_BATCH}"]
+    assert rows(sl) == want
+    # Idempotence: nothing left to fold.
+    assert sl.compact(spark) is False
+
+    # Replay of a folded batch: marker survived -> no-op.
+    sl.process_batch(li.where(F.col("l_orderkey") % 3 == 0), 0)
+    assert rows(sl) == want
+
+    # The property the table path exists for: Exchange-free SMJ after
+    # compaction on BOTH sides (so joins one compacted, one not, too).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = sl.join(spark, so)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1]
+        assert j.count() == li.count()
+        so.compact(spark)
+        j2 = sl.join(spark, so)
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2.split("SortMergeJoin", 1)[1]
+        assert j2.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # Crash window: journal landed (commit point) but the insert never
+    # ran — resuming from the journal completes the fold exactly.
+    sl.process_batch(li.where(F.col("l_orderkey") % 3 == 1), 9)
+    journal = os.path.join(str(tmp_path / "li_store"), "table_compact_journal.json")
+    with open(journal, "w") as f:
+        json.dump({"fold": [BASE_BATCH, 9], "phase": "staged"}, f)
+    assert sl.compact(spark) is True
+    parts = [r[0] for r in spark.sql("SHOW PARTITIONS cmp_li").collect()]
+    assert parts == [f"_batch={BASE_BATCH}"]
+    # Bag semantics: the base already held every row; batch 9 re-adds
+    # the %3==1 slice, so the folded table carries that slice twice.
+    want9 = sorted(
+        map(
+            tuple,
+            li.unionAll(li.where(F.col("l_orderkey") % 3 == 1)).collect(),
+        )
+    )
+    assert rows(sl) == want9
+    for t in ("cmp_li", "cmp_od"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
