@@ -58,6 +58,18 @@ class EntityConfig:
     # _ingested_at DESC at 02_silver_processing.py:120-126); a unique
     # tiebreaker can be appended for deterministic ties.
     dedup_order_columns: list[str] = field(default_factory=lambda: ["_ingested_at"])
+    # Engine extensions (r11 verdict #2): the round-11 scale patterns,
+    # askable from config rather than code.
+    # bucket_by: silver lands as a hash-bucketed, per-bucket-sorted
+    # table on these columns (operators/layout.py write_bucketed) —
+    # every downstream equi-join between co-bucketed silvers runs with
+    # ZERO Exchange. n_buckets=0 means "use the Pipeline default".
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = 0
+    # skew_hardened: silver dedup via the two-phase salted keep-latest
+    # (operators/dedup.py keep_latest_salted) for feeds with degenerate
+    # hot keys; observably identical silver (E2E-tested).
+    skew_hardened: bool = False
 
     @classmethod
     def from_dict(cls, name: str, raw: dict) -> "EntityConfig":
@@ -70,6 +82,9 @@ class EntityConfig:
             renamed_columns=dict(raw.get("renamed_columns", {}) or {}),
             expect_all_or_drop=dict(raw.get("expect_all_or_drop", {}) or {}),
             dedup_order_columns=list(raw.get("dedup_order_columns", ["_ingested_at"])),
+            bucket_by=list(raw.get("bucket_by", [])),
+            n_buckets=int(raw.get("n_buckets", 0)),
+            skew_hardened=bool(raw.get("skew_hardened", False)),
         )
 
 

@@ -141,15 +141,20 @@ def write_bucketed(
     import os
     import shutil
 
-    # The stale-location cleanup below removes <warehouse>/<name> on the
-    # local filesystem and assumes the default-database layout; a
-    # qualified name ('db.tbl') or anything path-like would delete the
-    # wrong directory (or miss the real one under <db>.db/).  Refuse
-    # up front — same guard as IncrementalBucketedSilver.
-    if not table_name.replace("_", "").isalnum():
+    # The stale-location cleanup below removes the table's managed
+    # warehouse directory on the local filesystem; anything path-like
+    # in the name would delete the wrong directory. Validate every
+    # name part up front (same guard as IncrementalBucketedSilver),
+    # then derive the managed location: default-database tables live
+    # at <warehouse>/<tbl>, database-qualified ones at
+    # <warehouse>/<db>.db/<tbl>.
+    parts = table_name.split(".")
+    if not (1 <= len(parts) <= 2) or not all(
+        p and p.replace("_", "").isalnum() for p in parts
+    ):
         raise ValueError(
             f"unsafe table name {table_name!r} — write_bucketed manages "
-            "simple default-database table names only"
+            "simple `tbl` or `db.tbl` managed-table names only"
         )
 
     spark = df.sparkSession
@@ -160,7 +165,12 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh_path = wh.removeprefix("file:")
-    stale = os.path.join(wh_path, table_name.lower())
+    rel = (
+        parts[0].lower()
+        if len(parts) == 1
+        else os.path.join(f"{parts[0].lower()}.db", parts[1].lower())
+    )
+    stale = os.path.join(wh_path, rel)
     if os.path.isdir(stale):
         shutil.rmtree(stale)
     df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])

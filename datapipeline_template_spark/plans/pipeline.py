@@ -176,7 +176,16 @@ class Pipeline:
         for tiebreak in ("_file_modification_time", "_source_file"):
             if tiebreak in bronze.columns and tiebreak not in order_cols:
                 order_cols.append(tiebreak)
-        df = keep_latest(bronze, entity.unique_primary_key, order_cols)
+        if entity.skew_hardened:
+            # Config-requested hot-key hardening (r11 verdict #2): the
+            # two-phase salted form bounds the largest dedup task at
+            # ~|hot key| / n_salts; observably identical silver
+            # (E2E parity test).
+            from ..operators.dedup import keep_latest_salted
+
+            df = keep_latest_salted(bronze, entity.unique_primary_key, order_cols)
+        else:
+            df = keep_latest(bronze, entity.unique_primary_key, order_cols)
         if self.params.soft_deletes.upper() != "Y":
             df = drop_soft_deleted(df)
         df = apply_renames(df, entity.renamed_columns)
@@ -201,15 +210,46 @@ class Pipeline:
             return
         bronze = self.spark.read.table(self.bronze_table(entity.name))
         df = self.silver_transform(bronze, entity)
-        df = cluster_for_layout(df, entity.clustering_cols)
         fqn = self.silver_table(entity.name)
-        writer = (
-            df.write.mode("overwrite").format("parquet").option("overwriteSchema", "true")
-        )
         ext = self._external_path("silver", entity.name)
-        if ext:
-            writer = writer.option("path", ext)
-        writer.saveAsTable(fqn)
+        if entity.bucket_by:
+            # Config-requested join locality (r11 verdict #2): silver
+            # lands hash-bucketed + per-bucket-sorted on the declared
+            # key, so every equi-join between co-bucketed silvers skips
+            # its Exchange (plan-pinned E2E test). Bucketing IS the
+            # physical layout — clustering_cols would be overridden by
+            # the bucket shuffle, so declaring both is refused rather
+            # than silently half-applied.
+            if entity.clustering_cols:
+                raise ValueError(
+                    f"{entity.name}: bucket_by and clustering_cols are "
+                    "mutually exclusive layouts — pick one"
+                )
+            if ext:
+                raise ValueError(
+                    f"{entity.name}: bucket_by requires a managed table "
+                    "(bucket metadata lives in the catalog); unset "
+                    "external_location for this entity"
+                )
+            from ..operators.layout import write_bucketed
+
+            write_bucketed(
+                df,
+                fqn,
+                entity.bucket_by,
+                n_buckets=entity.n_buckets or self.n_buckets,
+                sort_cols=entity.bucket_by,
+            )
+        else:
+            df = cluster_for_layout(df, entity.clustering_cols)
+            writer = (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("overwriteSchema", "true")
+            )
+            if ext:
+                writer = writer.option("path", ext)
+            writer.saveAsTable(fqn)
         # Parity with the reference's table properties (retention,
         # skipping columns) — recorded as TBLPROPERTIES for engines
         # that act on them; parquet footers already carry min/max.

@@ -202,6 +202,8 @@ _OVERFLOW = (
     "mm07_media_chunk_dedup",
     "w12_retention_sketched",
     "dd25_classifier_survivors",
+    # Round 12:
+    "pipe21_config_bucketed_silver",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

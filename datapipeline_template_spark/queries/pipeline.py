@@ -864,3 +864,105 @@ def pipe19_salted_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_latest_salted(
         ev, ["hot_key", "event_type"], ["ts", "event_id"], n_salts=16
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe21 — the round-11 scale patterns asked for from CONFIG (r11 verdict
+# #2): one EntityConfig declares bucket_by + skew_hardened (+ renames +
+# expectations) and the full batch pipeline runs bronze → silver on a
+# CDC feed derived from events
+# ---------------------------------------------------------------------------
+
+_PIPE21_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN value < 1.0 THEN NULL
+              ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value AS metric, op
+FROM latest
+WHERE rn = 1 AND op != 'D' AND user_id IS NOT NULL
+"""
+
+
+@register("pipe21_config_bucketed_silver", oracle=_PIPE21_ORACLE)
+def pipe21_config_bucketed_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONFIG surface driving the round-11 scale operators end to
+    end: an ``EntityConfig`` declares ``skew_hardened`` (silver dedup
+    through the two-phase salted keep-latest,
+    ``operators/dedup.py keep_latest_salted``), ``bucket_by`` (silver
+    lands hash-bucketed + sorted via
+    ``operators/layout.py write_bucketed`` — every later equi-join on
+    user_id is Exchange-free, the q52 layout), a rename
+    (value → metric, R15) and an expectation (user_id IS NOT NULL,
+    R18) — and the stock batch ``Pipeline`` (plans/pipeline.py)
+    executes bronze → silver with NO custom code. The feed is events
+    with a pipe02-style derived op (error → 'D', small values → NULL
+    op to pin null-rejecting R17).
+
+    The oracle replays the whole silver contract in one SQL statement
+    (keep-latest under the total (ts, event_id) order → null-rejecting
+    op filter → rename → expectation), so the hash match proves the
+    CONFIG path — salted dedup, bucketed write and all — changes
+    nothing observable vs the declarative semantics. Bucketing and
+    salting are PHYSICAL choices; this query is their semantic no-op
+    proof, the E2E plan properties live in tests/test_pipeline.py.
+
+    Reference anchors: README.md:92-101 (the config schema these keys
+    extend), 02_silver_processing.py:115-141 (the silver flow order
+    the Pipeline preserves)."""
+    import os
+    import tempfile
+
+    from ..config import EntityConfig, PipelineParams
+    from ..plans.pipeline import Pipeline
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("value") < 1.0, F.lit(None).cast("string"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="pipe21_")
+    src = os.path.join(root, "clicks")
+    ev.write.mode("overwrite").parquet(src)
+    # Cross-process hygiene (the write_bucketed stale-orphan rule): a
+    # PREVIOUS process's run left these managed dirs on disk while this
+    # process's fresh Derby catalog has never heard of them — DROP
+    # DATABASE no-ops and saveAsTable dies LOCATION_ALREADY_EXISTS.
+    # The names are fixture-private constants, so the delete is scoped.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    for db in ("p21_bronze", "p21_silver"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        stale = os.path.join(wh_path, f"{db}.db")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    params = PipelineParams(source_location=root, catalog="p21")
+    entity = EntityConfig(
+        name="clicks",
+        unique_primary_key=["user_id", "event_type"],
+        dedup_order_columns=["ts", "event_id"],
+        renamed_columns={"value": "metric"},
+        expect_all_or_drop={"has_user": "user_id IS NOT NULL"},
+        bucket_by=["user_id"],
+        n_buckets=8,
+        skew_hardened=True,
+    )
+    Pipeline(spark, params, [entity], streaming=False).run()
+    # Silver is materialized in the warehouse; return its semantic
+    # columns (audit columns are run-dependent by design).
+    return spark.table("p21_silver.silver_clicks").select(
+        "user_id", "event_type", "event_id", "ts", "metric", "op"
+    )

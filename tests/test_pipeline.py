@@ -376,6 +376,116 @@ def test_multi_entity_pipeline(spark, tmp_path):
     assert len(items) == 1 and items[0]["id"] == 9
 
 
+def test_config_bucketed_silver_joins_without_exchange(spark, tmp_path):
+    """r11 verdict #2 E2E: entities declaring ``bucket_by`` land their
+    silvers as hash-bucketed sorted tables, and an equi-join between
+    the two co-bucketed silvers runs with ZERO Exchange below the SMJ
+    — the q52 join-locality pattern asked for from CONFIG, not code."""
+    src = tmp_path / "raw"
+    for name in ("ent_a", "ent_b"):
+        d = src / name
+        d.mkdir(parents=True)
+        _write_batch(spark, str(d), _fixture_rows_v1())
+        _write_batch(spark, str(d), _fixture_rows_v2())
+    spark.sql("DROP DATABASE IF EXISTS bk_bronze CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS bk_silver CASCADE")
+    params = PipelineParams(source_location=str(src), catalog="bk")
+    ents = [
+        EntityConfig(
+            name=n,
+            unique_primary_key=["id"],
+            expect_all_or_drop={"has_timestamp": "created_at IS NOT NULL"},
+            bucket_by=["id"],
+            n_buckets=4,
+        )
+        for n in ("ent_a", "ent_b")
+    ]
+    Pipeline(spark, params, ents, streaming=False).run()
+
+    a = spark.table("bk_silver.silver_ent_a").alias("a")
+    b = spark.table("bk_silver.silver_ent_b").alias("b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.hint("merge").join(b, F.col("a.id") == F.col("b.id"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1], plan[:800]
+        assert j.count() == 3  # surviving ids {1, 3, 6} on both sides
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # Guard rails: conflicting or unsupported layout asks refuse loudly.
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Pipeline(
+            spark,
+            params,
+            [
+                EntityConfig(
+                    name="ent_a",
+                    bucket_by=["id"],
+                    clustering_cols=["id"],
+                )
+            ],
+            streaming=False,
+        ).build_silver(
+            EntityConfig(name="ent_a", bucket_by=["id"], clustering_cols=["id"])
+        )
+
+
+def test_config_skew_hardened_silver_matches_plain(spark, tmp_path):
+    """r11 verdict #2 E2E: ``skew_hardened`` swaps the silver dedup to
+    the two-phase salted keep-latest; the silver must be row-for-row
+    identical to the plain pipeline over the same feed (the order is
+    total thanks to the source-file tiebreaks, so salting can only
+    change the shuffle shape, never the winners)."""
+    src = tmp_path / "raw"
+    d = src / "app_downloads"
+    d.mkdir(parents=True)
+    _write_batch(spark, str(d), _fixture_rows_v1())
+    _write_batch(spark, str(d), _fixture_rows_v2())
+    rows = {}
+    for catalog, hardened in (("shp", False), ("shs", True)):
+        spark.sql(f"DROP DATABASE IF EXISTS {catalog}_bronze CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS {catalog}_silver CASCADE")
+        params = PipelineParams(source_location=str(src), catalog=catalog)
+        entity = EntityConfig(
+            name="app_downloads",
+            unique_primary_key=["id"],
+            expect_all_or_drop={"has_timestamp": "created_at IS NOT NULL"},
+            skew_hardened=hardened,
+        )
+        Pipeline(spark, params, [entity], streaming=False).run()
+        silver = spark.read.table(f"{catalog}_silver.silver_app_downloads")
+        rows[catalog] = sorted(
+            map(tuple, silver.drop("_ingested_at").collect())
+        )
+    assert rows["shp"] == rows["shs"] and len(rows["shp"]) == 3
+
+
+def test_config_keys_round_trip_through_loader(spark, tmp_path):
+    """bucket_by / n_buckets / skew_hardened survive the JSON config
+    loader (the reference's config transport, 00_config_loader.py)."""
+    cfg = {
+        "clicks": {
+            "unique_primary_key": ["id"],
+            "bucket_by": ["id"],
+            "n_buckets": 8,
+            "skew_hardened": True,
+        },
+        "plain": {},
+    }
+    path = tmp_path / "dp_config_template.json"
+    path.write_text(json.dumps(cfg))
+    by_name = {e.name: e for e in load_config(spark, str(path))}
+    assert by_name["clicks"].bucket_by == ["id"]
+    assert by_name["clicks"].n_buckets == 8
+    assert by_name["clicks"].skew_hardened is True
+    assert by_name["plain"].bucket_by == []
+    assert by_name["plain"].n_buckets == 0
+    assert by_name["plain"].skew_hardened is False
+
+
 def test_silver_snapshot_history_time_travel_and_vacuum(spark, pipeline_env, tmp_path):
     """Delta-runtime parity E2E: with snapshot_root set, every full
     silver run commits a version — run 2 can time-travel to run 1's

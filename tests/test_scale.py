@@ -104,7 +104,7 @@ def test_write_bucketed_refuses_unsafe_names(spark, sf_dir):
     from datapipeline_template_spark.operators.layout import write_bucketed
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    for bad in ("db.tbl", "../escape", "a/b", "a b"):
+    for bad in ("../escape", "a/b", "a b", "a.b.c", "db.", ".tbl"):
         with pytest.raises(ValueError, match="unsafe table name"):
             write_bucketed(orders, bad, ["o_orderkey"], n_buckets=4)
 
