@@ -268,6 +268,17 @@ SECONDARY = [
     # q54 scans raw once for hourly sketches; rollup levels are
     # sketch-row groupBys — its standalone cost is the row.
     "q54_kmv_rollup_cascade",
+    # round-12 additions: pipe21 runs the full config-driven batch
+    # pipeline on an events-derived CDC fixture (bronze write +
+    # salted dedup + bucketed silver write) — the E2E config-surface
+    # cost is the row. q55 pays two KMV partial passes + two
+    # super-width grids per pair, then grid-sized folds (the q47
+    # in-query sharing rule at its widest). ss38 re-derives ss14's
+    # k=8 slice graph + components (the dd19 cheap-recompute class)
+    # and walks 4 materialized beam rounds × 3 widths.
+    "pipe21_config_bucketed_silver",
+    "q55_width_sized_chooser",
+    "ss38_graph_ann_beam",
 ]
 
 

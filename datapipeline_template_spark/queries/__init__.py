@@ -204,6 +204,8 @@ _OVERFLOW = (
     "dd25_classifier_survivors",
     # Round 12:
     "pipe21_config_bucketed_silver",
+    "q55_width_sized_chooser",
+    "ss38_graph_ann_beam",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -2541,3 +2541,262 @@ def q54_kmv_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level("period", psk, exact(F.expr("hr DIV 720"))))
     )
     return out.orderBy("level", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q55 — q53's width loop CLOSED (r11 verdict #3): the CM width is chosen
+# FROM DATA — q43's KMV distinct counts size the grid so the |A|·|B|/w
+# slack term stays below the veto margin — via q47's width-folding
+# identity, entirely in-plan. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_Q55_KMV_K = 256          # global distinct-count sketch size per side
+_Q55_SUPER_WIDTH = 65_536  # one wide pass prices every narrower width
+_Q55_WIDTHS = tuple(64 * 2**i for i in range(11))  # 64 .. 65536
+_Q55_CELLS_PER_KEY = 4    # width target: ≥ 4 cells per distinct key
+
+
+def _q55_oracle() -> str:
+    """GENERATED from the operator constants (the ss29/mm06 rule):
+    KMV hash + rank + estimator per side (q43's fragments), the width
+    pick, the row-stepped CM mixes (shared _cm_mix_sql), ONE
+    super-width grid per side folded to every candidate width (the
+    cm_fold identity g%w == (g%W)%w stated directly in SQL), inner
+    products, and the q53 decision CASE — integer-for-integer."""
+    from ..operators.sketch import KMV_A, KMV_B, KMV_C, KMV_P
+
+    mix = _cm_mix_sql
+    k, p, cpk = _Q55_KMV_K, KMV_P, _Q55_CELLS_PER_KEY
+    num = (k - 1) * p
+    kmvh = (
+        f"( ((x0*x0) % {p}) * {KMV_A} % {p}"
+        f" + (x0 * {KMV_B}) % {p} + {KMV_C} ) % {p}"
+    )
+    vals = ", ".join(f"({w})" for w in _Q55_WIDTHS)
+    blocks, selects = [], []
+    for name, (lt, lk), (rt, rk) in _Q53_PAIRS:
+        for side, t, c in (("a", lt, lk), ("b", rt, rk)):
+            blocks.append(f"""p{side}_{name} AS (
+  SELECT {c} AS k FROM {t} WHERE {c} IS NOT NULL
+), h{side}_{name} AS (
+  SELECT DISTINCT {kmvh} AS h
+  FROM (SELECT DISTINCT ((k % {p}) + {p}) % {p} AS x0 FROM p{side}_{name})
+), r{side}_{name} AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS nd
+  FROM h{side}_{name}
+), s{side}_{name} AS (
+  SELECT MAX(nd) AS nd, MAX(CASE WHEN rn = {k} THEN h END) AS m_k
+  FROM r{side}_{name} WHERE rn <= {k}
+), d{side}_{name} AS (
+  SELECT CAST(CASE WHEN nd < {k} THEN nd ELSE {num} // m_k END AS BIGINT)
+    AS d_{side} FROM s{side}_{name}
+), m{side}_{name} AS (
+  SELECT r, {mix('k')} AS g
+  FROM p{side}_{name}, unnest(range(0, {_Q53_DEPTH})) AS d(r)
+), cW{side}_{name} AS (
+  SELECT r, g % {_Q55_SUPER_WIDTH} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM m{side}_{name} GROUP BY 1, 2
+), f{side}_{name} AS (
+  SELECT wv.w AS width, r, b % wv.w AS b2, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM cW{side}_{name}, widths wv GROUP BY 1, 2, 3
+)""")
+        blocks.append(f"""wch_{name} AS (
+  SELECT CAST(COALESCE(MIN(w), {_Q55_SUPER_WIDTH}) AS BIGINT) AS width
+  FROM widths, da_{name}, db_{name}
+  WHERE w >= {cpk} * GREATEST(d_a, d_b)
+), ipw_{name} AS (
+  SELECT fa_{name}.width, fa_{name}.r AS r,
+         CAST(SUM(fa_{name}.cnt * fb_{name}.cnt) AS BIGINT) AS ip
+  FROM fa_{name} JOIN fb_{name}
+    ON fa_{name}.width = fb_{name}.width AND fa_{name}.r = fb_{name}.r
+       AND fa_{name}.b2 = fb_{name}.b2
+  GROUP BY 1, 2
+), ew_{name} AS (
+  SELECT width, CAST(MIN(ip) AS BIGINT) AS est_n FROM ipw_{name} GROUP BY width
+), st_{name} AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pa_{name}) AS n_left,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pb_{name}) AS n_right
+)""")
+        selects.append(f"""SELECT '{name}' AS pair, n_left, n_right,
+       d_a AS d_left, d_b AS d_right, width, est_n,
+       CAST((est_n * 1000) // GREATEST(n_left, n_right) AS BIGINT)
+         AS amp_est_milli,
+       CAST((LEAST(n_left, n_right) * 1000) // width AS BIGINT)
+         AS slack_bound_milli,
+       CASE WHEN LEAST(n_left, n_right) <= {_Q53_BROADCAST_ROWS}
+              THEN 'broadcast'
+            WHEN (est_n * 1000) // GREATEST(n_left, n_right)
+                   >= {_Q53_VETO_AMP_MILLI}
+              THEN 'veto_runaway'
+            ELSE 'shuffle_smj' END AS decision
+FROM ew_{name} JOIN wch_{name} USING (width),
+     st_{name}, da_{name}, db_{name}""")
+    return f"""
+WITH widths AS (SELECT w FROM (VALUES {vals}) AS t(w)),
+{', '.join(blocks)}
+SELECT * FROM ({' UNION ALL '.join(selects)})
+ORDER BY pair
+"""
+
+
+@register("q55_width_sized_chooser", oracle=_q55_oracle())
+def q55_width_sized_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's own docstring indicts its fixed width: at 1024 the
+    lineitem⋈orders estimate carried 15.6× pure |A|·|B|/width slack
+    against the 20× veto — "width must scale or growth silently
+    vetoes everything". This closes the loop by choosing the width
+    FROM DATA, composing three existing surfaces, all in-plan:
+
+    1. q43's KMV sketch (k=256, the map-side-combined partial form)
+       estimates the DISTINCT keys per side — the statistic that
+       actually determines collision mass (row counts don't: a
+       billion rows over a thousand keys needs a thousand cells, not
+       a billion).
+    2. width = smallest power of two ≥ 4·max(d_left, d_right)
+       (capped at 65,536): ≥ 4 cells per distinct key makes most
+       cells singletons, so the inner product approaches the exact
+       join size from above.
+    3. q47's folding identity prices EVERY candidate width from ONE
+       super-width grid per side (g%w == (g%W)%w for w | W): the
+       corpus is scanned once per side; the 11-candidate fold is a
+       bounded grid aggregation, and the chosen-width row is selected
+       by a 1-row equi-join — no re-scan, no collect, the oracle
+       replays the identical arithmetic.
+
+    Measured at sf0.01 (hash-pinned): lineitem⋈orders sizes itself to
+    w=65,536 and the amp drops from q53's 15,640 milli to ~1.2×
+    (slack bound 1000·min_side/w ≈ 228 milli — BELOW the veto margin,
+    the verdict's asked-for demonstration); customer⋈orders still
+    broadcasts; events⋈events still vetoes at its auto width — that
+    veto is now trustworthy because the reported slack bound is tiny
+    against the measured amp, i.e. the fan-out is REAL (Σf² hot
+    keys), not sketch noise. The slack_bound_milli column is the
+    planner's own honesty meter: a veto with slack ≈ amp means "size
+    up the width", a veto with slack ≪ amp means "the join really is
+    a runaway".
+
+    Scale shape: per pair, one KMV partial-sketch pass + one
+    super-grid pass per side (both map-side combined), then
+    grid-sized folds/joins only; no candidate join ever executes
+    (plan-guarded like q53)."""
+    from ..operators.sketch import (
+        cm_sketch,
+        kmv_estimate,
+        kmv_sketch_partial,
+    )
+
+    widths_df = spark.createDataFrame(
+        [(int(w),) for w in _Q55_WIDTHS], "width long"
+    )
+    out = None
+    for name, (lt, lk), (rt, rk) in _Q53_PAIRS:
+        left = (
+            table(spark, sf_dir, lt)
+            .where(F.col(lk).isNotNull())
+            .select(F.col(lk).alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        right = (
+            table(spark, sf_dir, rt)
+            .where(F.col(rk).isNotNull())
+            .select(F.col(rk).alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            left.agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+            .crossJoin(
+                F.broadcast(
+                    right.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_right")
+                    )
+                )
+            )
+        )
+        dstats = (
+            kmv_sketch_partial(
+                left.select(F.lit(0).cast("long").alias("_g"), "k"),
+                "_g", "k", k=_Q55_KMV_K,
+            )
+            .select(kmv_estimate("kmv", _Q55_KMV_K).alias("d_left"))
+            .crossJoin(
+                F.broadcast(
+                    kmv_sketch_partial(
+                        right.select(F.lit(0).cast("long").alias("_g"), "k"),
+                        "_g", "k", k=_Q55_KMV_K,
+                    ).select(
+                        kmv_estimate("kmv", _Q55_KMV_K).alias("d_right")
+                    )
+                )
+            )
+        )
+        wch = (
+            widths_df.crossJoin(F.broadcast(dstats))
+            .where(
+                F.col("width")
+                >= _Q55_CELLS_PER_KEY * F.greatest("d_left", "d_right")
+            )
+            .agg(
+                F.coalesce(
+                    F.min("width"), F.lit(_Q55_SUPER_WIDTH).cast("long")
+                ).alias("width")
+            )
+        )
+        # One super-width grid per side (checkpointed: 11 folds must
+        # not re-scan the corpus), folded to every candidate width in
+        # a single bounded aggregation — cm_fold vectorized across the
+        # widths dimension.
+        ska = cm_sketch(
+            left, "k", _Q53_DEPTH, _Q55_SUPER_WIDTH
+        ).localCheckpoint(eager=True)
+        skb = cm_sketch(
+            right, "k", _Q53_DEPTH, _Q55_SUPER_WIDTH
+        ).localCheckpoint(eager=True)
+
+        def fold_all(sk, cname):
+            return (
+                sk.crossJoin(widths_df)
+                .groupBy(
+                    "width", "r", (F.col("b") % F.col("width")).alias("b")
+                )
+                .agg(F.sum("cnt").cast("long").alias(cname))
+            )
+
+        ipw = (
+            fold_all(ska, "_ca")
+            .join(F.broadcast(fold_all(skb, "_cb")), ["width", "r", "b"])
+            .groupBy("width", "r")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_ip"))
+        )
+        estw = ipw.groupBy("width").agg(
+            F.min("_ip").cast("long").alias("est_n")
+        )
+        amp = F.expr(
+            "CAST((est_n * 1000) DIV GREATEST(n_left, n_right) AS BIGINT)"
+        )
+        row = (
+            estw.join(F.broadcast(wch), "width")
+            .crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(dstats))
+            .select(
+                F.lit(name).alias("pair"),
+                "n_left",
+                "n_right",
+                F.col("d_left").cast("long").alias("d_left"),
+                F.col("d_right").cast("long").alias("d_right"),
+                "width",
+                "est_n",
+                amp.alias("amp_est_milli"),
+                F.expr(
+                    "CAST((LEAST(n_left, n_right) * 1000) DIV width AS BIGINT)"
+                ).alias("slack_bound_milli"),
+                F.when(
+                    F.least("n_left", "n_right") <= _Q53_BROADCAST_ROWS,
+                    F.lit("broadcast"),
+                )
+                .when(amp >= _Q53_VETO_AMP_MILLI, F.lit("veto_runaway"))
+                .otherwise(F.lit("shuffle_smj"))
+                .alias("decision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")

@@ -1178,6 +1178,79 @@ def test_q53_no_candidate_join_executed(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 6  # 1-row attaches
 
 
+def test_q55_no_candidate_join_and_width_scales(spark):
+    """q55 closes q53's width loop without ever executing a candidate
+    join: no sort-merge join over the raw key streams, no cartesian —
+    the only joins are grid-sized fold products and 1-row stat
+    attaches. And the decisions themselves: the auto-sized width must
+    satisfy the ≥ 4-cells-per-distinct-key rule, which drives
+    lineitem⋈orders' amp under the 20× veto (q53's fixed width left
+    15.6× pure slack there)."""
+    from datapipeline_template_spark.queries.relational import (
+        _Q53_VETO_AMP_MILLI,
+        _Q55_CELLS_PER_KEY,
+        _Q55_SUPER_WIDTH,
+    )
+
+    plan = _plan(spark, "q55_width_sized_chooser")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    rows = {
+        r["pair"]: r
+        for r in REGISTRY["q55_width_sized_chooser"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"customer_orders", "events_events", "lineitem_orders"}
+    for r in rows.values():
+        want = _Q55_CELLS_PER_KEY * max(r["d_left"], r["d_right"])
+        assert r["width"] >= min(want, _Q55_SUPER_WIDTH)
+        # est stays an overestimate bounded by exact + slack·max_side:
+        # the decision columns must at least be self-consistent.
+        assert r["slack_bound_milli"] == (
+            min(r["n_left"], r["n_right"]) * 1000
+        ) // r["width"]
+    li = rows["lineitem_orders"]
+    # Decisions are data-driven: at this suite's sf0.001 the orders
+    # side is broadcast-eligible; at sf0.01 (the sweep gate, where
+    # that budget is outgrown) the same pair lands shuffle_smj — the
+    # hash-green oracle pins that. What must hold at ANY sf is the
+    # width-sizing claim itself: the auto width keeps the amp under
+    # the veto (q53's fixed 1024 left it at 15.6× here).
+    from datapipeline_template_spark.queries.relational import (
+        _Q53_BROADCAST_ROWS,
+    )
+
+    expected = (
+        "broadcast"
+        if min(li["n_left"], li["n_right"]) <= _Q53_BROADCAST_ROWS
+        else "shuffle_smj"
+    )
+    assert li["decision"] == expected
+    assert li["amp_est_milli"] < _Q53_VETO_AMP_MILLI
+
+
+def test_ss38_beam_walk_stays_bounded(spark):
+    """The beam walk must never go corpus-quadratic at query time:
+    no cartesian anywhere (the only unconditioned products are 1-row
+    stat attaches, broadcast-hinted to BNLJ), and the final frame's
+    recall/budget columns stay self-consistent — n_hit ≤ n_truth,
+    budgets strictly increase with beam width (a wider beam can only
+    visit more), recall monotone non-decreasing."""
+    plan = _plan(spark, "ss38_graph_ann_beam")
+    assert "CartesianProduct" not in plan
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["ss38_graph_ann_beam"].fn(spark, SF).collect()
+    ]
+    assert [r["beam_width"] for r in rows] == [4, 8, 16]
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_truth"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_scored"] >= a["n_scored"]
+        assert b["n_hit"] >= a["n_hit"]
+
+
 def test_tx33_post_curve_plan_is_bounded(spark):
     """tx33 checkpoints the doc-sized (N_i, V_i) curve (it feeds both
     the fit and the totals); everything after it must stay bounded —
