@@ -268,6 +268,9 @@ SECONDARY = [
     # q54 scans raw once for hourly sketches; rollup levels are
     # sketch-row groupBys — its standalone cost is the row.
     "q54_kmv_rollup_cascade",
+    # pipe22 is NOT timed standalone: it re-pays the extended flags
+    # pass pipe12 prices — its cost is the curation_shared
+    # e2e_pipeline marginal (the pipe16-20 rule).
     # round-12 additions: pipe21 runs the full config-driven batch
     # pipeline on an events-derived CDC fixture (bronze write +
     # salted dedup + bucketed silver write) — the E2E config-surface
@@ -818,6 +821,31 @@ def _curation_shared_scenario(spark, sf_dir):
     ).count()
     full_gate_manifest_sec = time.perf_counter() - t
 
+    # pipe22's marginal: the SAME full-gate composition but with the
+    # medallion stage in front (decoy CDC feed → bronze → keep-latest
+    # → bucketed silver write) and the tokenizer/packing reading text
+    # from the silver table — expected ≈ full_gate marginal + the
+    # medallion write; e2e_parity pins that the silver-text manifest
+    # equals the raw-text one row-for-row (the dedup-correctness
+    # proof, priced).
+    from datapipeline_template_spark.queries.packing import (
+        e2e_manifest_from_flags,
+    )
+
+    t = time.perf_counter()
+    e2e = e2e_manifest_from_flags(spark, sf_dir, flags).localCheckpoint(
+        eager=True
+    )
+    n_e2e = e2e.count()
+    e2e_pipeline_sec = time.perf_counter() - t
+    full_gate_rows = manifest_from_flags(
+        spark, sf_dir, _win20.withColumn("f_sem", F.lit(True))
+    )
+    e2e_parity = (
+        e2e.exceptAll(full_gate_rows).count() == 0
+        and full_gate_rows.exceptAll(e2e).count() == 0
+    )
+
     standalone = pipe11_data_card(spark, sf_dir)
     parity = (
         card.exceptAll(standalone).count() == 0
@@ -838,6 +866,9 @@ def _curation_shared_scenario(spark, sf_dir):
         "dsir_manifest_marginal_sec": round(dsir_manifest_sec, 4),
         "budget_manifest_marginal_sec": round(budget_manifest_sec, 4),
         "full_gate_manifest_marginal_sec": round(full_gate_manifest_sec, 4),
+        "e2e_pipeline_marginal_sec": round(e2e_pipeline_sec, 4),
+        "n_e2e_manifest": n_e2e,
+        "e2e_parity": e2e_parity,
         "n_full_gate_manifest": n_full_gate,
         "n_decon_manifest": n_decon,
         "n_banded_manifest": n_banded,

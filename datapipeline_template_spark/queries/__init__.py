@@ -206,6 +206,7 @@ _OVERFLOW = (
     "pipe21_config_bucketed_silver",
     "q55_width_sized_chooser",
     "ss38_graph_ann_beam",
+    "pipe22_e2e_training_pipeline",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

@@ -1212,3 +1212,134 @@ def pipe20_full_gate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_from_flags(
         spark, sf_dir, winners.withColumn("f_sem", F.lit(True))
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe22 — the WHOLE engine in one run (r11 verdict #6): CDC feed →
+# config-driven medallion (bronze → keep-latest dedup → BUCKETED
+# silver) → pipe20's full gate chain → BPE fit and packing over the
+# SILVER text. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+def e2e_manifest_from_flags(
+    spark: SparkSession, sf_dir: str, flags: DataFrame
+) -> DataFrame:
+    """pipe22's composition over a precomputed extended-flags frame
+    (shared by the registry query and the curation_shared bench
+    marginal, the manifest_from_flags pattern).
+
+    Medallion stage: every document is fed through the config-driven
+    batch Pipeline TWICE — a ver=0 DECOY with deterministically
+    corrupted text, then the ver=1 true row — and an EntityConfig
+    declares keep-latest on ver plus ``bucket_by=['doc_id']``, so the
+    silver lands hash-bucketed with exactly one surviving row per
+    doc. Manifest stage: pipe20's gate ids (fixed-reference spec over
+    the raw corpus) select the survivors, but the tokenizer fit and
+    the packing read their text FROM THE SILVER TABLE. The oracle is
+    pipe20's — so the hash match PROVES the medallion: if keep-latest
+    ever surfaced a decoy, its corrupted text would shift the BPE
+    merges and every packed offset downstream."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..config import EntityConfig, PipelineParams
+    from ..plans.pipeline import Pipeline
+    from ..operators.sampling import weighted_sample_topk
+    from .text import dsir_keep_ids, surprisal_head_middle_ids
+
+    docs = table(spark, sf_dir, "documents")
+
+    # -- medallion: decoy wave + true wave through the stock Pipeline
+    root = tempfile.mkdtemp(prefix="pipe22_")
+    src = os.path.join(root, "docs")
+    decoys = docs.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("ver"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("DECOY "), F.reverse(F.col("text"))).alias("text"),
+    )
+    true_rows = docs.select(
+        "doc_id",
+        F.lit(1).cast("long").alias("ver"),
+        F.lit("U").alias("op"),
+        "text",
+    )
+    decoys.unionByName(true_rows).write.mode("overwrite").parquet(src)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    for db in ("p22_bronze", "p22_silver"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        stale = os.path.join(wh_path, f"{db}.db")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    entity = EntityConfig(
+        name="docs",
+        unique_primary_key=["doc_id"],
+        dedup_order_columns=["ver"],
+        bucket_by=["doc_id"],
+        n_buckets=8,
+    )
+    Pipeline(
+        spark,
+        PipelineParams(source_location=root, catalog="p22"),
+        [entity],
+        streaming=False,
+    ).run()
+    silver = spark.table("p22_silver.silver_docs").select("doc_id", "text")
+
+    # -- gates: pipe20's chain, verbatim (fixed-reference spec)
+    keep_ids = (
+        _decon_keep_ids(spark, sf_dir, flags)
+        .join(surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi")
+        .join(dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi")
+    )
+    pool = keep_ids.join(
+        docs.select(
+            "doc_id",
+            "source",
+            whitespace_token_count(F.col("text")).alias("n_tok"),
+        ),
+        "doc_id",
+    ).where(F.col("n_tok") > 0)
+    winners = weighted_sample_topk(
+        pool, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
+        stratum_cols="source",
+    ).select("doc_id")
+
+    # -- tokenizer + packing over SILVER text
+    kept = silver.join(winners, "doc_id").localCheckpoint(eager=True)
+    return pack_sequences(
+        _bpe_token_weights(kept),
+        id_col="doc_id",
+        weight=F.col("_tok"),
+        n_shards=_PIPE14_SHARDS,
+        budget=_PIPE14_BUDGET,
+        salt=_PIPE14_SALT,
+    ).orderBy("doc_id")
+
+
+@register("pipe22_e2e_training_pipeline", oracle=_pipe20_oracle())
+def pipe22_e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERYTHING, once: the reference's medallion (bronze ingest →
+    keep-latest CDC dedup → bucketed silver, driven entirely by
+    EntityConfig) feeding the engine's training-data stack (7-stage
+    curation → decon → band ∧ DSIR → race budget → BPE fit → packed
+    shards), with the tokenizer and packing consuming text from the
+    SILVER TABLE the pipeline just built. The feed carries a
+    corrupted ver=0 decoy for every document, so the oracle —
+    pipe20's chain verbatim, which knows nothing about the medallion
+    — hash-matches ONLY if the config-driven dedup surfaced every
+    true version: the silver layer is proven by the artifact it
+    ships, not by a side assertion.
+
+    Cost shape: pipe20's plan plus one bronze scan, one batch-sized
+    keep-latest aggregate and one bucket-clustered silver write;
+    priced in curation_shared as the e2e_pipeline marginal (expected
+    ≈ full_gate marginal + the medallion write) with a parity check
+    against the raw-text full-gate manifest."""
+    from .pipeline import _curation_flags_extended
+
+    flags = _curation_flags_extended(spark, sf_dir)
+    return e2e_manifest_from_flags(spark, sf_dir, flags)

@@ -130,6 +130,7 @@ def test_bench_headline_names_all_registered():
         "pipe17_dsir_manifest",
         "pipe18_budget_manifest",
         "pipe20_full_gate_manifest",
+        "pipe22_e2e_training_pipeline",
     ):
         assert marginal not in bench.SECONDARY
     # Round-11 rotation: tx27b/q43 are headline rows now, not
