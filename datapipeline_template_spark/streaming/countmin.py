@@ -105,6 +105,21 @@ class IncrementalCountMin:
         )
         q.awaitTermination()
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold committed per-batch deltas into one SUMMED grid row
+        per cell in the ``_batch=-1`` base partition
+        (streaming/compaction.py) — state drops to ≤ depth·width rows
+        total. Cells are additive, so the fold IS the read-side sum;
+        markers survive, so replays of folded batches stay no-ops."""
+        from .compaction import compact_store
+
+        def fold(df: DataFrame) -> DataFrame:
+            return df.groupBy("r", "b").agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            )
+
+        compact_store(spark, self.store_path, folds={"cells": fold})
+
     # -- reads -------------------------------------------------------------
 
     def cells(self, spark: SparkSession) -> DataFrame:

@@ -110,6 +110,21 @@ class IncrementalHistogram:
         )
         q.awaitTermination()
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold committed per-batch deltas into one SUMMED row per
+        (group, bin) in the ``_batch=-1`` base partition
+        (streaming/compaction.py) — state drops to O(groups · bins).
+        Bin counts are additive, so the fold IS the read-side sum;
+        markers survive, so replays of folded batches stay no-ops."""
+        from .compaction import compact_store
+
+        def fold(df: DataFrame) -> DataFrame:
+            return df.groupBy("g", "bin").agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            )
+
+        compact_store(spark, self.store_path, folds={"bins": fold})
+
     # -- reads -------------------------------------------------------------
 
     def counts(self, spark: SparkSession) -> DataFrame:

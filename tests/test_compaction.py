@@ -278,3 +278,57 @@ def test_bucketed_silver_compaction_keeps_join_free(spark, tmp_path, sf_dir):
     assert rows(sl) == want9
     for t in ("cmp_li", "cmp_od"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_countmin_and_histogram_merge_folds(spark, tmp_path, sf_dir):
+    """The additive families' compact() folds: CountMin cells and
+    log-histogram bins sum per cell/bin into the base partition —
+    reads (point estimates, quantiles) are bit-identical pre/post,
+    and the folded state is one row per occupied cell/bin."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.streaming.countmin import (
+        IncrementalCountMin,
+    )
+    from datapipeline_template_spark.streaming.histogram import (
+        IncrementalHistogram,
+    )
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+
+    cm = IncrementalCountMin(
+        str(tmp_path / "cm"), key_col="user_id", depth=4, width=256
+    )
+    for i in range(3):
+        cm.process_batch(ev.where(F.col("event_id") % 3 == i), i)
+    items = ev.select("user_id").distinct()
+    before = sorted(map(tuple, cm.estimate(items).collect()))
+    cm.compact(spark)
+    ds = str(tmp_path / "cm" / "cells")
+    assert _batch_parts(ds) == {BASE_BATCH}
+    cells = spark.read.parquet(ds)
+    assert cells.count() == cells.select("r", "b").distinct().count()
+    assert sorted(map(tuple, cm.estimate(items).collect())) == before
+
+    hist = IncrementalHistogram(
+        str(tmp_path / "hist"), group_col="event_type", value_col="value_cents"
+    )
+    evh = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value") * 100).cast("long").alias("value_cents"),
+    ).where(F.col("value_cents") > 0)
+    for i in range(3):
+        hist.process_batch(evh.where(F.col("event_id") % 3 == i), i)
+    before_q = sorted(
+        map(tuple, hist.quantiles(spark, [(1, 2), (9, 10)]).collect())
+    )
+    hist.compact(spark)
+    dsh = str(tmp_path / "hist" / "bins")
+    assert _batch_parts(dsh) == {BASE_BATCH}
+    bins = spark.read.parquet(dsh)
+    assert bins.count() == bins.select("g", "bin").distinct().count()
+    assert sorted(
+        map(tuple, hist.quantiles(spark, [(1, 2), (9, 10)]).collect())
+    ) == before_q
