@@ -798,24 +798,12 @@ def _curation_shared_scenario(spark, sf_dir):
     # same shared flags pass (decon ∧ band ∧ DSIR semi-joins, then the
     # race budget) — expected ≈ decon + band + DSIR + race
     # sum-of-parts; the recorded number IS that check.
-    t = time.perf_counter()
-    _keep20 = (
-        _decon_keep_ids(spark, sf_dir, flags)
-        .join(surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi")
-        .join(dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi")
-        .join(
-            _table(spark, sf_dir, "documents").select(
-                "doc_id",
-                "source",
-                whitespace_token_count(F.col("text")).alias("n_tok"),
-            ),
-            "doc_id",
-        )
-        .where(F.col("n_tok") > 0)
+    from datapipeline_template_spark.queries.packing import (
+        full_gate_winners,
     )
-    _win20 = weighted_sample_topk(
-        _keep20, key="doc_id", weight_col="n_tok", k=_PIPE18_K, stratum_cols="source"
-    ).select("doc_id")
+
+    t = time.perf_counter()
+    _win20 = full_gate_winners(spark, sf_dir, flags)
     n_full_gate = manifest_from_flags(
         spark, sf_dir, _win20.withColumn("f_sem", F.lit(True))
     ).count()
@@ -840,7 +828,7 @@ def _curation_shared_scenario(spark, sf_dir):
     e2e_pipeline_sec = time.perf_counter() - t
     full_gate_rows = manifest_from_flags(
         spark, sf_dir, _win20.withColumn("f_sem", F.lit(True))
-    )
+    ).localCheckpoint(eager=True)
     e2e_parity = (
         e2e.exceptAll(full_gate_rows).count() == 0
         and full_gate_rows.exceptAll(e2e).count() == 0

@@ -82,9 +82,9 @@ class EntityConfig:
             renamed_columns=dict(raw.get("renamed_columns", {}) or {}),
             expect_all_or_drop=dict(raw.get("expect_all_or_drop", {}) or {}),
             dedup_order_columns=list(raw.get("dedup_order_columns", ["_ingested_at"])),
-            bucket_by=list(raw.get("bucket_by", [])),
-            n_buckets=int(raw.get("n_buckets", 0)),
-            skew_hardened=bool(raw.get("skew_hardened", False)),
+            bucket_by=list(raw.get("bucket_by") or []),
+            n_buckets=int(raw.get("n_buckets") or 0),
+            skew_hardened=bool(raw.get("skew_hardened") or False),
         )
 
 

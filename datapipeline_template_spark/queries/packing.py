@@ -1126,6 +1126,35 @@ def pipe18_budget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+def full_gate_winners(spark: SparkSession, sf_dir: str, flags: DataFrame) -> DataFrame:
+    """pipe20's survivor set over a precomputed extended-flags frame:
+    decon ∧ band ∧ DSIR semi-joins, then the per-source token-weighted
+    race budget — returns (doc_id). The SINGLE source of the full-gate
+    chain, shared by pipe20, pipe22 and the bench marginals so a
+    re-threshold can never silently fork them."""
+    from ..operators.sampling import weighted_sample_topk
+    from .text import dsir_keep_ids, surprisal_head_middle_ids
+
+    keep_ids = (
+        _decon_keep_ids(spark, sf_dir, flags)
+        .join(surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi")
+        .join(dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi")
+    )
+    pool = keep_ids.join(
+        table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            whitespace_token_count(F.col("text")).alias("n_tok"),
+        ),
+        "doc_id",
+    ).where(F.col("n_tok") > 0)
+    return weighted_sample_topk(
+        pool, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
+        stratum_cols="source",
+    ).select("doc_id")
+
+
 def _pipe20_oracle() -> str:
     """All gates through the same _decon_manifest_sql insertion
     points: tx23's band fragment + tx25's ratio fragment land as
@@ -1183,32 +1212,10 @@ def pipe20_full_gate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe16–18, the ORACLE string is only meaningful at the sf0.01
     gate (the flag chain bakes k_for_corpus(500)=8); the Spark side
     scales k with the policy."""
-    from ..operators.sampling import weighted_sample_topk
     from .pipeline import _curation_flags_extended
-    from .text import dsir_keep_ids, surprisal_head_middle_ids
 
     flags = _curation_flags_extended(spark, sf_dir)
-    keep_ids = (
-        _decon_keep_ids(spark, sf_dir, flags)
-        .join(surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi")
-        .join(dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi")
-    )
-    docs = table(spark, sf_dir, "documents")
-    pool = (
-        keep_ids.join(
-            docs.select(
-                "doc_id",
-                "source",
-                whitespace_token_count(F.col("text")).alias("n_tok"),
-            ),
-            "doc_id",
-        )
-        .where(F.col("n_tok") > 0)
-    )
-    winners = weighted_sample_topk(
-        pool, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
-        stratum_cols="source",
-    ).select("doc_id")
+    winners = full_gate_winners(spark, sf_dir, flags)
     return manifest_from_flags(
         spark, sf_dir, winners.withColumn("f_sem", F.lit(True))
     )
@@ -1246,67 +1253,54 @@ def e2e_manifest_from_flags(
 
     from ..config import EntityConfig, PipelineParams
     from ..plans.pipeline import Pipeline
-    from ..operators.sampling import weighted_sample_topk
-    from .text import dsir_keep_ids, surprisal_head_middle_ids
 
     docs = table(spark, sf_dir, "documents")
 
-    # -- medallion: decoy wave + true wave through the stock Pipeline
+    # -- medallion: decoy wave + true wave through the stock Pipeline.
+    # The source dir is transient: bronze/silver are materialized
+    # managed tables, so it is removed as soon as the run lands.
     root = tempfile.mkdtemp(prefix="pipe22_")
-    src = os.path.join(root, "docs")
-    decoys = docs.select(
-        "doc_id",
-        F.lit(0).cast("long").alias("ver"),
-        F.lit("U").alias("op"),
-        F.concat(F.lit("DECOY "), F.reverse(F.col("text"))).alias("text"),
-    )
-    true_rows = docs.select(
-        "doc_id",
-        F.lit(1).cast("long").alias("ver"),
-        F.lit("U").alias("op"),
-        "text",
-    )
-    decoys.unionByName(true_rows).write.mode("overwrite").parquet(src)
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = wh.removeprefix("file:")
-    for db in ("p22_bronze", "p22_silver"):
-        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-        stale = os.path.join(wh_path, f"{db}.db")
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
-    entity = EntityConfig(
-        name="docs",
-        unique_primary_key=["doc_id"],
-        dedup_order_columns=["ver"],
-        bucket_by=["doc_id"],
-        n_buckets=8,
-    )
-    Pipeline(
-        spark,
-        PipelineParams(source_location=root, catalog="p22"),
-        [entity],
-        streaming=False,
-    ).run()
+    try:
+        src = os.path.join(root, "docs")
+        decoys = docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("ver"),
+            F.lit("U").alias("op"),
+            F.concat(F.lit("DECOY "), F.reverse(F.col("text"))).alias("text"),
+        )
+        true_rows = docs.select(
+            "doc_id",
+            F.lit(1).cast("long").alias("ver"),
+            F.lit("U").alias("op"),
+            "text",
+        )
+        decoys.unionByName(true_rows).write.mode("overwrite").parquet(src)
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = wh.removeprefix("file:")
+        for db in ("p22_bronze", "p22_silver"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+            stale = os.path.join(wh_path, f"{db}.db")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        entity = EntityConfig(
+            name="docs",
+            unique_primary_key=["doc_id"],
+            dedup_order_columns=["ver"],
+            bucket_by=["doc_id"],
+            n_buckets=8,
+        )
+        Pipeline(
+            spark,
+            PipelineParams(source_location=root, catalog="p22"),
+            [entity],
+            streaming=False,
+        ).run()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     silver = spark.table("p22_silver.silver_docs").select("doc_id", "text")
 
-    # -- gates: pipe20's chain, verbatim (fixed-reference spec)
-    keep_ids = (
-        _decon_keep_ids(spark, sf_dir, flags)
-        .join(surprisal_head_middle_ids(spark, sf_dir), "doc_id", "left_semi")
-        .join(dsir_keep_ids(spark, sf_dir), "doc_id", "left_semi")
-    )
-    pool = keep_ids.join(
-        docs.select(
-            "doc_id",
-            "source",
-            whitespace_token_count(F.col("text")).alias("n_tok"),
-        ),
-        "doc_id",
-    ).where(F.col("n_tok") > 0)
-    winners = weighted_sample_topk(
-        pool, key="doc_id", weight_col="n_tok", k=_PIPE18_K,
-        stratum_cols="source",
-    ).select("doc_id")
+    # -- gates: pipe20's chain, single-sourced
+    winners = full_gate_winners(spark, sf_dir, flags)
 
     # -- tokenizer + packing over SILVER text
     kept = silver.join(winners, "doc_id").localCheckpoint(eager=True)

@@ -932,6 +932,12 @@ def pipe21_config_bucketed_silver(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("U"))
         .alias("op"),
     )
+    import shutil
+
+    # The source dir is transient: bronze/silver are materialized
+    # managed tables, so it is removed as soon as the run lands (a
+    # leaked copy of events per invocation would pile up under /tmp
+    # across sweeps and benches).
     root = tempfile.mkdtemp(prefix="pipe21_")
     src = os.path.join(root, "clicks")
     ev.write.mode("overwrite").parquet(src)
@@ -940,8 +946,6 @@ def pipe21_config_bucketed_silver(spark: SparkSession, sf_dir: str) -> DataFrame
     # process's fresh Derby catalog has never heard of them — DROP
     # DATABASE no-ops and saveAsTable dies LOCATION_ALREADY_EXISTS.
     # The names are fixture-private constants, so the delete is scoped.
-    import shutil
-
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh_path = wh.removeprefix("file:")
     for db in ("p21_bronze", "p21_silver"):
@@ -960,7 +964,10 @@ def pipe21_config_bucketed_silver(spark: SparkSession, sf_dir: str) -> DataFrame
         n_buckets=8,
         skew_hardened=True,
     )
-    Pipeline(spark, params, [entity], streaming=False).run()
+    try:
+        Pipeline(spark, params, [entity], streaming=False).run()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     # Silver is materialized in the warehouse; return its semantic
     # columns (audit columns are run-dependent by design).
     return spark.table("p21_silver.silver_clicks").select(

@@ -145,8 +145,11 @@ def _read_journal(ds: str) -> dict | None:
         return json.load(f)
 
 
-def _finish_swap(ds: str, fold_ids: set[int]) -> None:
-    """Phases C-F, re-runnable from any interruption point."""
+def _finish_swap(ds: str, fold_ids: set[int], stop_after: str | None = None) -> None:
+    """Phases C-F, re-runnable from any interruption point.
+    ``stop_after`` ('moved' | 'renamed_old') is the test-only
+    fault-injection hook — the crash tests exercise THIS protocol, not
+    a parallel copy of it."""
     stage, old = ds + _STAGE_SUFFIX, ds + _OLD_SUFFIX
     if os.path.isdir(ds) and os.path.isdir(stage):
         for bid, name in _batch_dirs(ds).items():
@@ -154,7 +157,11 @@ def _finish_swap(ds: str, fold_ids: set[int]) -> None:
                 os.path.join(stage, name)
             ):
                 os.rename(os.path.join(ds, name), os.path.join(stage, name))
+        if stop_after == "moved":
+            return
         os.rename(ds, old)
+        if stop_after == "renamed_old":
+            return
     if os.path.isdir(stage):
         os.rename(stage, ds)
     if os.path.isdir(old):
@@ -242,16 +249,8 @@ def compact_dataset(
     os.replace(jp + ".tmp", jp)
     if crash_after == "journal":
         return True
-    # Phases C..F (with optional mid-swap crash points for tests).
-    if crash_after in ("moved", "renamed_old"):
-        for bid, name in _batch_dirs(ds).items():
-            if bid not in fold_ids:
-                os.rename(os.path.join(ds, name), os.path.join(stage, name))
-        if crash_after == "moved":
-            return True
-        os.rename(ds, ds + _OLD_SUFFIX)
-        return True
-    _finish_swap(ds, fold_ids)
+    # Phases C..F — one protocol; crash points injected into it.
+    _finish_swap(ds, fold_ids, stop_after=crash_after)
     return True
 
 
@@ -280,30 +279,55 @@ def compact_store(
 # -- bucketed silver (catalog table) -----------------------------------------
 
 
-def compact_bucketed_silver(spark: SparkSession, silver) -> bool:
+def compact_bucketed_silver(
+    spark: SparkSession, silver, crash_after: str | None = None
+) -> bool:
     """Fold a maintained bucketed silver's ``_batch`` partitions into
     the ``_batch=-1`` base WITHOUT losing the table-level bucket spec —
     the shuffle-free-join property is exactly why this store can't go
     through the raw-parquet path (a plain rewrite would drop the
     catalog's bucketing metadata).
 
-    Same two-phase journal discipline, expressed in table operations:
+    Journal phases, each independently re-runnable so a crash at ANY
+    point resumes without loss or duplication:
 
-      staged:   journal written with the fold set (commit point), then
-                INSERT OVERWRITE PARTITION (_batch=-1) from a
-                checkpointed read of the fold partitions — idempotent
-                while no source partition has been dropped, so a crash
-                here simply re-runs the insert;
-      inserted: journal advanced, then ALTER TABLE DROP each folded
-                partition (IF EXISTS — each drop is idempotent);
-      done:     journal removed.
+      staged:      journal written with the fold set (commit point),
+                   then the folded rows land in a SEPARATE stage table
+                   ``<tbl>__compact_stage`` (mode=overwrite from the
+                   still-intact fold partitions — re-runnable; the
+                   base partition is NOT yet touched, so a re-read
+                   cannot double anything);
+      staged_done: journal advanced only after the stage table is
+                   complete; INSERT OVERWRITE PARTITION (_batch=-1)
+                   FROM THE STAGE TABLE — the stage is immutable, so
+                   re-running the insert after a crash (even one that
+                   landed mid- or post-insert) rewrites the identical
+                   base;
+      inserted:    journal advanced, then ALTER TABLE DROP each folded
+                   partition (IF EXISTS — each drop idempotent);
+      done:        stage table dropped, journal removed.
+
+    The earlier single-phase form read the table's own base partition
+    while overwriting it; a crash between the insert's commit and the
+    journal advance then re-read the ALREADY-FOLDED base plus the
+    still-present batch partitions and duplicated every folded row —
+    the separate stage table is what makes the insert phase
+    idempotent when ``BASE_BATCH`` is in the fold set
+    (crash-window-tested).
 
     ``silver`` is an IncrementalBucketedSilver; its markers are kept so
     replays of folded batches stay no-ops, and drains after compaction
     land new ``_batch`` partitions beside the base exactly as before.
     """
     tbl = silver.table_name
+    stage_tbl = f"{tbl}__compact_stage"
     journal = os.path.join(silver.store_path, "table_compact_journal.json")
+
+    def _advance(state: dict, phase: str) -> None:
+        state["phase"] = phase
+        with open(journal + ".tmp", "w") as f:
+            json.dump(state, f)
+        os.replace(journal + ".tmp", journal)
 
     state = None
     if os.path.exists(journal):
@@ -319,37 +343,54 @@ def compact_bucketed_silver(spark: SparkSession, silver) -> bool:
         ]
         fold = sorted(p for p in parts if p in _committed_ids(silver.store_path) or p == BASE_BATCH)
         if len(fold) <= 1:
+            # Clear any stage orphan from an aborted pre-journal run.
+            spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
             return False
         state = {"fold": fold, "phase": "staged"}
-        with open(journal + ".tmp", "w") as f:
-            json.dump(state, f)
-        os.replace(journal + ".tmp", journal)
+        _advance(state, "staged")
+
+    cols = [c for c in spark.table(tbl).columns if c != "_batch"]
+    col_list = ", ".join(f"`{c}`" for c in cols)
 
     if state["phase"] == "staged":
-        fold = state["fold"]
-        cols = [c for c in spark.table(tbl).columns if c != "_batch"]
-        src = (
+        # No drop has happened yet: every fold partition (including any
+        # existing base) is intact, so rebuilding the stage is
+        # idempotent. Clear a cross-process orphaned stage location
+        # too (the write_bucketed LOCATION_ALREADY_EXISTS rule; the
+        # silver's table name is guard-validated alnum/underscore).
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        stale = os.path.join(wh.removeprefix("file:"), stage_tbl.lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+        (
             spark.table(tbl)
-            .where(F.col("_batch").isin(fold))
+            .where(F.col("_batch").isin(state["fold"]))
             .select(*cols)
-            # Break lineage: the insert overwrites _batch=-1, which may
-            # itself be part of the read on a re-compaction.
             .repartition(silver.n_buckets, F.col(silver.key_col))
-            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(stage_tbl)
         )
-        view = f"_compact_{tbl}"
-        src.createOrReplaceTempView(view)
-        col_list = ", ".join(f"`{c}`" for c in cols)
+        _advance(state, "staged_done")
+        if crash_after == "staged":
+            return True
+
+    if state["phase"] == "staged_done":
+        # The stage table is complete and immutable — the overwrite of
+        # the base partition is re-runnable no matter where a prior
+        # attempt died.
         spark.sql(
             f"INSERT OVERWRITE TABLE {tbl} PARTITION (_batch={BASE_BATCH}) "
-            f"SELECT {col_list} FROM {view}"
+            f"SELECT {col_list} FROM {stage_tbl}"
         )
-        spark.catalog.dropTempView(view)
-        state["phase"] = "inserted"
-        tmp = journal + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, journal)
+        # crash_after='insert' is THE regression window the stage
+        # table exists for: insert committed, journal not advanced —
+        # the resume must re-insert from the immutable stage, never
+        # re-read the (already folded) base.
+        if crash_after == "insert":
+            return True
+        _advance(state, "inserted")
 
     if state["phase"] == "inserted":
         for p in state["fold"]:
@@ -357,5 +398,6 @@ def compact_bucketed_silver(spark: SparkSession, silver) -> bool:
                 spark.sql(
                     f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (_batch={int(p)})"
                 )
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
         os.remove(journal)
     return True

@@ -332,3 +332,56 @@ def test_countmin_and_histogram_merge_folds(spark, tmp_path, sf_dir):
     assert sorted(
         map(tuple, hist.quantiles(spark, [(1, 2), (9, 10)]).collect())
     ) == before_q
+
+
+def test_bucketed_silver_insert_crash_window_no_duplication(
+    spark, tmp_path, sf_dir
+):
+    """THE regression window the stage table exists for: a
+    re-compaction whose fold includes the existing base crashes AFTER
+    the INSERT OVERWRITE commits but BEFORE the journal advances. The
+    resume must re-insert from the immutable stage table — the
+    original single-phase design re-read the already-folded base plus
+    the still-present batch partitions and duplicated every folded
+    row permanently."""
+    from datapipeline_template_spark.streaming.bucketed import (
+        IncrementalBucketedSilver,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS cmp_cw")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    s = IncrementalBucketedSilver(
+        str(tmp_path / "cw_store"), "cmp_cw", "l_orderkey", n_buckets=4
+    )
+    for i in range(2):
+        s.process_batch(li.where(F.col("l_orderkey") % 2 == i), i)
+    assert s.compact(spark) is True  # base now holds all of li
+
+    s.process_batch(li.where(F.col("l_orderkey") % 2 == 1), 9)
+    want = sorted(
+        map(
+            tuple,
+            li.unionAll(li.where(F.col("l_orderkey") % 2 == 1)).collect(),
+        )
+    )
+
+    from datapipeline_template_spark.streaming.compaction import (
+        compact_bucketed_silver,
+    )
+
+    # Crash exactly between the committed insert and the journal
+    # advance, then resume.
+    assert compact_bucketed_silver(spark, s, crash_after="insert") is True
+    assert compact_bucketed_silver(spark, s) is True
+    parts = [r[0] for r in spark.sql("SHOW PARTITIONS cmp_cw").collect()]
+    assert parts == [f"_batch={BASE_BATCH}"]
+    got = sorted(map(tuple, s.table(spark).collect()))
+    assert got == want  # exactly once — no duplicated fold
+    # Stage table cleaned up, journal gone.
+    assert not spark.catalog.tableExists("cmp_cw__compact_stage")
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "cw_store"), "table_compact_journal.json")
+    )
+    spark.sql("DROP TABLE IF EXISTS cmp_cw")

@@ -474,6 +474,7 @@ def test_config_keys_round_trip_through_loader(spark, tmp_path):
             "skew_hardened": True,
         },
         "plain": {},
+        "nulled": {"bucket_by": None, "n_buckets": None, "skew_hardened": None},
     }
     path = tmp_path / "dp_config_template.json"
     path.write_text(json.dumps(cfg))
@@ -484,6 +485,11 @@ def test_config_keys_round_trip_through_loader(spark, tmp_path):
     assert by_name["plain"].bucket_by == []
     assert by_name["plain"].n_buckets == 0
     assert by_name["plain"].skew_hardened is False
+    # Explicit JSON nulls are tolerated like the sibling keys
+    # (renamed_columns-style `or` defaults).
+    assert by_name["nulled"].bucket_by == []
+    assert by_name["nulled"].n_buckets == 0
+    assert by_name["nulled"].skew_hardened is False
 
 
 def test_silver_snapshot_history_time_travel_and_vacuum(spark, pipeline_env, tmp_path):
