@@ -385,3 +385,95 @@ def test_bucketed_silver_insert_crash_window_no_duplication(
         os.path.join(str(tmp_path / "cw_store"), "table_compact_journal.json")
     )
     spark.sql("DROP TABLE IF EXISTS cmp_cw")
+
+
+def test_three_more_families_identity_compaction(spark, tmp_path, sf_dir):
+    """Generic identity compaction across three further read
+    semantics: PageRank (re-walk over merged edge/degree partials),
+    weighted sampling (top-k-of-top-k's over winner partials), and
+    the frozen-order prefix join (pairs over DISTINCT'd set reads,
+    plus a write-once `order` dataset that discovery must NOT touch).
+    Reads bit-equal pre/post; every _batch dataset folds to the base."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.dedup import (
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+    from datapipeline_template_spark.streaming.pagerank import (
+        IncrementalPageRank,
+    )
+    from datapipeline_template_spark.streaming.prefix_join import (
+        IncrementalPrefixJoin,
+    )
+    from datapipeline_template_spark.streaming.weighted_sample import (
+        IncrementalWeightedSample,
+    )
+
+    # -- PageRank: maintained graph, re-walked at read time.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    edges = li.unionAll(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = IncrementalPageRank(str(tmp_path / "pr"), iters=3)
+    for i in range(2):
+        pr.process_batch(edges.where(F.col("src") % 2 == i), i)
+
+    def pr_ranks():
+        return sorted(map(tuple, pr.ranks(spark).collect()))
+
+    before = pr_ranks()
+    report = compact_store(spark, str(tmp_path / "pr"))
+    assert report and all(report.values())
+    for ds in report:
+        assert _batch_parts(ds) == {BASE_BATCH}
+    assert pr_ranks() == before
+
+    # -- Weighted sample: winner sets merge as top-k-of-top-k's.
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("n_tok")
+    )
+    ws = IncrementalWeightedSample(
+        str(tmp_path / "ws"), key_col="doc_id", weight_col="n_tok",
+        stratum_col="source", k=5,
+    )
+    for i in range(3):
+        ws.process_batch(docs.where(F.col("doc_id") % 3 == i), i)
+
+    def ws_sample():
+        return sorted(map(tuple, ws.sample(spark).collect()))
+
+    before = ws_sample()
+    report = compact_store(spark, str(tmp_path / "ws"))
+    assert report and all(report.values())
+    assert ws_sample() == before
+
+    # -- Prefix join: frozen order + prefix/sets datasets.
+    sh = table(spark, sf_dir, "documents").select(
+        "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
+    )
+    pj = IncrementalPrefixJoin(str(tmp_path / "pj"), t_milli=500)
+    order = (
+        sh.select(F.explode(F.array_distinct("shingles")).alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+    pj.freeze_order(order)
+    for i in range(2):
+        pj.process_batch(sh.where(F.col("doc_id") % 2 == i), i)
+
+    def pj_pairs():
+        return sorted(
+            (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+            for r in pj.pairs(spark).collect()
+        )
+
+    before = pj_pairs()
+    report = compact_store(spark, str(tmp_path / "pj"))
+    # prefix + sets fold; the write-once order dataset is invisible to
+    # discovery (not _batch-partitioned).
+    folded = {os.path.basename(ds) for ds in report}
+    assert "order" not in folded
+    assert report and all(report.values())
+    assert pj_pairs() == before

@@ -1055,6 +1055,49 @@ def main() -> None:
             ("Joins", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
         ],
     )
+    section(
+        "q55_width_sized_chooser",
+        "KMV-sized CM width chooser: per side one KMV partial pass + "
+        "one super-width grid (map-side combined), all candidate "
+        "widths folded from it in one bounded aggregation, "
+        "chosen-width row by 1-row join — no candidate join executes",
+        [
+            ("Grid fold aggregates", r"HashAggregate\(keys=\[width[^\]]{0,40}"),
+            ("No raw-stream SMJ", r"SortMergeJoin"),
+            ("KMV partials", r"MapInPandas[^\n]{0,40}"),
+        ],
+    )
+    section(
+        "ss38_graph_ann_beam",
+        "graph-walk ANN: beam rounds are beam-sized edge joins + "
+        "anti-join to score only NEW nodes + per-query rank windows — "
+        "never a corpus scan per round; edges/entries checkpointed",
+        [
+            ("Beam rank windows", r"Window \[row_number[^\n]{0,70}"),
+            ("Round joins", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ],
+    )
+    section(
+        "pipe21_config_bucketed_silver",
+        "config-driven silver (salted dedup + bucketed write): silver "
+        "scan is the bucketed table — output reports hash partitioning "
+        "on the bucket key; dedup ran as two keyed aggregations at "
+        "write time",
+        [
+            ("Bucketed scan", r"Scan[^\n]{0,80}silver_clicks[^\n]{0,40}"),
+            ("SelectedBucketsCount", r"SelectedBucketsCount[^\n]{0,40}"),
+        ],
+    )
+    section(
+        "pipe22_e2e_training_pipeline",
+        "end-to-end pipeline: gates + race budget over the raw corpus, "
+        "tokenizer/packing read the checkpointed silver-joined kept "
+        "set; packing is the per-shard window shape",
+        [
+            ("Packing windows", r"Window \[[^\n]{0,70}"),
+            ("Joins", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ],
+    )
 
 
 if __name__ == "__main__":
