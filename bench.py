@@ -282,6 +282,11 @@ SECONDARY = [
     "pipe21_config_bucketed_silver",
     "q55_width_sized_chooser",
     "ss38_graph_ann_beam",
+    # st04 drives four drains + two compactions of a transient KMV
+    # store per call (the oracle harness for compaction
+    # read-invariance); the compaction scenario prices the read-side
+    # economics, this row prices the maintenance cadence itself.
+    "st04_compacted_sketch_state",
 ]
 
 

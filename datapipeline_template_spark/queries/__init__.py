@@ -207,6 +207,7 @@ _OVERFLOW = (
     "q55_width_sized_chooser",
     "ss38_graph_ann_beam",
     "pipe22_e2e_training_pipeline",
+    "st04_compacted_sketch_state",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

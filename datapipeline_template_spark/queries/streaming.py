@@ -101,3 +101,100 @@ def st03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     new session with the same >= comparison."""
     ev = table(spark, sf_dir, "events")
     return session_stats(ev, "ts", "user_id", gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# st04 — streaming-store COMPACTION under the oracle gate: the answer
+# flows through a twice-compacted IncrementalKmv store, so the DuckDB
+# hash match proves compaction is read-invariant, not just test-pinned.
+# Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+_ST04_K = 64
+
+
+def _st04_oracle() -> str:
+    """GENERATED from the operator constants (q43's fragments on the
+    events feed): the maintained store's estimates equal the batch
+    kmv_sketch/kmv_estimate over every row seen — drains, merges and
+    BOTH compactions included — by the k-min-of-union identity."""
+    from ..operators.sketch import KMV_A, KMV_B, KMV_C, KMV_P
+
+    k, p = _ST04_K, KMV_P
+    num = (k - 1) * p
+    return f"""
+WITH x AS (
+  SELECT event_type,
+         ((user_id % {p}) + {p}) % {p} AS x0
+  FROM events WHERE user_id IS NOT NULL
+), h AS (
+  SELECT DISTINCT event_type,
+    ( ((x0*x0) % {p}) * {KMV_A} % {p}
+      + (x0 * {KMV_B}) % {p}
+      + {KMV_C} ) % {p} AS h
+  FROM x
+), r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*)    OVER (PARTITION BY event_type) AS nd
+  FROM h
+), s AS (
+  SELECT event_type,
+         MAX(nd) AS nd,
+         MAX(CASE WHEN rn = {k} THEN h END) AS m_k
+  FROM r WHERE rn <= {k} GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN nd < {k} THEN nd ELSE {num} // m_k END AS BIGINT)
+         AS distinct_estimate
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("st04_compacted_sketch_state", oracle=_st04_oracle())
+def st04_compacted_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state maintenance WITH COMPACTION, hash-checked end
+    to end: three drains land per-batch KMV partials, the store is
+    compacted (k-min-of-union merge fold into the base partition), a
+    FOURTH drain lands beside the base, and the store is compacted
+    AGAIN (base + new batch fold — the steady-state cadence a
+    long-lived deployment runs). The returned per-event_type distinct
+    estimates are read from the final compacted state; the oracle
+    replays the BATCH sketch over all events — so the hash match is
+    the driver-checked proof that compaction is invisible to readers
+    (equivalence is otherwise only pytest-pinned). The store lives in
+    a transient temp dir; the result is checkpointed off it before
+    cleanup.
+
+    Scale shape: each drain is one map-side-combined partial-sketch
+    pass over its batch; each compaction is one bounded aggregation
+    over O(groups × batches) k-long arrays — the raw feed is never
+    rescanned. See streaming/compaction.py for the crash-safety
+    contract (journaled two-phase swap, markers preserved)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.kmv import IncrementalKmv
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="st04_")
+    try:
+        inc = IncrementalKmv(
+            os.path.join(root, "kmv"),
+            group_col="event_type",
+            value_col="user_id",
+            k=_ST04_K,
+        )
+        for i in range(3):
+            inc.process_batch(ev.where(F.col("event_id") % 4 == i), i)
+        inc.compact(spark)
+        inc.process_batch(ev.where(F.col("event_id") % 4 == 3), 3)
+        inc.compact(spark)
+        out = inc.estimates(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("event_type")
