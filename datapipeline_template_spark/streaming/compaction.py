@@ -197,12 +197,32 @@ def recover_store(store_path: str) -> None:
                 )
 
 
+# Base-partition sizing: one output file per this many bytes of
+# folded input (parquet-compressed on disk). 128 MB matches the scan
+# split size, so a compacted base reads with full parallelism instead
+# of funneling a year of history through one task and one file.
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _fold_bytes(ds: str, fold_ids: set[int], names: dict[int, str]) -> int:
+    total = 0
+    for bid in fold_ids:
+        part = os.path.join(ds, names[bid])
+        for dirpath, _, files in os.walk(part):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    return total
+
+
 def compact_dataset(
     spark: SparkSession,
     ds: str,
     committed: set[int],
     fold=None,
-    target_files: int = 1,
+    target_files: int | None = None,
     crash_after: str | None = None,
 ) -> bool:
     """Fold the committed ``_batch`` partitions of one dataset (plus
@@ -210,9 +230,12 @@ def compact_dataset(
     Returns True if a fold happened. ``fold`` optionally reduces the
     folded rows (e.g. one merged sketch row per group) — it must
     preserve the dataset's schema and its read-side merge semantics;
-    identity (pure re-bagging) is always valid. ``crash_after`` is the
-    test-only fault-injection hook ('stage' | 'journal' | 'moved' |
-    'renamed_old')."""
+    identity (pure re-bagging) is always valid. ``target_files``
+    defaults to SIZE-AWARE: one file per ~128 MB of folded input
+    (sketch stores compact to one file; a large identity-folded store
+    keeps scan parallelism instead of funneling through one task).
+    ``crash_after`` is the test-only fault-injection hook
+    ('stage' | 'journal' | 'moved' | 'renamed_old')."""
     recover_dataset(ds)
     present = _batch_dirs(ds)
     fold_ids = {b for b in present if b in committed or b == BASE_BATCH}
@@ -224,6 +247,9 @@ def compact_dataset(
     stage = ds + _STAGE_SUFFIX
     if os.path.isdir(stage):
         shutil.rmtree(stage)
+
+    if target_files is None:
+        target_files = 1 + _fold_bytes(ds, fold_ids, present) // _TARGET_FILE_BYTES
 
     folded = (
         spark.read.parquet(ds)
@@ -258,7 +284,7 @@ def compact_store(
     spark: SparkSession,
     store_path: str,
     folds: dict[str, object] | None = None,
-    target_files: int = 1,
+    target_files: int | None = None,
 ) -> dict[str, bool]:
     """Compact every ``_batch``-partitioned dataset of every maintainer
     under ``store_path`` (composites recurse). ``folds`` optionally
