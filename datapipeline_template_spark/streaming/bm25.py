@@ -145,6 +145,29 @@ class IncrementalBm25:
 
     # -- reads -------------------------------------------------------------
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold committed per-batch index deltas into the ``_batch=-1``
+        base (streaming/compaction.py). tf/dl re-bag identically (they
+        are doc-keyed rows the reads consume raw); df folds to one
+        summed row per token and stats to one global row — exactly the
+        read-side merges, so topk() is invariant (test-pinned).
+        Markers survive; replays of folded batches stay no-ops."""
+        from .compaction import compact_store
+
+        compact_store(
+            spark,
+            self.store_path,
+            folds={
+                "df": lambda d: d.groupBy("_t").agg(
+                    F.sum("_df").cast("long").alias("_df")
+                ),
+                "stats": lambda d: d.agg(
+                    F.sum("_nd").cast("long").alias("_nd"),
+                    F.sum("_nt").cast("long").alias("_nt"),
+                ),
+            },
+        )
+
     def _read(self, spark: SparkSession, name: str, schema: str) -> DataFrame:
         from pyspark.sql import types as T
 

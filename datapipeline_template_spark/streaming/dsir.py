@@ -153,6 +153,30 @@ class IncrementalDsir:
 
     # -- reads -------------------------------------------------------------
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold committed per-batch partitions into the ``_batch=-1``
+        base (streaming/compaction.py). counts folds to one summed
+        (w, c, ct) row per word — the lms() read-side merge verbatim;
+        doctok folds to one summed (doc_id, w, n) row — invariant for
+        every read because doc-token profiles only ever enter LINEAR
+        reductions (Σ n·logratio). Markers survive; replays of folded
+        batches stay no-ops."""
+        from .compaction import compact_store
+
+        compact_store(
+            spark,
+            self.store_path,
+            folds={
+                "counts": lambda d: d.groupBy("w").agg(
+                    F.sum("c").cast("long").alias("c"),
+                    F.sum("ct").cast("long").alias("ct"),
+                ),
+                "doctok": lambda d: d.groupBy("doc_id", "w").agg(
+                    F.sum("n").cast("long").alias("n")
+                ),
+            },
+        )
+
     def _read(self, spark: SparkSession, path: str, schema_str: str) -> DataFrame:
         from pyspark.sql import types as T
 

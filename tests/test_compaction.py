@@ -477,3 +477,56 @@ def test_three_more_families_identity_compaction(spark, tmp_path, sf_dir):
     assert "order" not in folded
     assert report and all(report.values())
     assert pj_pairs() == before
+
+
+def test_bm25_and_dsir_merge_folds(spark, tmp_path, sf_dir):
+    """The linear-read families' compact() folds: BM25's df/stats sum
+    per token/globally (tf/dl re-bag identically — the reads consume
+    them raw), DSIR's counts and doc-token profiles sum per key (every
+    read is a linear reduction). topk() and scores() are bit-identical
+    pre/post; every dataset folds to the base partition."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.streaming.bm25 import IncrementalBm25
+    from datapipeline_template_spark.streaming.dsir import IncrementalDsir
+
+    docs = table(spark, sf_dir, "documents")
+
+    bm = IncrementalBm25(str(tmp_path / "bm25"))
+    for i in range(3):
+        bm.process_batch(docs.where(F.col("doc_id") % 3 == i), i)
+    queries = docs.where(F.col("doc_id") < 5).select("doc_id", "text")
+
+    def ranked():
+        return sorted(map(tuple, bm.topk(queries, k=3).collect()))
+
+    before = ranked()
+    assert before
+    bm.compact(spark)
+    for name in ("tf", "dl", "df", "stats"):
+        assert _batch_parts(str(tmp_path / "bm25" / name)) == {BASE_BATCH}
+    # stats folded to ONE global row; df to one row per token.
+    assert spark.read.parquet(str(tmp_path / "bm25" / "stats")).count() == 1
+    dfreq = spark.read.parquet(str(tmp_path / "bm25" / "df"))
+    assert dfreq.count() == dfreq.select("_t").distinct().count()
+    assert ranked() == before
+
+    ds = IncrementalDsir(str(tmp_path / "dsir"), target_source="src1")
+    for i in range(3):
+        ds.process_batch(
+            docs.where(F.col("doc_id") % 3 == i).select(
+                "doc_id", "text", "source"
+            ),
+            i,
+        )
+
+    def scores():
+        return sorted(map(tuple, ds.scores(spark).collect()))
+
+    before = scores()
+    assert before
+    ds.compact(spark)
+    for name in ("counts", "doctok"):
+        assert _batch_parts(str(tmp_path / "dsir" / name)) == {BASE_BATCH}
+    cnt = spark.read.parquet(str(tmp_path / "dsir" / "counts"))
+    assert cnt.count() == cnt.select("w").distinct().count()
+    assert scores() == before
