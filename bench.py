@@ -287,6 +287,10 @@ SECONDARY = [
     # read-invariance); the compaction scenario prices the read-side
     # economics, this row prices the maintenance cadence itself.
     "st04_compacted_sketch_state",
+    # tj06 re-writes both bucketed tables per call (the q52
+    # stateless-query contract) — its row prices write+join together;
+    # the bucketed_join scenario separates the amortized write.
+    "tj06_bucketed_asof",
 ]
 
 

@@ -208,6 +208,7 @@ _OVERFLOW = (
     "ss38_graph_ann_beam",
     "pipe22_e2e_training_pipeline",
     "st04_compacted_sketch_state",
+    "tj06_bucketed_asof",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries

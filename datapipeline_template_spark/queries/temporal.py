@@ -321,3 +321,79 @@ def tj05_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cid").alias("n_click_id"),
         F.col("n_gap").alias("n_gap"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# tj06 — the as-of join at 100 TB: BOTH sides through bucketed storage
+# (q52's layout applied to the temporal join), zero query-time
+# Exchange. Registered in OVERFLOW.
+# ---------------------------------------------------------------------------
+
+
+@register("tj06_bucketed_asof", oracle=_TJ01_ORACLE)
+def tj06_bucketed_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tj01's EXACT semantics through the shuffle-free physical plan —
+    the oracle is tj01's DuckDB ASOF JOIN verbatim, so the hash match
+    proves the layout change is semantically invisible (the q52 /
+    pipe22 rule: layout is physical, never semantic).
+
+    Both sides land hash-bucketed + sorted on user_id
+    (operators/layout.py write_bucketed), then the as-of answer comes
+    from an equi-join WITH residual range predicate plus one keyed
+    max_by — and NEITHER step shuffles: the sort-merge join reads two
+    co-bucketed scans (zero Exchange below it, the q52 property), and
+    its output keeps the left side's hash partitioning on user_id,
+    which SATISFIES the aggregation's clustering requirement
+    (grouping keys include user_id; Spark accepts a subset
+    partitioning) — so the whole query-time plan carries ZERO
+    hash-partition Exchanges, plan-guarded. Unmatched left rows
+    surface NULL prev columns through the left join (their max_by
+    ordering struct is all-NULL fields and alone in its group).
+
+    The honest trade vs `asof_join` (union + window, tj01's path):
+    this form fans out each event × its user's prior clicks inside
+    the join before the max_by collapses it — ZERO shuffles but
+    fan-out-DEPENDENT work; the union+window form pays exactly one
+    key shuffle but is fan-out-independent. At 100 TB pick by shape:
+    recurring as-of joins against a bucketed silver with bounded
+    per-key right-side history → this form (the write-time shuffle is
+    already amortized, queries touch no network); unbounded histories
+    or one-shot joins → the window form. Write cost is the q52
+    bucketed_join scenario's amortized story."""
+    from ..operators.layout import write_bucketed
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    clicks = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    write_bucketed(ev, "tj06_ev", ["user_id"], n_buckets=8, sort_cols=["user_id"])
+    write_bucketed(
+        clicks, "tj06_ck", ["user_id"], n_buckets=8, sort_cols=["user_id"]
+    )
+    left = spark.table("tj06_ev").alias("l")
+    right = spark.table("tj06_ck").alias("r")
+    j = left.hint("merge").join(
+        right,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") < F.col("l.ts")),
+        "left",
+    )
+    pay = F.struct(
+        F.col("r.ts").alias("prev_ts"),
+        F.col("r.click_id").alias("prev_click_id"),
+    )
+    order_key = F.struct(F.col("r.ts"), F.col("r.click_id"))
+    return (
+        j.groupBy(F.col("l.event_id"), F.col("l.user_id"), F.col("l.ts"))
+        .agg(F.max_by(pay, order_key).alias("_p"))
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("ts"),
+            F.col("_p.prev_ts").alias("prev_ts"),
+            F.col("_p.prev_click_id").alias("prev_click_id"),
+        )
+    )

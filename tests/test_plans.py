@@ -1252,6 +1252,24 @@ def test_ss38_beam_walk_stays_bounded(spark):
         assert b["n_hit"] >= a["n_hit"]
 
 
+def test_tj06_bucketed_asof_zero_query_time_exchange(spark):
+    """The 100 TB as-of shape: with both sides bucketed on user_id,
+    the SMJ reads co-bucketed scans AND the keyed max_by reuses the
+    join's output partitioning (grouping keys ⊇ the partition key) —
+    the entire query-time plan carries ZERO hash-partition Exchanges.
+    The only shuffles anywhere are the two write-time bucket
+    clusterings, already amortized in the q52 story."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "tj06_bucketed_asof")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:900]
+    assert "CartesianProduct" not in plan
+
+
 def test_tx33_post_curve_plan_is_bounded(spark):
     """tx33 checkpoints the doc-sized (N_i, V_i) curve (it feeds both
     the fit and the totals); everything after it must stay bounded —

@@ -53,7 +53,7 @@ PINNED_WINDOW = [
 
 # Exact registry size, bumped DELIBERATELY with every added query —
 # a floor (`>= 82`) let accidental deregistration pass silently.
-EXPECTED_REGISTRY_SIZE = 220
+EXPECTED_REGISTRY_SIZE = 221
 
 
 def test_registry_size_stable():
