@@ -1220,13 +1220,51 @@ def _compaction_scenario(spark, sf_dir):
             for r in inc.estimates(spark).collect()
         }
         read_after = best(lambda: inc.estimates(spark).collect())
+
+        # Auto-compaction policy arm (r12 verdict #3): the same 12
+        # drains through a store with max_batches=4 installed — the
+        # maintainer compacts ITSELF from the process_batch tail.
+        # Reported: how often the policy fired (drains per compaction)
+        # and parity against the manual store's estimates.
+        import json as _json
+
+        from datapipeline_template_spark.streaming.compaction import (
+            set_auto_compact_policy,
+        )
+
+        auto = IncrementalKmv(
+            os.path.join(root, "kmv_auto"),
+            group_col="event_type",
+            value_col="user_id",
+            k=256,
+        )
+        set_auto_compact_policy(os.path.join(root, "kmv_auto"), max_batches=4)
+        t = time.perf_counter()
+        for i in range(n_drains):
+            auto.process_batch(
+                ev.where(F.col("event_id") % n_drains == i), i
+            )
+        auto_drains_sec = time.perf_counter() - t
+        pol = _json.load(
+            open(os.path.join(root, "kmv_auto", "auto_compact.json"))
+        )
+        n_auto = int(pol.get("n_compactions", 0))
+        auto_est = {
+            r["event_type"]: r["distinct_estimate"]
+            for r in auto.estimates(spark).collect()
+        }
         return {
             "n_drains": n_drains,
             "drains_sec": round(drains_sec, 4),
             "read_before_sec": round(read_before, 4),
             "compact_sec": round(compact_sec, 4),
             "read_after_sec": round(read_after, 4),
-            "parity": before == after,
+            "auto_drains_sec": round(auto_drains_sec, 4),
+            "auto_n_compactions": n_auto,
+            "drains_per_compaction": (
+                round(n_drains / n_auto, 2) if n_auto else None
+            ),
+            "parity": before == after and auto_est == before,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1350,6 +1388,57 @@ def _incremental_silver_scenario(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _cpu_spin_sec() -> float:
+    """Load sentinel: a FIXED chunk of single-threaded integer work,
+    best of 3 (r12 verdict item 1). The work is deterministic, so its
+    wall time is a pure function of how contended this box's CPUs are
+    right now — on a quiet box it reads a stable floor; under the
+    7–10× contention that hit the round-12 driver sample it inflates
+    proportionally. Any reader of the bench artifact can normalize the
+    headline numbers by comparing the recorded spin against the run's
+    own `min_cpu_spin_sec` (the quietest probe this process saw)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _sentinel() -> dict:
+    """One load probe: the CPU spin + the 1-minute load average."""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load1 = None
+    return {"cpu_spin_sec": round(_cpu_spin_sec(), 4), "loadavg_1m": load1}
+
+
+def _time_headline(
+    registry, spark, sf_dir: str, names: list[str], runs: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """One timed pass over the headline set (best-of-``runs`` each)."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        fn = registry[name].fn
+        best = float("inf")
+        try:
+            for _ in range(max(runs, 1)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.count()  # full execution without driver-side row transfer
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - isolate per-query failures
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: timed run FAILED for {name}: {exc}", file=sys.stderr)
+            continue
+        timings[name] = round(best, 4)
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1380,22 +1469,52 @@ def main() -> None:
     # Best-of-N per query (default 2): the engine serves repeated
     # queries warm, and single-shot numbers on a shared box carry
     # scheduler noise; the minimum is the reproducible steady state.
+    #
+    # Contention-proofing (r12 verdict item 1): the round-12 driver
+    # artifact recorded a 3.75× headline on byte-identical code because
+    # the ONE sample it took landed on a loaded box. Each headline pass
+    # is now bracketed by load sentinels (fixed CPU spin + loadavg);
+    # if the pass ran inflated (spin > 1.25× the quietest probe this
+    # process has seen), it is retried up to $SPARK_GRAFT_BENCH_ATTEMPTS
+    # (default 3) times and the pass with the LOWEST sentinel is the
+    # one recorded — the recorded run is the quietest available, not
+    # the first. The sentinel readings ship in the JSON so any reader
+    # can normalize: a run whose spin is 5× its min_cpu_spin_sec is a
+    # contention sample, whatever its headline total says.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name].fn
-        best = float("inf")
-        try:
-            for _ in range(max(runs, 1)):
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.count()  # full execution without driver-side row transfer
-                best = min(best, time.perf_counter() - t0)
-        except Exception as exc:  # noqa: BLE001 - isolate per-query failures
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: timed run FAILED for {name}: {exc}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 4)
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    min_spin = float("inf")
+    best_pass = None  # (spin, attempt_idx, timings, errors, pre, post)
+    n_attempts_run = 0
+    for attempt in range(attempts):
+        n_attempts_run = attempt + 1
+        pre = _sentinel()
+        pass_timings, pass_errors = _time_headline(
+            registry, spark, sf_dir, names, runs
+        )
+        post = _sentinel()
+        spin = max(pre["cpu_spin_sec"], post["cpu_spin_sec"])
+        min_spin = min(min_spin, pre["cpu_spin_sec"], post["cpu_spin_sec"])
+        if best_pass is None or spin < best_pass[0]:
+            best_pass = (spin, attempt, pass_timings, pass_errors, pre, post)
+        if spin <= 1.25 * min_spin:
+            break  # quiet pass — no need to burn more attempts
+        print(
+            f"bench: attempt {attempt + 1} ran contended (sentinel spin "
+            f"{spin:.3f}s vs quietest probe {min_spin:.3f}s) — "
+            + ("retrying" if attempt + 1 < attempts else "keeping quietest"),
+            file=sys.stderr,
+        )
+    spin, chosen_attempt, timings, head_errors, pre, post = best_pass
+    errors.update(head_errors)
+    sentinel = {
+        "pre": pre,
+        "post": post,
+        "min_cpu_spin_sec": round(min_spin, 4),
+        "inflation": round(spin / min_spin, 2) if min_spin > 0 else None,
+        "attempts_run": n_attempts_run,
+        "chosen_attempt": chosen_attempt + 1,
+    }
 
     # Secondary set + scenarios: same warmup/best-of-N discipline for
     # registry names; scenario callables are single-shot (stateful).
@@ -1502,6 +1621,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sentinel": sentinel,
     }
     if secondary:
         result["secondary"] = secondary
@@ -1585,6 +1705,12 @@ def main() -> None:
         "sf": result["sf"],
         "queries": timings,
         "n_timed": result["n_timed"],
+        # Contention self-report: how inflated the recorded pass's
+        # sentinel was vs the quietest probe this process saw (1.0 =
+        # quiet box) — the field that stops a loaded-box sample from
+        # masquerading as a regression.
+        "sentinel_inflation": sentinel["inflation"],
+        "loadavg_1m": sentinel["post"]["loadavg_1m"],
     }
     if errors:
         compact["n_failed"] = len(errors)

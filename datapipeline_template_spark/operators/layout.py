@@ -26,9 +26,61 @@ from pyspark.sql import functions as F
 __all__ = [
     "cluster_for_layout",
     "zorder_for_layout",
+    "clear_stale_managed_location",
     "write_bucketed",
     "bucketed_fact_join",
 ]
+
+
+def clear_stale_managed_location(
+    spark, name: str, database: bool = False
+) -> None:
+    """Drop a managed table (or database) AND remove its orphaned
+    warehouse directory — the cross-process hygiene every managed-table
+    writer needs before ``saveAsTable``.
+
+    A managed table written by ANOTHER process leaves its warehouse
+    directory on the local filesystem while this process's (fresh,
+    Derby) catalog has never heard of it; ``DROP TABLE IF EXISTS``
+    then no-ops and the subsequent write dies LOCATION_ALREADY_EXISTS.
+    This is the ONE implementation of that cleanup (write_bucketed,
+    pipe21's fixture databases, and compact_bucketed_silver's stage
+    table all route here) so the path derivation — default-database
+    tables at ``<warehouse>/<tbl>``, qualified ones at
+    ``<warehouse>/<db>.db/<tbl>``, databases at ``<warehouse>/<db>.db``
+    — lives in exactly one place.
+
+    The cleanup removes a directory on disk, so anything path-like in
+    ``name`` would delete the wrong directory: every dot-separated part
+    must be non-empty alphanumeric/underscore or the call refuses.
+    """
+    import os
+    import shutil
+
+    parts = name.split(".")
+    max_parts = 1 if database else 2
+    if not (1 <= len(parts) <= max_parts) or not all(
+        p and p.replace("_", "").isalnum() for p in parts
+    ):
+        raise ValueError(
+            f"unsafe {'database' if database else 'table'} name {name!r} — "
+            "managed-location cleanup handles simple alnum/underscore "
+            f"names only ({'db' if database else 'tbl or db.tbl'})"
+        )
+    if database:
+        spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+        rel = f"{parts[0].lower()}.db"
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        rel = (
+            parts[0].lower()
+            if len(parts) == 1
+            else os.path.join(f"{parts[0].lower()}.db", parts[1].lower())
+        )
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(wh.removeprefix("file:"), rel)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
 
 
 def cluster_for_layout(
@@ -138,41 +190,10 @@ def write_bucketed(
     as well as the Exchange — many files per bucket would force a
     per-task merge sort at read time.
     """
-    import os
-    import shutil
-
-    # The stale-location cleanup below removes the table's managed
-    # warehouse directory on the local filesystem; anything path-like
-    # in the name would delete the wrong directory. Validate every
-    # name part up front (same guard as IncrementalBucketedSilver),
-    # then derive the managed location: default-database tables live
-    # at <warehouse>/<tbl>, database-qualified ones at
-    # <warehouse>/<db>.db/<tbl>.
-    parts = table_name.split(".")
-    if not (1 <= len(parts) <= 2) or not all(
-        p and p.replace("_", "").isalnum() for p in parts
-    ):
-        raise ValueError(
-            f"unsafe table name {table_name!r} — write_bucketed manages "
-            "simple `tbl` or `db.tbl` managed-table names only"
-        )
-
     spark = df.sparkSession
-    # A managed table written by ANOTHER process leaves its warehouse
-    # directory on disk while this process's (fresh, Derby) catalog has
-    # never heard of it — saveAsTable then fails LOCATION_ALREADY_EXISTS.
-    # Drop any catalog entry, then clear a stale orphaned location.
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = wh.removeprefix("file:")
-    rel = (
-        parts[0].lower()
-        if len(parts) == 1
-        else os.path.join(f"{parts[0].lower()}.db", parts[1].lower())
-    )
-    stale = os.path.join(wh_path, rel)
-    if os.path.isdir(stale):
-        shutil.rmtree(stale)
+    # Name validation + catalog drop + orphaned-location cleanup —
+    # the shared implementation (also guards against path-like names).
+    clear_stale_managed_location(spark, table_name)
     df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

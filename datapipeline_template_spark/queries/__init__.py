@@ -66,6 +66,21 @@ _OVERFLOW = (
     "tx09_leading_tokens",
     "w03_event_gaps_lag",
     "w05_moving_avg_value",
+    # Round 13 window rotation (r12 verdict #2): five more stale slots
+    # hand their window places to the round-12 frontier — st04
+    # (compaction under the oracle gate), pipe22 (the e2e pipeline),
+    # q55 (width-sized chooser, via _SWEEP_PRIORITY), tj06
+    # (zero-Exchange bucketed as-of), ss38 (graph-walk ANN). The five
+    # evicted rows are near-dup variants of rows still in the window
+    # (w02/w04/w06/w07 are plain window-function variants — w01 top-k
+    # and w08 sessionize keep the family; tx01 ~ tx02's stats) and were
+    # re-verified hash-green immediately before the swap; they stay
+    # sweep-run here.
+    "w02_running_user_value",
+    "w04_customer_quartiles",
+    "w06_first_last_event",
+    "w07_supplier_percentiles",
+    "tx01_token_stats",
     "pk01_sequence_packing",
     "pk02_source_mixing",
     "pk03_train_val_split",
@@ -202,13 +217,11 @@ _OVERFLOW = (
     "mm07_media_chunk_dedup",
     "w12_retention_sketched",
     "dd25_classifier_survivors",
-    # Round 12:
+    # Round 12 (q55/ss38/pipe22/st04/tj06 rotated INTO the window in
+    # round 13 — see the rotation note above):
     "pipe21_config_bucketed_silver",
-    "q55_width_sized_chooser",
-    "ss38_graph_ann_beam",
-    "pipe22_e2e_training_pipeline",
-    "st04_compacted_sketch_state",
-    "tj06_bucketed_asof",
+    # Round 13:
+    "pipe23_salt_sized_keep_latest",
 )
 
 # The driver's correctness sweep records the FIRST 50 registry entries
@@ -232,6 +245,7 @@ _SWEEP_PRIORITY = (
     "q52_bucketed_join",            # bucketed-storage shuffle-free join
     "q53_join_strategy_chooser",    # sketch-driven join planning
     "q54_kmv_rollup_cascade",       # mergeable-sketch rollup cascade
+    "q55_width_sized_chooser",      # KMV-sized CM width chooser (r13 rotation)
     "q31_two_phase_distinct",       # skew-safe two-phase COUNT(DISTINCT)
     "q35_deterministic_sample",     # deterministic hash sampling
     "q24_exists_late_shipments",    # decorrelated EXISTS subquery

@@ -946,13 +946,10 @@ def pipe21_config_bucketed_silver(spark: SparkSession, sf_dir: str) -> DataFrame
     # process's fresh Derby catalog has never heard of them — DROP
     # DATABASE no-ops and saveAsTable dies LOCATION_ALREADY_EXISTS.
     # The names are fixture-private constants, so the delete is scoped.
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = wh.removeprefix("file:")
+    from ..operators.layout import clear_stale_managed_location
+
     for db in ("p21_bronze", "p21_silver"):
-        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-        stale = os.path.join(wh_path, f"{db}.db")
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
+        clear_stale_managed_location(spark, db, database=True)
     params = PipelineParams(source_location=root, catalog="p21")
     entity = EntityConfig(
         name="clicks",
@@ -972,4 +969,195 @@ def pipe21_config_bucketed_silver(spark: SparkSession, sf_dir: str) -> DataFrame
     # columns (audit columns are run-dependent by design).
     return spark.table("p21_silver.silver_clicks").select(
         "user_id", "event_type", "event_id", "ts", "metric", "op"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe23 — the salt loop closed FROM DATA (r12 verdict #4): measured key
+# skew picks n_salts per feed, the way q53 picks join strategy and q55
+# picks sketch width
+# ---------------------------------------------------------------------------
+
+# Parallelism target for the hottest key: n_salts = next pow2 >=
+# hot_share * target bounds the largest dedup task at ~|feed|/target
+# regardless of how degenerate the key distribution gets. 64 matches
+# the engine's shuffle-partition grid (2x the 32-thread test box, and
+# a realistic per-stage core count for one 100 TB job wave).
+_PIPE23_TARGET_TASKS = 64
+_PIPE23_POW2 = [1 << i for i in range(11)]  # 1 .. 1024 salt cap
+
+_PIPE23_ORACLE = f"""
+WITH feeds AS (
+  SELECT 'hot' AS feed,
+         CAST(CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS BIGINT) AS k,
+         event_type, event_id, ts
+  FROM events WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'uni' AS feed, CAST(user_id AS BIGINT) AS k,
+         event_type, event_id, ts
+  FROM events WHERE user_id IS NOT NULL
+),
+grp AS (
+  SELECT feed, k, event_type, COUNT(*) AS c
+  FROM feeds GROUP BY feed, k, event_type
+),
+dec AS (
+  SELECT feed,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(c) AS BIGINT) AS total_rows,
+         CAST(MAX(c) AS BIGINT) AS max_group_cnt
+  FROM grp GROUP BY feed
+),
+dec2 AS (
+  SELECT *,
+         (1000 * max_group_cnt) // total_rows AS hot_share_milli,
+         GREATEST(
+           ((1000 * max_group_cnt) // total_rows
+              * {_PIPE23_TARGET_TASKS} + 999) // 1000, 1) AS want
+  FROM dec
+),
+dec3 AS (
+  SELECT feed, n_groups, total_rows, max_group_cnt, hot_share_milli,
+         CAST(list_min(list_filter({_PIPE23_POW2},
+                                   p -> p >= want)) AS BIGINT) AS n_salts
+  FROM dec2
+),
+winners AS (
+  SELECT feed, event_id
+  FROM (SELECT feed, event_id,
+               ROW_NUMBER() OVER (PARTITION BY feed, k, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM feeds)
+  WHERE rn = 1
+),
+summary AS (
+  SELECT feed,
+         CAST(COUNT(*) AS BIGINT) AS n_winners,
+         CAST(SUM(event_id) AS BIGINT) AS winner_checksum
+  FROM winners GROUP BY feed
+)
+SELECT d.feed, d.n_groups, d.total_rows, d.max_group_cnt,
+       d.hot_share_milli, d.n_salts, s.n_winners, s.winner_checksum
+FROM dec3 d JOIN summary s ON d.feed = s.feed
+ORDER BY d.feed
+"""
+
+
+@register("pipe23_salt_sized_keep_latest", oracle=_PIPE23_ORACLE)
+def pipe23_salt_sized_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_salts chosen FROM MEASURED SKEW, in-plan — the chooser family
+    (q53 join strategy, q55 sketch width) applied to pipe19's last
+    hand-picked constant.
+
+    Two feeds run side by side: pipe19's degenerate 90 %-hot mapping
+    and the raw uniform key. For each, ONE map-side-combined count
+    aggregate (per-(key, event_type) counts are additive, so the
+    measurement itself is skew-immune — each reducer row is one
+    partial per map partition, never the hot key's row mass) yields
+    the hottest group's share; n_salts = next pow2 >=
+    hot_share * {target} bounds the largest phase-1 task at
+    ~|feed| / {target}. The decision joins back as a BROADCAST
+    2-row frame and the salt is computed per row from the feed's own
+    chosen modulus — the whole loop (measure -> choose -> execute)
+    is one plan with NO window and NO driver-side collect. At sf0.01
+    the hot feed measures share ~182 milli and chooses 16 salts; the
+    uniform feed measures ~2 milli and chooses 1 — the provable
+    no-op, a single-salt phase 1 that degenerates to plain
+    keep_latest (the pow2 floor).
+
+    Cost honesty: the measurement adds one count aggregate over the
+    feed (map-side combined, output = |groups| rows) on top of the
+    two-phase dedup — at 100 TB that is one extra reduce of group-
+    cardinality rows, vs the unbounded single-task sort the window
+    form pays on a degenerate key (pipe19's docstring prices WHEN the
+    salting matters: the window/pre-partitioned shapes). The pow2
+    array scan is a HOF over an 11-element literal array on a 2-row
+    frame — interpreted per element, irrelevant off the hot path.
+
+    The oracle replays the decision arithmetic (integer milli shares,
+    the same pow2 ladder via list_filter) and the winner set via the
+    ROW_NUMBER window twin, so the hash match proves BOTH the choice
+    and that the chosen salted execution changes no winner.
+
+    Reference anchor: 02_silver_processing.py:120-129 (the window
+    dedup whose degenerate-key failure mode this sizes against)."""
+    base = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    hot_k = (
+        F.when(F.col("user_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+    )
+    feeds = base.select(
+        F.lit("hot").alias("feed"), hot_k.alias("k"),
+        "event_type", "event_id", "ts",
+    ).unionAll(
+        base.select(
+            F.lit("uni").alias("feed"),
+            F.col("user_id").cast("long").alias("k"),
+            "event_type", "event_id", "ts",
+        )
+    )
+
+    grp = feeds.groupBy("feed", "k", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = (
+        grp.groupBy("feed")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("c").cast("long").alias("total_rows"),
+            F.max("c").alias("max_group_cnt"),
+        )
+        .withColumn(
+            "hot_share_milli",
+            F.expr("(1000 * max_group_cnt) DIV total_rows"),
+        )
+        .withColumn(
+            "_want",
+            F.expr(
+                f"greatest((hot_share_milli * {_PIPE23_TARGET_TASKS} + 999)"
+                " DIV 1000, 1L)"
+            ),
+        )
+        .withColumn(
+            "n_salts",
+            F.array_min(
+                F.filter(
+                    F.array(*[F.lit(p).cast("long") for p in _PIPE23_POW2]),
+                    lambda p: p >= F.col("_want"),
+                )
+            ),
+        )
+    )
+
+    salted = feeds.join(
+        F.broadcast(dec.select("feed", "n_salts")), "feed"
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("ts", "event_id"), F.col("n_salts"))
+    )
+    payload = F.struct(F.col("ts"), F.col("event_id"))
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    p1 = salted.groupBy("feed", "k", "event_type", "_salt").agg(
+        F.max_by(payload, order_key).alias("_w")
+    )
+    p2 = p1.groupBy("feed", "k", "event_type").agg(
+        F.max_by(
+            "_w", F.struct(F.col("_w.ts"), F.col("_w.event_id"))
+        ).alias("_w")
+    )
+    summary = p2.groupBy("feed").agg(
+        F.count(F.lit(1)).alias("n_winners"),
+        F.sum("_w.event_id").alias("winner_checksum"),
+    )
+    return (
+        dec.join(summary, "feed")
+        .select(
+            "feed", "n_groups", "total_rows", "max_group_cnt",
+            "hot_share_milli", "n_salts", "n_winners", "winner_checksum",
+        )
+        .orderBy("feed")
     )

@@ -145,6 +145,28 @@ class IncrementalBucketedSilver:
             )
             spark.catalog.dropTempView(view)
         self._commit(batch_id)
+        # Auto-compaction policy hook (r12 verdict #3). The silver's
+        # partitions live in the warehouse, not under store_path, so
+        # the due-check is the catalog's own partition listing (a
+        # driver-side metastore op, bounded by partition count) gated
+        # behind the policy-file existence probe; only the
+        # partition-count knob applies to catalog tables.
+        from .compaction import get_auto_compact_policy
+
+        pol = get_auto_compact_policy(self.store_path)
+        if pol is not None and pol.get("max_batches") is not None:
+            n_parts = sum(
+                1
+                for r in spark.sql(
+                    f"SHOW PARTITIONS {self.table_name}"
+                ).collect()
+                if not r[0].endswith("=-1")
+            )
+            if n_parts >= pol["max_batches"]:
+                from .compaction import _bump_compaction_counter
+
+                self.compact(spark)
+                _bump_compaction_counter(self.store_path)
 
     # -- drives ------------------------------------------------------------
 
@@ -172,7 +194,15 @@ class IncrementalBucketedSilver:
     def table(self, spark: SparkSession) -> DataFrame:
         """The maintained silver as a DataFrame (``_batch`` dropped) —
         scan output is hash-partitioned on the bucket key, so joins
-        against a co-bucketed peer need no Exchange."""
+        against a co-bucketed peer need no Exchange.
+
+        Serves reads only after finishing any compaction a crash left
+        mid-protocol: the post-insert/pre-drop window would otherwise
+        silently expose every folded row twice until the next explicit
+        ``compact()`` (one ``os.path.exists`` on the clean path)."""
+        from .compaction import resume_bucketed_compaction
+
+        resume_bucketed_compaction(spark, self)
         return spark.table(self.table_name).drop("_batch")
 
     def join(

@@ -93,7 +93,9 @@ class IncrementalChunkDedup:
             )
             .localCheckpoint(eager=True)
         )
-        if os.path.isdir(self._registry_path):
+        from .compaction import dataset_present
+
+        if dataset_present(self._registry_path):
             seen = (
                 spark.read.parquet(self._registry_path)
                 .where(F.col("_batch") != F.lit(int(batch_id)))
@@ -162,9 +164,15 @@ class IncrementalChunkDedup:
     # -- reads -------------------------------------------------------------
 
     def clean_docs(self, spark: SparkSession) -> DataFrame:
+        from .compaction import dataset_present
+
+        dataset_present(self._docs_path)
         return spark.read.parquet(self._docs_path).select(
             self.id_col, "clean_text", "n_chunks", "n_dropped"
         )
 
     def seen_chunks(self, spark: SparkSession) -> DataFrame:
+        from .compaction import dataset_present
+
+        dataset_present(self._registry_path)
         return spark.read.parquet(self._registry_path).select("chunk")

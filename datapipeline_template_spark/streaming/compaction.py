@@ -71,7 +71,13 @@ __all__ = [
     "recover_dataset",
     "discover_stores",
     "discover_datasets",
+    "dataset_present",
     "compact_bucketed_silver",
+    "resume_bucketed_compaction",
+    "set_auto_compact_policy",
+    "get_auto_compact_policy",
+    "auto_compact_due",
+    "maybe_auto_compact",
 ]
 
 # Reserved base-partition id. Real drains use non-negative
@@ -184,6 +190,31 @@ def recover_dataset(ds: str) -> None:
     _finish_swap(ds, set(journal["fold"]))
 
 
+def dataset_present(ds: str) -> bool:
+    """Read-side guard every store read helper calls before treating a
+    missing dataset dir as legitimately-empty state.
+
+    Between swap phases D and E the dataset dir does not exist at all
+    (it is ``<ds>.__old`` while the stage waits to be renamed in), and
+    during phase C it exists but is missing the partitions already
+    moved to the stage. A reader that only checks ``isdir`` would
+    silently serve an EMPTY (or partial) store in that crash window
+    until someone explicitly ran recovery. The fix is to finish the
+    interrupted swap here: if a journal, stage, or backup sibling
+    exists, run ``recover_dataset`` (cheap local renames — the staged
+    copy is complete once the journal exists) and only then answer
+    whether the dataset is present. On a clean dataset this costs two
+    ``os.path`` probes.
+    """
+    if (
+        os.path.exists(_journal_path(ds))
+        or os.path.isdir(ds + _STAGE_SUFFIX)
+        or os.path.isdir(ds + _OLD_SUFFIX)
+    ):
+        recover_dataset(ds)
+    return os.path.isdir(ds)
+
+
 def recover_store(store_path: str) -> None:
     for root in discover_stores(store_path):
         for ds in discover_datasets(root):
@@ -257,7 +288,22 @@ def compact_dataset(
         .drop("_batch")
     )
     if fold is not None:
+        in_schema = [(f.name, f.dataType) for f in folded.schema.fields]
         folded = fold(folded)
+        out_schema = [(f.name, f.dataType) for f in folded.schema.fields]
+        if out_schema != in_schema:
+            # compact_store keys folds by dataset BASENAME; a composite
+            # store with two same-named datasets of different schemas
+            # would silently get the wrong fold applied to one of them.
+            # A fold must preserve the dataset's schema (it only merges
+            # rows), so a mismatch here means the mapping mis-keyed —
+            # fail loudly before anything is staged. (Nullability is
+            # intentionally ignored: aggregates legitimately flip it.)
+            raise ValueError(
+                f"compaction fold for {ds} changed the schema: "
+                f"{in_schema} -> {out_schema} — folds must preserve "
+                "the dataset schema; check the folds= mapping keys"
+            )
     (
         folded.coalesce(max(1, int(target_files)))
         .withColumn("_batch", F.lit(BASE_BATCH).cast("int"))
@@ -300,6 +346,146 @@ def compact_store(
                 spark, ds, committed, fold=fold, target_files=target_files
             )
     return report
+
+
+# -- auto-compaction policy ---------------------------------------------------
+#
+# The reference expresses compaction as a *policy*, not a manual call
+# (`delta.autoOptimize.autoCompact`, `01_bronze_ingestion.py:80-81`);
+# until round 13 the engine's compact() only fired when a caller
+# invoked it. The policy lives in ONE sidecar file at the store root
+# (never inside the families' frozen parameter meta — policy is
+# tunable, sketch parameters are not), and every maintainer checks it
+# at the end of ``process_batch`` via ``maybe_auto_compact``. The check
+# is cheap by construction: one os.path.exists on policy-less stores
+# (the default), and a directory listing + file-size walk only when a
+# policy is set.
+
+_POLICY_FILE = "auto_compact.json"
+
+
+def _policy_path(store_path: str) -> str:
+    return os.path.join(store_path, _POLICY_FILE)
+
+
+def get_auto_compact_policy(store_path: str) -> dict | None:
+    p = _policy_path(store_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def set_auto_compact_policy(
+    store_path: str,
+    max_batches: int | None = None,
+    max_ratio_milli: int | None = None,
+) -> None:
+    """Install (or, with both knobs None, remove) the store's
+    auto-compaction policy. ``max_batches``: compact when any dataset
+    holds at least this many committed non-base ``_batch`` partitions.
+    ``max_ratio_milli``: compact when a dataset's committed batch-
+    partition bytes reach this many thousandths of its base-partition
+    bytes (1000 = batch history as large as the base; a store with no
+    base yet trips this knob as soon as two foldable partitions
+    exist). Either knob alone is valid; both set means OR."""
+    p = _policy_path(store_path)
+    if max_batches is None and max_ratio_milli is None:
+        if os.path.exists(p):
+            os.remove(p)
+        return
+    if max_batches is not None and int(max_batches) < 2:
+        raise ValueError("max_batches must be >= 2 (a single committed "
+                         "partition has nothing to fold)")
+    if max_ratio_milli is not None and int(max_ratio_milli) < 1:
+        raise ValueError("max_ratio_milli must be >= 1")
+    prev = get_auto_compact_policy(store_path) or {}
+    pol = {
+        "max_batches": None if max_batches is None else int(max_batches),
+        "max_ratio_milli": (
+            None if max_ratio_milli is None else int(max_ratio_milli)
+        ),
+        "n_compactions": int(prev.get("n_compactions", 0)),
+    }
+    os.makedirs(store_path, exist_ok=True)
+    with open(p + ".tmp", "w") as f:
+        json.dump(pol, f)
+    os.replace(p + ".tmp", p)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def auto_compact_due(store_path: str) -> bool:
+    """True when the store's policy says it is time to compact: any
+    ``_batch``-partitioned dataset of any nested maintainer trips the
+    partition-count or size-ratio knob. No policy file → False at the
+    cost of one ``os.path.exists``."""
+    pol = get_auto_compact_policy(store_path)
+    if pol is None:
+        return False
+    max_batches = pol.get("max_batches")
+    max_ratio = pol.get("max_ratio_milli")
+    for root in discover_stores(store_path):
+        committed = _committed_ids(root)
+        for ds in discover_datasets(root):
+            parts = _batch_dirs(ds)
+            foldable = [
+                b for b in parts if b in committed and b != BASE_BATCH
+            ]
+            # compact_dataset needs >= 2 fold members to act; with no
+            # base, two committed batches are the minimum fold.
+            n_members = len(foldable) + (1 if BASE_BATCH in parts else 0)
+            if n_members < 2 or not foldable:
+                continue
+            if max_batches is not None and len(foldable) >= max_batches:
+                return True
+            if max_ratio is not None:
+                base_b = (
+                    _dir_bytes(os.path.join(ds, parts[BASE_BATCH]))
+                    if BASE_BATCH in parts
+                    else 0
+                )
+                batch_b = sum(
+                    _dir_bytes(os.path.join(ds, parts[b])) for b in foldable
+                )
+                if batch_b > 0 and batch_b * 1000 >= max_ratio * base_b:
+                    return True
+    return False
+
+
+def maybe_auto_compact(store_path: str, compact_fn) -> bool:
+    """The ``process_batch``-tail hook every maintainer calls:
+    ``compact_fn`` is the family's own ``compact()`` bound with its
+    folds, invoked only when the policy is due. Replayed (already-
+    committed) batches never reach this hook — they short-circuit at
+    the marker — so replays stay no-ops regardless of policy. The
+    policy file's ``n_compactions`` counter is advisory
+    observability (single-writer, bumped after the compaction
+    lands)."""
+    if not auto_compact_due(store_path):
+        return False
+    compact_fn()
+    _bump_compaction_counter(store_path)
+    return True
+
+
+def _bump_compaction_counter(store_path: str) -> None:
+    pol = get_auto_compact_policy(store_path)
+    if pol is not None:
+        pol["n_compactions"] = int(pol.get("n_compactions", 0)) + 1
+        p = _policy_path(store_path)
+        with open(p + ".tmp", "w") as f:
+            json.dump(pol, f)
+        os.replace(p + ".tmp", p)
 
 
 # -- bucketed silver (catalog table) -----------------------------------------
@@ -384,11 +570,9 @@ def compact_bucketed_silver(
         # idempotent. Clear a cross-process orphaned stage location
         # too (the write_bucketed LOCATION_ALREADY_EXISTS rule; the
         # silver's table name is guard-validated alnum/underscore).
-        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        stale = os.path.join(wh.removeprefix("file:"), stage_tbl.lower())
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
+        from ..operators.layout import clear_stale_managed_location
+
+        clear_stale_managed_location(spark, stage_tbl)
         (
             spark.table(tbl)
             .where(F.col("_batch").isin(state["fold"]))
@@ -426,4 +610,26 @@ def compact_bucketed_silver(
                 )
         spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
         os.remove(journal)
+    return True
+
+
+def resume_bucketed_compaction(spark: SparkSession, silver) -> bool:
+    """Read-side guard for bucketed silver stores — the catalog-table
+    analog of ``dataset_present``.
+
+    A crash in the ``inserted`` window leaves the table readable with
+    every folded row present TWICE (folded into the base AND still in
+    its original ``_batch`` partitions, not yet dropped); earlier
+    windows leave it consistent but mid-protocol. The journal file
+    marks every such window, so ``IncrementalBucketedSilver.table()``
+    /``join()`` call this before serving reads: if a journal is
+    pending, finish the compaction (each phase is independently
+    re-runnable) instead of silently serving duplicated silver until
+    the next explicit ``compact()``. On a clean store this costs one
+    ``os.path.exists``. Returns True when a pending run was resumed.
+    """
+    journal = os.path.join(silver.store_path, "table_compact_journal.json")
+    if not os.path.exists(journal):
+        return False
+    compact_bucketed_silver(spark, silver)
     return True

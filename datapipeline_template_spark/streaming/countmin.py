@@ -89,6 +89,15 @@ class IncrementalCountMin:
             "_batch"
         ).parquet(self._cells_path)
         self._commit(batch_id)
+        # Auto-compaction policy hook (r12 verdict #3): fires only when
+        # a policy is installed AND due; replays never reach here (the
+        # marker short-circuit above), so policy cannot break replay
+        # idempotence.
+        from .compaction import maybe_auto_compact
+
+        maybe_auto_compact(
+            self.store_path, lambda: self.compact(batch.sparkSession)
+        )
 
     def _commit(self, batch_id: int) -> None:
         os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
@@ -128,7 +137,9 @@ class IncrementalCountMin:
 
         schema = "r int, b long, cnt long"
         empty = spark.createDataFrame([], T._parse_datatype_string(schema))
-        if not os.path.isdir(self._cells_path):
+        from .compaction import dataset_present
+
+        if not dataset_present(self._cells_path):
             return empty
         return (
             spark.read.schema(

@@ -268,6 +268,9 @@ class StreamingCuration:
                     ]
                 ),
             )
+        from .compaction import dataset_present
+
+        dataset_present(self._docs_path)
         docs = spark.read.parquet(self._docs_path).drop("_batch")
         pairs = self.lsh.pairs(spark)
         comp = connected_components(pairs, "id_a", "id_b")

@@ -173,6 +173,9 @@ class IncrementalDecon:
         """All maintained (id, n_shared) rows — every drained document
         sharing ≥ 1 eval shingle, exactly the batch
         ``decontaminate_flags`` output over all documents seen."""
+        from .compaction import dataset_present
+
+        dataset_present(self._flags_path)
         try:
             return spark.read.parquet(self._flags_path).select(
                 self.id_col, "n_shared"

@@ -135,6 +135,15 @@ class IncrementalDsir:
                 "_batch"
             ).parquet(path)
         self._commit(batch_id)
+        # Auto-compaction policy hook (r12 verdict #3): fires only when
+        # a policy is installed AND due; replays never reach here (the
+        # marker short-circuit above), so policy cannot break replay
+        # idempotence.
+        from .compaction import maybe_auto_compact
+
+        maybe_auto_compact(
+            self.store_path, lambda: self.compact(batch.sparkSession)
+        )
 
     def _commit(self, batch_id: int) -> None:
         os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
@@ -181,7 +190,9 @@ class IncrementalDsir:
         from pyspark.sql import types as T
 
         empty = spark.createDataFrame([], T._parse_datatype_string(schema_str))
-        if not os.path.isdir(path):
+        from .compaction import dataset_present
+
+        if not dataset_present(path):
             return empty
         return (
             spark.read.schema(

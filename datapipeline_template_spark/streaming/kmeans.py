@@ -42,8 +42,13 @@ def _has_parquet_files(path: str) -> bool:
     """True when ``path`` contains at least one parquet data file —
     the empty-store gate. Directory existence alone is not enough: a
     dynamic-partition overwrite of an EMPTY frame creates the
-    directory with no files, and schema inference on it raises."""
-    if not os.path.isdir(path):
+    directory with no files, and schema inference on it raises.
+    Routes through ``dataset_present`` first so a dataset renamed away
+    mid-compaction-swap reads as 'pending recovery' (finished here,
+    cheap local renames), never as silently-empty state."""
+    from .compaction import dataset_present
+
+    if not dataset_present(path):
         return False
     for root, _dirs, files in os.walk(path):
         if any(f.endswith(".parquet") for f in files):
@@ -298,7 +303,9 @@ class IncrementalSemDeDup(IncrementalKmeansAssign):
             self._commit(batch_id)
             return
 
-        if os.path.isdir(self._vec_path):
+        from .compaction import dataset_present
+
+        if dataset_present(self._vec_path):
             existing = (
                 spark.read.parquet(self._vec_path)
                 # Crash-after-write replays must not see their own rows.

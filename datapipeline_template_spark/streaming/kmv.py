@@ -117,6 +117,15 @@ class IncrementalKmv:
             "_batch"
         ).parquet(self._parts_path)
         self._commit(batch_id)
+        # Auto-compaction policy hook (r12 verdict #3): fires only when
+        # a policy is installed AND due; replays never reach here (the
+        # marker short-circuit above), so policy cannot break replay
+        # idempotence.
+        from .compaction import maybe_auto_compact
+
+        maybe_auto_compact(
+            self.store_path, lambda: self.compact(batch.sparkSession)
+        )
 
     def _commit(self, batch_id: int) -> None:
         os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
@@ -143,7 +152,9 @@ class IncrementalKmv:
         schema = T._parse_datatype_string(
             f"{self.group_col} string, kmv array<bigint>"
         )
-        if not os.path.isdir(self._parts_path):
+        from .compaction import dataset_present
+
+        if not dataset_present(self._parts_path):
             return spark.createDataFrame([], schema)
         return (
             spark.read.schema(

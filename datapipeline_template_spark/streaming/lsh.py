@@ -118,7 +118,9 @@ class IncrementalLsh:
             self._commit(batch_id)
             return
 
-        if os.path.isdir(self._sig_path):
+        from .compaction import dataset_present
+
+        if dataset_present(self._sig_path):
             existing = (
                 spark.read.parquet(self._sig_path)
                 # A crash-after-sig-write replay must not treat its own
@@ -171,12 +173,19 @@ class IncrementalLsh:
     # -- reads -------------------------------------------------------------
 
     def signatures(self, spark: SparkSession) -> DataFrame:
-        """All maintained (id, sig) rows."""
+        """All maintained (id, sig) rows. Finishes any compaction swap
+        a crash left pending before reading."""
+        from .compaction import dataset_present
+
+        dataset_present(self._sig_path)
         return spark.read.parquet(self._sig_path).select(self.id_col, "sig")
 
     def pairs(self, spark: SparkSession) -> DataFrame:
         """All maintained candidate pairs (id_a < id_b), distinct
         across batches by the exactly-once emission contract."""
+        from .compaction import dataset_present
+
+        dataset_present(self._pairs_path)
         try:
             return spark.read.parquet(self._pairs_path).select("id_a", "id_b")
         except Exception:

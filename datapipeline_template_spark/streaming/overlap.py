@@ -190,7 +190,9 @@ class IncrementalSourceOverlap:
         from pyspark.sql import types as T
 
         empty = spark.createDataFrame([], T._parse_datatype_string(schema_str))
-        if not os.path.isdir(path):
+        from .compaction import dataset_present
+
+        if not dataset_present(path):
             return empty
         try:
             return spark.read.schema(

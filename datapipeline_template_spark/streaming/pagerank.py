@@ -168,7 +168,9 @@ class IncrementalPageRank:
     def _read(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
         from pyspark.sql import types as T
 
-        if not os.path.isdir(path):
+        from .compaction import dataset_present
+
+        if not dataset_present(path):
             return spark.createDataFrame([], T._parse_datatype_string(schema))
         return spark.read.schema(
             T._parse_datatype_string(schema + ", _batch int")

@@ -106,6 +106,15 @@ class IncrementalRetention:
             "_batch"
         ).parquet(self._act_path)
         self._commit(batch_id)
+        # Auto-compaction policy hook (r12 verdict #3): this family
+        # has no custom fold — the generic identity re-bag is its
+        # compaction (reads are bag-merges).
+        from .compaction import compact_store, maybe_auto_compact
+
+        maybe_auto_compact(
+            self.store_path,
+            lambda: compact_store(batch.sparkSession, self.store_path),
+        )
 
     def _commit(self, batch_id: int) -> None:
         os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
@@ -127,7 +136,9 @@ class IncrementalRetention:
     def _read(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
         from pyspark.sql import types as T
 
-        if not os.path.isdir(path):
+        from .compaction import dataset_present
+
+        if not dataset_present(path):
             return spark.createDataFrame([], T._parse_datatype_string(schema))
         return (
             spark.read.schema(T._parse_datatype_string(schema + ", _batch int"))

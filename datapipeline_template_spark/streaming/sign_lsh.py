@@ -123,7 +123,9 @@ class IncrementalSignLsh:
             self._commit(batch_id)
             return
 
-        if os.path.isdir(self._vec_path):
+        from .compaction import dataset_present
+
+        if dataset_present(self._vec_path):
             existing = (
                 spark.read.parquet(self._vec_path)
                 # Crash-after-write replays must not see their own rows.
@@ -188,7 +190,11 @@ class IncrementalSignLsh:
     # -- reads ----------------------------------------------------------------
 
     def vectors(self, spark: SparkSession) -> DataFrame:
-        """All maintained (id, _qv, _n, buckets) rows."""
+        """All maintained (id, _qv, _n, buckets) rows. Finishes any
+        compaction swap a crash left pending before reading."""
+        from .compaction import dataset_present
+
+        dataset_present(self._vec_path)
         return spark.read.parquet(self._vec_path).drop("_batch")
 
     def pairs(self, spark: SparkSession) -> DataFrame:
@@ -205,11 +211,13 @@ class IncrementalSignLsh:
         ``bigint`` (the engine's id convention)."""
         from pyspark.sql import types as T
 
-        if os.path.isdir(self._pairs_path):
+        from .compaction import dataset_present
+
+        if dataset_present(self._pairs_path):
             return spark.read.parquet(self._pairs_path).select("id_a", "id_b")
         idt = (
             self.vectors(spark).schema["_id"].dataType
-            if os.path.isdir(self._vec_path)
+            if dataset_present(self._vec_path)
             else T.LongType()
         )
         return spark.createDataFrame(

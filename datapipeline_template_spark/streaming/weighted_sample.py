@@ -160,7 +160,9 @@ class IncrementalWeightedSample:
             f"{self.stratum_col} string, {self.key_col} bigint, "
             f"{self.weight_col} bigint, race bigint"
         )
-        if not os.path.isdir(self._parts_path):
+        from .compaction import dataset_present
+
+        if not dataset_present(self._parts_path):
             return spark.createDataFrame([], T._parse_datatype_string(cols))
         return (
             spark.read.schema(T._parse_datatype_string(cols + ", _batch int"))

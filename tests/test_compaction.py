@@ -479,6 +479,238 @@ def test_three_more_families_identity_compaction(spark, tmp_path, sf_dir):
     assert pj_pairs() == before
 
 
+@pytest.mark.parametrize("phase", ["journal", "moved", "renamed_old"])
+def test_read_side_recovery_without_explicit_recover(
+    spark, tmp_path, sf_dir, phase
+):
+    """THE silent-empty crash window (round-13 advice): between swap
+    phases D and E the dataset dir does not exist, and during phase C
+    it is missing already-moved partitions — a read helper that only
+    checks isdir would serve an EMPTY or partial store. The read path
+    itself must finish the pending swap (dataset_present), with NO
+    explicit recover_store call, and return the full state."""
+    inc, ev, store = _kmv_store(
+        spark, tmp_path, sf_dir, name=f"kmv_read_{phase}", n_batches=3
+    )
+    ds = os.path.join(store, "partials")
+    before = _est(inc, spark)
+    assert before
+
+    compact_dataset(spark, ds, {0, 1, 2}, crash_after=phase)
+    if phase == "renamed_old":
+        # The wreckage really is the missing-dir window.
+        assert not os.path.isdir(ds)
+    # Plain read — no recovery call. Must auto-heal, not read empty.
+    assert _est(inc, spark) == before
+    # The heal is real: journal gone, dataset back in a clean state.
+    assert not os.path.exists(ds + ".__compact_journal.json")
+    assert os.path.isdir(ds)
+
+
+def test_bucketed_silver_read_resumes_pending_compaction(
+    spark, tmp_path, sf_dir
+):
+    """A crash after the INSERT OVERWRITE commits but before the
+    folded partitions drop leaves the catalog table readable with
+    every folded row duplicated. table()/join() must detect the
+    pending journal and finish the compaction BEFORE serving rows
+    (round-13 advice) — no explicit compact() call."""
+    from datapipeline_template_spark.streaming.bucketed import (
+        IncrementalBucketedSilver,
+    )
+    from datapipeline_template_spark.streaming.compaction import (
+        compact_bucketed_silver,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS cmp_rr")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    s = IncrementalBucketedSilver(
+        str(tmp_path / "rr_store"), "cmp_rr", "l_orderkey", n_buckets=4
+    )
+    for i in range(2):
+        s.process_batch(li.where(F.col("l_orderkey") % 2 == i), i)
+    want = sorted(map(tuple, li.collect()))
+
+    # Crash in the duplicated-rows window: insert committed, journal
+    # not advanced, folded _batch partitions still present.
+    assert compact_bucketed_silver(spark, s, crash_after="insert") is True
+    # The raw table IS duplicated right now — that's the hazard.
+    assert spark.table("cmp_rr").count() == 2 * len(want)
+    # The maintained read path heals before serving.
+    got = sorted(map(tuple, s.table(spark).collect()))
+    assert got == want
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "rr_store"), "table_compact_journal.json")
+    )
+    spark.sql("DROP TABLE IF EXISTS cmp_rr")
+
+
+def test_fold_schema_mismatch_refused(spark, tmp_path, sf_dir):
+    """A fold must preserve the dataset schema (it only merges rows):
+    a mis-keyed folds= mapping — the basename-collision hazard from
+    the round-13 advice — fails loudly BEFORE anything is staged, and
+    the store stays readable and uncompacted."""
+    inc, ev, store = _kmv_store(
+        spark, tmp_path, sf_dir, name="kmv_badfold", n_batches=2
+    )
+    ds = os.path.join(store, "partials")
+    before = _est(inc, spark)
+
+    def bad_fold(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")  # wrong shape entirely
+        )
+
+    with pytest.raises(ValueError, match="changed the schema"):
+        compact_dataset(spark, ds, {0, 1}, fold=bad_fold)
+    assert _batch_parts(ds) == {0, 1}  # nothing staged or swapped
+    assert _est(inc, spark) == before
+
+
+def test_auto_compaction_policy_equivalence_and_replay(
+    spark, tmp_path, sf_dir
+):
+    """r12 verdict #3: with a policy installed, compaction fires by
+    itself from the process_batch tail. Property: state == the batch
+    sketch over everything seen at EVERY drain, with auto-compaction
+    interleaving wherever the policy triggers; replays of auto-folded
+    batches stay no-ops (the crash case); the policy file counts the
+    compactions and the partition count stays bounded."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from datapipeline_template_spark.streaming.compaction import (
+        set_auto_compact_policy,
+    )
+    from datapipeline_template_spark.streaming.kmv import IncrementalKmv
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    store = str(tmp_path / "auto_kmv")
+    inc = IncrementalKmv(store, group_col="event_type", value_col="user_id", k=8)
+    set_auto_compact_policy(store, max_batches=2)
+    ds = os.path.join(store, "partials")
+
+    n = 6
+    seen = None
+    for i in range(n):
+        part = ev.where(F.col("event_id") % n == i)
+        seen = part if seen is None else seen.unionAll(part)
+        inc.process_batch(part, i)
+        want = {
+            r["event_type"]: r["e"]
+            for r in kmv_sketch(seen, "event_type", "user_id", k=8)
+            .select("event_type", kmv_estimate("kmv", 8).alias("e"))
+            .collect()
+        }
+        assert _est(inc, spark) == want, f"diverged after drain {i}"
+        # Bounded state: the policy folds whenever 2 committed batch
+        # partitions exist, so at most base + 1 pending survive a
+        # drain (the drain that lands the 2nd partition compacts).
+        assert len(_batch_parts(ds)) <= 2
+
+    pol = json.load(open(os.path.join(store, "auto_compact.json")))
+    assert pol["n_compactions"] >= 2
+
+    # Replay of an auto-folded batch: marker survived -> no-op, and
+    # the replay cannot re-trigger compaction (it returns before the
+    # hook).
+    before_parts = _batch_parts(ds)
+    before_est = _est(inc, spark)
+    before_n = pol["n_compactions"]
+    inc.process_batch(ev.where(F.col("event_id") % n == 0), 0)
+    assert _batch_parts(ds) == before_parts
+    assert _est(inc, spark) == before_est
+    pol2 = json.load(open(os.path.join(store, "auto_compact.json")))
+    assert pol2["n_compactions"] == before_n
+
+
+def test_auto_compaction_ratio_knob_and_validation(spark, tmp_path, sf_dir):
+    """The size-ratio knob alone: with no base, two committed
+    partitions trip it; with a base much larger than the pending
+    batches (ratio 10x), small batches accumulate until the bytes
+    cross. Plus the knob validation guards."""
+    from datapipeline_template_spark.streaming.compaction import (
+        auto_compact_due,
+        set_auto_compact_policy,
+    )
+
+    inc, ev, store = _kmv_store(
+        spark, tmp_path, sf_dir, name="auto_ratio", n_batches=2
+    )
+    ds = os.path.join(store, "partials")
+    # No base yet + 2 committed partitions: ratio knob is due.
+    set_auto_compact_policy(store, max_ratio_milli=10_000)
+    assert auto_compact_due(store) is True
+    inc.compact(spark)
+    assert _batch_parts(ds) == {BASE_BATCH}
+    assert auto_compact_due(store) is False
+    # One small pending batch against the base at 10x: not due.
+    inc.process_batch(ev.where(F.col("event_id") % 17 == 0), 7)
+    assert auto_compact_due(store) is False
+
+    with pytest.raises(ValueError, match="max_batches"):
+        set_auto_compact_policy(store, max_batches=1)
+    with pytest.raises(ValueError, match="max_ratio_milli"):
+        set_auto_compact_policy(store, max_ratio_milli=0)
+    # Removing the policy disables the hook entirely.
+    set_auto_compact_policy(store)
+    assert not os.path.exists(os.path.join(store, "auto_compact.json"))
+    assert auto_compact_due(store) is False
+
+
+def test_auto_compaction_bucketed_silver(spark, tmp_path, sf_dir):
+    """The catalog-table family's policy path: partition-count knob
+    via SHOW PARTITIONS, rows invariant, partitions bounded."""
+    from datapipeline_template_spark.streaming.bucketed import (
+        IncrementalBucketedSilver,
+    )
+    from datapipeline_template_spark.streaming.compaction import (
+        set_auto_compact_policy,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS cmp_auto")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    s = IncrementalBucketedSilver(
+        str(tmp_path / "auto_bkt"), "cmp_auto", "l_orderkey", n_buckets=4
+    )
+    set_auto_compact_policy(str(tmp_path / "auto_bkt"), max_batches=2)
+    for i in range(4):
+        s.process_batch(li.where(F.col("l_orderkey") % 4 == i), i)
+        parts = [
+            r[0] for r in spark.sql("SHOW PARTITIONS cmp_auto").collect()
+        ]
+        assert len(parts) <= 2  # base + at most one pending
+    want = sorted(map(tuple, li.collect()))
+    assert sorted(map(tuple, s.table(spark).collect())) == want
+    pol = json.load(
+        open(os.path.join(str(tmp_path / "auto_bkt"), "auto_compact.json"))
+    )
+    assert pol["n_compactions"] >= 1
+    spark.sql("DROP TABLE IF EXISTS cmp_auto")
+
+
+def test_clear_stale_managed_location_guard():
+    """Path-like names must refuse: the cleanup rmtree's a warehouse
+    directory derived from the name."""
+    from datapipeline_template_spark.operators.layout import (
+        clear_stale_managed_location,
+    )
+
+    for bad in ("../evil", "a.b.c", "", "x;drop", "db.", ".tbl"):
+        with pytest.raises(ValueError, match="unsafe"):
+            clear_stale_managed_location(None, bad)
+    with pytest.raises(ValueError, match="unsafe"):
+        clear_stale_managed_location(None, "db.tbl", database=True)
+
+
 def test_bm25_and_dsir_merge_folds(spark, tmp_path, sf_dir):
     """The linear-read families' compact() folds: BM25's df/stats sum
     per token/globally (tf/dl re-bag identically — the reads consume

@@ -1281,3 +1281,38 @@ def test_tx33_post_curve_plan_is_bounded(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pipe23_salt_chooser_plan_and_decision(spark):
+    """The salt chooser closes pipe19's loop from data: the whole
+    measure → choose → execute plan must carry NO window (the dedup is
+    two-phase max_by, the measurement a map-side-combined count — a
+    Window here would reintroduce the single-task hot-key sort the
+    chooser exists to avoid), the 2-row decision must attach by
+    BROADCAST, and the decisions themselves are pinned at sf0.01: the
+    90 %-hot feed picks 16 salts, the uniform feed picks 1 — the
+    provable no-op (phase 1 with one salt degenerates to plain
+    keep_latest)."""
+    plan = _plan(spark, "pipe23_salt_sized_keep_latest")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # Phase-1 grouping really is salted (the _salt key reaches an agg).
+    assert "_salt" in plan
+
+    rows = {
+        r["feed"]: r.asDict()
+        for r in REGISTRY["pipe23_salt_sized_keep_latest"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert set(rows) == {"hot", "uni"}
+    assert rows["hot"]["n_salts"] == 16
+    assert rows["uni"]["n_salts"] == 1
+    # Self-consistency of the decision arithmetic at any sf: the pow2
+    # choice covers the want derived from the measured share.
+    for r in rows.values():
+        want = max((r["hot_share_milli"] * 64 + 999) // 1000, 1)
+        assert r["n_salts"] >= want and r["n_salts"] & (r["n_salts"] - 1) == 0
+        assert r["n_winners"] <= r["n_groups"] * 1  # one winner per group
+        assert r["n_winners"] == r["n_groups"]

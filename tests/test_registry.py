@@ -32,28 +32,29 @@ PINNED_WINDOW = [
     "ss01_cosine_topk",
     "ss02_embedding_near_dup", "ss03_lsh_ann_pairs",
     "ss06_embedding_dedup_clusters", "ss15_ivf_kmeans_ann",
-    "tx07b_token_collision_pandas", "tx01_token_stats",
+    "ss38_graph_ann_beam",
+    "tx07b_token_collision_pandas",
     "tx02_quality_by_source", "tx03_language_id", "tx04_fingerprint",
     "tx06_tfidf", "tx05_top_bigrams",
     "tx10_stopword_punct_shares", "tx28_unigram_train",
     "st01_tumbling_counts", "st02_sliding_counts", "st03_session_windows",
+    "st04_compacted_sketch_state",
     "mm01_media_byte_stats", "mm02_media_meta", "mm06_media_phash_pairs",
-    "tj01_asof_prev_click", "tj02_cascade_rollup",
-    "w01_top_orders_per_customer", "w02_running_user_value",
-    "w04_customer_quartiles",
-    "w06_first_last_event", "w07_supplier_percentiles",
+    "tj01_asof_prev_click", "tj02_cascade_rollup", "tj06_bucketed_asof",
+    "w01_top_orders_per_customer",
     "w08_sessionize_events",
+    "pipe22_e2e_training_pipeline",
     "q01_pricing_summary", "q02_top_revenue_orders", "q22_array_agg",
     "q37_full_outer_nations", "q40_null_safe_join",
     "q38_intersect_all_priorities",
     "q52_bucketed_join", "q53_join_strategy_chooser",
-    "q54_kmv_rollup_cascade",
+    "q54_kmv_rollup_cascade", "q55_width_sized_chooser",
 ]
 
 
 # Exact registry size, bumped DELIBERATELY with every added query —
 # a floor (`>= 82`) let accidental deregistration pass silently.
-EXPECTED_REGISTRY_SIZE = 221
+EXPECTED_REGISTRY_SIZE = 222
 
 
 def test_registry_size_stable():
@@ -61,13 +62,15 @@ def test_registry_size_stable():
 
 
 def test_window_pinned_by_name():
-    """The exact 50 names the driver sweeps (round-12 delta, r11
-    verdict #5: five stale near-dup slots — ss04, tx08, tx09, w03,
-    w05, each a variant of a row still in the window — rotated out to
-    _OVERFLOW liveness rows so the hard signal tracks the frontier:
-    the bucketed shuffle-free join q52, both planner sketches
-    q53/q54, the unigram tokenizer tx28, and the pHash media row
-    mm06. Round-8 discipline unchanged: 50/50 hash-eligible)."""
+    """The exact 50 names the driver sweeps (round-13 delta, r12
+    verdict #2: five more stale near-dup slots — w02/w04/w06/w07
+    (plain window-function variants; w01 top-k and w08 sessionize keep
+    the family) and tx01 (~ tx02's stats) — rotated out to _OVERFLOW
+    liveness rows, each re-verified hash-green immediately before the
+    swap, so the hard signal now exercises compaction (st04), the e2e
+    config pipeline (pipe22), the width-sized chooser (q55), the
+    zero-Exchange bucketed as-of (tj06) and graph-walk ANN (ss38).
+    Round-8 discipline unchanged: 50/50 hash-eligible)."""
     assert WINDOW == PINNED_WINDOW
 
 
