@@ -51,7 +51,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import quantize_vec
+from ..functions import lit_long_array, lit_long_matrix, quantize_vec
 
 __all__ = [
     "centroids_to_df",
@@ -116,7 +116,7 @@ def _assign_struct(qv: Column, centroids: list[list[int]]) -> Column:
     ROW_NUMBER(ORDER BY dist, cid) replay."""
     structs = []
     for cid, cv in enumerate(centroids):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+        arr = lit_long_array(cv)
         d = F.aggregate(
             F.zip_with(qv, arr, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -371,12 +371,8 @@ def with_centroid_cosine(
     consumers must exclude ``_n == 0`` rows — see ``semdedup``)."""
     from ..functions import cosine_prequantized_hof, norm_sq_prequantized
 
-    cent_arr = F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in centroids]
-    )
-    cent_norms = F.array(
-        *[F.lit(sum(v * v for v in cv)).cast("long") for cv in centroids]
-    )
+    cent_arr = lit_long_matrix(centroids)
+    cent_norms = lit_long_array([sum(v * v for v in cv) for cv in centroids])
     cidx = (F.col("cluster") + 1).cast("int")
     with_n = assigned.withColumn("_n", norm_sq_prequantized(F.col(qv_col)))
     return with_n.withColumn(
@@ -605,7 +601,7 @@ def coarse_probe_expr(qv: Column, centroids: list[list[int]]) -> Column:
     (PQ-code rerank)."""
     structs = []
     for cid, cv in enumerate(centroids):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+        arr = lit_long_array(cv)
         d = F.aggregate(
             F.zip_with(qv, arr, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -852,7 +848,7 @@ def _pq_distance_tables(
             F.aggregate(
                 F.zip_with(
                     qs,
-                    F.array(*[F.lit(int(v)) for v in cv]),
+                    lit_long_array(cv),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0).cast("long"),

@@ -701,20 +701,23 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # The previous label rides INSIDE the checkpointed frame so the
+        # convergence count is a map-only filter over cached blocks —
+        # the old form re-joined new labels against old labels, paying
+        # a second node-keyed Exchange per round for a number the frame
+        # already knows (guide §2.4: remove shuffles outright).
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                    "_new"
+                ),
+                F.col("label").alias("_old"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_new") != F.col("_old")).count()
+        labels = new_labels.select("node", F.col("_new").alias("label"))
         if changed == 0:
             break
     sym.unpersist()
@@ -772,6 +775,7 @@ def connected_components_star(
     )
 
     converged = False
+    n_e = e.count()
     for _ in range(max_iter):
         # --- large-star over the symmetric neighborhood ---
         sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -802,9 +806,16 @@ def connected_components_star(
         # the round-1 small-star output equals its large-star input
         # while both are still far from a star union. A non-star edge
         # set strictly decreases the paper's potential each round, so
-        # input==output ⟺ union of stars.)
-        same = small.count() == e.count() and small.subtract(e).count() == 0
-        e = small
+        # input==output ⟺ union of stars.) The previous round's
+        # cardinality is tracked driver-side (one count job per round,
+        # not two), and the set-equality anti-join only runs in the
+        # rounds where the counts agree — both sides are distinct by
+        # construction, so count-equal ∧ empty-anti-join ⟺ equal.
+        n_small = small.count()
+        same = n_small == n_e and small.join(
+            e, ["u", "v"], "left_anti"
+        ).isEmpty()
+        e, n_e = small, n_small
         if same:
             converged = True
             break
@@ -1352,11 +1363,20 @@ def prefix_filter_pairs(
     on candidates only. Arrays travel to the verify join only for
     candidate ids — never for the full cross product. ``order`` is
     the frozen-frequency frame passthrough (see prefix_rows)."""
-    cand = prefix_filter_candidates(df, id_col, set_col, t_milli, order=order)
+    # The caller's set derivation (for mm07 a per-char gear-hash +
+    # poly-hash fold over the full corpus) used to re-run in FOUR
+    # subtrees: prefix_rows' explode, its frequency groupBy, its size
+    # frame, and once per verify-join side. One eager checkpoint of
+    # the deduped set frame up front pays a single pass and every
+    # downstream subtree reads cached blocks (guide §5: cache when
+    # reused AND recomputation is the expensive part). prefix_rows'
+    # own array_distinct is a no-op on the already-deduped arrays, so
+    # candidates and verification are unchanged.
     sets = df.select(
         F.col(id_col).alias("_vid"),
         F.array_distinct(F.col(set_col)).alias("_vset"),
-    )
+    ).localCheckpoint(eager=True)
+    cand = prefix_filter_candidates(sets, "_vid", "_vset", t_milli, order=order)
     return verify_jaccard_candidates(cand, sets, t_milli)
 
 

@@ -31,6 +31,7 @@ from ..functions import (
     cosine_prequantized,
     cosine_prequantized_hof,
     cosine_quantized,
+    lit_long_array,
     norm_sq_prequantized,
     quantize_vec,
 )
@@ -913,7 +914,7 @@ def rademacher_project(
         F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(s) for s in row]).cast("array<long>"),
+                lit_long_array(row),
                 lambda x, s: x * s,
             ),
             F.lit(0).cast("long"),

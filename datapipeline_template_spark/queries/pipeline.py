@@ -510,34 +510,58 @@ def _curation_flags_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_kernel,
     )
 
+    # The two corpus-level mark-set builders serialize the driver
+    # (label-propagation CC checkpoints per round; the k-means fit
+    # collects per iteration) yet share no state — run them on
+    # concurrent driver threads (guide §2.6 / the pq_codebooks
+    # precedent) so each chain's jobs back-fill the other's executor
+    # tail. Both outputs are deterministic mark sets; composition
+    # order below is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
     flags = _curation_flags(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sigs = minhash_signatures_kernel(docs, "doc_id", "text", num_hashes=32)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
-    comp = connected_components(pairs, "id_a", "id_b")
-    clustered = docs.select("doc_id", "n_chars").join(
-        comp.select(F.col("node").alias("doc_id"), "component"), on="doc_id"
-    )
-    w = Window.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    mh_drop = (
-        clustered.select("doc_id", F.row_number().over(w).alias("_r"))
-        .where(F.col("_r") > 1)
-        .select("doc_id", F.lit(True).alias("_mhd"))
-    )
-    emb = table(spark, sf_dir, "embeddings")
-    cent = kmeans_fit(
-        emb, "vec_id", "embedding", k=k_for_corpus(emb.count()), n_iter=4
-    )
-    sem = (
-        semdedup(emb, "vec_id", "embedding", centroids=cent, threshold=0.3)
-        .select(F.col("vec_id").alias("doc_id"))
-        .distinct()
-        .withColumn("_semd", F.lit(True))
-    )
+
+    def _mh_drop() -> DataFrame:
+        sigs = minhash_signatures_kernel(
+            docs, "doc_id", "text", num_hashes=32
+        )
+        pairs = lsh_candidate_pairs(
+            sigs, "doc_id", "sig", bands=8, rows_per_band=4
+        )
+        comp = connected_components(pairs, "id_a", "id_b")
+        clustered = docs.select("doc_id", "n_chars").join(
+            comp.select(F.col("node").alias("doc_id"), "component"),
+            on="doc_id",
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        return (
+            clustered.select("doc_id", F.row_number().over(w).alias("_r"))
+            .where(F.col("_r") > 1)
+            .select("doc_id", F.lit(True).alias("_mhd"))
+        )
+
+    def _sem() -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        cent = kmeans_fit(
+            emb, "vec_id", "embedding", k=k_for_corpus(emb.count()), n_iter=4
+        )
+        return (
+            semdedup(emb, "vec_id", "embedding", centroids=cent, threshold=0.3)
+            .select(F.col("vec_id").alias("doc_id"))
+            .distinct()
+            .withColumn("_semd", F.lit(True))
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mh_f = pool.submit(_mh_drop)
+        sem_f = pool.submit(_sem)
+        mh_drop = mh_f.result()
+        sem = sem_f.result()
     return (
         flags.join(mh_drop, on="doc_id", how="left")
         .join(sem, on="doc_id", how="left")

@@ -2334,11 +2334,17 @@ def q53_join_strategy_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per pair, two 1-column scans → depth×width grids
     (map-side combined) → a grid-sized product join; no candidate
     join is ever executed. Oracle GENERATED from the same operator
-    constants via the shared _cm_mix_sql fragment."""
+    constants via the shared _cm_mix_sql fragment. The three pairs
+    are independent chains (each pays two eager checkpoint scans) —
+    run on concurrent driver threads, the q55/pq_codebooks §2.6
+    pattern; the final union re-orders by pair name."""
+    from concurrent.futures import ThreadPoolExecutor
+    from functools import reduce
+
     from ..operators.sketch import cm_inner_product, cm_sketch
 
-    out = None
-    for name, (lt, lk), (rt, rk) in _Q53_PAIRS:
+    def _pair_row(spec):
+        name, (lt, lk), (rt, rk) = spec
         left = (
             table(spark, sf_dir, lt)
             .where(F.col(lk).isNotNull())
@@ -2382,8 +2388,11 @@ def q53_join_strategy_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("decision"),
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("pair")
+        return row
+
+    with ThreadPoolExecutor(max_workers=len(_Q53_PAIRS)) as pool:
+        rows = list(pool.map(_pair_row, _Q53_PAIRS))
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("pair")
 
 
 # ---------------------------------------------------------------------------
@@ -2678,7 +2687,15 @@ def q55_width_sized_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per pair, one KMV partial-sketch pass + one
     super-grid pass per side (both map-side combined), then
     grid-sized folds/joins only; no candidate join ever executes
-    (plan-guarded like q53)."""
+    (plan-guarded like q53). The three pairs are INDEPENDENT chains
+    of eager checkpoint jobs — they run on concurrent driver threads
+    (guide §2.6 / the pq_codebooks precedent) so each pair's jobs
+    back-fill the executor tail of the others; determinism is
+    unaffected because no pair reads another's output and the final
+    union is re-ordered by pair name."""
+    from concurrent.futures import ThreadPoolExecutor
+    from functools import reduce
+
     from ..operators.sketch import (
         cm_sketch,
         kmv_estimate,
@@ -2688,8 +2705,9 @@ def q55_width_sized_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
     widths_df = spark.createDataFrame(
         [(int(w),) for w in _Q55_WIDTHS], "width long"
     )
-    out = None
-    for name, (lt, lk), (rt, rk) in _Q53_PAIRS:
+
+    def _pair_row(spec):
+        name, (lt, lk), (rt, rk) = spec
         left = (
             table(spark, sf_dir, lt)
             .where(F.col(lk).isNotNull())
@@ -2798,5 +2816,8 @@ def q55_width_sized_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("decision"),
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("pair")
+        return row
+
+    with ThreadPoolExecutor(max_workers=len(_Q53_PAIRS)) as pool:
+        rows = list(pool.map(_pair_row, _Q53_PAIRS))
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("pair")

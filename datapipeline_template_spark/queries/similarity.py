@@ -1009,24 +1009,46 @@ def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _SS_EVAL_SLICE
     )
-    cent = kmeans_fit(emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER)
-    asg = kmeans_assign(
-        emb.select("vec_id", "embedding", quantize_vec("embedding").alias("_qvk")),
-        "_qvk",
-        cent,
-    ).select("vec_id", "embedding", "cluster")
+
     # Each edge set feeds two consumers (its count + the hit join) —
     # checkpoint so the candidate joins run once (ss16 convention).
-    blocked = (
-        mutual_knn_edges(asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster")
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    truth = (
-        mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # The fit→blocked chain and the unblocked truth pass share no
+    # state: concurrent driver threads (guide §2.6 / the pq_codebooks
+    # precedent) overlap the truth's quadratic slice join with the
+    # fit's iteration jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _blocked() -> DataFrame:
+        cent = kmeans_fit(
+            emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER
+        )
+        asg = kmeans_assign(
+            emb.select(
+                "vec_id", "embedding", quantize_vec("embedding").alias("_qvk")
+            ),
+            "_qvk",
+            cent,
+        ).select("vec_id", "embedding", "cluster")
+        return (
+            mutual_knn_edges(
+                asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster"
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def _truth() -> DataFrame:
+        return (
+            mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        blocked_f = pool.submit(_blocked)
+        truth_f = pool.submit(_truth)
+        blocked = blocked_f.result()
+        truth = truth_f.result()
     hit = truth.join(blocked, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -1140,7 +1162,14 @@ def _or_union_truth_and_edges(
     eval-slice truth plus ``n_clusterings`` independent cluster-blocked
     mutual-kNN edge sets (init windows offset by c·k), every
     DataFrame localCheckpointed so downstream unions reuse the builds.
-    Shared by ss18 (the L-sweep) and ss19 (the chooser)."""
+    Shared by ss18 (the L-sweep) and ss19 (the chooser). The truth
+    pass and the L fit→assign→graph chains share NO state, so they
+    run on concurrent driver threads (guide §2.6 / the pq_codebooks
+    precedent) — each chain's eager checkpoint jobs back-fill the
+    executor tail of the others; determinism is unaffected (distinct
+    init windows are the spec, and results come back index-ordered)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..functions import quantize_vec
     from ..operators.clustering import kmeans_assign, kmeans_fit
     from ..operators.similarity import mutual_knn_edges
@@ -1148,13 +1177,15 @@ def _or_union_truth_and_edges(
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _SS_EVAL_SLICE
     )
-    truth = (
-        mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    edge_sets = []
-    for c in range(n_clusterings):
+
+    def _truth() -> DataFrame:
+        return (
+            mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def _edges(c: int) -> DataFrame:
         cent = kmeans_fit(
             emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
             init_offset=c * _KM_K,
@@ -1166,13 +1197,19 @@ def _or_union_truth_and_edges(
             "_qvk",
             cent,
         ).select("vec_id", "embedding", "cluster")
-        edge_sets.append(
+        return (
             mutual_knn_edges(
                 asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster"
             )
             .select("id_a", "id_b")
             .localCheckpoint(eager=True)
         )
+
+    with ThreadPoolExecutor(max_workers=1 + n_clusterings) as pool:
+        truth_f = pool.submit(_truth)
+        edge_fs = [pool.submit(_edges, c) for c in range(n_clusterings)]
+        truth = truth_f.result()
+        edge_sets = [f.result() for f in edge_fs]
     return truth, edge_sets
 
 
@@ -4212,8 +4249,15 @@ def ss33_rrpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot = emb.select("vec_id", rv.alias("rvec")).localCheckpoint(eager=True)
     queries = rot.where(F.col("vec_id") < _SS20_NQ)
     truth = _ss_l2_truth(emb, _SS20_NQ, _SS20_K)
-    out = None
-    for m, sub_dim in _SS20_CONFIGS:
+
+    # The two PQ configurations are independent fit→encode→ADC chains
+    # over the shared checkpointed rotation/truth — concurrent driver
+    # threads (guide §2.6 / the pq_codebooks precedent).
+    from concurrent.futures import ThreadPoolExecutor
+    from functools import reduce
+
+    def _config_row(cfg):
+        m, sub_dim = cfg
         books = pq_codebooks(
             rot, "vec_id", "rvec", m=m, sub_dim=sub_dim,
             k_sub=_SS20_KSUB, n_iter=_SS20_ITER,
@@ -4226,8 +4270,10 @@ def ss33_rrpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub_dim=sub_dim, k=_SS20_K,
         ).select("query_id", "neighbor_id")
         hit = ret.join(truth, ["query_id", "neighbor_id"], "left_semi")
-        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
-        row = (
+        recall = F.col("n_hit").cast("double") / F.col("n_truth").cast(
+            "double"
+        )
+        return (
             truth.agg(F.count(F.lit(1)).alias("n_truth"))
             .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
             .select(
@@ -4238,8 +4284,10 @@ def ss33_rrpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recall.alias("recall"),
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("m")
+
+    with ThreadPoolExecutor(max_workers=len(_SS20_CONFIGS)) as pool:
+        rows = list(pool.map(_config_row, _SS20_CONFIGS))
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("m")
 
 
 # ---------------------------------------------------------------------------
@@ -5114,8 +5162,14 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = queries.select("query_id").crossJoin(F.broadcast(entries))
     s0 = score(v0).localCheckpoint(eager=True)
 
-    out = None
-    for bw in _SS38_BEAMS:
+    # The three beam widths walk INDEPENDENT chains from the shared
+    # checkpointed s0/nbrs/truth — run them on concurrent driver
+    # threads (guide §2.6 / the pq_codebooks precedent): each chain's
+    # 4 round-checkpoint jobs back-fill the executor tail of the
+    # others. Determinism unaffected; rows come back beam-ordered.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _beam_row(bw: int) -> DataFrame:
         scored = s0
         for _ in range(_SS38_R):
             beam = (
@@ -5168,5 +5222,10 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("recall"),
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("beam_width")
+        return row
+
+    from functools import reduce
+
+    with ThreadPoolExecutor(max_workers=len(_SS38_BEAMS)) as pool:
+        rows = list(pool.map(_beam_row, _SS38_BEAMS))
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("beam_width")

@@ -2585,15 +2585,31 @@ def tx30_tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rep"),
         "freq",
     )
-    _, final_v = bpe_train(bvocab, "rep", "freq", n_merges=_TX20_N_MERGES)
-    final_v = final_v.localCheckpoint(eager=True)
+    # The two trainers are independent driver-blocking round loops
+    # (BPE merge rounds, unigram EM rounds) over the same checkpointed
+    # vocab — run them on concurrent driver threads (guide §2.6 / the
+    # pq_codebooks precedent); each learns from `words` only.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bpe() -> DataFrame:
+        _, fv = bpe_train(bvocab, "rep", "freq", n_merges=_TX20_N_MERGES)
+        return fv.localCheckpoint(eager=True)
+
+    def _uni() -> DataFrame:
+        return unigram_train(words, max_word_len=_TX28_MAXW).localCheckpoint(
+            eager=True
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bpe_f = pool.submit(_bpe)
+        uni_f = pool.submit(_uni)
+        final_v = bpe_f.result()
+        model = uni_f.result()
     bmap = bpe_vocab_map(final_v).select("word", "n_sub")
     bn_vocab = (
         final_v.select(F.explode(F.split(F.trim("rep"), " ")).alias("s"))
         .agg(F.countDistinct("s").cast("long").alias("nv"))
     )
-    model = unigram_train(words, max_word_len=_TX28_MAXW)
-    model = model.localCheckpoint(eager=True)
     umap = unigram_encode(words, model, max_word_len=_TX28_MAXW).select(
         "word", F.col("n_pieces").alias("n_sub")
     )
