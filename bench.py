@@ -480,7 +480,7 @@ def _pq_shared_scenario(spark, sf_dir):
     nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
     exact = (
         F.col("_qn") + F.col("_n")
-        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+        - F.lit(2) * dot_expanded("_qq", "_qv", 64)
     )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
@@ -645,7 +645,7 @@ def _sq_shared_scenario(spark, sf_dir):
     nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
     exact = (
         F.col("_qn") + F.col("_n")
-        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+        - F.lit(2) * dot_expanded("_qq", "_qv", 64)
     )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()

@@ -177,7 +177,7 @@ def norm_sq_prequantized(qvec: Column) -> Column:
     )
 
 
-def dot_expanded(a: Column, b: Column, dim: int) -> Column:
+def dot_expanded(a: Column | str, b: Column | str, dim: int) -> Column:
     """Flat ``dim``-term int64 dot product over PRE-QUANTIZED arrays.
 
     Whole-stage-codegen sizing is the whole point: one multiply and two
@@ -188,7 +188,21 @@ def dot_expanded(a: Column, b: Column, dim: int) -> Column:
     the entire join stage to interpreted evaluation — the worst of both
     worlds at 100 TB. Norms belong in per-row projections
     (``norm_sq_prequantized``), not here.
+
+    Pass COLUMN NAMES when you have them: the name form renders the
+    whole chain as one parsed SQL expression (a py4j call per term
+    costs ~2.5 ms of driver time — ~0.8 s of plan construction per
+    64-dim call site, the r13 lit_long_array lesson); the parsed tree
+    is identical, so codegen and results are unchanged. Column
+    arguments keep the py4j path for composed expressions.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"element_at({a}, {j + 1}) * element_at({b}, {j + 1})"
+                for j in range(dim)
+            )
+        )
 
     def t(c: Column, j: int) -> Column:
         return F.element_at(c, j + 1)

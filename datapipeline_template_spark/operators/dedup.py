@@ -553,7 +553,9 @@ def simhash64(token_hashes: Column, bits: int = 30) -> Column:
     the SQL oracle.
     """
     n = F.size(token_hashes)
-    pows = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    from ..functions import lit_long_array
+
+    pows = lit_long_array([2**j for j in range(bits)])
     counts = F.aggregate(
         token_hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),

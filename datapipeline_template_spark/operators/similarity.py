@@ -595,7 +595,7 @@ def lsh_multi_probe_pairs(
         # sf0.1 for the 3-bit × 3-table build). The Generate boundary
         # pins _bkt to one evaluation per row.
         probe = bucketed.withColumn(
-            "_m", F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))
+            "_m", F.explode(lit_long_array(masks))
         ).select(
             "_id",
             "_qv",

@@ -1408,7 +1408,7 @@ def _ss_l2_truth(emb: DataFrame, nq: int, k: int, qv: DataFrame | None = None):
     )
     dist = (
         F.col("_qn") + F.col("_n")
-        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+        - F.lit(2) * dot_expanded("_qq", "_qv", 64)
     )
     from pyspark.sql import Window
 
@@ -2270,7 +2270,7 @@ def ss22_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         F.col("_qn") + F.col("_n")
-        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+        - F.lit(2) * dot_expanded("_qq", "_qv", 64)
     )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
@@ -3075,7 +3075,7 @@ def ss26_sq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
     exact = (
         F.col("_qn") + F.col("_n")
-        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+        - F.lit(2) * dot_expanded("_qq", "_qv", 64)
     )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
@@ -3293,7 +3293,7 @@ def ss28_ivfsq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nside = qv.select(F.col("vec_id").alias("neighbor_id"), "_qv", "_n")
     exact = (
         F.col("_qn") + F.col("_n")
-        - F.lit(2) * dot_expanded(F.col("_qq"), F.col("_qv"), 64)
+        - F.lit(2) * dot_expanded("_qq", "_qv", 64)
     )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()

@@ -2836,3 +2836,43 @@ def test_byte_phash64_reencode_twins_and_banding_recall(spark, sf_dir):
     }
     want = {(r["id_a"], r["id_b"]) for r in kept.collect()}
     assert want <= cand
+
+
+def test_lit_long_array_matrix_equal_per_element_form(spark):
+    """The expr-rendered literal helpers (r13 optimization: one parsed
+    expression instead of one py4j lit/cast round trip per element)
+    must be value- AND schema-identical to the per-element
+    construction they replaced, across negatives and int64 extremes —
+    both forms constant-fold to the same Literal."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.functions import (
+        lit_long_array,
+        lit_long_matrix,
+    )
+
+    vals = [0, -5, 7, 2**62, -(2**62), 9999]
+    rows = [vals, [1, 2, 3, 4, 5, 6], [-(10**12), 10**12, 0, 1, -1, 42]]
+    df = spark.range(1).select(
+        lit_long_array(vals).alias("new_a"),
+        F.array(*[F.lit(int(v)).cast("long") for v in vals]).alias("old_a"),
+        lit_long_matrix(rows).alias("new_m"),
+        F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("long") for v in r])
+                for r in rows
+            ]
+        ).alias("old_m"),
+    )
+    assert df.schema["new_a"].dataType == df.schema["old_a"].dataType
+    assert df.schema["new_m"].dataType == df.schema["old_m"].dataType
+    r = df.collect()[0]
+    assert r["new_a"] == r["old_a"] == vals
+    assert r["new_m"] == r["old_m"] == rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lit_long_array([])
+    with _pytest.raises(ValueError):
+        lit_long_matrix([[1], []])
