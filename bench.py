@@ -1486,6 +1486,7 @@ def main() -> None:
     min_spin = float("inf")
     best_pass = None  # (spin, attempt_idx, timings, errors, pre, post)
     n_attempts_run = 0
+    history = []  # EVERY attempt's sentinel pair + headline total
     for attempt in range(attempts):
         n_attempts_run = attempt + 1
         pre = _sentinel()
@@ -1495,6 +1496,15 @@ def main() -> None:
         post = _sentinel()
         spin = max(pre["cpu_spin_sec"], post["cpu_spin_sec"])
         min_spin = min(min_spin, pre["cpu_spin_sec"], post["cpu_spin_sec"])
+        history.append(
+            {
+                "attempt": attempt + 1,
+                "pre": pre,
+                "post": post,
+                "headline_total": round(sum(pass_timings.values()), 4),
+                "n_failed": len(pass_errors),
+            }
+        )
         if best_pass is None or spin < best_pass[0]:
             best_pass = (spin, attempt, pass_timings, pass_errors, pre, post)
         if spin <= 1.25 * min_spin:
@@ -1514,6 +1524,13 @@ def main() -> None:
         "inflation": round(spin / min_spin, 2) if min_spin > 0 else None,
         "attempts_run": n_attempts_run,
         "chosen_attempt": chosen_attempt + 1,
+        # Per-pass sentinel history (r13 verdict item 9): the retry
+        # loop used to keep only the chosen pass's pre/post, so a
+        # round-over-round comparison could not normalize mechanically
+        # against the passes that were REJECTED for contention.
+        # Additions-only: every attempt's sentinel pair and its
+        # headline total ship alongside the chosen pass.
+        "history": history,
     }
 
     # Secondary set + scenarios: same warmup/best-of-N discipline for

@@ -196,10 +196,29 @@ def dot_expanded(a: Column | str, b: Column | str, dim: int) -> Column:
     is identical, so codegen and results are unchanged. Column
     arguments keep the py4j path for composed expressions.
     """
-    if isinstance(a, str) and isinstance(b, str):
+    if isinstance(a, str) or isinstance(b, str):
+        # Either-str coerces BOTH through the rendered path (a mixed
+        # (str, Column) call used to fall through to the slow py4j
+        # loop silently — ADVICE r13). Names are backtick-quoted so a
+        # dotted/special name parses as one identifier, matching the
+        # Column form this mirrors; a name containing a backtick has
+        # no SQL-identifier spelling, so refuse it loudly.
+        def q(c: Column | str) -> str:
+            if not isinstance(c, str):
+                raise TypeError(
+                    "dot_expanded: mix of str and Column arguments — "
+                    "pass both as names or both as Columns"
+                )
+            if "`" in c:
+                raise ValueError(
+                    f"dot_expanded: column name {c!r} contains a backtick"
+                )
+            return f"`{c}`"
+
+        a_s, b_s = q(a), q(b)
         return F.expr(
             " + ".join(
-                f"element_at({a}, {j + 1}) * element_at({b}, {j + 1})"
+                f"element_at({a_s}, {j + 1}) * element_at({b_s}, {j + 1})"
                 for j in range(dim)
             )
         )

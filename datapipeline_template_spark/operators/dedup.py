@@ -698,24 +698,29 @@ def connected_components(
     ).localCheckpoint(eager=True)
     changed = -1
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
         # The previous label rides INSIDE the checkpointed frame so the
         # convergence count is a map-only filter over cached blocks —
         # the old form re-joined new labels against old labels, paying
         # a second node-keyed Exchange per round for a number the frame
-        # already knows (guide §2.4: remove shuffles outright).
+        # already knows (guide §2.4: remove shuffles outright). The
+        # same trick folds the nodes-left-join away (r14): each node
+        # contributes one SELF row carrying its own label twice — once
+        # as a min() candidate (min over own ∪ neighbors ==
+        # least(own, nbr_min)) and once as an `_old` marker only the
+        # self row carries (max over one non-null) — so one node-keyed
+        # aggregate replaces the old groupBy + left-join pair.
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"),
+            "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("_self"),
+        )
+        own = labels.select("node", "label", F.col("label").alias("_self"))
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
-                    "_new"
-                ),
-                F.col("label").alias("_old"),
+            nbr.unionByName(own)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("_new"),
+                F.max("_self").alias("_old"),
             )
         ).localCheckpoint(eager=True)
         changed = new_labels.where(F.col("_new") != F.col("_old")).count()

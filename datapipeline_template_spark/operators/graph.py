@@ -93,40 +93,55 @@ def pagerank_integer(
         _nn(src).alias("_src"), _nn(dst).alias("_dst")
     ).localCheckpoint(eager=True)
     if deg is None:
-        deg = (
-            e.groupBy("_src")
-            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-            .localCheckpoint(eager=True)
+        deg = e.groupBy("_src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
         )
     else:
         deg = deg.select(F.col("_src").cast("long"), F.col("deg").cast("long"))
-    ej = e.join(deg, "_src")
-    nodes = deg.select(F.col("_src").alias("node"), "deg")
     base = ((1000 - damping_milli) * r0) // 1000
-    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
+    # The rank frame CARRIES deg (the CC `_old`-column trick, r13
+    # verdict item 4): each round is then ONE edge⋈ranks equi-join +
+    # ONE node-keyed aggregate. The old loop additionally paid an
+    # e⋈deg join and a nodes-left-join every round — two node-keyed
+    # Exchanges per round for values the rank frame already knows.
+    # Every node contributes one zero-mass row carrying its deg, so
+    # the aggregate re-emits ALL nodes (the left join's job) and
+    # max(+deg) survives the groupBy (sends carry a NULL deg); the
+    # summed mass is identical (Σ in-contributions + 0).
+    ranks = deg.select(
+        F.col("_src").alias("node"), "deg", F.lit(r0).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
-        sends = ej.join(
-            ranks, ej["_src"] == ranks["node"], "inner"
+        sends = e.join(
+            ranks, e["_src"] == ranks["node"], "inner"
         ).select(
             F.col("_dst").alias("node"),
             _idiv(F.col("r"), F.col("deg")).alias("c"),
+            F.lit(None).cast("long").alias("dg"),
         )
-        agg = sends.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
+        zero = ranks.select(
+            "node",
+            F.lit(0).cast("long").alias("c"),
+            F.col("deg").alias("dg"),
+        )
         ranks = (
-            nodes.join(agg, "node", "left")
-            .select(
-                "node",
+            sends.unionByName(zero)
+            .groupBy("node")
+            .agg(
+                F.max("dg").alias("deg"),
                 (
                     F.lit(base).cast("long")
                     + _idiv(
-                        F.lit(damping_milli)
-                        * F.coalesce(F.col("s"), F.lit(0).cast("long")),
+                        F.lit(damping_milli) * F.sum("c").cast("long"),
                         F.lit(1000).cast("long"),
                     )
                 ).alias("r"),
             )
+            # Mass sent to a DANGLING dst (no out-edge, so no zero row
+            # → NULL deg) must not surface a new node — the old form's
+            # nodes-left-join dropped those rows; this filter keeps the
+            # "every node with at least one out-edge" contract exact.
+            .where(F.col("deg").isNotNull())
             .localCheckpoint(eager=True)
         )
-    return nodes.join(ranks, "node").select(
-        "node", "deg", F.col("r").alias("rank_micro")
-    )
+    return ranks.select("node", "deg", F.col("r").alias("rank_micro"))

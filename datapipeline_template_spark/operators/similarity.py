@@ -47,6 +47,7 @@ __all__ = [
     "lsh_multi_table_pairs",
     "lsh_pairs_for_recall",
     "mutual_knn_edges",
+    "mutual_knn_edges_kernel",
     "near_dup_pairs",
     "probe_masks",
     "rademacher_signs",
@@ -432,6 +433,12 @@ def lsh_multi_table_pairs(
             F.col("_qv"), n_planes=n_planes, dim=dim, n_tables=n_tables
         ),
     )
+    # The quantize+bucket pass feeds BOTH sides of every table's join
+    # (2·L subtree references); checkpoint it ONCE so the scan, the
+    # quantize HOF and the Arrow bucket matmul run a single time (the
+    # prefix_filter_pairs rule, r13 class 4 / guide §5).
+    if n_tables > 1:
+        quantized = quantized.localCheckpoint(eager=True)
     out = None
     for t in range(n_tables):
         bucketed = quantized.withColumn("_blk", F.element_at("_bkts", t + 1))
@@ -584,6 +591,14 @@ def lsh_multi_probe_pairs(
             ),
         )
     )
+    # The quantize+norm+bucket pass feeds the probe AND index side of
+    # every table's join (2·n_tables subtree references); checkpoint
+    # it ONCE (the prefix_filter_pairs rule, r13 class 4 / guide §5).
+    # The single-table form keeps the lazy plan — the ss11 plan guard
+    # inspects the bucket fold below the join, and one table is only
+    # two references of a map-only subtree.
+    if n_tables > 1:
+        base = base.localCheckpoint(eager=True)
     out = None
     for t in range(n_tables):
         bucketed = base.withColumn("_bkt", F.element_at("_bkts", t + 1))
@@ -771,6 +786,107 @@ def mutual_knn_edges(
         .where(F.col("_n") == 2)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def mutual_knn_edges_kernel(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """``mutual_knn_edges`` as ONE Arrow-batched per-block numpy kernel
+    — bit-identical edges (parity test-pinned), the corpus-scale path
+    (the lsh_buckets_kernel / dd03-dd05 convention: Catalyst form = the
+    DuckDB-replayable reference, kernel = the fast path).
+
+    The Catalyst form pays an interpreted zip_with+aggregate cosine per
+    CANDIDATE PAIR (n_block² HOF folds), then a src-window shuffle and
+    a pair-key groupBy shuffle. Here the whole per-block computation —
+    pairwise dots as one (n×dim)@(dim×n) exact-int64 matmul, the
+    (cos DESC, id ASC) top-k rank, and the mutuality filter — runs in
+    numpy inside one ``applyInPandas`` over the block key: ONE shuffle
+    total, no per-pair Python or HOF cost. Bit-equality holds because
+    every step matches the reference op-for-op: quantization and the
+    zero-norm filter stay in the same JVM projections, the dot is exact
+    int64 either way, and the one float expression is the same IEEE
+    ``double(dot) / (sqrt(double(n_a)) · sqrt(double(n_b)))`` —
+    correctly-rounded sqrt and one multiply/divide are bit-identical in
+    numpy and the JVM. The ranking tie-break (cosine DESC, id ASC)
+    falls out of a STABLE argsort over id-sorted columns.
+
+    Same bounded-block contract as the join form: a group must fit one
+    task (blocks are k-means cells / labels / LSH buckets whose size
+    the caller already bounds to keep the join subquadratic; an
+    unblocked call is the bounded-eval-slice form and runs as a single
+    group). Returns (id_a, id_b, cosine) with id_a < id_b; ids must be
+    integral (they ride through int64)."""
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = (
+        df.select(*cols)
+        .withColumn("_qv", quantize_vec("_v"))
+        .withColumn("_n", norm_sq_prequantized(F.col("_qv")))
+        .where(F.col("_n") > 0)
+        .select(
+            *(["_blk"] if block_col else []),
+            F.col("_id").cast("long").alias("_id"),
+            "_qv",
+            "_n",
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _block_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order].astype(np.int64)
+        M = np.stack(pdf["_qv"].to_numpy()[order]).astype(np.int64)
+        nrm = pdf["_n"].to_numpy()[order].astype(np.int64)
+        G = M @ M.T  # exact int64 pairwise dots
+        s = np.sqrt(nrm.astype(np.float64))
+        cos = G.astype(np.float64) / (s[:, None] * s[None, :])
+        # Per-row top-k by (cos DESC, id ASC): columns are id-ascending,
+        # so a STABLE descending sort breaks ties exactly like the
+        # reference window's (cosine DESC, dst ASC). Self is excluded
+        # by a -inf diagonal (the a._id != b._id join condition); a
+        # block smaller than k+1 keeps only real neighbors via the
+        # -inf validity mask.
+        C = cos.copy()
+        np.fill_diagonal(C, -np.inf)
+        kk = min(k, n - 1)
+        idx = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        valid = np.isfinite(C[rows, idx.ravel()])
+        top = np.zeros((n, n), dtype=bool)
+        top[rows[valid], idx.ravel()[valid]] = True
+        mutual = top & top.T
+        ia, ja = np.triu_indices(n, 1)
+        keep = mutual[ia, ja]
+        ia, ja = ia[keep], ja[keep]
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ja], "cosine": cos[ia, ja]}
+        )
+
+    grouped = (
+        base.groupBy("_blk")
+        if block_col
+        else base.groupBy(F.lit(0).alias("_g"))
+    )
+    return grouped.applyInPandas(_block_edges, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -919,10 +919,10 @@ def ss14_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked equi-self-join (label here; an LSH bucket or ss13 cluster
     at corpus scale), both edge orientations derived from the same
     join row, one src-partition window, one semi-join."""
-    from ..operators.similarity import mutual_knn_edges
+    from ..operators.similarity import mutual_knn_edges_kernel
 
     emb = table(spark, sf_dir, "embeddings")
-    return mutual_knn_edges(
+    return mutual_knn_edges_kernel(
         emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
     ).orderBy("id_a", "id_b")
 
@@ -1004,7 +1004,7 @@ def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     member this same bounded equi-join."""
     from ..functions import quantize_vec
     from ..operators.clustering import kmeans_assign, kmeans_fit
-    from ..operators.similarity import mutual_knn_edges
+    from ..operators.similarity import mutual_knn_edges_kernel
 
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _SS_EVAL_SLICE
@@ -1030,7 +1030,7 @@ def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFr
             cent,
         ).select("vec_id", "embedding", "cluster")
         return (
-            mutual_knn_edges(
+            mutual_knn_edges_kernel(
                 asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster"
             )
             .select("id_a", "id_b")
@@ -1039,7 +1039,7 @@ def ss14b_mutual_knn_cluster_blocked(spark: SparkSession, sf_dir: str) -> DataFr
 
     def _truth() -> DataFrame:
         return (
-            mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
+            mutual_knn_edges_kernel(emb, "vec_id", "embedding", k=_SS14_K)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True)
         )
@@ -1172,7 +1172,7 @@ def _or_union_truth_and_edges(
 
     from ..functions import quantize_vec
     from ..operators.clustering import kmeans_assign, kmeans_fit
-    from ..operators.similarity import mutual_knn_edges
+    from ..operators.similarity import mutual_knn_edges_kernel
 
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _SS_EVAL_SLICE
@@ -1180,7 +1180,7 @@ def _or_union_truth_and_edges(
 
     def _truth() -> DataFrame:
         return (
-            mutual_knn_edges(emb, "vec_id", "embedding", k=_SS14_K)
+            mutual_knn_edges_kernel(emb, "vec_id", "embedding", k=_SS14_K)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True)
         )
@@ -1198,7 +1198,7 @@ def _or_union_truth_and_edges(
             cent,
         ).select("vec_id", "embedding", "cluster")
         return (
-            mutual_knn_edges(
+            mutual_knn_edges_kernel(
                 asg, "vec_id", "embedding", k=_SS14_K, block_col="cluster"
             )
             .select("id_a", "id_b")
@@ -2074,10 +2074,10 @@ def ss17_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical (node, component = min reachable id, property-tested
     equal to the propagation form)."""
     from ..operators.dedup import connected_components_star
-    from ..operators.similarity import mutual_knn_edges
+    from ..operators.similarity import mutual_knn_edges_kernel
 
     emb = table(spark, sf_dir, "embeddings")
-    edges = mutual_knn_edges(
+    edges = mutual_knn_edges_kernel(
         emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
     )
     comp = connected_components_star(edges, "id_a", "id_b")
@@ -4784,10 +4784,10 @@ def ss36_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction) — mutual-kNN at corpus scale arrives cluster- or
     LSH-blocked exactly as in ss14b."""
     from ..operators.graph import pagerank_integer
-    from ..operators.similarity import mutual_knn_edges
+    from ..operators.similarity import mutual_knn_edges_kernel
 
     emb = table(spark, sf_dir, "embeddings")
-    medges = mutual_knn_edges(
+    medges = mutual_knn_edges_kernel(
         emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
     )
     dedges = medges.select(
@@ -4876,10 +4876,10 @@ def ss37_centrality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
     per-label rank window; nothing new shuffles beyond the window."""
     from ..operators.graph import pagerank_integer
     from ..operators.sampling import weighted_sample_topk
-    from ..operators.similarity import mutual_knn_edges
+    from ..operators.similarity import mutual_knn_edges_kernel
 
     emb = table(spark, sf_dir, "embeddings")
-    medges = mutual_knn_edges(
+    medges = mutual_knn_edges_kernel(
         emb, "vec_id", "embedding", k=_SS14_K, block_col="label"
     )
     dedges = medges.select(
@@ -5098,7 +5098,7 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_vec,
     )
     from ..operators.dedup import connected_components
-    from ..operators.similarity import mutual_knn_edges
+    from ..operators.similarity import mutual_knn_edges_kernel
 
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _SS_EVAL_SLICE
@@ -5110,7 +5110,7 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_n", norm_sq_prequantized(F.col("_qv")))
         .localCheckpoint(eager=True)
     )
-    edges = mutual_knn_edges(
+    edges = mutual_knn_edges_kernel(
         corpus, "vec_id", "embedding", k=_SS38_K
     ).localCheckpoint(eager=True)
     nbrs = (
@@ -5138,10 +5138,12 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(cands: DataFrame) -> DataFrame:
+        keep = [c for c in ("beam",) if c in cands.columns]
         return (
             cands.join(F.broadcast(queries), "query_id")
             .join(nodes, "node")
             .select(
+                *keep,
                 "query_id",
                 "node",
                 cosine_prequantized_hof(
@@ -5150,9 +5152,6 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("node").asc()
-    )
     truth = (
         cosine_topk(corpus, corpus.where(F.col("vec_id") < _SS38_NQ),
                     "vec_id", "embedding", k=_SS38_TOPK)
@@ -5162,70 +5161,70 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = queries.select("query_id").crossJoin(F.broadcast(entries))
     s0 = score(v0).localCheckpoint(eager=True)
 
-    # The three beam widths walk INDEPENDENT chains from the shared
-    # checkpointed s0/nbrs/truth — run them on concurrent driver
-    # threads (guide §2.6 / the pq_codebooks precedent): each chain's
-    # 4 round-checkpoint jobs back-fill the executor tail of the
-    # others. Determinism unaffected; rows come back beam-ordered.
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _beam_row(bw: int) -> DataFrame:
-        scored = s0
-        for _ in range(_SS38_R):
-            beam = (
-                scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") <= bw)
-                .select("query_id", "node")
-            )
-            expand = (
-                beam.join(nbrs, beam["node"] == nbrs["src"])
-                .select("query_id", F.col("dst").alias("node"))
-                .distinct()
-            )
-            new = expand.join(
-                scored.select("query_id", "node"),
-                ["query_id", "node"],
-                "left_anti",
-            )
-            scored = scored.unionByName(score(new)).localCheckpoint(
-                eager=True
-            )
-        fin = (
-            scored.where(F.col("node") != F.col("query_id"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= _SS38_TOPK)
-            .select("query_id", F.col("node").alias("neighbor_id"))
+    # All three beam widths ride ONE frame with a `beam` column (r13
+    # verdict item 3): the per-(beam, query) window partitions the
+    # fused frame exactly as the three per-width chains' per-query
+    # windows did, and `rn <= beam` applies each width to its own
+    # rows, so every chain's rows are untouched by the fusion — but
+    # each round is now ONE window + ONE expand join + ONE anti-join
+    # + ONE eager checkpoint instead of three thread-overlapped
+    # copies of that structure (4 checkpoint barrier jobs total, down
+    # from 12; the data is beam-bounded and tiny, the job count was
+    # the cost).
+    wb = Window.partitionBy("beam", "query_id").orderBy(
+        F.col("cos").desc(), F.col("node").asc()
+    )
+    scored = s0.withColumn(
+        "beam",
+        F.explode(F.array(*[F.lit(b).cast("long") for b in _SS38_BEAMS])),
+    ).select("beam", "query_id", "node", "cos")
+    for _ in range(_SS38_R):
+        beam_sel = (
+            scored.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= F.col("beam"))
+            .select("beam", "query_id", "node")
         )
-        hit = truth.join(fin, ["query_id", "neighbor_id"], "left_semi")
-        row = (
-            truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-            .crossJoin(
-                F.broadcast(
-                    hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    scored.agg(
-                        F.count(F.lit(1)).cast("long").alias("n_scored")
-                    )
-                )
-            )
-            .select(
-                F.lit(bw).cast("long").alias("beam_width"),
-                "n_truth",
-                "n_hit",
-                "n_scored",
-                (
-                    F.col("n_hit").cast("double")
-                    / F.col("n_truth").cast("double")
-                ).alias("recall"),
+        expand = (
+            beam_sel.join(nbrs, beam_sel["node"] == nbrs["src"])
+            .select("beam", "query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = expand.join(
+            scored.select("beam", "query_id", "node"),
+            ["beam", "query_id", "node"],
+            "left_anti",
+        )
+        scored = scored.unionByName(score(new)).localCheckpoint(eager=True)
+    fin = (
+        scored.where(F.col("node") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= _SS38_TOPK)
+        .select("beam", "query_id", F.col("node").alias("neighbor_id"))
+    )
+    hit = (
+        fin.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("beam")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    nsc = scored.groupBy("beam").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored")
+    )
+    return (
+        nsc.join(hit, "beam", "left")
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
             )
         )
-        return row
-
-    from functools import reduce
-
-    with ThreadPoolExecutor(max_workers=len(_SS38_BEAMS)) as pool:
-        rows = list(pool.map(_beam_row, _SS38_BEAMS))
-    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("beam_width")
+        .select(
+            F.col("beam").alias("beam_width"),
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            "n_scored",
+            (
+                F.coalesce("n_hit", F.lit(0).cast("long")).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("beam_width")
+    )

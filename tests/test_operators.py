@@ -2876,3 +2876,44 @@ def test_lit_long_array_matrix_equal_per_element_form(spark):
         lit_long_array([])
     with _pytest.raises(ValueError):
         lit_long_matrix([[1], []])
+
+
+def test_mutual_knn_edges_kernel_bit_equal_reference(spark, sf_dir):
+    """The per-block Arrow mutual-kNN kernel (r13 verdict item 2) must
+    be BIT-equal to the Catalyst reference form — same edges, same
+    IEEE-double cosines (compared via float hex, not approx) — on both
+    the blocked form and the unblocked eval-slice form, including a
+    k larger than the smallest block (the -inf validity-mask path) and
+    a zero-norm row (filtered identically in both forms)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.similarity import (
+        mutual_knn_edges,
+        mutual_knn_edges_kernel,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def rows(df):
+        return sorted(
+            (r.id_a, r.id_b, float(r.cosine).hex()) for r in df.collect()
+        )
+
+    # blocked (label) at a k exceeding some block sizes at sf0.001
+    a = rows(mutual_knn_edges(emb, "vec_id", "embedding", k=5, block_col="label"))
+    b = rows(
+        mutual_knn_edges_kernel(emb, "vec_id", "embedding", k=5, block_col="label")
+    )
+    assert a == b and len(a) > 0
+
+    # unblocked slice, with an injected zero vector (must vanish in both)
+    sl = emb.where(F.col("vec_id") < 40).select("vec_id", "embedding")
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    both = sl.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(zero)
+    a = rows(mutual_knn_edges(both, "vec_id", "embedding", k=3))
+    b = rows(mutual_knn_edges_kernel(both, "vec_id", "embedding", k=3))
+    assert a == b and len(a) > 0
+    assert all(x[0] != 99999 and x[1] != 99999 for x in a)

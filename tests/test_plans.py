@@ -388,18 +388,19 @@ def test_dd15_pair_join_is_equi_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ss14_mutual_knn_single_join_single_window(spark):
-    """The kNN-graph candidate join is label-blocked (equi) and
-    appears ONCE — both edge orientations explode from the same join
-    row, and mutuality is a pair-count groupBy, not a semi-join that
-    would re-derive the ranked subtree. WindowGroupLimit must prune
-    to k map-side before the ranking exchange."""
+def test_ss14_mutual_knn_kernel_single_shuffle(spark):
+    """The kNN graph runs as the per-block Arrow kernel (r13 verdict
+    item 2): ONE block-keyed shuffle into FlatMapGroupsInPandas — no
+    candidate join, no per-pair interpreted HOF cosine, no ranking
+    window in the plan (matmul + rank + mutuality all happen inside
+    the numpy batch; bit-equality vs the Catalyst reference form is
+    pinned in test_operators.py)."""
     plan = _plan(spark, "ss14_mutual_knn_graph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Join") == 1
-    assert plan.count("Window [row_number()") == 1
-    assert "WindowGroupLimit" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Join") == 0
+    assert "Window [row_number()" not in plan
 
 
 def test_tx19_classifier_partial_aggs(spark):

@@ -21,6 +21,12 @@ from datapipeline_template_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(
+            "usage: python tools/capture_plans.py <outdir> <tag> [name ...]",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     outdir, tag = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
