@@ -42,6 +42,7 @@ __all__ = [
     "keep_latest_salted",
     "keep_latest_window",
     "exact_dedup",
+    "shingle_rows_kernel",
     "shingle_tokens",
     "minhash_signature",
     "minhash_signatures_kernel",
@@ -344,46 +345,7 @@ def minhash_signatures_kernel(
             ids = pdf[id_col].to_numpy()
             if not texts:
                 continue
-            # UTF-32-LE: one uint32 CODE POINT per element (the JVM
-            # form hashes code points, not UTF-8 bytes).
-            joined = " ".join(texts).encode("utf-32-le")
-            buf = np.frombuffer(joined, dtype="<u4")
-            # Token boundaries: split at every space (empty tokens keep
-            # hash 0, matching filter(split(t,''), ch != '') semantics).
-            spaces = np.flatnonzero(buf == 0x20)
-            starts = np.concatenate(([0], spaces + 1))
-            ends = np.concatenate((spaces, [len(buf)]))
-            lens = ends - starts
-            max_len = int(lens.max(initial=0))
-            # Polynomial char fold as a masked column sweep. th stays
-            # < p < 2^30, so th*base + byte < 2^38: exact in float64.
-            th = np.zeros(len(starts), dtype=np.float64)
-            if max_len:
-                idx = starts[:, None] + np.arange(max_len)[None, :]
-                np.clip(idx, 0, len(buf) - 1, out=idx)
-                mat = buf[idx]
-                mask = np.arange(max_len)[None, :] < lens[:, None]
-                for j in range(max_len):
-                    m = mask[:, j]
-                    th[m] = fmod_p(th[m] * base + mat[m, j])
-            # Tokens per doc = spaces within the doc + 1.
-            n_tok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
-            doc_start = np.cumsum(n_tok) - n_tok
-            pos = np.arange(len(th)) - np.repeat(doc_start, n_tok)
-            n_rep = np.repeat(n_tok, n_tok)
-            # Horner over k shifted token-hash columns, zero beyond
-            # the doc (COALESCE). Per step acc*131 + th_j < p*131 + p
-            # < 2^38 — exact in float64 — so ANY k stays exact; for
-            # k=3 the residue equals the historical expanded
-            # th*17161 + th1*131 + th2 form bit-for-bit.
-            sh = th
-            for j in range(1, k):
-                thj = np.where(pos + j < n_rep, np.roll(th, -j), 0.0)
-                sh = fmod_p(sh * 131 + thj)
-            # Keep the first max(n-(k-1), 1) shingles of each doc.
-            keep = pos < np.maximum(n_rep - (k - 1), 1)
-            sh = sh[keep]
-            sh_per_doc = np.maximum(n_tok - (k - 1), 1)
+            sh, sh_per_doc = _batch_shingle_hashes(texts, k, base, fmod_p)
             offsets = np.concatenate(([0], np.cumsum(sh_per_doc)[:-1]))
             # 32 minima per doc in one reduceat sweep. sh*a + b < 2^51.
             hashed = fmod_p(sh[:, None] * a_coef[None, :] + b_coef[None, :])
@@ -391,6 +353,101 @@ def minhash_signatures_kernel(
             yield pd.DataFrame({id_col: ids, "sig": list(sigs)})
 
     return df.select(id_col, text_col).mapInPandas(crunch, schema=out_schema)
+
+
+def _batch_shingle_hashes(texts, k, base, fmod_p):
+    """The shared vectorized tokenize → char-fold → k-Horner shingle
+    pipeline of ``minhash_signatures_kernel`` (see its docstring for
+    the exactness argument), factored so ``shingle_rows_kernel`` emits
+    the identical shingle values. Returns ``(sh, sh_per_doc)``: the
+    concatenated per-doc shingle hashes (float64 holding exact ints)
+    and each doc's shingle count."""
+    # UTF-32-LE: one uint32 CODE POINT per element (the JVM
+    # form hashes code points, not UTF-8 bytes).
+    joined = " ".join(texts).encode("utf-32-le")
+    buf = np.frombuffer(joined, dtype="<u4")
+    # Token boundaries: split at every space (empty tokens keep
+    # hash 0, matching filter(split(t,''), ch != '') semantics).
+    spaces = np.flatnonzero(buf == 0x20)
+    starts = np.concatenate(([0], spaces + 1))
+    ends = np.concatenate((spaces, [len(buf)]))
+    lens = ends - starts
+    max_len = int(lens.max(initial=0))
+    # Polynomial char fold as a masked column sweep. th stays
+    # < p < 2^30, so th*base + byte < 2^38: exact in float64.
+    th = np.zeros(len(starts), dtype=np.float64)
+    if max_len:
+        idx = starts[:, None] + np.arange(max_len)[None, :]
+        np.clip(idx, 0, len(buf) - 1, out=idx)
+        mat = buf[idx]
+        mask = np.arange(max_len)[None, :] < lens[:, None]
+        for j in range(max_len):
+            m = mask[:, j]
+            th[m] = fmod_p(th[m] * base + mat[m, j])
+    # Tokens per doc = spaces within the doc + 1.
+    n_tok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    doc_start = np.cumsum(n_tok) - n_tok
+    pos = np.arange(len(th)) - np.repeat(doc_start, n_tok)
+    n_rep = np.repeat(n_tok, n_tok)
+    # Horner over k shifted token-hash columns, zero beyond
+    # the doc (COALESCE). Per step acc*131 + th_j < p*131 + p
+    # < 2^38 — exact in float64 — so ANY k stays exact; for
+    # k=3 the residue equals the historical expanded
+    # th*17161 + th1*131 + th2 form bit-for-bit.
+    sh = th
+    for j in range(1, k):
+        thj = np.where(pos + j < n_rep, np.roll(th, -j), 0.0)
+        sh = fmod_p(sh * 131 + thj)
+    # Keep the first max(n-(k-1), 1) shingles of each doc.
+    keep = pos < np.maximum(n_rep - (k - 1), 1)
+    return sh[keep], np.maximum(n_tok - (k - 1), 1)
+
+
+def shingle_rows_kernel(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int = 3,
+    p: int = POLY_P,
+    base: int = POLY_BASE,
+    out_col: str = "g",
+) -> DataFrame:
+    """EXPLODED (key, shingle-hash) rows as one Arrow kernel pass —
+    bit-equal to ``explode(shingle_tokens(tokenize(text), k))`` (parity
+    test-pinned) but the tokenize → per-char HOF fold → shingle Horner
+    runs vectorized per batch (``_batch_shingle_hashes``, the dd05
+    kernel's pipeline) and the explode happens by numpy repeat, so no
+    interpreted per-character work survives anywhere. For the
+    per-occurrence volume consumers (tx22's source×shingle audit);
+    the Catalyst ``shingle_tokens`` stays the DuckDB-replayable
+    reference and the arbitrary-array form. NULL text rows drop
+    (explode-of-NULL semantics); key column must be string-typed."""
+    import pandas as pd  # local: keep module import light
+
+    def fmod_p(v):
+        q = np.floor(v * (1.0 / p))
+        r = v - q * p
+        r = np.where(r < 0, r + p, r)
+        return np.where(r >= p, r - p, r)
+
+    out_schema = f"{key_col} string, {out_col} long"
+
+    def crunch(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            texts = pdf[text_col].tolist()
+            keys = pdf[key_col].to_numpy()
+            if not texts:
+                continue
+            sh, sh_per_doc = _batch_shingle_hashes(texts, k, base, fmod_p)
+            yield pd.DataFrame(
+                {
+                    key_col: np.repeat(keys, sh_per_doc),
+                    out_col: sh.astype(np.int64),
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(crunch, schema=out_schema)
 
 
 def _banded(

@@ -2410,44 +2410,68 @@ def _ss23_frames(spark: SparkSession, sf_dir: str):
 
     lbl, nq, k, np_ = _SS23_LABEL, _SS23_NQ, _SS23_K, _SS23_NPROBE
     emb = table(spark, sf_dir, "embeddings")
-    cent = kmeans_fit(
-        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, dim=_KM_DIM
-    )
     qn = norm_sq_prequantized(quantize_vec("embedding"))
     queries = emb.where((F.col("vec_id") < nq) & (qn > 0))
-    truth = cosine_topk(
-        emb.where((F.col("label") == lbl) & (qn > 0)),
-        queries,
-        "vec_id",
-        "embedding",
-        k=k,
-    ).select("query_id", "neighbor_id")
-    assigned = ivf_assign_corpus(
-        emb, "vec_id", "embedding", cent
-    ).localCheckpoint(eager=True)
-    assigned_pre = assigned.join(
-        emb.where(F.col("label") == lbl).select(
-            F.col("vec_id").alias("neighbor_id")
-        ),
-        "neighbor_id",
-        "left_semi",
-    )
-    pre = ivf_topk_kmeans(
-        emb, queries, "vec_id", "embedding", cent,
-        k=k, n_probe=np_, assigned=assigned_pre,
-    ).select("query_id", "neighbor_id")
-    post = (
-        ivf_topk_kmeans(
-            emb, queries, "vec_id", "embedding", cent,
-            k=k, n_probe=np_, assigned=assigned,
+
+    # The exact filtered truth shares NO state with the index chain
+    # (fit → corpus assignment → the two strategies), so the two run
+    # on concurrent driver threads (guide §2.6, the ss14b/ss18
+    # precedent): the truth's bounded theta join back-fills the fit's
+    # sequential per-iteration driver round trips. The truth frame is
+    # checkpointed INSIDE its thread so the overlap is real work, not
+    # a deferred plan.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _truth() -> DataFrame:
+        return (
+            cosine_topk(
+                emb.where((F.col("label") == lbl) & (qn > 0)),
+                queries,
+                "vec_id",
+                "embedding",
+                k=k,
+            )
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
         )
-        .join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+
+    def _strategies() -> tuple[DataFrame, DataFrame]:
+        cent = kmeans_fit(
+            emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, dim=_KM_DIM
+        )
+        assigned = ivf_assign_corpus(
+            emb, "vec_id", "embedding", cent
+        ).localCheckpoint(eager=True)
+        assigned_pre = assigned.join(
+            emb.where(F.col("label") == lbl).select(
+                F.col("vec_id").alias("neighbor_id")
+            ),
             "neighbor_id",
+            "left_semi",
         )
-        .where(F.col("label") == lbl)
-        .select("query_id", "neighbor_id")
-    )
+        pre = ivf_topk_kmeans(
+            emb, queries, "vec_id", "embedding", cent,
+            k=k, n_probe=np_, assigned=assigned_pre,
+        ).select("query_id", "neighbor_id")
+        post = (
+            ivf_topk_kmeans(
+                emb, queries, "vec_id", "embedding", cent,
+                k=k, n_probe=np_, assigned=assigned,
+            )
+            .join(
+                emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                "neighbor_id",
+            )
+            .where(F.col("label") == lbl)
+            .select("query_id", "neighbor_id")
+        )
+        return pre, post
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(_truth)
+        strat_f = pool.submit(_strategies)
+        truth = truth_f.result()
+        pre, post = strat_f.result()
     return truth, pre, post
 
 

@@ -1553,14 +1553,15 @@ def tx22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle emits ≤ S(S-1)/2 pairs, so a hot shingle appearing
     everywhere costs S², never corpus². The oracle takes the
     equivalent self-join route; counts agree exactly."""
-    from ..operators.dedup import shingle_tokens
+    from ..operators.dedup import shingle_rows_kernel
 
     docs = table(spark, sf_dir, "documents")
+    # r14: the exploded (source, shingle) stream comes from the Arrow
+    # shingle kernel (bit-equal to explode(shingle_tokens(tokenize)) —
+    # parity test-pinned); the per-char HOF token fold dominated this
+    # pass, hash-green re-swept.
     sg = (
-        docs.select(
-            "source",
-            F.explode(shingle_tokens(tokenize("text"), k=3)).alias("g"),
-        )
+        shingle_rows_kernel(docs, "source", "text", k=3)
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -2166,16 +2167,20 @@ def q47_cm_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     8192-cell grid onto the 20 query keys. Every stage — polynomial
     bigram hash, row-stepped quadratic mix, counter counts, min-over-
     depth — is exact int64 arithmetic, DuckDB-hash-verified."""
-    from ..functions import poly_hash
     from ..operators.sketch import cm_estimate, cm_fold, cm_sketch
 
     # The hashed stream feeds BOTH the grid build and the exact
     # top-20; checkpointing it converts two poly_hash corpus passes
     # (an interpreted per-char HOF — the expensive part) into one
     # (A/B at sf0.1, alternating twice each: 7.3–8.0 s recompute vs
-    # 4.4–4.7 s checkpointed).
+    # 4.4–4.7 s checkpointed). r14: the remaining pass hashes every
+    # bigram OCCURRENCE through the per-char HOF — the Arrow kernel
+    # twin (operators/text.poly_hash_kernel, bit-equal by parity
+    # test) replaces it; hash-green re-swept.
+    from ..operators.text import poly_hash_kernel
+
     hashed = _bigram_stream(spark, sf_dir).select(
-        "bigram", poly_hash("bigram").alias("h")
+        "bigram", poly_hash_kernel("bigram").alias("h")
     ).localCheckpoint(eager=True)
     wmax = max(_Q47_WIDTHS)
     sk = {wmax: cm_sketch(hashed, "h", _Q47_DEPTH, wmax).localCheckpoint(eager=True)}

@@ -2917,3 +2917,75 @@ def test_mutual_knn_edges_kernel_bit_equal_reference(spark, sf_dir):
     b = rows(mutual_knn_edges_kernel(both, "vec_id", "embedding", k=3))
     assert a == b and len(a) > 0
     assert all(x[0] != 99999 and x[1] != 99999 for x in a)
+
+
+def test_poly_hash_kernel_bit_equal_reference(spark):
+    """The Arrow poly-hash kernel must equal functions.poly_hash
+    value-for-value — ASCII, non-ASCII code points (the JVM form
+    hashes codePointAt; the kernel decodes UTF-32), empty string
+    (fold init 0), and NULL (propagates)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.functions import poly_hash
+    from datapipeline_template_spark.operators.text import poly_hash_kernel
+
+    rows = [
+        ("hello world",),
+        ("",),
+        (None,),
+        ("café naïve 中文 \U0001F600",),
+        ("a",),
+        ("the quick brown fox jumps over the lazy dog " * 5,),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    got = df.select(
+        poly_hash("s").alias("ref"), poly_hash_kernel("s").alias("ker")
+    ).collect()
+    for r in got:
+        assert r.ref == r.ker, (r.ref, r.ker)
+
+
+def test_shingle_rows_kernel_bit_equal_reference(spark, sf_dir):
+    """shingle_rows_kernel must emit exactly the rows of
+    explode(shingle_tokens(tokenize(text), k)) — same multiset of
+    (key, hash) pairs, incl. short docs (the padded 1-shingle case)
+    and k=3 — on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.dedup import (
+        shingle_rows_kernel,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    ref = sorted(
+        (r.source, r.g)
+        for r in docs.select(
+            "source",
+            F.explode(shingle_tokens(tokenize("text"), k=3)).alias("g"),
+        ).collect()
+    )
+    ker = sorted(
+        (r.source, r.g)
+        for r in shingle_rows_kernel(docs, "source", "text", k=3).collect()
+    )
+    assert ref == ker and len(ref) > 0
+
+    extra = spark.createDataFrame(
+        [("s1", "one"), ("s2", "two words"), ("s3", None), ("s4", "")],
+        "source string, text string",
+    )
+    ref = sorted(
+        (r.source, r.g)
+        for r in extra.select(
+            "source",
+            F.explode(shingle_tokens(tokenize("text"), k=3)).alias("g"),
+        ).collect()
+    )
+    ker = sorted(
+        (r.source, r.g)
+        for r in shingle_rows_kernel(extra, "source", "text", k=3).collect()
+    )
+    assert ref == ker
