@@ -42,6 +42,7 @@ __all__ = [
     "keep_latest_salted",
     "keep_latest_window",
     "exact_dedup",
+    "shingle_arrays_kernel",
     "shingle_rows_kernel",
     "shingle_tokens",
     "minhash_signature",
@@ -401,6 +402,59 @@ def _batch_shingle_hashes(texts, k, base, fmod_p):
     # Keep the first max(n-(k-1), 1) shingles of each doc.
     keep = pos < np.maximum(n_rep - (k - 1), 1)
     return sh[keep], np.maximum(n_tok - (k - 1), 1)
+
+
+def shingle_arrays_kernel(
+    df: DataFrame,
+    text_col: str,
+    k: int = 3,
+    p: int = POLY_P,
+    base: int = POLY_BASE,
+    out_col: str = "sh",
+) -> DataFrame:
+    """Per-row shingle-hash ARRAYS as one Arrow kernel pass — bit-equal
+    to ``shingle_tokens(tokenize(text), k)`` (parity test-pinned; the
+    same ``_batch_shingle_hashes`` pipeline as the dd05 kernel and
+    ``shingle_rows_kernel``), keeping every other input column. For
+    consumers that need the array column itself (decon gates join on
+    exploded shingles of BOTH sides — dd19 computes the corpus fold
+    once through this instead of twice through the per-char HOF).
+    NULL text rows get a NULL array (matching tokenize(NULL) → NULL
+    shingles)."""
+    import pandas as pd  # local: keep module import light
+
+    def fmod_p(v):
+        q = np.floor(v * (1.0 / p))
+        r = v - q * p
+        r = np.where(r < 0, r + p, r)
+        return np.where(r >= p, r - p, r)
+
+    keep = [c for c in df.columns if c != text_col]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != text_col
+    )
+    out_schema = f"{out_fields}, {out_col} array<bigint>"
+
+    def crunch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            notna = pdf[text_col].notna().to_numpy()
+            texts = pdf[text_col].to_numpy()[notna].tolist()
+            arrays: list = [None] * len(pdf)
+            if texts:
+                sh, sh_per_doc = _batch_shingle_hashes(texts, k, base, fmod_p)
+                sh = sh.astype(np.int64)
+                pieces = np.split(sh, np.cumsum(sh_per_doc)[:-1])
+                for pos, piece in zip(np.flatnonzero(notna), pieces):
+                    arrays[pos] = piece
+            out = pdf[keep].copy()
+            out[out_col] = arrays
+            yield out
+
+    return df.mapInPandas(crunch, schema=out_schema)
 
 
 def shingle_rows_kernel(

@@ -1199,14 +1199,32 @@ def dd18_lsh_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.select(
         "doc_id", shingle_tokens(tokenize("text"), k=3).alias("shingles")
     ).localCheckpoint(eager=True)
-    sigs = minhash_signatures(
-        shingled, "doc_id", "shingles", num_hashes=32
-    ).localCheckpoint(eager=True)
-    truth = (
-        ngram_jaccard_pairs(shingled, "doc_id", "shingles", threshold=_DD18_TAU)
-        .select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
-        .localCheckpoint(eager=True)
-    )
+
+    # Signatures and the exact quadratic truth both derive only from
+    # the checkpointed shingles — concurrent driver threads (guide
+    # §2.6, the ss16/ss23 pattern) overlap the truth's bounded
+    # all-pairs join with the signature fold.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _sigs() -> DataFrame:
+        return minhash_signatures(
+            shingled, "doc_id", "shingles", num_hashes=32
+        ).localCheckpoint(eager=True)
+
+    def _truth() -> DataFrame:
+        return (
+            ngram_jaccard_pairs(
+                shingled, "doc_id", "shingles", threshold=_DD18_TAU
+            )
+            .select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sigs_f = pool.submit(_sigs)
+        truth_f = pool.submit(_truth)
+        sigs = sigs_f.result()
+        truth = truth_f.result()
     tcnt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     out = None
     for nb, r in _DD18_CONFIGS:
@@ -1345,15 +1363,18 @@ def dd19_bm25_decon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums over ONE small per-candidate frame, checkpointed
     so the three threshold rows never recompute the gates. Oracle
     composes dd10's and tx27's fragments verbatim."""
-    from ..operators.dedup import decontaminate_flags, shingle_tokens
+    from ..operators.dedup import decontaminate_flags, shingle_arrays_kernel
     from ..operators.text import bm25_index, bm25_scores_from_index, tokenize
 
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        shingle_tokens(tokenize("text"), k=5).alias("sh"),
-    )
+    # r14: the 5-gram fold runs ONCE through the Arrow shingle kernel
+    # (bit-equal to shingle_tokens(tokenize()) — parity test-pinned)
+    # and is checkpointed: the old lazy frame was evaluated once per
+    # side of the contamination join, each paying the per-char HOF
+    # over the whole corpus. Hash-green re-swept.
+    sh = shingle_arrays_kernel(
+        docs.select("doc_id", "source", "text"), "text", k=5, out_col="sh"
+    ).localCheckpoint(eager=True)
     contam = decontaminate_flags(
         sh.where(F.col("source") != "src0"),
         sh.where(F.col("source") == "src0"),

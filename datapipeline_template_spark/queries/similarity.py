@@ -1959,31 +1959,49 @@ def ss16_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < _SS_EVAL_SLICE
     )
     queries = emb.where(F.col("vec_id") < _SS16_NQ)
-    cent = kmeans_fit(emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER)
     # The quadratic brute-force truth and the corpus assignment are
     # each computed ONCE and checkpointed — the probe sweep otherwise
     # re-evaluates the most expensive subtrees per n_probe setting
     # (truth twice per iteration: the hit semi-join and the n_truth
-    # aggregate).
+    # aggregate). The truth pass shares no state with the fit→assign
+    # chain, so the two run on concurrent driver threads (guide §2.6,
+    # the ss23/ss14b pattern): the truth's bounded theta join
+    # back-fills the fit's sequential per-iteration driver round trips.
     # cosine_topk has no internal zero-norm exclusion: a zero-quantized
     # vector's cosine is 0/0 = NaN, which Spark ranks ABOVE every number
     # in the DESC ordering while DuckDB ranks it last/NULL — one
     # degenerate row would diverge the truth sets. The corpus has none,
     # but the guard matches the operator-family convention (semdedup,
     # mutual_knn_edges, ivf_topk_kmeans) and the oracle truth CTE.
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..functions import norm_sq_prequantized, quantize_vec
 
     nz = norm_sq_prequantized(quantize_vec("embedding")) > 0
-    truth = (
-        cosine_topk(
-            emb.where(nz), queries.where(nz), "vec_id", "embedding", k=_SS16_K
+
+    def _truth() -> DataFrame:
+        return (
+            cosine_topk(
+                emb.where(nz), queries.where(nz), "vec_id", "embedding",
+                k=_SS16_K,
+            )
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
         )
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    assigned = ivf_assign_corpus(
-        emb, "vec_id", "embedding", cent
-    ).localCheckpoint(eager=True)
+
+    def _index():
+        cent = kmeans_fit(
+            emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER
+        )
+        return cent, ivf_assign_corpus(
+            emb, "vec_id", "embedding", cent
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(_truth)
+        index_f = pool.submit(_index)
+        truth = truth_f.result()
+        cent, assigned = index_f.result()
     out = None
     for np_ in (1, 2, 4):
         ret = ivf_topk_kmeans(
@@ -2729,6 +2747,57 @@ ORDER BY n_probe"""
     return sql.replace(" AS (", " AS MATERIALIZED (")
 
 
+
+def _ivfsq_truth_and_index(spark: SparkSession, sf_dir: str):
+    """The byte-identical IVF-SQ harness prefix of ss25/ss28/ss32/ss34
+    factored once (r14): eval-slice checkpoint, quantized frame, exact
+    int-L2 truth, coarse k-means fit, cell assignment and SQ codes.
+    The truth pass shares no state with the fit→cells→codes chain, so
+    the two run on concurrent driver threads (guide §2.6, the
+    ss16/ss23 pattern) — the bounded quadratic truth join back-fills
+    the fit's sequential per-iteration driver round trips. Returns
+    (emb, qv, truth, cent, stats, codes); truth/qv/codes eagerly
+    checkpointed exactly as the four inline copies were."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..functions import norm_sq_prequantized, quantize_vec
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+    from ..operators.similarity import sq_dim_stats, sq_encode
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SS_EVAL_SLICE)
+        .localCheckpoint(eager=True)
+    )
+    qv = emb.select(
+        "vec_id",
+        quantize_vec("embedding").alias("_qv"),
+        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
+    ).localCheckpoint(eager=True)
+
+    def _index():
+        cent = kmeans_fit(
+            emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
+        )
+        cells = kmeans_assign(
+            qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
+        ).select("vec_id", "cluster")
+        stats = sq_dim_stats(qv)
+        codes = (
+            sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
+            .join(cells, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        return cent, stats, codes
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(_ss_l2_truth, emb, _SS21_NQ, _SS21_K, qv)
+        index_f = pool.submit(_index)
+        truth = truth_f.result()
+        cent, stats, codes = index_f.result()
+    return emb, qv, truth, cent, stats, codes
+
+
 @register("ss25_ivfsq_recall", oracle=_ss25_oracle())
 def ss25_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ — coarse k-means routing composed with scalar-quantized
@@ -2760,29 +2829,7 @@ def ss25_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.similarity import sq_dim_stats, sq_encode
 
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < _SS_EVAL_SLICE)
-        .localCheckpoint(eager=True)
-    )
-    qv = emb.select(
-        "vec_id",
-        quantize_vec("embedding").alias("_qv"),
-        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
-    ).localCheckpoint(eager=True)
-    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
-    cent = kmeans_fit(
-        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
-    )
-    cells = kmeans_assign(
-        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
-    ).select("vec_id", "cluster")
-    stats = sq_dim_stats(qv)
-    codes = (
-        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
-        .join(cells, "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    emb, qv, truth, cent, stats, codes = _ivfsq_truth_and_index(spark, sf_dir)
     qp = qv.where(F.col("vec_id") < _SS21_NQ).select(
         F.col("vec_id").alias("query_id"), "_qv"
     )
@@ -3254,29 +3301,7 @@ def ss28_ivfsq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.similarity import sq_dim_stats, sq_encode
 
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < _SS_EVAL_SLICE)
-        .localCheckpoint(eager=True)
-    )
-    qv = emb.select(
-        "vec_id",
-        quantize_vec("embedding").alias("_qv"),
-        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
-    ).localCheckpoint(eager=True)
-    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
-    cent = kmeans_fit(
-        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
-    )
-    cells = kmeans_assign(
-        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
-    ).select("vec_id", "cluster")
-    stats = sq_dim_stats(qv)
-    codes = (
-        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
-        .join(cells, "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    emb, qv, truth, cent, stats, codes = _ivfsq_truth_and_index(spark, sf_dir)
     qp = qv.where(F.col("vec_id") < _SS21_NQ).select(
         F.col("vec_id").alias("query_id"), "_qv"
     )
@@ -4037,29 +4062,7 @@ def ss32_tail_recall_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.similarity import sq_dim_stats, sq_encode
 
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < _SS_EVAL_SLICE)
-        .localCheckpoint(eager=True)
-    )
-    qv = emb.select(
-        "vec_id",
-        quantize_vec("embedding").alias("_qv"),
-        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
-    ).localCheckpoint(eager=True)
-    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
-    cent = kmeans_fit(
-        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
-    )
-    cells = kmeans_assign(
-        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
-    ).select("vec_id", "cluster")
-    stats = sq_dim_stats(qv)
-    codes = (
-        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
-        .join(cells, "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    emb, qv, truth, cent, stats, codes = _ivfsq_truth_and_index(spark, sf_dir)
     qcodes = codes.where(F.col("vec_id") < _SS21_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("cv").alias("_qc")
     )
@@ -4451,29 +4454,7 @@ def ss34_tail_slo_nprobe_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.similarity import sq_dim_stats, sq_encode
 
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < _SS_EVAL_SLICE)
-        .localCheckpoint(eager=True)
-    )
-    qv = emb.select(
-        "vec_id",
-        quantize_vec("embedding").alias("_qv"),
-        norm_sq_prequantized(quantize_vec("embedding")).alias("_n"),
-    ).localCheckpoint(eager=True)
-    truth = _ss_l2_truth(emb, _SS21_NQ, _SS21_K, qv=qv)
-    cent = kmeans_fit(
-        emb, "vec_id", "embedding", k=_SS21_CK, n_iter=_SS21_ITER
-    )
-    cells = kmeans_assign(
-        qv.select("vec_id", F.col("_qv").alias("_cq")), "_cq", cent
-    ).select("vec_id", "cluster")
-    stats = sq_dim_stats(qv)
-    codes = (
-        sq_encode(qv.select("vec_id", "_qv"), stats, _SS25_LEVELS)
-        .join(cells, "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    emb, qv, truth, cent, stats, codes = _ivfsq_truth_and_index(spark, sf_dir)
     qp = qv.where(F.col("vec_id") < _SS21_NQ).select(
         F.col("vec_id").alias("query_id"), "_qv"
     )

@@ -33,6 +33,84 @@ EXECUTES_AT_BUILD = {
     "dd09_incremental_lsh",  # eager signature materialization
     "pk06_temperature_mix",  # stratum-count collect for the allocation
     "q26b_quantiles_multipass",  # iterative counting passes at build
+    # r14 driver-budget audit: every name below spent ≥2 s in this
+    # "analysis-only" test because its BUILD runs jobs — eager
+    # localCheckpoints (the curation/eval-harness convention), k-means
+    # or BPE fits, or thread-overlapped chains. Their execution is
+    # covered by the oracle sweep (SWEEP_FULL artifact + the driver's
+    # own gate); keeping them here would make the smoke test a second
+    # slow sweep, not an analysis check.
+    "dd01_exact_dedup_documents",
+    "dd02_ngram_jaccard_pairs",
+    "dd03_minhash_lsh_candidates",
+    "dd05_minhash_lsh_kernel",
+    "dd06_dedup_components",
+    "dd08_dedup_survivors",
+    "dd13_jaccard_estimate",
+    "dd15_semdedup",
+    "dd16_d4_prune",
+    "dd17_duplicate_discount",
+    "dd18_lsh_operating_points",
+    "dd19_bm25_decon_audit",
+    "dd20_dedup_overlap_matrix",
+    "dd22_prefix_order_drift",
+    "dd23_lsh_global_recall",
+    "dd25_classifier_survivors",
+    "mm07_media_chunk_dedup",
+    "pipe10_drop_attribution",
+    "pipe11_data_card",
+    "pipe12_curation_funnel_full",
+    "pipe13_curated_mixing",
+    "pipe14_training_manifest",
+    "pipe15_decontaminated_manifest",
+    "pipe16_banded_manifest",
+    "pipe17_dsir_manifest",
+    "pipe18_budget_manifest",
+    "pipe20_full_gate_manifest",
+    "pipe21_config_bucketed_silver",
+    "pipe22_e2e_training_pipeline",
+    "pk07_bpe_budget_packing",
+    "q47_cm_frequency_sketch",
+    "ss03_lsh_ann_pairs",
+    "ss06_embedding_dedup_clusters",
+    "ss08_ann_recall",
+    "ss09_ann_recall_multi",
+    "ss10_recall_targeted_ann",
+    "ss12_production_recall_ann",
+    "ss13_kmeans_clusters",
+    "ss14b_mutual_knn_cluster_blocked",
+    "ss15_ivf_kmeans_ann",
+    "ss16_ivf_recall",
+    "ss17_semantic_clusters",
+    "ss18_mutual_knn_or_union",
+    "ss19_or_union_chooser",
+    "ss20_pq_adc_recall",
+    "ss21_ivfpq_recall",
+    "ss22_pq_rerank_recall",
+    "ss23_filtered_ann",
+    "ss24_sq_recall",
+    "ss25_ivfsq_recall",
+    "ss26_sq_rerank_recall",
+    "ss27_dim_truncation_recall",
+    "ss28_ivfsq_rerank_recall",
+    "ss29_random_projection_recall",
+    "ss30_rrf_fusion",
+    "ss31_weighted_rrf",
+    "ss32_tail_recall_histogram",
+    "ss33_rrpq_recall",
+    "ss34_tail_slo_nprobe_chooser",
+    "ss36_pagerank_centrality",
+    "ss37_centrality_weighted_sample",
+    "ss38_graph_ann_beam",
+    "st04_compacted_sketch_state",
+    "tx20_bpe_train",
+    "tx20b_bpe_train_bytes",
+    "tx21_bpe_encode",
+    "tx21b_bpe_encode_bytes",
+    "tx22_source_overlap",
+    "tx28_unigram_train",
+    "tx29_unigram_encode",
+    "tx30_tokenizer_comparison",
 }
 
 

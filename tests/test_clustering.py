@@ -79,6 +79,7 @@ def test_kmeans_k_exceeds_corpus_raises(spark):
         kmeans_fit(df, "id", "vec", k=5, n_iter=1, dim=1)
 
 
+@pytest.mark.slow
 def test_assign_centroid_size_guard(spark):
     df = spark.createDataFrame([(0, [1.0])], "id long, vec array<double>")
     q = df.select("id", quantize_vec("vec").alias("_qv"))
@@ -172,6 +173,7 @@ def test_semdedup_hot_cluster_guard(spark):
     assert out.count() > 0
 
 
+@pytest.mark.slow
 def test_zero_norm_vector_does_not_poison_pairs_or_rankings(spark):
     """A quantized all-zero vector has NaN cosine, and Spark sorts NaN
     ABOVE every number — unguarded, one degenerate row passes every
@@ -226,6 +228,7 @@ def test_kmeans_init_offset_selects_shifted_window(spark):
         kmeans_fit(df, "id", "vec", k=2, n_iter=0, dim=2, init_offset=5)
 
 
+@pytest.mark.slow
 def test_pq_adc_exact_on_codebook_vectors(spark):
     """PQ identity property: when every corpus vector IS a
     concatenation of sub-centroids, encoding is lossless and the ADC

@@ -387,6 +387,7 @@ def test_bucketed_silver_insert_crash_window_no_duplication(
     spark.sql("DROP TABLE IF EXISTS cmp_cw")
 
 
+@pytest.mark.slow
 def test_three_more_families_identity_compaction(spark, tmp_path, sf_dir):
     """Generic identity compaction across three further read
     semantics: PageRank (re-walk over merged edge/degree partials),

@@ -349,6 +349,7 @@ def test_asof_join_boundaries_ties_and_inner(spark):
         asof_join(left, right.withColumnRenamed("k", "kk"), ["k"], "t", "t", ["rid"])
 
 
+@pytest.mark.slow
 def test_asof_bucketed_equals_single_window(spark):
     """The skew-proof two-pass bucketed as-of must be row-identical to
     the single-window form — across bucket widths that force many
@@ -1394,6 +1395,7 @@ def test_exact_grouped_quantiles_long_group_key(spark):
             assert actual == want, (g, p, actual, want)
 
 
+@pytest.mark.slow
 def test_exact_grouped_quantiles_extreme_domain(spark):
     """Bucket indexing stays exact past 2^53 (integer DIV in-plan, not
     a double quotient), and a range wider than int64 raises instead of
@@ -2878,6 +2880,7 @@ def test_lit_long_array_matrix_equal_per_element_form(spark):
         lit_long_matrix([[1], []])
 
 
+@pytest.mark.slow
 def test_mutual_knn_edges_kernel_bit_equal_reference(spark, sf_dir):
     """The per-block Arrow mutual-kNN kernel (r13 verdict item 2) must
     be BIT-equal to the Catalyst reference form — same edges, same
@@ -2988,4 +2991,48 @@ def test_shingle_rows_kernel_bit_equal_reference(spark, sf_dir):
         (r.source, r.g)
         for r in shingle_rows_kernel(extra, "source", "text", k=3).collect()
     )
+    assert ref == ker
+
+
+def test_shingle_arrays_kernel_bit_equal_reference(spark, sf_dir):
+    """shingle_arrays_kernel must equal shingle_tokens(tokenize(text))
+    row-for-row (k=5, the dd19 shape) with other columns preserved,
+    and give NULL arrays for NULL text."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.dedup import (
+        shingle_arrays_kernel,
+        shingle_tokens,
+    )
+    from datapipeline_template_spark.operators.text import tokenize
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ref = {
+        r.doc_id: (r.source, r.sh)
+        for r in docs.select(
+            "doc_id", "source",
+            shingle_tokens(tokenize("text"), k=5).alias("sh"),
+        ).collect()
+    }
+    ker = {
+        r.doc_id: (r.source, r.sh)
+        for r in shingle_arrays_kernel(docs, "text", k=5).collect()
+    }
+    assert ref == ker and len(ref) > 0
+
+    extra = spark.createDataFrame(
+        [(1, "one"), (2, "two words here now"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    ref = {
+        r.doc_id: r.sh
+        for r in extra.select(
+            "doc_id", shingle_tokens(tokenize("text"), k=5).alias("sh")
+        ).collect()
+    }
+    ker = {
+        r.doc_id: r.sh
+        for r in shingle_arrays_kernel(extra, "text", k=5).collect()
+    }
     assert ref == ker

@@ -50,6 +50,7 @@ def _rowset(cols, rows):
     return sorted(repr(tuple(_canon(r[i]) for i in order)) for r in rows)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, sf_dir, name):
     q = REGISTRY[name]
@@ -92,6 +93,7 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(sdf.columns) > 0
 
 
+@pytest.mark.slow
 def test_contract_runs_in_vanilla_driver_session(tmp_path):
     """The round driver builds its OWN SparkSession (none of our
     DEFAULT_CONFS). catalog.table defensively pins UTC and branches on
@@ -285,6 +287,7 @@ def test_rerank_depth_k_rows_equal_base_harness_rows(spark, sf_dir):
     assert ss28[25][1] >= ss28[5][1]
 
 
+@pytest.mark.slow
 def test_ss30_alone_rows_equal_source_harnesses(spark, sf_dir):
     """ss30's per-view alone hit counts (rank ≤ k of its depth-25
     shortlists) must equal the rows of the harnesses that own each
@@ -367,6 +370,7 @@ def test_ss32_histograms_match_pinned_docstring_rows(spark):
     assert sum(i * h["ivfsq_np2"][i] for i in range(6)) == ss25[2]
 
 
+@pytest.mark.slow
 def test_ss33_rotation_null_result_pinned(spark):
     """ss33's docstring pins the measured RR-PQ rows (39/62 at m=4/8)
     against ss20's unrotated 38/63 at sf0.01 — a codebook-spec or
@@ -428,6 +432,7 @@ def test_ss34_chooser_constant_matches_live_tail_measurement(spark):
     )
 
 
+@pytest.mark.slow
 def test_tx28_model_and_tx29_segmentations_pinned(spark):
     """The unigram-LM docstrings pin the measured sf0.01 model facts:
     44 final pieces, whole-word winners ('join' 964, 'hash' 947),
@@ -474,6 +479,7 @@ def test_tx28_model_and_tx29_segmentations_pinned(spark):
         assert all(p in model for p in parts)
 
 
+@pytest.mark.slow
 def test_dd20_overlap_matrix_pinned_and_structural(spark):
     """dd20's docstring pins the measured sf0.01 overlap story (exact
     marks zero; lexical family coheres; semantic family near-disjoint
@@ -532,6 +538,7 @@ def test_ss35_rerank_curve_and_ss27_tie_pinned(spark):
     assert hits == sorted(hits)
 
 
+@pytest.mark.slow
 def test_tx30_comparison_consistent_with_tokenizers(spark):
     """tx30's rows must be DERIVABLE from the tokenizers it compares:
     the unigram fertility ties to tx29's per-word segmentations

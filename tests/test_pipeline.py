@@ -147,6 +147,7 @@ def test_batch_pipeline_soft_deletes_view(spark, pipeline_env):
     assert active_ids == {1, 3, 6}
 
 
+@pytest.mark.slow
 def test_streaming_incremental_and_evolution(spark, pipeline_env, tmp_path):
     params, entity, entity_dir, _ = pipeline_env
     ckpt_root = str(tmp_path / "ckpt")
@@ -265,6 +266,7 @@ def test_config_loading_via_spark(spark, tmp_path):
     assert by_name["users"].unique_primary_key == ["id"]  # default
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_subprocess(tmp_path):
     """Drive the real CLI surface in a fresh process: raw files +
     config JSON in, silver table out (exit 0, warehouse populated).
@@ -314,6 +316,7 @@ def test_cli_end_to_end_subprocess(tmp_path):
     assert silver_dir.exists(), f"no silver table dir; warehouse: {list((tmp_path / 'spark-warehouse').rglob('*'))[:20]}"
 
 
+@pytest.mark.slow
 def test_cli_query_and_list(tmp_path):
     """`query`/`list`/`explain` subcommands expose the catalog from
     the CLI (fresh process)."""
@@ -376,6 +379,7 @@ def test_multi_entity_pipeline(spark, tmp_path):
     assert len(items) == 1 and items[0]["id"] == 9
 
 
+@pytest.mark.slow
 def test_config_bucketed_silver_joins_without_exchange(spark, tmp_path):
     """r11 verdict #2 E2E: entities declaring ``bucket_by`` land their
     silvers as hash-bucketed sorted tables, and an equi-join between

@@ -530,6 +530,7 @@ def test_tx20b_byte_vocab_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
 
+@pytest.mark.slow
 def test_ss21_ivfpq_candidates_on_cluster_equijoin(spark):
     """IVF-PQ's corpus-scale claim: candidates form on a CLUSTER
     equi-join between routed queries and cell-tagged codes — never
@@ -698,6 +699,7 @@ def test_tx23_no_global_window(spark):
     assert "partial_sum" in plan or "partial_count" in plan
 
 
+@pytest.mark.slow
 def test_ss25_candidates_on_cluster_equijoin(spark):
     """IVF-SQ composition keeps ss21's routed shape: candidate scoring
     joins on the coarse CLUSTER key (hash equi-join), never a
@@ -1231,6 +1233,7 @@ def test_q55_no_candidate_join_and_width_scales(spark):
     assert li["amp_est_milli"] < _Q53_VETO_AMP_MILLI
 
 
+@pytest.mark.slow
 def test_ss38_beam_walk_stays_bounded(spark):
     """The beam walk must never go corpus-quadratic at query time:
     no cartesian anywhere (the only unconditioned products are 1-row

@@ -3,6 +3,7 @@ CDC event sequences → engine invariants."""
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -74,6 +75,7 @@ def test_window_and_aggregate_dedup_agree(spark, seq):
 
 @given(seq=events)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_soft_delete_partition(spark, seq):
     """deleted ∪ active == silver and deleted ∩ active == ∅ (the
     reference's _active-view contract, with NULL op counting deleted)."""
@@ -116,6 +118,7 @@ ascii_texts = st.lists(
 
 @given(texts=ascii_texts, k=st.sampled_from([1, 2, 3, 5, 13]))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_minhash_kernel_matches_catalyst(spark, texts, k):
     """The vectorized numpy signature kernel must bit-agree with the
     Catalyst HOF pipeline on ANY corpus — including empty texts,
@@ -189,6 +192,7 @@ snapshot_ops = st.lists(
 @given(ops=snapshot_ops)
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_snapshot_log_replay_matches_model(spark, ops):
     import shutil
     import tempfile
@@ -243,6 +247,7 @@ layout_rows = st.lists(
 
 @given(rows=layout_rows)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_train_split_is_exhaustive_partition(spark, rows):
     """Every row lands in exactly one split, membership is a pure
     function of the key (stable under repartitioning), and the splits
@@ -262,6 +267,7 @@ def test_train_split_is_exhaustive_partition(spark, rows):
 
 @given(rows=layout_rows, q=st.integers(min_value=0, max_value=12))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_quota_sample_size_law(spark, rows, q):
     """|sample ∩ stratum| == min(quota, |stratum|), for every stratum,
     at any quota."""
@@ -279,6 +285,7 @@ def test_quota_sample_size_law(spark, rows, q):
 
 @given(rows=layout_rows, q=st.integers(min_value=0, max_value=12))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_quota_sample_prefilter_equals_window(spark, rows, q):
     """The threshold-prefilter path must pick EXACTLY the rows the
     single-reducer window form picks — bit-identical sample."""
@@ -375,6 +382,7 @@ corpus_texts = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(texts=corpus_texts, chunk_tokens=st.sampled_from([2, 3, 5]))
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_chunk_dedup_matches_python_model(spark, texts, chunk_tokens):
@@ -533,6 +541,7 @@ _vecs = st.lists(
 
 @given(vecs=_vecs, k=st.sampled_from([1, 2, 3]))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_kmeans_assignment_kernel_catalyst_parity_property(spark, vecs, k):
     """The Arrow kernel and the Catalyst HOF assignment must agree on
     ARBITRARY int vectors — including duplicate vectors (argmin ties,
@@ -774,6 +783,7 @@ def test_nosplit_packing_matches_python_model(spark, weights, budget, n_shards):
     n_docs=st.integers(min_value=13, max_value=20),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_duplicate_discount_weights_properties(spark, edges, n_docs):
     """Over arbitrary candidate graphs: every doc appears exactly once,
     weights are exactly 1/cluster_size, and sum(weight) == number of
@@ -848,6 +858,7 @@ def test_milli_log2_exact_powers_monotone_and_bounded(spark, xs):
     cut=st.integers(min_value=0, max_value=39),
     k=st.integers(min_value=1, max_value=8),
 )
+@pytest.mark.slow
 def test_kmv_merge_equals_union_sketch_property(spark, vals, cut, k):
     """For ANY split of ANY value multiset, merging the parts' KMV
     sketches equals the sketch of the union (k-min-of-union identity),

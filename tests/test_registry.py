@@ -4,6 +4,7 @@ entry 50), so the window must cover every operator family."""
 
 from __future__ import annotations
 
+import pytest
 import re
 
 from datapipeline_template_spark.queries import _OVERFLOW, load_all
@@ -122,6 +123,7 @@ def test_every_oracle_has_query():
         assert callable(q.fn), name
 
 
+@pytest.mark.slow
 def test_sweep_tool_runs_and_reports(tmp_path):
     """tools/sweep_all.py (the full-registry evidence artifact the
     driver's 50-entry window can't produce) must run, hash-compare

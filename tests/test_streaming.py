@@ -5,6 +5,7 @@ AvailableNow triggers."""
 from __future__ import annotations
 
 import datetime as dt
+import pytest
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -286,6 +287,7 @@ def test_incremental_rollup_matches_batch_cascade(spark, tmp_path):
         IncrementalRollup(store, "ts", ["key"], {"a": ("avg", F.col("value"))})
 
 
+@pytest.mark.slow
 def test_incremental_lsh_stream_matches_full_corpus(spark, tmp_path):
     """End-to-end streaming LSH maintenance: drain a document stream
     in TWO AvailableNow passes, then the maintained candidate pairs
@@ -357,6 +359,7 @@ def test_incremental_lsh_stream_matches_full_corpus(spark, tmp_path):
     assert lsh.signatures(spark).count() == 40
 
 
+@pytest.mark.slow
 def test_incremental_sign_lsh_matches_multi_table_pairs(spark, tmp_path, sf_dir):
     """Embedding-side maintenance (the third instance of the dd09
     equivalence contract): drain an embedding stream in TWO
@@ -460,6 +463,7 @@ def test_pinned_broadcast_skips_sizing_count(spark, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_incremental_chunk_dedup_matches_batch_operator(spark, tmp_path):
     """Two AvailableNow drains of ascending-id docs maintain cleaned
     docs equal to the batch chunk_dedup over everything seen; replays
@@ -1013,6 +1017,7 @@ def test_incremental_bpe_vocab_matches_batch(spark, tmp_path, sf_dir):
     assert inc.learn(spark, n_merges=6) == want_merges
 
 
+@pytest.mark.slow
 def test_streaming_curation_matches_batch_pipe12(spark, tmp_path, sf_dir):
     """EIGHTH incremental family — the curation funnel composed from
     the others: drain (doc, embedding) rows in two AvailableNow
@@ -1629,6 +1634,7 @@ def test_incremental_surprisal_matches_batch_tx23(spark, tmp_path, sf_dir):
     assert fresh.bands(spark).count() == 0
 
 
+@pytest.mark.slow
 def test_incremental_dsir_matches_batch_tx25(spark, tmp_path, sf_dir):
     """Fourteenth incremental family: drain documents in TWO
     AvailableNow passes; maintained scores must equal batch
@@ -1928,6 +1934,7 @@ def test_incremental_countmin_join_size_composition(spark, tmp_path, sf_dir):
     assert got >= ev.join(od, "k").count()
 
 
+@pytest.mark.slow
 def test_incremental_bm25_matches_batch(spark, tmp_path, sf_dir):
     """17th incremental family: every BM25 index component is an
     additive pure function of each (disjoint-doc) batch, so topk()
@@ -2069,6 +2076,7 @@ def test_incremental_kmv_answers_rolling_windows_by_merge(spark, tmp_path, sf_di
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_incremental_unigram_lm_equals_batch_train(spark, tmp_path, sf_dir):
     """18th incremental family (IncrementalUnigramLm): word counts are
     additive per micro-batch, so the model trained from maintained
@@ -2149,6 +2157,7 @@ def test_incremental_unigram_lm_equals_batch_train(spark, tmp_path, sf_dir):
     assert fresh.train(spark).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_manifest_matches_batch_pipe15_pipe17(spark, tmp_path, sf_dir):
     """The composed-manifest maintainer (StreamingManifest — the r9
     verdict's composition of StreamingCuration + IncrementalDecon +
@@ -2379,6 +2388,7 @@ def test_incremental_weighted_sample_matches_batch(spark, tmp_path, sf_dir):
         ).process_batch(bad, batch_id=0)
 
 
+@pytest.mark.slow
 def test_incremental_prefix_join_matches_batch(spark, tmp_path, sf_dir):
     """20th incremental family: under a FROZEN element order each
     set's prefix is a pure batch function, so the maintained index's
@@ -2622,6 +2632,7 @@ def test_incremental_retention_matches_batch(spark, tmp_path, sf_dir):
     assert fresh.triangle(spark).count() == 0
 
 
+@pytest.mark.slow
 def test_incremental_pagerank_matches_batch(spark, tmp_path):
     """22nd incremental family: the edge list and out-degrees are
     additive per batch (pure functions of the batch, marker-guarded);
