@@ -396,6 +396,7 @@ def semdedup(
     centroids: list[list[int]] | None = None,
     max_cluster_size: int | None = None,
     assigned: DataFrame | None = None,
+    kernel: bool = True,
 ) -> DataFrame:
     """SemDeDup: within-cluster cosine near-dup removal.
 
@@ -434,6 +435,13 @@ def semdedup(
     localCheckpointed) to reuse one quantize+assign kernel pass across
     consumers — ``d4_prune`` shares a single pass between the SemDeDup
     and prototype stages this way (the ivf_topk_kmeans convention).
+
+    ``kernel=True`` (default, r14) runs the pair stage as the
+    per-cluster Arrow kernel (``_semdedup_marks_kernel``) — ONE
+    cluster-keyed shuffle, no per-pair interpreted HOF; bit-identical
+    marks by parity test. ``kernel=False`` keeps the Catalyst cluster
+    equi-join: the DuckDB-replayable reference form (the
+    mutual_knn_edges convention).
     """
     from ..functions import cosine_prequantized_hof
 
@@ -473,6 +481,8 @@ def semdedup(
     with_cs = with_centroid_cosine(assigned, "_qv", centroids).where(
         F.col("_n") > 0
     ).select("vec_id", "cluster", "_qv", "_n", "_cs")
+    if kernel:
+        return _semdedup_marks_kernel(with_cs, threshold)
 
     a = with_cs.select(
         F.col("cluster"),
@@ -503,6 +513,55 @@ def semdedup(
         .alias("vec_id"),
     )
     return marked.distinct()
+
+
+def _semdedup_marks_kernel(with_cs: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup within-cluster pair stage as ONE per-cluster numpy
+    kernel (the mutual_knn_edges_kernel shape, r14): pairwise dots as
+    an exact-int64 matmul, the same IEEE cosine
+    (double(dot) / (sqrt·sqrt)), the same mark rule (higher centroid
+    cosine loses, exact-tie → larger id), deduplicated in-batch —
+    bit-identical marks to the Catalyst cluster equi-join (parity
+    test-pinned via ``kernel=False``). ONE cluster-keyed shuffle
+    replaces the pair join + the (cluster, id) distinct; the bounded-
+    cluster contract is the caller's, same as the join form
+    (max_cluster_size enforces it)."""
+    cl_type = with_cs.schema["cluster"].dataType.simpleString()
+    id_type = with_cs.schema["vec_id"].dataType.simpleString()
+    out_schema = f"cluster {cl_type}, vec_id {id_type}"
+
+    def _marks(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pdf.iloc[0:0][["cluster", "vec_id"]]
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.stack(pdf["_qv"].to_numpy()[order]).astype(np.int64)
+        nrm = pdf["_n"].to_numpy()[order].astype(np.int64)
+        cs = pdf["_cs"].to_numpy()[order].astype(np.float64)
+        G = M @ M.T
+        s = np.sqrt(nrm.astype(np.float64))
+        cos = G.astype(np.float64) / (s[:, None] * s[None, :])
+        ia, ja = np.triu_indices(n, 1)  # ids sorted: id_a=ids[ia] < ids[ja]
+        hit = cos[ia, ja] >= threshold
+        ia, ja = ia[hit], ja[hit]
+        csa, csb = cs[ia], cs[ja]
+        # higher centroid cosine loses; exact tie -> larger id (= ja's)
+        marked = np.where(csa > csb, ids[ia], ids[ja])
+        out = pdf.iloc[0:0][["cluster", "vec_id"]]
+        if len(marked):
+            out = pd.DataFrame(
+                {
+                    "cluster": np.repeat(
+                        pdf["cluster"].to_numpy()[:1], len(marked)
+                    ),
+                    "vec_id": marked,
+                }
+            ).drop_duplicates()
+        return out
+
+    return with_cs.groupBy("cluster").applyInPandas(_marks, out_schema)
 
 
 def d4_prune(

@@ -2173,14 +2173,16 @@ def q47_cm_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-20; checkpointing it converts two poly_hash corpus passes
     # (an interpreted per-char HOF — the expensive part) into one
     # (A/B at sf0.1, alternating twice each: 7.3–8.0 s recompute vs
-    # 4.4–4.7 s checkpointed). r14: the remaining pass hashes every
-    # bigram OCCURRENCE through the per-char HOF — the Arrow kernel
-    # twin (operators/text.poly_hash_kernel, bit-equal by parity
-    # test) replaces it; hash-green re-swept.
-    from ..operators.text import poly_hash_kernel
+    # 4.4–4.7 s checkpointed). r14: the whole (bigram, hash) stream
+    # comes from ONE Arrow kernel pass over raw text
+    # (operators/text.bigram_hash_rows_kernel, bit-equal by parity
+    # test) — noop-profiled, the interpreted transform/concat_ws
+    # stream BUILD was 2.3 s of the 2.7 s checkpoint pass, not the
+    # hash; hash-green re-swept.
+    from ..operators.text import bigram_hash_rows_kernel
 
-    hashed = _bigram_stream(spark, sf_dir).select(
-        "bigram", poly_hash_kernel("bigram").alias("h")
+    hashed = bigram_hash_rows_kernel(
+        table(spark, sf_dir, "documents"), "text"
     ).localCheckpoint(eager=True)
     wmax = max(_Q47_WIDTHS)
     sk = {wmax: cm_sketch(hashed, "h", _Q47_DEPTH, wmax).localCheckpoint(eager=True)}

@@ -422,3 +422,32 @@ def test_kmeans_assign_broadcast_matches_closure_kernel(spark):
     finally:
         bc2.unpersist()
     assert (b["cluster"], b["dist"]) == (0, 4)
+
+
+def test_semdedup_kernel_marks_bit_equal_reference(spark, sf_dir):
+    """The per-cluster Arrow mark kernel must produce EXACTLY the
+    Catalyst pair join's marks — same (cluster, vec_id) set — on the
+    real embeddings at two thresholds (0.3 = the pipeline's, 0.9 =
+    sparse-marks regime)."""
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.operators.clustering import semdedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    for thr in (0.3, 0.9):
+        ref = sorted(
+            (r.cluster, r.vec_id)
+            for r in semdedup(
+                emb, "vec_id", "embedding", k=4, n_iter=2,
+                threshold=thr, kernel=False,
+            ).collect()
+        )
+        ker = sorted(
+            (r.cluster, r.vec_id)
+            for r in semdedup(
+                emb, "vec_id", "embedding", k=4, n_iter=2,
+                threshold=thr, kernel=True,
+            ).collect()
+        )
+        assert ref == ker
+        if thr == 0.3:
+            assert len(ref) > 0

@@ -3036,3 +3036,57 @@ def test_shingle_arrays_kernel_bit_equal_reference(spark, sf_dir):
         for r in shingle_arrays_kernel(extra, "text", k=5).collect()
     }
     assert ref == ker
+
+
+def test_bigram_hash_rows_kernel_bit_equal_reference(spark, sf_dir):
+    """bigram_hash_rows_kernel must emit exactly the rows of
+    _bigram_stream + poly_hash — same multiset of (bigram, h) — on the
+    real documents table plus NULL/empty/single-token edges."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_template_spark.catalog import table
+    from datapipeline_template_spark.functions import poly_hash
+    from datapipeline_template_spark.operators.text import (
+        bigram_hash_rows_kernel,
+    )
+    from datapipeline_template_spark.queries.text import _bigram_stream
+
+    ref = sorted(
+        (r.bigram, r.h)
+        for r in _bigram_stream(spark, sf_dir)
+        .select("bigram", poly_hash("bigram").alias("h"))
+        .collect()
+    )
+    docs = table(spark, sf_dir, "documents")
+    ker = sorted(
+        (r.bigram, r.h)
+        for r in bigram_hash_rows_kernel(docs, "text").collect()
+    )
+    assert ref == ker and len(ref) > 0
+
+    extra = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, None), (4, ""), (5, "a  b")],
+        "doc_id long, text string",
+    )
+    # reference chain inline (the _bigram_stream shape over `extra`)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ref = sorted(
+        (r.bigram, r.h)
+        for r in extra.select(F.explode(bigrams).alias("bigram"))
+        .select("bigram", poly_hash("bigram").alias("h"))
+        .collect()
+    )
+    ker = sorted(
+        (r.bigram, r.h)
+        for r in bigram_hash_rows_kernel(extra, "text").collect()
+    )
+    assert ref == ker
