@@ -5118,19 +5118,52 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = mutual_knn_edges_kernel(
         corpus, "vec_id", "embedding", k=_SS38_K
     ).localCheckpoint(eager=True)
-    nbrs = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(
-            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+
+    # nbrs, the CC-entries chain and the exact truth all derive from
+    # the checkpointed edges/corpus and share no state — concurrent
+    # driver threads (guide §2.6, the ss16/ss23 pattern): the truth's
+    # bounded quadratic join back-fills the CC rounds' checkpoint
+    # barriers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _nbrs() -> DataFrame:
+        return (
+            edges.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+            .union(
+                edges.select(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                )
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    entries = (
-        connected_components(edges, "id_a", "id_b")
-        .select(F.col("component").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    def _entries() -> DataFrame:
+        return (
+            connected_components(edges, "id_a", "id_b")
+            .select(F.col("component").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def _truth() -> DataFrame:
+        return (
+            cosine_topk(
+                corpus, corpus.where(F.col("vec_id") < _SS38_NQ),
+                "vec_id", "embedding", k=_SS38_TOPK,
+            )
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        nbrs_f = pool.submit(_nbrs)
+        entries_f = pool.submit(_entries)
+        truth_f = pool.submit(_truth)
+        nbrs = nbrs_f.result()
+        entries = entries_f.result()
+        truth = truth_f.result()
     queries = base.where(F.col("vec_id") < _SS38_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("_qv").alias("_quv"),
@@ -5157,12 +5190,6 @@ def ss38_graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    truth = (
-        cosine_topk(corpus, corpus.where(F.col("vec_id") < _SS38_NQ),
-                    "vec_id", "embedding", k=_SS38_TOPK)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
     v0 = queries.select("query_id").crossJoin(F.broadcast(entries))
     s0 = score(v0).localCheckpoint(eager=True)
 
